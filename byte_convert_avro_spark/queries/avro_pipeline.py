@@ -1,0 +1,74 @@
+"""End-to-end wire-format pipeline as an oracle-checked query: encode
+``customer`` rows into Confluent wire format, run them through the Engine's
+decode projection (O8-O16), parse the JSON envelopes back into columns.
+
+The oracle is the identity projection — if any stage (binary encode, wire
+framing, schema resolution, Avro decode, Avro-JSON, envelope) corrupts a
+value, the hash compare fails.  JSON double round-trip is exact (shortest-
+repr emit, exact parse), so ``c_acctbal`` survives bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from byte_convert_avro_spark.engine import Engine, EngineConfig
+from byte_convert_avro_spark.queries.base import register, t
+from byte_convert_avro_spark.schema_store import LocalSchemaStore
+
+CUSTOMER_SCHEMA = (
+    '{"type":"record","name":"Customer","namespace":"demo",'
+    '"fields":[{"name":"c_custkey","type":"long"},'
+    '{"name":"c_name","type":"string"},'
+    '{"name":"c_acctbal","type":"double"}]}'
+)
+SCHEMA_ID = 7
+
+
+def _store() -> LocalSchemaStore:
+    s = LocalSchemaStore()
+    s.register(CUSTOMER_SCHEMA, SCHEMA_ID)
+    return s
+
+
+@register(
+    "avro_roundtrip_customers",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def avro_roundtrip_customers(spark: SparkSession, sf: str):
+    store = _store()
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        # executor-local codec construction, once per worker
+        from byte_convert_avro_spark.avro import compile_writer, parse_schema
+        from byte_convert_avro_spark.wire import encode_wire
+
+        writer = compile_writer(parse_schema(CUSTOMER_SCHEMA))
+        for pdf in it:
+            out = []
+            for ck, nm, ab in zip(pdf["c_custkey"], pdf["c_name"], pdf["c_acctbal"]):
+                buf = bytearray()
+                writer(buf, {"c_custkey": int(ck), "c_name": nm, "c_acctbal": float(ab)})
+                out.append(encode_wire(SCHEMA_ID, bytes(buf)))
+            yield pd.Series(out)
+
+    cust = t(spark, sf, "customer")
+    records = cust.select(
+        F.lit("customers").alias("topic"),
+        F.lit(None).cast("binary").alias("key"),
+        encode(F.struct("c_custkey", "c_name", "c_acctbal")).alias("value"),
+    )
+    eng = Engine(EngineConfig(avro_topics="customers:false"), store=store)
+    decoded = eng.transform(records)
+    msg = F.get_json_object(F.col("value").cast("string"), "$.originMessage")
+    return decoded.select(
+        F.get_json_object(msg, "$.c_custkey").cast("long").alias("c_custkey"),
+        F.get_json_object(msg, "$.c_name").alias("c_name"),
+        F.get_json_object(msg, "$.c_acctbal").cast("double").alias("c_acctbal"),
+    )

@@ -1,0 +1,101 @@
+"""Shared infrastructure for the query registry.
+
+Cross-engine determinism rules (Spark vs DuckDB must hash-match):
+
+- **Money/measure sums** go through ``CAST(x AS DECIMAL(18,4))`` (or wider
+  for products) before SUM — decimal aggregation is exact and therefore
+  independent of partitioning/accumulation order, unlike double sums.  The
+  final value casts back to DOUBLE so both engines report the same schema.
+- **Averages** are computed as exact-decimal-sum / count in DOUBLE — one
+  deterministic division instead of engine-specific AVG accumulators.
+- **Event time** is integer microseconds: Spark reads the ns-precision
+  parquet with ``spark.sql.legacy.parquet.nanosAsLong`` and uses
+  ``ts DIV 1000``; DuckDB uses ``epoch_us(ts)``.  All bucketing is integer
+  division — no floating point anywhere in time arithmetic.
+- **Timestamps in output** are formatted to strings (``date_format`` /
+  ``strftime``) — Spark timestamps are session-TZ µs, DuckDB's are naive,
+  so raw timestamp columns never cross the compare boundary.
+- **Top-K** always orders by (exact value, unique key) so ties cannot
+  reorder between engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str | None] = {}
+
+
+def register(name: str, oracle: str | None):
+    """Register a query + its DuckDB oracle (None -> rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table.  ``events`` needs the ns-as-long legacy conf
+    (Spark's parquet reader rejects TIMESTAMP(NANOS) otherwise); its ``ts``
+    column then arrives as nanosecond epoch longs."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dsum(col: Column | str, scale: str = "decimal(18,4)") -> Column:
+    """Order-independent exact sum, reported as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+def cents(col: Column | str, decimals: int = 2) -> Column:
+    """Money/percent column -> exact integer units (price -> cents).
+
+    The inputs carry <= ``decimals`` decimal digits, so rounding the double
+    at that scale is unambiguous in both engines.  All downstream products
+    and sums stay in int64 — exact and order-independent — with one final
+    division back to double.  This is the portable discipline for *product*
+    sums: the DECIMAL(28,10)-cast alternative breaks cross-engine because
+    casting a wide decimal back to double double-rounds (int128 -> double
+    -> divide) differently per engine once the scaled numerator exceeds
+    2^53."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10 ** decimals), 0).cast("long")
+
+
+def revenue_sum() -> Column:
+    """Σ l_extendedprice*(1-l_discount) via integer units, as double."""
+    units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return F.sum(units) / F.lit(10_000.0)
+
+
+def charge_sum() -> Column:
+    """Σ l_extendedprice*(1-l_discount)*(1+l_tax) via integer units."""
+    units = (
+        cents("l_extendedprice")
+        * (100 - cents("l_discount"))
+        * (100 + cents("l_tax"))
+    )
+    return F.sum(units) / F.lit(1_000_000.0)
+
+
+#: SQL fragments mirroring cents()/revenue_sum()/charge_sum() for DuckDB.
+SQL_CENTS = "CAST(ROUND({x} * 100, 0) AS BIGINT)"
+SQL_REVENUE = (
+    "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0"
+)
+SQL_CHARGE = (
+    "CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))"
+    " * (100 + CAST(ROUND(l_tax*100,0) AS BIGINT))) AS BIGINT) / 1000000.0"
+)

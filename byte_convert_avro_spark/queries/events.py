@@ -1,0 +1,232 @@
+"""Event-stream analytics (batch expressions of the streaming operators;
+the Structured Streaming versions live in ``streaming/``).
+
+Time discipline: the events parquet stores ns-precision timestamps, which
+Spark's parquet reader only accepts as epoch-ns longs
+(``spark.sql.legacy.parquet.nanosAsLong``).  All bucketing/session math is
+therefore **integer microseconds** (``ts DIV 1000`` ≡ DuckDB
+``epoch_us(ts)``) — no floating point in time arithmetic, so engines agree
+bit-for-bit.
+
+Scale notes: tumbling/sliding aggs are single-shuffle groupBys on derived
+integer keys; sessionization is two windows over one shuffle on user_id
+(the classic gaps-and-islands plan — at 100 TB the shuffle is on the
+session key, and AQE handles hot users); the as-of join is a cogrouped
+``merge_asof`` per user (partition-local sort-merge, the scalable as-of).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import dsum, register, t
+
+US_PER_HOUR = 3_600_000_000
+US_PER_15MIN = 900_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _ev(spark: SparkSession, sf: str):
+    return t(spark, sf, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_tumbling",
+    f"""
+    SELECT (epoch_us(ts) // {US_PER_HOUR}) AS hour_bucket,
+           strftime(make_timestamp((epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR}),
+                    '%Y-%m-%d %H:%M') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf: str):
+    """Tumbling 1h window per event type (batch form of the streaming
+    windowed agg)."""
+    ev = _ev(spark, sf)
+    return (
+        ev.withColumn("hour_bucket", F.expr(f"ts_us DIV {US_PER_HOUR}"))
+        .withColumn(
+            "hour_start",
+            F.date_format(F.timestamp_micros(F.col("hour_bucket") * US_PER_HOUR), "yyyy-MM-dd HH:mm"),
+        )
+        .groupBy("hour_bucket", "hour_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_window",
+    f"""
+    WITH k AS (SELECT unnest(generate_series(0, 3)) AS k)
+    SELECT ((epoch_us(ts) // {US_PER_15MIN}) - k) * {US_PER_15MIN} AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN k
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf: str):
+    """Sliding window: 1h length, 15min slide — each event lands in exactly
+    4 windows.  Spark's native ``window()`` generates the replicas; the
+    oracle enumerates offsets 0..3 explicitly."""
+    ev = _ev(spark, sf).withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+    return (
+        ev.groupBy(F.window("ts_ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            (F.col("w.start").cast("long") * 1_000_000).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionization",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionization(spark: SparkSession, sf: str):
+    """Sessionization (30-min inactivity gap) as gaps-and-islands: lag ->
+    new-session flag -> running count -> per-session agg.  One shuffle on
+    user_id; both windows share it."""
+    ev = _ev(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, 1
+        ).when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        dsum("value").alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_purchase_view",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts_us AS purchase_ts_us,
+           v.ts_us AS view_ts_us,
+           p.ts_us - v.ts_us AS gap_us
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """,
+)
+def events_asof_purchase_view(spark: SparkSession, sf: str):
+    """As-of join: each purchase matched to the latest view at-or-before it
+    for the same user.  Spark lacks a native as-of operator; this is the
+    fully-native plan — union both sides tagged, one shuffle on user_id,
+    then ``last(view_ts, ignorenulls)`` over an ordered running window.
+    Whole-stage codegen end to end, no Python, no range-join explosion;
+    ordering (ts, kind) with views first gives allow-exact-match semantics
+    identical to DuckDB's ASOF (>=) oracle.
+
+    (``operators/asof.py`` carries the general cogrouped ``merge_asof``
+    variant for tolerance/nearest semantics that this trick can't express.)
+    """
+    ev = _ev(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.lit(1).alias("kind"), F.col("event_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_us", F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    u = purchases.unionByName(views)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    view_ts = F.last(F.when(F.col("kind") == 0, F.col("ts_us")), ignorenulls=True).over(w)
+    return (
+        u.withColumn("view_ts_us", view_ts)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "view_ts_us",
+            (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf: str):
+    """Semi-structured JSON column access (the engine's envelope output is
+    consumed the same way downstream)."""
+    ev = t(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+    )

@@ -1,0 +1,284 @@
+"""Text-analysis + deduplication operators over the ``documents`` table —
+the LLM-training-data-pipeline surface: stats, language-ID heuristic,
+token frequency, fingerprinting, exact dedup, MinHash-LSH signatures.
+
+Determinism: every hash is ``md5`` (identical hex output in Spark and
+DuckDB); shingling/token math is pure string+integer arithmetic.
+
+Scale notes: all operators are explode -> groupBy shapes whose shuffle keys
+are (doc_id, band) or token — uniformly distributed by construction.  At
+100 TB the MinHash signature computation stays one explode + one partial-agg
+shuffle; candidate pairing joins on (band, sig) where bucket sizes are the
+LSH-bounded collision groups, so the join never quadratically explodes the
+corpus (only within-bucket pairs materialize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import register, t
+
+N_BANDS = 8
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_stats",
+    """
+    SELECT doc_id, source, lang,
+           LENGTH(text) AS n_chars_calc,
+           LEN(string_split(text, ' ')) AS n_words,
+           LEN(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / LEN(string_split(text, ' ')) AS avg_word_len
+    FROM documents
+    """,
+)
+def doc_stats(spark: SparkSession, sf: str):
+    """Per-document stats: length, word count, vocabulary size, avg word
+    length — the quality-scoring primitives."""
+    d = t(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size("w")
+        ).alias("avg_word_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lang_quality_profile",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_quality_profile(spark: SparkSession, sf: str):
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "token_frequency_top50",
+    """
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+)
+def token_frequency_top50(spark: SparkSession, sf: str):
+    """Corpus token frequency (term + document frequency), top 50.
+    Explode -> partial-agg -> top-k; the shuffle carries one row per
+    distinct token per partition, not per occurrence."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("tf"), "token")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+           md5(text) AS raw_hash
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf: str):
+    """Normalized document fingerprint (lowercase + whitespace collapse +
+    md5) — the cheap exact-dup / near-identical detector."""
+    d = t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.md5(F.col("text")).alias("raw_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf: str):
+    """Exact dedup: hash-groupBy on content hash; keeper = min doc_id.
+    (At 100 TB this is the first pass before any near-dup method — the
+    shuffle key is the 128-bit hash, perfectly uniform.)"""
+    d = t(spark, sf, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id_heuristic",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        (LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))  + 2) / 5 AS s_en,
+        (LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', ' der ', '')) + 2) / 5 AS s_de,
+        (LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', ' le ', ''))  + 2) / 4 AS s_fr,
+        (LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', ' el ', ''))  + 2) / 4 AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS guessed_lang
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf: str):
+    """Stopword-count language ID (n-gram-heuristic family).  Occurrence
+    counting via length-delta of ``replace`` — pure string ops, engine-
+    portable; a real pipeline would swap in fastText/CLD3 behind the same
+    column contract."""
+    d = t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def score(marker: str):
+        # non-overlapping occurrence count * len(marker), +2 corrects padding
+        return (
+            F.length("text") - F.length(F.regexp_replace(padded, marker.replace(" ", "\\ "), "")) + 2
+        ) / len(marker)
+
+    sc = d.select(
+        "doc_id",
+        "lang",
+        score(" the ").alias("s_en"),
+        score(" der ").alias("s_de"),
+        score(" le ").alias("s_fr"),
+        score(" el ").alias("s_es"),
+    )
+    return sc.select(
+        "doc_id",
+        "lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") > 0), "de")
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") > 0), "fr")
+        .when(F.col("s_es") > 0, "es")
+        .otherwise("unknown")
+        .alias("guessed_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_MINHASH_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      FROM words WHERE len(w) >= 3
+    ), shingles AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx
+    ), bands AS (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+    SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
+    FROM shingles CROSS JOIN bands
+    GROUP BY doc_id, band
+"""
+
+
+@register("minhash_signatures", _MINHASH_ORACLE)
+def minhash_signatures(spark: SparkSession, sf: str):
+    """MinHash-LSH signatures: word 3-gram shingles -> per-band min-hash.
+    ``md5(band || '|' || shingle)`` plays the role of the band's hash
+    permutation — deterministic and identical across engines.
+
+    Scale shape: explode(shingles) × bands -> partial min per (doc, band)
+    happens map-side, so the shuffle carries |docs|×|bands| rows only.
+    """
+    d = t(spark, sf, "documents").withColumn("w", F.split("text", " ")).filter(F.size("w") >= 3)
+    shingles = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
+            )
+        ).alias("sh"),
+    )
+    banded = shingles.select(
+        "doc_id",
+        "sh",
+        F.explode(F.array(*[F.lit(i) for i in range(N_BANDS)])).alias("band"),
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh")))).alias("sig")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_dup_candidates",
+    f"""
+    WITH sigs AS ({_MINHASH_ORACLE})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band) AS n_bands_matched
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def minhash_dup_candidates(spark: SparkSession, sf: str):
+    """LSH candidate pairs: docs sharing any band signature.  The join is
+    on (band, sig) buckets — the LSH property keeps buckets tiny, so the
+    pair blow-up is bounded (this is the whole point vs all-pairs)."""
+    sigs = minhash_signatures(spark, sf)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
+    )
+    return (
+        a.join(b, (a.band == b.band2) & (a.sig == b.sig2) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band").alias("n_bands_matched"))
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+64-dim): brute-force cosine top-k baseline + IVF-style centroid routing —
+the ANN building blocks of an LLM-data pipeline.
+
+Determinism: dot products are sequential left-to-right folds over
+double-cast arrays on BOTH engines (Spark ``aggregate``/``zip_with``,
+DuckDB ``list_reduce``/``list_transform``) — IEEE doubles folded in the
+same order give bit-identical results, sqrt is correctly rounded, and
+ranking keys include vec_id so ties can't reorder.
+
+Scale notes: brute-force is the correctness baseline — it broadcasts the
+(small) query set against the candidate corpus, embarrassingly parallel,
+no shuffle.  The IVF pattern is the 100 TB path: centroid assignment is a
+broadcast join (K centroids always fit in memory), so search cost drops
+from O(N) to O(N/K) per probe with one scan to build the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import register, t
+
+DIM = 64
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+)
+# DuckDB equivalent sequential fold (1-based list indexing)
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, {n}), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _emb(spark: SparkSession, sf: str):
+    return t(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "knn_cosine_top5",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 sqrt({_DOT_SQL.format(n=DIM, a='e', b='e')}) AS nrm FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 10),
+    c AS (SELECT vec_id, label, e, nrm FROM n WHERE vec_id >= 10),
+    sims AS (
+      SELECT q.qid, c.vec_id, c.label,
+             ROUND({_DOT_SQL.format(n=DIM, a='c.e', b='q.qe')} / (c.nrm * q.qn), 4) AS sim
+      FROM c CROSS JOIN q
+    )
+    SELECT qid, vec_id, label, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    WHERE rank <= 5
+    """,
+)
+def knn_cosine_top5(spark: SparkSession, sf: str):
+    """Brute-force cosine top-5 neighbors for 10 query vectors.  The query
+    side is broadcast; similarity is computed fully JVM-side with array
+    expressions (no Python), and ranking is a per-query window."""
+    e = _emb(spark, sf).withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="e", b="e"))))
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    )
+    c = e.filter(F.col("vec_id") >= 10)
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(F.expr(_DOT.format(a="e", b="qe")) / (F.col("nrm") * F.col("qn")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+# ---------------------------------------------------------------------------
+def _ordered_fold(sort_key: str, value: str):
+    """Deterministic double sum: collect (key, value), sort by key, fold
+    left-to-right.  NOTE: ``CAST(double AS DECIMAL)`` is NOT portable for
+    exactness — Spark and DuckDB round the binary expansion differently at
+    high scales — so order-fixed IEEE folding is the portable discipline
+    for sums of arbitrary doubles."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(sort_key, value))),
+            lambda s: s[value],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "label_centroids",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+             unnest(generate_series(1, 64)) AS dim
+      FROM embeddings
+    )
+    SELECT label, dim,
+           list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS centroid
+    FROM dims GROUP BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf: str):
+    """IVF 'train' step: per-label centroids, one row per (label, dim).
+    The mean folds doubles in vec_id order on both engines (sequential
+    IEEE addition -> bit-identical).  posexplode -> agg: the shuffle
+    carries |labels|×|dims| rows."""
+    e = _emb(spark, sf)
+    dims = e.select("vec_id", "label", F.posexplode("e").alias("dim0", "x")).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    return dims.groupBy("label", "dim").agg(
+        (_ordered_fold("vec_id", "x") / F.count("*")).alias("centroid")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_assign_nearest_centroid",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+             unnest(generate_series(1, 64)) AS dim
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, dim,
+             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS c
+      FROM dims GROUP BY label, dim
+    ), dist AS (
+      SELECT d.vec_id, d.label, cent.clabel,
+             list_reduce(list((d.x - cent.c) * (d.x - cent.c) ORDER BY d.dim),
+                         (a, b) -> a + b) AS d2
+      FROM dims d JOIN cent ON d.dim = cent.dim
+      GROUP BY d.vec_id, d.label, cent.clabel
+    )
+    SELECT vec_id, label, clabel AS nearest_label, d2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      FROM dist)
+    WHERE rn = 1
+    """,
+)
+def ivf_assign_nearest_centroid(spark: SparkSession, sf: str):
+    """IVF 'assign' step: route every vector to its nearest label centroid
+    (squared L2).  The centroid table is broadcast — at any corpus size the
+    join is a map-side lookup; per-(vector,centroid) distances aggregate
+    with exact decimal sums, argmin via window with (d2, label) tie-break."""
+    e = _emb(spark, sf)
+    dims = e.select("vec_id", "label", F.posexplode("e").alias("dim0", "x")).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (_ordered_fold("vec_id", "x") / F.count("*")).alias("c")
+    )
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .withColumn("sq", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(_ordered_fold("dim", "sq").alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("nearest_label"), "d2")
+    )
