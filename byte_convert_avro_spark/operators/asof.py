@@ -1,0 +1,105 @@
+"""Generic as-of join — Spark has no native one; two implementations:
+
+1. :func:`asof_join` — the **native** plan: union both sides with a kind
+   tag, one shuffle on the key, ``last(value, ignorenulls)`` over an
+   ordered running window.  Whole-stage codegen, no Python; backward
+   direction with allow-exact-match semantics.  Use this whenever it fits.
+2. :func:`asof_join_tolerance` — cogrouped ``pd.merge_asof`` per key:
+   supports tolerance and nearest/forward directions that the window trick
+   can't express.  Both sides shuffle once on the key; the match is a
+   partition-local linear merge (never a range-join explosion).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of: for each left row, latest right row with
+    ``right.on <= left.on`` within the same ``by`` group.  Right columns
+    arrive suffixed ``_asof``."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    l_tag = left.select(
+        *left.columns, F.lit(1).alias("_kind"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}_asof") for c in right_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias(f"{on}_asof"),
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on, by)],
+        F.col(on), F.col(by), F.lit(0).alias("_kind"),
+        *[F.col(c).alias(f"{c}_asof") for c in right_cols],
+        F.col(on).alias(f"{on}_asof"),
+    ).select(*l_tag.columns)  # align column order
+    u = l_tag.unionByName(r_tag)
+    w = W.partitionBy(by).orderBy(on, "_kind").rowsBetween(W.unboundedPreceding, W.currentRow)
+    filled = u.select(
+        *[c for c in left.columns],
+        "_kind",
+        *[
+            F.last(F.when(F.col("_kind") == 0, F.col(f"{c}_asof")), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}_asof")
+            for c in right_cols + [on]
+        ],
+    )
+    return filled.filter(F.col("_kind") == 1).drop("_kind")
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    tolerance: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """General as-of via cogrouped ``pd.merge_asof``: integer/float ``on``
+    axis, optional tolerance, backward/forward/nearest."""
+    l_cols = left.columns
+    r_cols = [c for c in right.columns if c != by]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [
+            f"{f.name}_asof {f.dataType.simpleString()}"
+            for f in right.schema.fields
+            if f.name != by
+        ]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or on not in lpdf.columns:
+            return pd.DataFrame(columns=[c.split(" ")[0] for c in out_schema.split(", ")])
+        lpdf = lpdf.sort_values(on).reset_index(drop=True)
+        if len(rpdf) == 0 or on not in rpdf.columns:
+            out = lpdf.copy()
+            for c in r_cols:
+                out[f"{c}_asof"] = None
+            return out
+        rpdf = rpdf.sort_values(on).reset_index(drop=True)
+        renamed = rpdf[r_cols].rename(columns={c: f"{c}_asof" for c in r_cols})
+        renamed[on] = rpdf[on]
+        merged = pd.merge_asof(
+            lpdf,
+            renamed,
+            on=on,
+            direction=direction,
+            tolerance=tolerance,
+            suffixes=("", "_asof"),
+        )
+        return merged[[c for c in lpdf.columns] + [f"{c}_asof" for c in r_cols]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1,0 +1,173 @@
+"""Deduplication operators — the first stages of any 100 TB corpus pipeline.
+
+Strategy ladder (cheapest first):
+
+1. :func:`exact_dedup` — hash-groupBy on content hash.  Uniform 128-bit
+   shuffle key; always run this first.
+2. :func:`minhash_signatures` / :func:`lsh_candidates` — MinHash-LSH over
+   word shingles.  Cost: one explode + one partial-agg shuffle for
+   signatures; candidate pairing joins only within LSH buckets, so pair
+   count is bounded by bucket collisions, never |docs|².
+3. :func:`simhash` — 16-bit SimHash (majority vote over token hash bits);
+   near-dup candidates = small Hamming distance.
+4. :func:`jaccard_similarity` — exact n-gram Jaccard, applied to candidate
+   pairs only (verification stage after LSH).
+5. :func:`embedding_near_dup` — cosine-threshold pairs over an embedding
+   column; all-pairs for correctness, sign-LSH prefilter
+   (:func:`similarity.sign_lsh_buckets`) as the scale path.
+
+Hashes are md5 throughout — deterministic, engine-portable, and uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical contents; keeper = min id.
+    -> (text_hash, n_copies, keeper_doc_id)"""
+    return df.groupBy(F.md5(F.col(content_col)).alias("text_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min(id_col).alias(f"keeper_{id_col}"),
+    )
+
+
+def drop_exact_dups(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct content — the applying form of
+    :func:`exact_dedup`.  One shuffle on the content hash."""
+    w_min = exact_dedup(df, content_col, id_col).select(
+        F.col(f"keeper_{id_col}").alias(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Explode word n-gram shingles: adds column ``sh``.  Documents shorter
+    than n words produce no rows."""
+    words = df.withColumn("_w", F.split(text_col, " ")).filter(F.size("_w") >= n)
+    parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
+    return words.select(
+        "*",
+        F.explode(
+            F.expr(f"transform(sequence(1, size(_w) - {n - 1}), i -> concat_ws(' ', {parts}))")
+        ).alias("sh"),
+    ).drop("_w")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bands: int = 8, shingle_n: int = 3,
+) -> DataFrame:
+    """Per-(doc, band) MinHash signature: min over shingles of
+    md5(band || '|' || shingle).  ``n_bands`` independent hash families via
+    the band prefix.  -> (id_col, band, sig)
+
+    Scale: partial min aggregation runs map-side, so the shuffle carries
+    |docs| × n_bands rows regardless of shingle count."""
+    sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    banded = sh.select(
+        id_col,
+        "sh",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh")))).alias("sig")
+    )
+
+
+def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band signature.
+    -> (doc_a, doc_b, n_bands_matched), doc_a < doc_b."""
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2"))
+    return (
+        a.join(b, (a.band == b.band2) & (a.sig == b.sig2) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band").alias("n_bands_matched"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash over distinct tokens: per bit position, majority vote of the
+    corresponding md5-nibble high bit (+1/-1), encoded as a '0'/'1' string.
+    -> (id_col, simhash)
+
+    Near-dups differ in few bits; bucketing on bit-prefixes gives the LSH
+    variant.  (bits <= 32 — one md5 hex nibble per bit.)"""
+    tokens = (
+        df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5("tok"))
+    )
+    banded = tokens.select(
+        id_col,
+        "h",
+        F.explode(F.array(*[F.lit(i + 1) for i in range(bits)])).alias("b"),
+    ).withColumn(
+        "s",
+        F.when(F.substring(F.col("h"), F.col("b"), 1).isin(*"89abcdef"), 1).otherwise(-1),
+    )
+    per_bit = banded.groupBy(id_col, "b").agg(
+        F.when(F.sum("s") >= 0, "1").otherwise("0").alias("bit")
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("b", "bit"))), lambda s: s["bit"]),
+            "",
+        ).alias("simhash")
+    )
+
+
+def jaccard_similarity(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate ``pairs``
+    (doc_a, doc_b).  Verification stage after LSH — cost scales with the
+    candidate set, not the corpus.  -> (doc_a, doc_b, n_common, n_a, n_b,
+    jaccard)"""
+    sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n).select(id_col, "sh").distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("_rb_doc"), F.col("sh").alias("_rb_sh"))
+    common = (
+        pairs.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_rb_doc")) & (F.col("sh") == F.col("_rb_sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95, round_to: int = 4,
+) -> DataFrame:
+    """Cosine-threshold near-dup pairs.  All-pairs (correctness form) —
+    at corpus scale prefilter with :func:`similarity.sign_lsh_buckets` and
+    run this within buckets.  -> (id_a, id_b, sim)"""
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).withColumn("nrm", F.sqrt(F.expr(dot.format(a="e", b="e"))))
+    a = e.select(F.col("id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), round_to),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas functions.
+
+The Spark-side machinery — schemas, batch iteration, partition sizing —
+is real and tested; the actual media decoding is STUBBED because this
+container ships no image/audio libraries.  Each stub either raises
+``NotImplementedError`` (production path: plug Pillow/soundfile/av into
+the marked hook) or, with ``deterministic_fake=True``, derives metadata
+from the bytes deterministically so the distributed plumbing can be
+exercised end-to-end in tests.
+
+Design notes for 100 TB:
+- media bytes ride in parquet binary columns next to their metadata, so
+  predicate pushdown on metadata prunes row groups before any byte is
+  decoded;
+- ``mapInPandas`` streams Arrow batches — decode memory is bounded by
+  batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``), not
+  partition size;
+- decoded features (dims, fingerprints, embeddings) write back as columns
+  so later stages never re-touch the blob.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: schema of the metadata struct produced by decode_image_metadata
+IMAGE_META_SCHEMA = (
+    "width int, height int, channels int, format string, n_bytes long, content_md5 string"
+)
+
+
+def _fake_image_meta(data: bytes) -> dict:
+    """Deterministic stand-in for a real image header parse."""
+    import hashlib
+
+    h = hashlib.md5(data).hexdigest()
+    return {
+        "width": (int(h[:4], 16) % 1920) + 1,
+        "height": (int(h[4:8], 16) % 1080) + 1,
+        "channels": (int(h[8], 16) % 3) + 1,
+        "format": ["png", "jpeg", "webp"][int(h[9], 16) % 3],
+        "n_bytes": len(data),
+        "content_md5": h,
+    }
+
+
+def decode_image_metadata(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Decode image headers into typed metadata columns.
+
+    Production hook: replace ``_decode`` with a Pillow header read.  The
+    distributed shape (Arrow batches in, metadata columns out) is final.
+    -> (id_col, width, height, channels, format, n_bytes, content_md5)
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decode(data: bytes) -> dict:
+            if deterministic_fake:
+                return _fake_image_meta(data)
+            raise NotImplementedError(
+                "real image decoding needs an imaging library (e.g. Pillow); "
+                "this container ships none — pass deterministic_fake=True "
+                "to exercise the pipeline"
+            )
+
+        for pdf in it:
+            metas = [_decode(bytes(b)) for b in pdf[blob_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=f"{id_col} long, {IMAGE_META_SCHEMA}")
+
+
+def frame_sample_positions(
+    df: DataFrame, duration_col: str = "duration_ms", every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame position.
+    Pure column expressions (the expensive per-frame decode happens later,
+    on the exploded rows, in bounded batches).  Adds ``frame_ms``."""
+    return df.withColumn(
+        "frame_ms",
+        F.explode(F.sequence(F.lit(0), F.col(duration_col) - 1, F.lit(every_ms))),
+    )
+
+
+def blob_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Cheap metadata that never needs a decoder: size, hash, magic-byte
+    sniff.  Native expressions only."""
+    head = F.hex(F.substring(F.col(blob_col), 1, 4))
+    return (
+        df.withColumn("n_bytes", F.length(blob_col))
+        .withColumn("content_md5", F.md5(blob_col))
+        .withColumn(
+            "sniffed_format",
+            F.when(head.startswith("89504E47"), "png")
+            .when(head.startswith("FFD8FF"), "jpeg")
+            .when(head.startswith("52494646"), "riff")
+            .otherwise("unknown"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>`` /
+``array<double>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the query set,
+  scan the corpus once.  O(|corpus| × |queries|) dot products, fully
+  JVM-side, embarrassingly parallel — the correctness baseline and still
+  the right answer when |queries| is small.
+- :func:`ivf_build` / :func:`ivf_search` — inverted-file ANN: route
+  vectors to nearest centroid once (broadcast join), then search only the
+  probed cells.  The 100 TB path: search cost drops to
+  O(|corpus| × nprobe / K).
+- :func:`sign_lsh_buckets` — random-hyperplane-style sign LSH using fixed
+  dimension subsets (deterministic, no RNG); bucket key for within-bucket
+  near-dup joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+
+
+def dot_col(a: str, b: str) -> Column:
+    """Sequential-fold dot product of two array<double> columns (bit-
+    deterministic: left-to-right IEEE addition)."""
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "nrm") -> DataFrame:
+    d = df.withColumn("_e", F.col(vec_col).cast("array<double>"))
+    return d.withColumn(out, F.sqrt(F.expr(_DOT.format(a="_e", b="_e"))))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    vec_col: str = "embedding", id_col: str = "vec_id", round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for each row of ``queries``.
+    -> (qid, id, sim, rank).  The query side is broadcast; ranking is a
+    per-query window with (sim, id) tie-break."""
+    c = with_norm(corpus.select(F.col(id_col).alias("id"), vec_col), vec_col)
+    q = with_norm(queries.select(F.col(id_col).alias("qid"), vec_col), vec_col).select(
+        "qid", F.col("_e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "id",
+        F.round(F.expr(_DOT.format(a="_e", b="qe")) / (F.col("nrm") * F.col("qn")), round_to).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_build(
+    corpus: DataFrame, centroids: DataFrame,
+    vec_col: str = "embedding", id_col: str = "vec_id", cent_id: str = "label",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (squared L2).
+    ``centroids``: (cent_id, embedding).  Centroids broadcast — map-side
+    at any corpus size.  -> corpus + ``cell`` column."""
+    c = corpus.withColumn("_e", F.col(vec_col).cast("array<double>"))
+    cents = centroids.select(
+        F.col(cent_id).alias("cell"), F.col(vec_col).cast("array<double>").alias("ce")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(_e, ce, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    scored = c.crossJoin(F.broadcast(cents)).withColumn("_d2", d2)
+    w = W.partitionBy(id_col).orderBy("_d2", "cell")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_d2", "ce", "_e")
+    )
+
+
+def ivf_search(
+    indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+    k: int = 5, nprobe: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id", cent_id: str = "label",
+) -> DataFrame:
+    """ANN search: probe the ``nprobe`` nearest cells per query, exact
+    cosine within them.  ``indexed`` = output of :func:`ivf_build`.
+    -> (qid, id, sim, rank)"""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qe"))
+    cents = centroids.select(
+        F.col(cent_id).alias("cell"), F.col(vec_col).cast("array<double>").alias("ce")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(W.partitionBy("qid").orderBy("_d2", "cell")))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qe", "cell")
+    )
+    cand = indexed.withColumn("_e", F.col(vec_col).cast("array<double>")).withColumn(
+        "_nrm", F.sqrt(F.expr(_DOT.format(a="_e", b="_e")))
+    )
+    sims = (
+        cand.join(F.broadcast(probes), "cell")
+        .withColumn("_qn", F.sqrt(F.expr(_DOT.format(a="qe", b="qe"))))
+        .select(
+            "qid",
+            F.col(id_col).alias("id"),
+            F.round(
+                F.expr(_DOT.format(a="_e", b="qe")) / (F.col("_nrm") * F.col("_qn")), 4
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8) -> DataFrame:
+    """Deterministic sign-LSH bucket key: the sign pattern of the first
+    ``n_bits`` dimensions (a fixed-hyperplane family — no RNG, so the
+    bucket assignment is reproducible across runs/engines).  Vectors whose
+    cosine is near 1 agree on most signs, so near-dups collide.
+    Adds column ``lsh_bucket`` (string of '0'/'1')."""
+    e = F.col(vec_col)
+    bits = [
+        F.when(F.element_at(e, i + 1) >= 0, "1").otherwise("0") for i in range(n_bits)
+    ]
+    return df.withColumn("lsh_bucket", F.concat(*bits))

@@ -1,0 +1,120 @@
+"""Text-analysis operators: stats, quality scoring, language ID,
+tokenization, fingerprints.  All native column expressions (no UDFs) —
+whole-stage codegen, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker sets for the n-gram heuristic
+STOPWORDS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " la "],
+    "es": [" el ", " y ", " la "],
+}
+
+#: a BPE-ish token pattern: runs of word chars, or single non-space symbols
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars_calc, n_words, n_distinct_words, avg_word_len."""
+    d = df.withColumn("_w", F.split(text_col, " "))
+    return (
+        d.withColumn("n_chars_calc", F.length(text_col))
+        .withColumn("n_words", F.size("_w"))
+        .withColumn("n_distinct_words", F.size(F.array_distinct("_w")))
+        .withColumn(
+            "avg_word_len",
+            F.length(F.regexp_replace(text_col, " ", "")).cast("double") / F.size("_w"),
+        )
+        .drop("_w")
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Regex token count (words + punctuation symbols) — the cheap proxy
+    for BPE token counts used to budget training data."""
+    return df.withColumn(out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Composite quality score in [0, 1]: length band + stopword presence +
+    punctuation ratio + vocabulary diversity.  The standard cheap filters
+    before expensive model-based scoring."""
+    d = df.withColumn("_w", F.split(text_col, " "))
+    n_chars = F.length(text_col)
+    n_words = F.size("_w")
+    diversity = F.size(F.array_distinct("_w")).cast("double") / n_words
+    punct_ratio = (
+        F.length(F.regexp_replace(text_col, r"[\w\s]", "")).cast("double") / n_chars
+    )
+    has_stop = F.when(
+        F.col(text_col).rlike(r"\b(the|and|of|der|und|le|et|el)\b"), 1.0
+    ).otherwise(0.0)
+    len_band = F.when((n_chars >= 100) & (n_chars <= 10000), 1.0).otherwise(
+        F.when(n_chars >= 30, 0.5).otherwise(0.0)
+    )
+    # NOTE: left unrounded — the expression tree is identical across
+    # engines so the doubles agree bit-for-bit, whereas ROUND(x, 4) ties
+    # resolve differently per engine.
+    score = (
+        0.3 * len_band + 0.2 * has_stop + 0.3 * F.least(diversity * 2, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return d.withColumn(out, score).drop("_w")
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "guessed_lang") -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic family).  Counts
+    non-overlapping marker occurrences via replace-length deltas — pure
+    string ops.  Swap in a model-based classifier behind the same column
+    contract for production quality."""
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+
+    def score(lang: str) -> Column:
+        total: Column | None = None
+        for m in STOPWORDS[lang]:
+            cnt = (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)
+            total = cnt if total is None else total + cnt
+        return total
+
+    scores = {lang: score(lang) for lang in STOPWORDS}
+    d = df
+    for lang, s in scores.items():
+        d = d.withColumn(f"_s_{lang}", s)
+    best = F.lit("unknown")
+    best_score = F.lit(0.0)
+    # fixed priority order for ties: en > de > fr > es
+    for lang in ["es", "fr", "de", "en"]:
+        cond = (F.col(f"_s_{lang}") > 0) & (F.col(f"_s_{lang}") >= best_score)
+        best = F.when(cond, lang).otherwise(best)
+        best_score = F.greatest(best_score, F.col(f"_s_{lang}"))
+    d = d.withColumn(out, best)
+    return d.drop(*[f"_s_{lang}" for lang in STOPWORDS])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Normalized md5 fingerprint (lowercase, whitespace-collapsed)."""
+    norm = F.lower(F.regexp_replace(text_col, r"\s+", " "))
+    return df.withColumn(out, F.md5(norm))
+
+
+def rolling_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   window: int = 8) -> DataFrame:
+    """Per-position rolling fingerprints (character w-shingles, hashed) —
+    the winnowing building block for substring-level duplicate detection.
+    -> (id_col, pos, chunk_hash)"""
+    d = df.filter(F.length(text_col) >= window)
+    return d.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {window - 1}),"
+                f" i -> md5(substring({text_col}, i, {window})))"
+            )
+        ).alias("pos0", "chunk_hash"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "chunk_hash")

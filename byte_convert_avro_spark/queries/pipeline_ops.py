@@ -1,0 +1,235 @@
+"""Queries backed by the reusable ``operators`` package — the rest of the
+LLM-data-pipeline surface: SimHash, Jaccard verification of LSH candidates,
+embedding near-dup pairs, quality scoring, token counting, rolling hashes,
+multimodal binary plumbing, IVF search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.operators import dedup as D
+from byte_convert_avro_spark.operators import multimodal as M
+from byte_convert_avro_spark.operators import similarity as S
+from byte_convert_avro_spark.operators import text as X
+from byte_convert_avro_spark.queries.base import register, t
+
+_HEXPOS = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+def _hex_int(h: str, start: int, n: int) -> str:
+    """SQL: int value of n hex digits of {h} starting at 1-based pos."""
+    terms = [
+        f"{_HEXPOS.format(h=h, i=start + j)} * {16 ** (n - 1 - j)}" for j in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_signatures",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ), hw AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN substr(h, b, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END AS s
+      FROM hw CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS b) bb
+    ), agg AS (
+      SELECT doc_id, b, CASE WHEN SUM(s) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM bits GROUP BY doc_id, b
+    )
+    SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+    FROM agg GROUP BY doc_id
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf: str):
+    """16-bit SimHash per document (majority vote over md5-nibble signs of
+    distinct tokens).  Integer votes -> no float anywhere."""
+    return D.simhash(t(spark, sf, "documents"), "text", "doc_id", bits=16)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "jaccard_verified_candidates",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM words WHERE len(w) >= 3),
+    sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+    sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+    bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+    sigs AS (
+      SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
+      FROM sh0 CROSS JOIN bands GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           za.n_sh AS n_a, zb.n_sh AS n_b,
+           CAST(c.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """,
+)
+def jaccard_verified_candidates(spark: SparkSession, sf: str):
+    """The full LSH dedup pipeline: MinHash signatures -> candidate pairs ->
+    exact shingle-Jaccard verification.  The expensive exact comparison
+    runs only on LSH candidates (904 pairs at sf0.01, not 125k all-pairs)."""
+    docs = t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", n_bands=8, shingle_n=3)
+    pairs = D.lsh_candidates(sigs).select("doc_a", "doc_b")
+    return D.jaccard_similarity(docs, pairs, "text", "doc_id", shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_near_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e[i]*e[i]),
+                                  (x, y) -> x + y)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*b.e[i]),
+                             (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*b.e[i]),
+                            (x, y) -> x + y) / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf: str):
+    """Embedding-cosine near-dup pairs (threshold 0.4 — calibrated to this
+    corpus's cosine range).  All-pairs correctness form; the scale path
+    prefixes :func:`operators.similarity.sign_lsh_buckets` and joins within
+    buckets."""
+    return D.embedding_near_dup(t(spark, sf, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_quality_scores",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             LEN(string_split(text, ' ')) AS n_words,
+             LEN(list_distinct(string_split(text, ' '))) AS n_distinct,
+             LENGTH(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+             CASE WHEN regexp_matches(text, '\b(the|and|of|der|und|le|et|el)\b')
+                  THEN 1.0 ELSE 0.0 END AS has_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
+           + 0.2 * has_stop
+           + 0.3 * LEAST(CAST(n_distinct AS DOUBLE) / n_words * 2, 1.0)
+           + 0.2 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 5, 1.0))
+             AS quality
+    FROM base
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf: str):
+    """Composite quality score (length band, stopword presence, vocabulary
+    diversity, punctuation ratio) — the cheap pre-filter stage of a corpus
+    pipeline."""
+    return X.quality_score(t(spark, sf, "documents"), "text").select("doc_id", "quality")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_counts",
+    r"""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf: str):
+    """Regex tokenization count (words + symbols) — the BPE-budget proxy."""
+    return X.token_count(t(spark, sf, "documents"), "text").select("doc_id", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_hash_chunks",
+    """
+    SELECT doc_id, unnest(generate_series(1, LENGTH(text) - 15)) AS pos,
+           md5(substr(text, unnest(generate_series(1, LENGTH(text) - 15)), 16)) AS chunk_hash
+    FROM documents WHERE LENGTH(text) >= 16
+    """,
+)
+def rolling_hash_chunks(spark: SparkSession, sf: str):
+    """Per-position rolling fingerprints (16-char windows) — winnowing's
+    raw material for substring-level duplicate detection."""
+    return X.rolling_hashes(t(spark, sf, "documents"), "text", "doc_id", window=16)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_image_meta",
+    f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h,
+                      octet_length(encode(text)) AS nb FROM documents)
+    SELECT doc_id,
+           CAST(({_hex_int('h', 1, 4)} % 1920) + 1 AS INT) AS width,
+           CAST(({_hex_int('h', 5, 4)} % 1080) + 1 AS INT) AS height,
+           CAST(({_hex_int('h', 9, 1)} % 3) + 1 AS INT) AS channels,
+           CASE {_hex_int('h', 10, 1)} % 3
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           CAST(nb AS BIGINT) AS n_bytes,
+           h AS content_md5
+    FROM m
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf: str):
+    """Multimodal plumbing end-to-end: text bytes as an opaque blob column
+    -> Arrow-batched metadata 'decode' (deterministic fake; real decoder is
+    the documented NotImplementedError hook) -> typed columns.  The oracle
+    recomputes the fake decode arithmetic in SQL, pinning the batch
+    plumbing exactly."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return M.decode_image_metadata(docs, "blob", "doc_id", deterministic_fake=True)
+
+
+# ---------------------------------------------------------------------------
+@register("ivf_search_top3", None)  # rows-only: iterative ANN, not SQL-shaped
+def ivf_search_top3(spark: SparkSession, sf: str):
+    """IVF ANN search demo: centroids from the label partition, 2-cell
+    probe, top-3 per query.  Rows-only check (the oracle-checked exactness
+    of the underlying pieces lives in label_centroids /
+    ivf_assign_nearest_centroid / knn_cosine_top5)."""
+    emb = t(spark, sf, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("embedding")
+        )
+    )
+    indexed = S.ivf_build(emb, cents, "embedding", "vec_id", "label")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_search(indexed, cents, queries, k=3, nprobe=2)
