@@ -1,0 +1,168 @@
+"""Streaming sessionization — native plan and custom stateful operator.
+
+Two implementations of the 30-min-gap session semantics pinned by the
+batch query ``events_sessionization``:
+
+1. ``sessionize_stream`` — Spark's built-in ``session_window`` (merging
+   event-time windows, watermark-bounded state).  The plan to prefer: the
+   state merge runs in the JVM state store, fully codegen-adjacent.
+2. ``sessionize_stateful`` — ``applyInPandasWithState`` with event-time
+   timeout: the template for session semantics the built-in can't express
+   (per-session value caps, custom merge logic, emitted partials).  This
+   is the Spark analogue of the reference's ``Transformation<R>``
+   configure/apply/close lifecycle, upgraded from stateless to stateful
+   (SURVEY.md §2 notes the SMT's only state is its schema cache).
+
+Scale notes: both shuffle once on ``user_id``; state is per open session
+per user, evicted by watermark/timeout, so memory is bounded by the
+number of *concurrently active* users regardless of total stream volume.
+Hot users (key skew) are bounded by session merging — a user's state is
+one row, not their event history.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from byte_convert_avro_spark.streaming.windows import with_event_time
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+SESSION_GAP_MIN = 30
+GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+#: open-session accumulator carried between micro-batches
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Native merging session windows (gap = 30 min), append mode."""
+    ev = with_event_time(events)
+    return (
+        ev.withWatermark("ts_ts", watermark)
+        .groupBy(
+            F.session_window("ts_ts", f"{SESSION_GAP_MIN} minutes").alias("s"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            (F.col("s.start").cast("long") * 1_000_000).alias("session_start_us"),
+            # session_window end = last event + gap; subtract it back so the
+            # reported bounds match the batch query (end = last event time).
+            (F.col("s.end").cast("long") * 1_000_000 - GAP_US).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def _merge_sessions(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator (runs inside the state store round).
+
+    Merge the micro-batch's events (sorted by event time) into the open
+    session carried in state; every gap > 30 min closes a session, which is
+    emitted.  The trailing session stays open in state with an event-time
+    timeout one gap past its last event — when the watermark passes that,
+    the timed-out invocation flushes it.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, end_us, n, value_sum = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start_us": [start_us],
+                "session_end_us": [end_us],
+                "n_events": [n],
+                "session_value": [round(value_sum, 4)],
+            }
+        )
+        return
+
+    ts = []
+    vals = []
+    for pdf in batches:
+        ts.extend(int(v) for v in pdf["ts_us"])
+        vals.extend(float(v) for v in pdf["value"])
+    order = sorted(range(len(ts)), key=lambda i: ts[i])
+
+    if state.exists:
+        cur = list(state.get)  # [start, end, n, value_sum]
+    else:
+        cur = None
+    closed: list[list] = []
+    for i in order:
+        t_us, v = ts[i], vals[i]
+        if cur is None:
+            cur = [t_us, t_us, 1, v]
+        elif t_us - cur[1] > GAP_US:
+            closed.append(cur)
+            cur = [t_us, t_us, 1, v]
+        else:
+            cur[1] = max(cur[1], t_us)
+            cur[2] += 1
+            cur[3] += v
+    if cur is not None:
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)  # ms
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start_us": [c[0] for c in closed],
+                "session_end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+                "session_value": [round(c[3], 4) for c in closed],
+            }
+        )
+
+
+def sessionize_stateful(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``."""
+    ev = (
+        with_event_time(events)
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withWatermark("ts_ts", watermark)
+        .select("user_id", "ts_us", "ts_ts", "value")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _merge_sessions,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

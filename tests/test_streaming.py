@@ -1,0 +1,207 @@
+"""Structured Streaming tests: decode pipeline over a stream, watermarked
+windows with late-data drop, native session windows, and the custom
+stateful operator.  File sources with ``maxFilesPerTrigger=1`` give
+deterministic micro-batch boundaries (each fixture file = one batch);
+batch queries over the same rows are the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from byte_convert_avro_spark.avro import schemaless_encode
+from byte_convert_avro_spark.engine import KAFKA_RECORD_SCHEMA, Engine, EngineConfig
+from byte_convert_avro_spark.schema_store import LocalSchemaStore
+from byte_convert_avro_spark.streaming import (
+    decode_stream,
+    hourly_tumbling_stream,
+    run_stream_to_memory,
+    sessionize_stateful,
+    sessionize_stream,
+    stream_records,
+)
+from byte_convert_avro_spark.wire import encode_wire
+
+FULLNAME_SCHEMA = (
+    '{"type":"record","name":"FullName",'
+    '"namespace":"com.ing.eventbus.connect.schema.converters",'
+    '"fields":[{"name":"first","type":"string"},{"name":"last","type":"string"}]}'
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch-ns, like the driver table
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+H = 3_600  # seconds
+BASE = 30 * 86_400  # keep event times clear of the initial watermark (epoch 0)
+
+
+def _ns(sec: int) -> int:
+    return (BASE + sec) * 1_000_000_000
+
+
+def _write_events(spark, path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _events_stream(spark, path: str):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+def test_stream_decode_matches_batch(spark, tmp_path):
+    """O1→O17 over a stream produces byte-identical envelopes to batch."""
+    store = LocalSchemaStore()
+    store.register(FULLNAME_SCHEMA, 1)
+    eng = Engine(EngineConfig(avro_topics="t:true"), store=store)
+
+    rows = [
+        (
+            None,
+            encode_wire(1, schemaless_encode({"first": f"f{i}", "last": f"l{i}"}, FULLNAME_SCHEMA)),
+            "t",
+            0,
+            i,
+            None,
+            0,
+        )
+        for i in range(20)
+    ] + [(None, None, "t", 0, 99, None, 0)]  # tombstone rides along
+    src = os.path.join(tmp_path, "records")
+    spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).write.parquet(src)
+
+    batch = {
+        r.offset: (bytes(r.value) if r.value is not None else None)
+        for r in eng.transform(spark.read.parquet(src)).collect()
+    }
+
+    q, table = run_stream_to_memory(decode_stream(eng, stream_records(spark, src)))
+    try:
+        streamed = {
+            r.offset: (bytes(r.value) if r.value is not None else None)
+            for r in spark.table(table).collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch
+    assert streamed[99] is None  # tombstone passthrough (O7)
+
+
+# ---------------------------------------------------------------------------
+def test_tumbling_watermark_drops_late(spark, tmp_path):
+    """Append-mode windowed agg: an event arriving behind the watermark is
+    dropped; windows finalize once the watermark passes their end."""
+    src = os.path.join(tmp_path, "ev")
+    # batch 1: two events in hour 0, one in hour 1
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ns(10 * 60), "view", 1.0),
+            (2, _ns(40 * 60), "view", 2.0),
+            (1, _ns(H + 10 * 60), "view", 4.0),
+        ],
+    )
+    stream = hourly_tumbling_stream(_events_stream(spark, src), watermark="2 hours")
+    q, table = run_stream_to_memory(stream, output_mode="append")
+    try:
+        # batch 2: advance event time to hour 5 → watermark = 5h-2h = 3h,
+        # hour-0 and hour-1 windows close and emit...
+        _write_events(spark, src, [(3, _ns(5 * H), "view", 8.0)])
+        q.processAllAvailable()
+        # batch 3: a straggler back in hour 0 — behind the watermark → dropped
+        _write_events(spark, src, [(9, _ns(20 * 60), "view", 100.0)])
+        q.processAllAvailable()
+        out = {
+            (r.hour_start.hour, r.event_type): (r.n_events, r.total_value)
+            for r in spark.table(table).collect()
+        }
+    finally:
+        q.stop()
+    assert out[(0, "view")] == (2, 3.0)  # straggler's 100.0 NOT included
+    assert out[(1, "view")] == (1, 4.0)
+
+
+# ---------------------------------------------------------------------------
+def _expected_sessions():
+    """user 1: events at 0,10,20min (one session), then 120min (second,
+    still open at end); user 2: single event at 15min."""
+    return {
+        (1, 0): (3, 6.0, 20 * 60),
+        (2, 15 * 60): (1, 5.0, 15 * 60),
+    }
+
+
+SESSION_ROWS_B1 = [
+    (1, _ns(0), "view", 1.0),
+    (1, _ns(10 * 60), "view", 2.0),
+    (1, _ns(20 * 60), "view", 3.0),
+    (2, _ns(15 * 60), "view", 5.0),
+]
+# far-future event advances the watermark past every batch-1 session
+SESSION_ROWS_B2 = [(7, _ns(10 * H), "view", 0.5)]
+
+
+@pytest.mark.parametrize("impl", ["native", "stateful"])
+def test_streaming_sessions_close_on_watermark(spark, tmp_path, impl):
+    src = os.path.join(tmp_path, f"sess_{impl}")
+    _write_events(spark, src, SESSION_ROWS_B1)
+    fn = sessionize_stream if impl == "native" else sessionize_stateful
+    q, table = run_stream_to_memory(fn(_events_stream(spark, src), watermark="1 hour"))
+    try:
+        _write_events(spark, src, SESSION_ROWS_B2)
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start_us // 1_000_000 - BASE): (
+                r.n_events,
+                r.session_value,
+                r.session_end_us // 1_000_000 - BASE,
+            )
+            for r in spark.table(table).collect()
+            if r.user_id != 7
+        }
+    finally:
+        q.stop()
+    assert got == _expected_sessions()
+
+
+# ---------------------------------------------------------------------------
+def test_stateful_sessions_split_on_gap(spark, tmp_path):
+    """Events 31 min apart land in two distinct sessions (gap > 30 min),
+    and the custom operator merges state across micro-batches."""
+    src = os.path.join(tmp_path, "gap")
+    _write_events(spark, src, [(1, _ns(0), "view", 1.0)])
+    q, table = run_stream_to_memory(
+        sessionize_stateful(_events_stream(spark, src), watermark="30 minutes")
+    )
+    try:
+        # same-session continuation in a later micro-batch (20 min < gap)
+        _write_events(spark, src, [(1, _ns(20 * 60), "view", 1.0)])
+        q.processAllAvailable()
+        # 31 min after that → new session
+        _write_events(spark, src, [(1, _ns(51 * 60 + 60), "view", 7.0)])
+        q.processAllAvailable()
+        # watermark pusher closes everything
+        _write_events(spark, src, [(7, _ns(10 * H), "view", 0.0)])
+        q.processAllAvailable()
+        got = sorted(
+            ((r.session_start_us - BASE * 1_000_000) // 60_000_000, r.n_events, r.session_value)
+            for r in spark.table(table).collect()
+            if r.user_id == 1
+        )
+    finally:
+        q.stop()
+    assert got == [(0, 2, 2.0), (52, 1, 7.0)]
