@@ -1,0 +1,106 @@
+"""Scale audit: assert the optimizer decisions the 100-TB design relies on
+— predicate pushdown to the parquet scan, column pruning, broadcast joins
+where hinted, bounded exchange counts, no shuffle in the decode pipeline.
+A regression in any of these passes correctness tests but melts at scale;
+this file is where it fails instead.
+
+(Assertions are written to hold at ANY scale factor: hinted broadcasts and
+pushdown are static planner facts; counts use >= / <= bounds so that
+auto-broadcast of tiny test tables can't flake them.)
+"""
+
+from __future__ import annotations
+
+from byte_convert_avro_spark.avro import schemaless_encode
+from byte_convert_avro_spark.engine import Engine, EngineConfig, KAFKA_RECORD_SCHEMA
+from byte_convert_avro_spark.plans import (
+    count_exchanges,
+    join_strategies,
+    plan_facts,
+    pushed_filters,
+    read_schemas,
+)
+from byte_convert_avro_spark.plans.inspect import codegen_span_count
+from byte_convert_avro_spark.queries import queries
+from byte_convert_avro_spark.schema_store import LocalSchemaStore
+from byte_convert_avro_spark.wire import encode_wire
+
+Q = queries()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """The most selective scan in the suite: all three range predicates
+    must reach the parquet reader, and only the 4 touched columns load."""
+    df = Q["q6_forecast_revenue"](spark, sf_dir)
+    pf = pushed_filters(df)["lineitem"]
+    assert any("l_shipdate" in f and "GreaterThanOrEqual" in f for f in pf)
+    assert any("l_discount" in f for f in pf)
+    assert any("l_quantity" in f for f in pf)
+    cols = read_schemas(df)["lineitem"]
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    # global agg: exactly one shuffle (partial -> final)
+    assert count_exchanges(df) == 1
+
+
+def test_q1_single_shuffle_full_codegen(spark, sf_dir):
+    """Pricing summary: one groupBy = one exchange; everything codegen'd."""
+    df = Q["q1_pricing_summary"](spark, sf_dir)
+    assert count_exchanges(df) <= 2  # agg exchange (+ sort for output order)
+    assert codegen_span_count(df, execute=True) >= 1
+    assert len(read_schemas(df)["lineitem"]) <= 7  # column pruning held
+
+
+def test_q3_broadcast_dim(spark, sf_dir):
+    """Customer (filtered dim) must broadcast — the probe sides never
+    shuffle for the join itself."""
+    df = Q["q3_shipping_priority"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 1
+    pf = pushed_filters(df)
+    assert any("BUILDING" in f for f in pf.get("customer", []))
+    assert any("o_orderdate" in f for f in pf.get("orders", []))
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    """6-way join: every dimension hop is a hinted broadcast — the only
+    shuffles left are the aggregation's."""
+    df = Q["q5_local_supplier_volume"](spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts.broadcast_joins >= 4
+    assert any("r_name" in f for f in facts.pushed.get("region", []))
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    """Brute-force ANN: the query vectors ship to every executor; the
+    corpus never moves until the top-k agg."""
+    df = Q["knn_cosine_top5"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert any(j.startswith("Broadcast") for j in joins)
+
+
+def test_decode_pipeline_is_narrow(spark):
+    """O4-O17 is a pure projection: ZERO exchanges at any scale — the
+    property that makes decode throughput linear in partitions
+    (SURVEY.md §3: 'no shuffle anywhere in the faithful pipeline')."""
+    schema = '{"type":"record","name":"N","fields":[{"name":"x","type":"int"}]}'
+    store = LocalSchemaStore()
+    store.register(schema, 1)
+    eng = Engine(EngineConfig(avro_topics="t:true"), store=store)
+    rows = [
+        (None, encode_wire(1, schemaless_encode({"x": 1}, schema)), "t", 0, 0, None, 0)
+    ]
+    df = eng.transform(spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA))
+    assert count_exchanges(df) == 0
+    assert join_strategies(df) == []
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    """Gaps-and-islands: both windows + the final agg share ONE shuffle on
+    user_id (the plan property that makes it viable on hot keys)."""
+    df = Q["events_sessionization"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    df = Q["dedup_exact_groups"](spark, sf_dir)
+    assert count_exchanges(df) <= 2
