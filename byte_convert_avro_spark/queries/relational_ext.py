@@ -1,0 +1,357 @@
+"""Extended relational surface: correlated EXISTS semi-joins, nation-pair
+trade volume, market-share and promo-revenue ratios, OR-of-ANDs predicate
+pushdown, full window-function showcase, exact median, and CUBE grouping
+sets — rounding out the TPC-H query shapes expressible over the driver's
+columns (no partsupp table, so Q2/Q9/Q11/Q16/Q20 shapes are out of scope).
+
+Scale notes: every dimension side stays hinted-broadcast; ratio queries
+compute numerator and denominator as exact integer-unit sums in ONE pass
+(conditional aggregation — no self-join, no second scan); the median query
+is the two-window pattern (row_number + count share one shuffle); CUBE is
+planned by Spark as a single Expand + hash agg — 4 grouping sets cost one
+shuffle, not four scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import (
+    SQL_REVENUE,
+    cents,
+    register,
+    revenue_sum,
+    t,
+)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf: str):
+    """TPC-H Q4 shape: correlated EXISTS -> left-semi join.  Spark plans
+    the semi-join build side from the filtered orders; lineitem is never
+    materialized beyond the join keys."""
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "q7_nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {SQL_REVENUE} AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND sn.n_nationkey < 3 AND cn.n_nationkey < 3
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_volume(spark: SparkSession, sf: str):
+    """TPC-H Q7 shape: cross-nation trade pairs by ship year.  Both nation
+    hops broadcast; supplier/customer broadcast; lineitem->orders is the
+    one real shuffle."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    sn = t(spark, sf, "nation").filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t(spark, sf, "nation").filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(revenue_sum().alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+_SQL_REV_UNITS = (
+    "CAST(ROUND(l_extendedprice*100,0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))"
+)
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_REV_UNITS} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_SQL_REV_UNITS}) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf: str):
+    """TPC-H Q8 shape: market share of one supplier nation within a
+    customer region, per year.  Numerator and denominator are conditional
+    integer-unit sums in the same aggregate — one scan, one shuffle, one
+    division at the end (exact, order-independent)."""
+    li = t(spark, sf, "lineitem")
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    part = t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", units).otherwise(F.lit(0))).cast("double")
+                / F.sum(units).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV_UNITS} ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({_SQL_REV_UNITS}) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf: str):
+    """TPC-H Q14 shape: promo revenue share per month — conditional agg
+    ratio, part broadcast."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = t(spark, sf, "part").select("p_partkey", "p_type")
+    units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))).cast("double")
+                / F.sum(units).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "q19_brand_quantity_revenue",
+    f"""
+    SELECT {SQL_REVENUE} AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_brand_quantity_revenue(spark: SparkSession, sf: str):
+    """TPC-H Q19 shape: disjunction of conjunctive ranges across the join.
+    The part-side brand/size predicates and the lineitem quantity bounds
+    both survive as pushed filters (Catalyst splits the OR where legal)."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return joined.filter(cond).agg(
+        revenue_sum().alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_showcase",
+    """
+    SELECT s_suppkey, n_name,
+           s_acctbal,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk,
+           ROW_NUMBER()  OVER w AS rn,
+           NTILE(4)      OVER w AS quartile,
+           LAG(s_acctbal)  OVER w AS prev_bal,
+           LEAD(s_acctbal) OVER w AS next_bal,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_rank_showcase(spark: SparkSession, sf: str):
+    """The ranking/navigation window family over one shuffle on n_name
+    (all seven functions share the same window spec)."""
+    supp = t(spark, sf, "supplier")
+    nation = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    w = W.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "n_name",
+            "s_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lag("s_acctbal").over(w).alias("prev_bal"),
+            F.lead("s_acctbal").over(w).alias("next_bal"),
+            F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "median_price_by_priority",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE) AS median_price,
+           MAX(n) AS n_orders
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY o_orderpriority
+    """,
+)
+def median_price_by_priority(spark: SparkSession, sf: str):
+    """Exact median without an engine-specific quantile function: the
+    two-middle-rows pattern, written identically in both engines so the
+    arithmetic (decimal sum / count) hash-matches.  row_number and count
+    share one shuffle on the priority key."""
+    orders = t(spark, sf, "orders")
+    wp = W.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wp.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) / F.count("*"))
+        .cast("double")
+        .alias("median_price"),
+        F.max("n").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "cube_sales",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_sales(spark: SparkSession, sf: str):
+    """CUBE grouping sets: all four (flag × status) rollup combinations in
+    one Expand + single hash-agg shuffle.  grouping_id disambiguates real
+    NULL keys from subtotal rows."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "sum_qty",
+        )
+    )
