@@ -25,6 +25,7 @@ from byte_convert_avro_spark.queries import text  # noqa: E402,F401
 from byte_convert_avro_spark.queries import vectors  # noqa: E402,F401
 from byte_convert_avro_spark.queries import avro_pipeline  # noqa: E402,F401
 from byte_convert_avro_spark.queries import pipeline_ops  # noqa: E402,F401
+from byte_convert_avro_spark.queries import streaming_queries  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,155 @@
+"""Oracle-checked Structured Streaming queries.
+
+Each entry runs a REAL streaming job (file source over the driver's events
+parquet -> windowed aggregation -> memory sink, drained with
+``processAllAvailable``) and returns the materialized result, so the
+driver's DuckDB hash-compare exercises the streaming engine itself, not a
+batch re-expression.  Complete output mode emits every window, which makes
+the finite-input streaming result equal the batch aggregation — that
+equality IS the correctness statement.
+
+(The append-mode/watermark/late-data behaviors that can't equal a batch
+oracle by construction are pinned in ``tests/test_streaming.py`` instead.)
+
+Scale notes: these plans are the production shape — watermark-less only
+because the oracle needs every window; a deployment adds
+``withWatermark`` (see ``streaming/windows.py``) and swaps the memory
+sink for Kafka/Delta.  State is per (window × event_type): tiny.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import dsum, register, t
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    batch = t(spark, sf, "events")  # also sets the nanosAsLong conf
+    return (
+        spark.readStream.schema(batch.schema)
+        # file source wants a directory: stream the sf dir, globbed to the
+        # single events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def _run_complete(agg: DataFrame) -> DataFrame:
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_hourly_tumbling",
+    f"""
+    SELECT strftime(make_timestamp((epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR}),
+                    '%Y-%m-%d %H:%M') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_tumbling(spark: SparkSession, sf: str):
+    """Tumbling 1h windowed agg executed BY THE STREAMING ENGINE (complete
+    mode, memory sink) — the streaming twin of ``events_hourly_tumbling``,
+    hash-checked against the identical batch SQL."""
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_complete(agg)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_sliding_counts",
+    """
+    WITH k AS (SELECT unnest(generate_series(0, 3)) AS k)
+    SELECT ((epoch_us(ts) // 900000000) - k) * 900000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN k
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf: str):
+    """Sliding 1h/15min streaming agg (each event in exactly 4 windows)."""
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.groupBy(F.window("ts_ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            (F.col("w.start").cast("long") * 1_000_000).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_complete(agg)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf: str):
+    """Native ``session_window`` (30-min gap) run by the streaming engine
+    in complete mode — hash-checked against the batch gaps-and-islands
+    SQL.  Proves the merging-window state logic produces exactly the
+    relational sessionization semantics."""
+    ev = _events_stream(spark, sf).withColumn("ts_us", F.expr("ts DIV 1000"))
+    agg = (
+        ev.groupBy(F.session_window("ts_ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id", "session_start_us", "session_end_us", "n_events", "session_value"
+        )
+    )
+    return _run_complete(agg)
