@@ -1,0 +1,88 @@
+"""Skew mitigation: salted two-stage aggregation.
+
+AQE's skew-join splitting handles skewed JOINS automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in ``session.py``).  Skewed
+AGGREGATION keys — one user with 10⁹ events, one hot topic — are the
+remaining hazard: a plain ``groupBy(key)`` sends every hot-key row to one
+reducer.  Partial (map-side) aggregation usually absorbs this, but when
+per-key state is large (``collect_list``/``collect_set``/distinct-heavy
+aggs) or combiners can't keep up, salting restores balance:
+
+    stage 1: groupBy(key, salt)  — hot key split across N reducers
+    stage 2: groupBy(key)        — merge the N partials (N rows per key)
+
+Cost: one extra (tiny) shuffle over per-key×salt partials.  Only
+decomposable aggregates qualify (sum/count/min/max — merged by sum/sum/
+min/max; avg as sum+count merged at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: merge function for each decomposable partial
+_MERGE = {"sum": F.sum, "count": "sum", "min": F.min, "max": F.max}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str] | str,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max, avg}.  Results are exactly equal to the
+    single-stage ``groupBy(keys).agg(...)`` (decimal-cast your inputs if
+    you need order-independent float sums — same discipline as
+    ``queries/base.py``).
+
+    The salt is a uniform int derived from a high-entropy hash of the full
+    row (monotonically_increasing_id would also do); n_salts bounds the
+    fan-out of stage 2 (N partial rows per key).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+
+    partials: list[Column] = []
+    merges: list[Column] = []
+    for out, (col, fn) in aggs.items():
+        p = f"_p_{out}"
+        if fn == "count":
+            partials.append(F.count(col).alias(p))
+            merges.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partials.append(F.sum(col).alias(p))
+            merges.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partials.append(F.min(col).alias(p))
+            merges.append(F.min(p).alias(out))
+        elif fn == "max":
+            partials.append(F.max(col).alias(p))
+            merges.append(F.max(p).alias(out))
+        elif fn == "avg":
+            partials.append(F.sum(col).alias(f"{p}_s"))
+            partials.append(F.count(col).alias(f"{p}_c"))
+            merges.append((F.sum(f"{p}_s") / F.sum(f"{p}_c")).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+
+    stage1 = salted.groupBy(*keys, "_salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*merges)
+
+
+def salted_collect_set(
+    df: DataFrame, keys: list[str] | str, col: str, out: str = "values", n_salts: int = 16
+) -> DataFrame:
+    """Skew-safe ``collect_set``: per-(key, salt) sets built in parallel,
+    merged with array_distinct(flatten(...)) — the hot key's set is
+    assembled from N bounded pieces instead of one giant reducer-side
+    buffer."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
+    stage1 = salted.groupBy(*keys, "_salt").agg(F.collect_set(col).alias("_part"))
+    return stage1.groupBy(*keys).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias(out)
+    )

@@ -1,0 +1,109 @@
+"""Sinks (partitioned/bucketed layout) + skew operators: correctness vs
+the unsalted plan, and the physical properties each layout buys."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.operators.skew import salted_agg, salted_collect_set
+from byte_convert_avro_spark.plans import count_exchanges, pushed_filters
+from byte_convert_avro_spark.sources import (
+    kafka_records_from_parquet,
+    write_bucketed,
+    write_partitioned,
+)
+from byte_convert_avro_spark.queries.base import t
+
+
+def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
+    """Hive-style dirs exist; a partition filter prunes at the source."""
+    out = os.path.join(tmp_path, "events_by_type")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    write_partitioned(ev, out, ["event_type"], files_per_partition=2)
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(dirs) >= 2
+    # ≤ files_per_partition parquet files per directory (no small-file blowup)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_write_bucketed_join_without_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key join with ZERO shuffle — the
+    write-once-shuffle-never property bucketing exists for."""
+    wh = os.path.join(tmp_path, "wh")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_by="o_orderkey",
+                   path=os.path.join(wh, "b_orders"))
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "b_lineitem", "o_orderkey", 8, sort_by="o_orderkey",
+                   path=os.path.join(wh, "b_lineitem"))
+    j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+    assert count_exchanges(j) == 0
+    assert j.count() == orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_kafka_records_from_parquet_roundtrip(spark, tmp_path):
+    from byte_convert_avro_spark.engine import KAFKA_RECORD_SCHEMA
+
+    rows = [(None, b"\x00\x00\x00\x00\x01\x02", "t", 0, 1, None, 0)]
+    p = os.path.join(tmp_path, "rec")
+    spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).write.parquet(p)
+    df = kafka_records_from_parquet(spark, p)
+    assert df.schema == KAFKA_RECORD_SCHEMA
+    assert df.count() == 1
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    """Salted two-stage agg == single-stage agg, exactly (decimal sums)."""
+    ev = t(spark, sf_dir, "events").withColumn("v", F.col("value").cast("decimal(18,4)"))
+    plain = {
+        (r.user_id,): (r.n, str(r.total), r.mn, r.mx)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.user_id,): (r.n, str(r.total), r.mn, r.mx)
+        for r in salted_agg(
+            ev.select("user_id", "v"),
+            "user_id",
+            {
+                "n": ("v", "count"),
+                "total": ("v", "sum"),
+                "mn": ("v", "min"),
+                "mx": ("v", "max"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_collect_set_equals_plain(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    plain = {
+        r.user_id: sorted(r.s)
+        for r in ev.groupBy("user_id").agg(F.collect_set("event_type").alias("s")).collect()
+    }
+    salted = {
+        r.user_id: list(r.values)
+        for r in salted_collect_set(
+            ev.select("user_id", "event_type"), "user_id", "event_type"
+        ).collect()
+    }
+    assert salted == plain
