@@ -1,0 +1,122 @@
+"""Scalar/column function library — pure Catalyst expressions, importable
+as ``from byte_convert_avro_spark import functions as BF``.
+
+The reference has no scalar-function surface (SURVEY.md §2: "scalar
+function library ✗" — its only computation is the decode map).  This
+module is the engine's curated column vocabulary: every function returns
+a ``Column`` built from ``pyspark.sql.functions`` primitives, so all of
+them stay inside whole-stage codegen (no Python in any of these paths).
+DataFrame-shaped operators (dedup, ANN search, as-of join, …) live in
+``operators/``; wire-format expressions in ``wire.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.wire import (  # noqa: F401 — wire vocabulary
+    body,
+    has_magic_byte,
+    has_min_length,
+    is_valid_wire,
+    schema_id,
+)
+
+__all__ = [
+    # wire
+    "is_valid_wire", "has_magic_byte", "has_min_length", "schema_id", "body",
+    # vectors
+    "dot", "l2_norm", "cosine_similarity", "l2_distance",
+    # text
+    "n_tokens", "n_words", "punct_ratio", "uppercase_ratio", "content_hash",
+    # time
+    "epoch_us", "time_bucket",
+]
+
+
+# -- vector math over array<numeric> columns --------------------------------
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length array columns (JVM-side fold)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    v = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a, b); NULL-safe only insofar as inputs are non-null arrays."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+# -- text -------------------------------------------------------------------
+
+#: BPE-ish token pattern shared with operators/text.py
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+
+def n_tokens(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex (words + single symbols)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def n_words(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(text, r"\s+"))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def uppercase_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    lowered = F.regexp_replace(text, r"[A-Z]", "")
+    return (F.length(text) - F.length(lowered)) / F.greatest(F.length(text), F.lit(1))
+
+
+def content_hash(text: Column | str) -> Column:
+    """md5 content key — uniform 128-bit dedup/shuffle key."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(text)
+
+
+# -- event time -------------------------------------------------------------
+
+def epoch_us(ts_ns: Column | str) -> Column:
+    """Driver events carry epoch-ns longs; all engine time math is integer
+    microseconds (cross-engine-deterministic, queries/base.py).  Integer
+    ``div`` — float division of epoch-ns longs exceeds double's 53-bit
+    mantissa and drifts by whole microseconds."""
+    ts_ns = F.col(ts_ns) if isinstance(ts_ns, str) else ts_ns
+    return F.call_function("div", ts_ns, F.lit(1000))
+
+
+def time_bucket(ts_us: Column | str, width_us: int) -> Column:
+    """Integer tumbling-bucket index (floor division, no floats)."""
+    ts_us = F.col(ts_us) if isinstance(ts_us, str) else ts_us
+    return F.call_function("div", ts_us, F.lit(width_us))
