@@ -1,0 +1,124 @@
+"""Direct operator-level tests for the pieces the oracle queries exercise
+only indirectly: the general as-of join (tolerance/direction variants vs
+the native window plan and vs a hand-computed truth), sign-LSH buckets,
+multimodal blob stats / frame sampling, and exact-dedup application."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.operators.asof import asof_join, asof_join_tolerance
+from byte_convert_avro_spark.operators.dedup import drop_exact_dups
+from byte_convert_avro_spark.operators.multimodal import blob_stats, frame_sample_positions
+from byte_convert_avro_spark.operators.similarity import sign_lsh_buckets
+
+LEFT = [  # (key, t, lv)
+    ("a", 10, "L1"),
+    ("a", 20, "L2"),
+    ("a", 35, "L3"),
+    ("b", 5, "L4"),
+]
+RIGHT = [  # (key, t, rv)
+    ("a", 8, 100),
+    ("a", 20, 200),
+    ("a", 30, 300),
+    ("b", 50, 400),
+]
+
+
+def _frames(spark):
+    left = spark.createDataFrame(LEFT, "k string, t long, lv string")
+    right = spark.createDataFrame(RIGHT, "k string, t long, rv long")
+    return left, right
+
+
+def test_asof_native_backward(spark):
+    """Backward, allow-exact-match: 10->8, 20->20, 35->30; b@5 -> null."""
+    left, right = _frames(spark)
+    got = {
+        (r.k, r.t): (r.rv_asof, r.t_asof)
+        for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    assert got == {
+        ("a", 10): (100, 8),
+        ("a", 20): (200, 20),
+        ("a", 35): (300, 30),
+        ("b", 5): (None, None),
+    }
+
+
+def test_asof_tolerance_matches_native_when_unbounded(spark):
+    left, right = _frames(spark)
+    native = {
+        (r.k, r.t): r.rv_asof for r in asof_join(left, right, on="t", by="k").collect()
+    }
+    cogrouped = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join_tolerance(left, right, on="t", by="k").collect()
+    }
+    assert cogrouped == native
+
+
+def test_asof_tolerance_bounds_the_match(spark):
+    """tolerance=5: 10->8 (gap 2) stays; 35->30 (gap 5) stays; 20->20 ok;
+    with tolerance=1 only the exact match at 20 survives."""
+    left, right = _frames(spark)
+    t5 = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join_tolerance(left, right, on="t", by="k", tolerance=5).collect()
+    }
+    assert t5[("a", 10)] == 100 and t5[("a", 35)] == 300
+    t1 = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join_tolerance(left, right, on="t", by="k", tolerance=1).collect()
+    }
+    assert t1 == {("a", 10): None, ("a", 20): 200, ("a", 35): None, ("b", 5): None}
+
+
+def test_asof_forward_direction(spark):
+    left, right = _frames(spark)
+    fwd = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join_tolerance(
+            left, right, on="t", by="k", direction="forward"
+        ).collect()
+    }
+    assert fwd == {("a", 10): 200, ("a", 20): 200, ("a", 35): None, ("b", 5): 400}
+
+
+def test_sign_lsh_buckets_deterministic_and_collision(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 2.0, 0.5]),
+            (2, [0.9, -0.8, 1.5, 0.4]),  # same signs as 1
+            (3, [-1.0, 1.0, -2.0, -0.5]),  # opposite
+        ],
+        "id long, embedding array<double>",
+    )
+    got = {r.id: r.lsh_bucket for r in sign_lsh_buckets(df, n_bits=4).collect()}
+    assert got[1] == got[2] == "1011"
+    assert got[3] == "0100"
+
+
+def test_blob_stats_sniffs_magic(spark):
+    df = spark.createDataFrame(
+        [(b"\x89PNG\r\n\x1a\n1234",), (b"\xff\xd8\xff\xe0JFIF",), (b"plain",)],
+        "blob binary",
+    )
+    rows = blob_stats(df).collect()
+    assert [r.sniffed_format for r in rows] == ["png", "jpeg", "unknown"]
+    assert rows[0].n_bytes == 12 and len(rows[0].content_md5) == 32
+
+
+def test_frame_sample_positions(spark):
+    df = spark.createDataFrame([(1, 3500)], "vid long, duration_ms long")
+    got = sorted(r.frame_ms for r in frame_sample_positions(df).collect())
+    assert got == [0, 1000, 2000, 3000]
+
+
+def test_drop_exact_dups_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y"), (9, "x")], "doc_id long, text string"
+    )
+    kept = sorted((r.doc_id, r.text) for r in drop_exact_dups(df).collect())
+    assert kept == [(1, "x"), (2, "y")]
