@@ -233,3 +233,58 @@ def ivf_search_top3(spark: SparkSession, sf: str):
     indexed = S.ivf_build(emb, cents, "embedding", "vec_id", "label")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_search(indexed, cents, queries, k=3, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+_DOT64 = "list_reduce(list_transform(generate_series(1, 64), i -> {a}[i]*{b}[i]), (x, y) -> x + y)"
+_BUCKET8 = (
+    "concat("
+    + ", ".join(f"CASE WHEN e[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9))
+    + ")"
+)
+
+
+@register(
+    "lsh_bucketed_near_dup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, {_BUCKET8} AS lsh_bucket,
+                 sqrt({_DOT64.format(a='e', b='e')}) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.lsh_bucket AS lsh_bucket,
+           ROUND({_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm), 4) AS sim
+    FROM n a JOIN n b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+)
+def lsh_bucketed_near_dup(spark: SparkSession, sf: str):
+    """The SCALE path for embedding near-dup: sign-LSH bucket prefilter
+    (deterministic fixed-hyperplane family — first 8 dimension signs), then
+    exact cosine only WITHIN buckets.  Pair candidates drop from |corpus|²
+    to Σ|bucket|²; the bucket key is also the shuffle key, so each bucket's
+    pair generation is partition-local.  The oracle reproduces the same
+    prefilter, so the result (including its recall loss vs the all-pairs
+    form ``embedding_near_dup_pairs``) is pinned exactly."""
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    b = S.sign_lsh_buckets(emb, vec_col="e", n_bits=8)
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    n = b.withColumn("nrm", F.sqrt(F.expr(dot.format(a="e", b="e"))))
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "lsh_bucket",
+    )
+    bb = n.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("lsh_bucket").alias("lsh_b"),
+    )
+    return (
+        a.join(bb, (F.col("lsh_bucket") == F.col("lsh_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "sim",
+            F.round(F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", "lsh_bucket", "sim")
+    )

@@ -205,18 +205,24 @@ def q6_forecast_revenue(spark: SparkSession, sf: str):
     """,
 )
 def q10_returned_items(spark: SparkSession, sf: str):
+    """TPC-H Q10 shape.  Returned-line revenue is pre-aggregated per
+    l_orderkey before the join, so the orderkey shuffle carries one row
+    per qualifying order; the final customer-key aggregation then re-sums
+    the exact integer units (decimal partials re-aggregate losslessly)."""
     li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1999-01-01") & (F.col("o_orderdate") < "1999-07-01")
     )
     cust = t(spark, sf, "customer")
     nation = t(spark, sf, "nation")
+    units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    rev = li.groupBy("l_orderkey").agg(F.sum(units).alias("_units"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(revenue_sum().alias("revenue"))
+        .agg((F.sum("_units") / F.lit(10_000.0)).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
