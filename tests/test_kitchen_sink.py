@@ -1,0 +1,155 @@
+"""Schema-generic decode: the reference is GenericDatumReader-generic over
+ANY Avro schema (AvroTransform.java:241-245) — this file pins the same
+breadth for our engine: a kitchen-sink record (enum, fixed, map, array,
+nested unions, bytes, all primitives) through the full Spark pipeline, and
+a hypothesis round-trip over random record values."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from byte_convert_avro_spark.avro import schemaless_encode
+from byte_convert_avro_spark.avro.binary import compile_reader
+from byte_convert_avro_spark.avro.jsonenc import to_avro_json
+from byte_convert_avro_spark.avro.schema import parse_schema
+from byte_convert_avro_spark.engine import Engine, EngineConfig
+from byte_convert_avro_spark.schema_store import LocalSchemaStore
+from byte_convert_avro_spark.wire import encode_wire
+
+KITCHEN_SINK = json.dumps(
+    {
+        "type": "record",
+        "name": "Sink",
+        "namespace": "x",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "s", "type": "string"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "col", "type": {"type": "enum", "name": "Color", "symbols": ["RED", "BLUE"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "F4", "size": 4}},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "counts", "type": {"type": "map", "values": "long"}},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "num", "type": ["null", "int", "double"]},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "Inner",
+                    "fields": [{"name": "v", "type": ["null", "long"]}],
+                },
+            },
+        ],
+    }
+)
+
+VALUE = {
+    "i": -7,
+    "l": 2**40,
+    "f": 0.5,
+    "d": 1.25,
+    "b": True,
+    "s": "héllo",
+    "raw": b"\x00\xff\x10",
+    "col": "BLUE",
+    "fx": b"\x01\x02\x03\x04",
+    "tags": ["a", "b"],
+    "counts": {"x": 1, "y": -2},
+    "opt": "present",
+    "num": 3.5,
+    "nested": {"v": 9},
+}
+
+
+def test_kitchen_sink_through_engine(spark):
+    from pyspark.sql import types as T
+
+    store = LocalSchemaStore()
+    store.register(KITCHEN_SINK, 5)
+    eng = Engine(EngineConfig(avro_topics="t:true"), store=store)
+    payload = encode_wire(5, schemaless_encode(VALUE, KITCHEN_SINK))
+    schema = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+        ]
+    )
+    [row] = eng.transform(spark.createDataFrame([("t", None, payload)], schema)).collect()
+    assert row._error is None
+    env = json.loads(bytes(row.value))
+    assert env["originSchemaId"] == 5
+    msg = json.loads(env["originMessage"])
+    # Avro-JSON semantics: union wrapping, latin-1 bytes, enum symbol
+    assert msg["i"] == -7 and msg["l"] == 2**40 and msg["b"] is True
+    assert msg["s"] == "héllo"
+    assert msg["raw"] == "\x00\xff\x10"  # latin-1-decoded JSON string
+    assert msg["col"] == "BLUE"
+    assert msg["fx"] == "\x01\x02\x03\x04"
+    assert msg["tags"] == ["a", "b"]
+    assert msg["counts"] == {"x": 1, "y": -2}
+    assert msg["opt"] == {"string": "present"}  # union branch wrapped
+    assert msg["num"] == {"double": 3.5}  # multi-branch union label
+    assert msg["nested"] == {"v": {"long": 9}}
+    # field order = schema order (JsonEncoder parity)
+    assert list(msg.keys())[:6] == ["i", "l", "f", "d", "b", "s"]
+
+
+_VALUES = st.fixed_dictionaries(
+    {
+        "i": st.integers(-(2**31), 2**31 - 1),
+        "l": st.integers(-(2**63), 2**63 - 1),
+        "f": st.just(0.0),  # float32 rounding tested separately
+        "d": st.floats(allow_nan=False, allow_infinity=False),
+        "b": st.booleans(),
+        "s": st.text(max_size=40),
+        "raw": st.binary(max_size=20),
+        "col": st.sampled_from(["RED", "BLUE"]),
+        "fx": st.binary(min_size=4, max_size=4),
+        "tags": st.lists(st.text(max_size=10), max_size=5),
+        "counts": st.dictionaries(st.text(max_size=8), st.integers(-(2**40), 2**40), max_size=5),
+        "opt": st.one_of(st.none(), st.text(max_size=10)),
+        "num": st.one_of(st.none(), st.integers(-100, 100), st.floats(allow_nan=False, allow_infinity=False)),
+        "nested": st.fixed_dictionaries({"v": st.one_of(st.none(), st.integers(-(2**50), 2**50))}),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(v=_VALUES)
+def test_binary_roundtrip_random_records(v):
+    """encode -> decode is the identity on the datum (pre-JSON), for any
+    value of the kitchen-sink schema hypothesis generates."""
+    parsed = parse_schema(KITCHEN_SINK)
+    reader = compile_reader(parsed)
+    buf = schemaless_encode(v, KITCHEN_SINK)
+    out, pos = reader(memoryview(buf), 0)
+    assert pos == len(buf)
+    plain = to_avro_json(out)
+
+    def unwrap(x):
+        if isinstance(x, dict) and len(x) == 1 and next(iter(x)) in ("string", "int", "long", "double"):
+            return next(iter(x.values()))
+        return x
+
+    assert plain["i"] == v["i"] and plain["l"] == v["l"]
+    assert plain["s"] == v["s"]
+    assert plain["raw"] == v["raw"].decode("latin-1")
+    assert plain["col"] == v["col"]
+    assert plain["tags"] == v["tags"]
+    assert {k: val for k, val in plain["counts"].items()} == v["counts"]
+    assert unwrap(plain["opt"]) == v["opt"]
+    got_num = unwrap(plain["num"])
+    if isinstance(v["num"], float):
+        assert got_num == pytest.approx(v["num"], nan_ok=True)
+    else:
+        assert got_num == v["num"]
+    assert unwrap(plain["nested"]["v"]) == v["nested"]["v"]

@@ -205,3 +205,49 @@ def test_stateful_sessions_split_on_gap(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(0, 2, 2.0), (52, 1, 7.0)]
+
+
+# ---------------------------------------------------------------------------
+def test_stream_decode_to_partitioned_sink(spark, tmp_path):
+    """O18 integration: decoded envelopes land in a topic-partitioned
+    parquet lake via foreachBatch + write_partitioned (the batch writer is
+    reused inside the micro-batch — idiomatic streaming sink for formats
+    without a native streaming writer)."""
+    from byte_convert_avro_spark.sources import write_partitioned
+
+    store = LocalSchemaStore()
+    store.register(FULLNAME_SCHEMA, 1)
+    eng = Engine(EngineConfig(avro_topics="a:true,b:true"), store=store)
+    rows = [
+        (
+            None,
+            encode_wire(1, schemaless_encode({"first": "f", "last": str(i)}, FULLNAME_SCHEMA)),
+            "a" if i % 2 == 0 else "b",
+            0,
+            i,
+            None,
+            0,
+        )
+        for i in range(10)
+    ]
+    src = os.path.join(tmp_path, "src")
+    sink = os.path.join(tmp_path, "lake")
+    spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).write.parquet(src)
+
+    def sink_batch(bdf, batch_id):
+        write_partitioned(bdf, sink, ["topic"], mode="append")
+
+    q = (
+        decode_stream(eng, stream_records(spark, src))
+        .writeStream.foreachBatch(sink_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(d for d in os.listdir(sink) if d.startswith("topic=")) == [
+        "topic=a",
+        "topic=b",
+    ]
+    back = spark.read.parquet(sink)
+    assert back.count() == 10
+    assert back.filter(back.topic == "a").count() == 5
