@@ -294,17 +294,19 @@ def q18_large_volume_orders(spark: SparkSession, sf: str):
     """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf: str):
-    """TPC-H Q17 shape (correlated avg subquery), decorrelated into a
-    per-part aggregate + join.  The avg comparison is rewritten
-    multiplication-only (q*cnt < 0.5*sum) so no engine-specific AVG or
-    division enters the predicate."""
-    li = t(spark, sf, "lineitem")
-    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty")
+    """TPC-H Q17 shape (correlated avg subquery), decorrelated into
+    per-part window aggregates — ONE lineitem scan and one shuffle on
+    l_partkey, instead of the classic aggregate-plus-self-join (two scans
+    of the fact table; at 100 TB the second scan is the whole cost).  The
+    avg comparison is rewritten multiplication-only (q*cnt < 0.5*sum) so
+    no engine-specific AVG or division enters the predicate."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    wp = W.partitionBy("l_partkey")
+    stats = li.withColumn("cnt", F.count("*").over(wp)).withColumn(
+        "sum_qty", F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(wp).cast("double")
     )
     return (
-        li.join(stats, li.l_partkey == stats.pk)
-        .filter(F.col("l_quantity") * F.col("cnt") < 0.5 * F.col("sum_qty"))
+        stats.filter(F.col("l_quantity") * F.col("cnt") < 0.5 * F.col("sum_qty"))
         .agg(
             dsum("l_extendedprice").alias("total_extprice"),
             F.count("*").alias("n_small"),
