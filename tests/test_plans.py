@@ -104,3 +104,12 @@ def test_sessionization_single_shuffle(spark, sf_dir):
 def test_dedup_exact_single_shuffle(spark, sf_dir):
     df = Q["dedup_exact_groups"](spark, sf_dir)
     assert count_exchanges(df) <= 2
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (per-partition
+    heap + driver merge) — never a global sort."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = Q["top_orders_by_value"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")

@@ -251,3 +251,51 @@ def test_stream_decode_to_partitioned_sink(spark, tmp_path):
     back = spark.read.parquet(sink)
     assert back.count() == 10
     assert back.filter(back.topic == "a").count() == 5
+
+
+# ---------------------------------------------------------------------------
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time interval
+    condition (purchase matched to views within the preceding hour).
+    Both sides buffer in watermark-bounded state — the streaming twin of
+    the batch as-of/interval join family."""
+    vsrc = os.path.join(tmp_path, "views")
+    psrc = os.path.join(tmp_path, "purch")
+    _write_events(spark, vsrc, [
+        (1, _ns(10 * 60), "view", 1.0),
+        (1, _ns(50 * 60), "view", 2.0),
+        (2, _ns(10 * 60), "view", 3.0),
+    ])
+    _write_events(spark, psrc, [
+        (1, _ns(60 * 60), "purchase", 9.0),   # views at 10min (50min gap) & 50min (10min gap) qualify
+        (2, _ns(3 * H), "purchase", 8.0),     # view at 10min is > 1h before -> no match
+    ])
+
+    def ev(path, prefix):
+        df = (
+            spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+            .withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .withWatermark("ts_ts", "2 hours")
+        )
+        return df.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts_ts").alias(f"{prefix}_ts"),
+            F.col("value").alias(f"{prefix}_value"),
+        )
+
+    views, purchases = ev(vsrc, "v"), ev(psrc, "p")
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    q, table = run_stream_to_memory(joined)
+    try:
+        got = sorted(
+            (r.p_user, int(r.v_value)) for r in spark.table(table).collect()
+        )
+    finally:
+        q.stop()
+    assert got == [(1, 1), (1, 2)]  # both views within the hour; user 2 none
