@@ -288,3 +288,46 @@ def lsh_bucketed_near_dup(spark: SparkSession, sf: str):
         .filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", "lsh_bucket", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "skew_salted_user_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def skew_salted_user_totals(spark: SparkSession, sf: str):
+    """The skew-mitigation operator under the oracle gate: salted
+    two-stage aggregation (operators/skew.py) must equal the plain
+    single-stage GROUP BY exactly — decimal partials merge losslessly, so
+    hot-key splitting is invisible in the result at any salt count."""
+    from byte_convert_avro_spark.operators.skew import salted_agg
+
+    ev = t(spark, sf, "events").select(
+        "user_id", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    out = salted_agg(
+        ev,
+        "user_id",
+        {
+            "n_events": ("v", "count"),
+            "_total": ("v", "sum"),
+            "_min": ("v", "min"),
+            "_max": ("v", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("_total").cast("double").alias("total_value"),
+        F.col("_min").cast("double").alias("min_value"),
+        F.col("_max").cast("double").alias("max_value"),
+    )
