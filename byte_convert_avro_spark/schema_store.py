@@ -136,17 +136,23 @@ class CachedParser:
 
     def __init__(self, store: SchemaStore) -> None:
         self.store = store
-        self._by_id: dict[int, tuple[AvroSchema, Any, str]] = {}
+        self._by_id: dict[int, tuple[AvroSchema, Any, str, str]] = {}
 
     def get(self, schema_id: int):
-        """-> (parsed schema, compiled reader, canonical schema string)."""
+        """-> (parsed schema, compiled reader, canonical schema string,
+        JSON-escaped schema string).  The escaped form is cached because the
+        value envelope embeds the schema in every record — re-escaping the
+        (large) schema text per record would dominate envelope cost."""
         hit = self._by_id.get(schema_id)
         if hit is not None:
             return hit
+        from json.encoder import encode_basestring
+
         from byte_convert_avro_spark.avro.binary import compile_reader
 
         text = self.store.get_schema_text(schema_id)
         parsed = parse_schema(text)
-        entry = (parsed, compile_reader(parsed), parsed.canonical_str())
+        canonical = parsed.canonical_str()
+        entry = (parsed, compile_reader(parsed), canonical, encode_basestring(canonical))
         self._by_id[schema_id] = entry
         return entry
