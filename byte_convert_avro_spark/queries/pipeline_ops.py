@@ -6,7 +6,7 @@ multimodal binary plumbing, IVF search.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from byte_convert_avro_spark.operators import dedup as D
@@ -212,27 +212,119 @@ def multimodal_image_meta(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-@register("ivf_search_top3", None)  # rows-only: iterative ANN, not SQL-shaped
+_IVF_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+)
+_IVF_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+@register(
+    "ivf_search_top3",
+    f"""
+    WITH dims AS (
+      SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+             unnest(generate_series(1, 64)) AS dim
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS cell, dim,
+             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS c
+      FROM dims GROUP BY label, dim
+    ), dist AS (
+      SELECT d.vec_id, cent.cell,
+             list_reduce(list((d.x - cent.c) * (d.x - cent.c) ORDER BY d.dim),
+                         (a, b) -> a + b) AS d2
+      FROM dims d JOIN cent ON d.dim = cent.dim
+      GROUP BY d.vec_id, cent.cell
+    ), ranked AS (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM dist
+    ), assigned AS (
+      SELECT vec_id, cell FROM ranked WHERE rn = 1 AND vec_id >= 5
+    ), probes AS (
+      SELECT vec_id AS qid, cell FROM ranked WHERE rn <= 2 AND vec_id < 5
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt({_IVF_DOT_SQL.format(a='(embedding::DOUBLE[])', b='(embedding::DOUBLE[])')}) AS nrm
+      FROM embeddings
+    ), cand AS (
+      SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON p.cell = a.cell
+    ), sims AS (
+      SELECT cand.qid, cand.vec_id,
+             ROUND({_IVF_DOT_SQL.format(a='cv.e', b='qv.e')} / (cv.nrm * qv.nrm), 4) AS sim
+      FROM cand
+      JOIN v cv ON cv.vec_id = cand.vec_id
+      JOIN v qv ON qv.vec_id = cand.qid
+    )
+    SELECT qid, vec_id, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM sims)
+    WHERE rank <= 3
+    """,
+)
 def ivf_search_top3(spark: SparkSession, sf: str):
-    """IVF ANN search demo: centroids from the label partition, 2-cell
-    probe, top-3 per query.  Rows-only check (the oracle-checked exactness
-    of the underlying pieces lives in label_centroids /
-    ivf_assign_nearest_centroid / knn_cosine_top5)."""
-    emb = t(spark, sf, "embeddings")
-    cents = (
-        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.avg("x").alias("c"))
-        .groupBy("label")
-        .agg(
+    """Full IVF ANN search, oracle-checked end to end: ordered-fold
+    centroids (train), squared-L2 cell assignment (index), 2-nearest-cell
+    probe per query, exact cosine top-3 within probed cells only.  Every
+    float reduction is a fixed-order IEEE fold so both engines agree
+    bit-for-bit; ties break on (d2, cell) / (sim, vec_id).  At corpus
+    scale the probe join touches ~2/K of the vectors (cells are the
+    shuffle/partition key); centroids always broadcast."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = e.select("vec_id", "label", F.posexplode("e").alias("dim0", "x")).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+
+    def ordered_fold(sort_key: str, value: str):
+        return F.aggregate(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("embedding")
+                F.array_sort(F.collect_list(F.struct(sort_key, value))),
+                lambda s: s[value],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    cent = dims.groupBy(F.col("label").alias("cell"), "dim").agg(
+        (ordered_fold("vec_id", "x") / F.count("*")).alias("c")
+    )
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .withColumn("sq", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+        .groupBy("vec_id", "cell")
+        .agg(ordered_fold("dim", "sq").alias("d2"))
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cell"))
+    ranked = dist.withColumn("rn", rn)
+    assigned = ranked.filter((F.col("rn") == 1) & (F.col("vec_id") >= 5)).select(
+        "vec_id", "cell"
+    )
+    probes = ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("qid"), "cell"
+    )
+    v = e.select(
+        "vec_id", "e", F.sqrt(F.expr(_IVF_DOT.format(a="e", b="e"))).alias("nrm")
+    )
+    cand = probes.join(assigned, "cell").select("qid", "vec_id")
+    cv = v.select(F.col("vec_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    qv = v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    sims = (
+        cand.join(cv, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.expr(_IVF_DOT.format(a="ce", b="qe")) / (F.col("cn") * F.col("qn")), 4
+            ).alias("sim"),
         )
     )
-    indexed = S.ivf_build(emb, cents, "embedding", "vec_id", "label")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_search(indexed, cents, queries, k=3, nprobe=2)
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
 # ---------------------------------------------------------------------------
