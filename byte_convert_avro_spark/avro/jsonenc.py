@@ -49,3 +49,91 @@ def to_avro_json(value: Any, schema: AvroSchema | None = None) -> Any:
 def avro_json_dumps(value: Any, schema: AvroSchema | None = None) -> str:
     """Compact Avro-JSON text (non-pretty, like JsonEncoder with pretty=false)."""
     return json.dumps(to_avro_json(value, schema), separators=(",", ":"), ensure_ascii=False)
+
+
+# ---------------------------------------------------------------------------
+# Compiled per-schema JSON writer: fuses the to_avro_json tree walk and
+# json.dumps into one schema-driven pass (same output bytes).  The decode
+# UDF holds one compiled writer per schema id, next to the compiled binary
+# reader — the Avro-JSON rules above remain the specification; the golden
+# envelope and the writer-vs-dumps property test pin equality.
+
+from json.encoder import encode_basestring as _esc
+
+
+def _write_float(v: float) -> str:
+    if v != v:
+        return '"NaN"'
+    if v == math.inf:
+        return '"Infinity"'
+    if v == -math.inf:
+        return '"-Infinity"'
+    return repr(v)  # identical to json.dumps float formatting
+
+
+_PRIMITIVE_WRITERS = {
+    "null": lambda v: "null",
+    "boolean": lambda v: "true" if v else "false",
+    "int": str,
+    "long": str,
+    "float": _write_float,
+    "double": _write_float,
+    "string": _esc,
+    "bytes": lambda v: _esc(bytes(v).decode("latin-1")),
+}
+
+
+def compile_json_writer(schema: AvroSchema, memo: dict | None = None):
+    """-> fn(decoded_value) -> compact Avro-JSON text (ensure_ascii=False
+    parity: only control chars, quotes and backslashes escaped)."""
+    if memo is None:
+        memo = {}
+    s = schema
+    k = s.kind
+    if k == "primitive":
+        return _PRIMITIVE_WRITERS[s.name]
+    if k in ("bytes", "fixed"):
+        return lambda v: _esc(bytes(v).decode("latin-1"))
+    if k == "enum":
+        return _esc
+    if k == "record":
+        field_parts: list[tuple[str, Any]] = []
+
+        def write_record(v: dict) -> str:
+            return "{" + ",".join(
+                pre + wr(v[name]) for name, pre, wr in field_parts
+            ) + "}"
+
+        memo[id(s)] = write_record
+        for f in s.fields or []:
+            field_parts.append(
+                (f.name, _esc(f.name) + ":", _compile_jw(f.type, memo))
+            )
+        return write_record
+    if k == "array":
+        item = _compile_jw(s.items, memo)
+        return lambda v: "[" + ",".join(item(x) for x in v) + "]"
+    if k == "map":
+        val = _compile_jw(s.values, memo)
+        return lambda v: "{" + ",".join(
+            _esc(key) + ":" + val(x) for key, x in v.items()
+        ) + "}"
+    if k == "union":
+        by_label = {b.union_label: _compile_jw(b, memo) for b in s.fields or []}
+
+        def write_union(v: Any) -> str:
+            if v is None:
+                return "null"
+            return "{" + _esc(v.label) + ":" + by_label[v.label](v.value) + "}"
+
+        return write_union
+    raise ValueError(f"cannot compile JSON writer for kind {k!r}")
+
+
+def _compile_jw(schema: AvroSchema, memo: dict):
+    # recursive records resolve via the memo entry compile_json_writer
+    # seeds BEFORE compiling its fields
+    hit = memo.get(id(schema))
+    if hit is not None:
+        return hit
+    return compile_json_writer(schema, memo)

@@ -76,12 +76,12 @@ def _decode_one(payload: bytes, parser: CachedParser, is_key: bool) -> bytes:
     if payload[0] != MAGIC_BYTE:
         raise WireFormatError("Unknown magic byte!")
     (schema_id,) = _unpack_be_int(payload, 1)
-    schema, reader, schema_str, esc_schema = parser.get(schema_id)
+    schema, reader, schema_str, esc_schema, jsonw = parser.get(schema_id)
 
     value, _pos = reader(memoryview(payload), WIRE_PREFIX_LEN)
-    jv = to_avro_json(value)
     if is_key:
         # O15: decoded object + originSchema field
+        jv = to_avro_json(value)
         if isinstance(jv, dict):
             env = dict(jv)
             env["originSchema"] = schema_str
@@ -89,13 +89,13 @@ def _decode_one(payload: bytes, parser: CachedParser, is_key: bool) -> bytes:
             env = {"value": jv, "originSchema": schema_str}
         return json.dumps(env, separators=(",", ":"), ensure_ascii=False).encode("utf-8")
     # O16: string-wrapped message + schema + id (field order pinned by the
-    # golden test).  Assembled directly: the envelope shape is fixed, the
-    # escaped schema is cached per id, and only the message text needs the
-    # (C-accelerated) escape — skipping a full dict serialization per record.
-    msg = json.dumps(jv, separators=(",", ":"), ensure_ascii=False)
+    # golden test).  Assembled directly: the compiled per-schema writer
+    # emits the Avro-JSON message in one pass, the escaped schema is cached
+    # per id, and only the message text needs the (C-accelerated) escape —
+    # no per-record dict serialization anywhere.
     return (
         '{"originSchema":' + esc_schema
-        + ',"originMessage":' + _esc_json(msg)
+        + ',"originMessage":' + _esc_json(jsonw(value))
         + ',"originSchemaId":' + str(schema_id) + "}"
     ).encode("utf-8")
 

@@ -136,23 +136,31 @@ class CachedParser:
 
     def __init__(self, store: SchemaStore) -> None:
         self.store = store
-        self._by_id: dict[int, tuple[AvroSchema, Any, str, str]] = {}
+        self._by_id: dict[int, tuple[AvroSchema, Any, str, str, Any]] = {}
 
     def get(self, schema_id: int):
-        """-> (parsed schema, compiled reader, canonical schema string,
-        JSON-escaped schema string).  The escaped form is cached because the
-        value envelope embeds the schema in every record — re-escaping the
-        (large) schema text per record would dominate envelope cost."""
+        """-> (parsed schema, compiled binary reader, canonical schema
+        string, JSON-escaped schema string, compiled Avro-JSON writer).
+        The escaped schema is cached because the value envelope embeds it
+        in every record; the compiled writer replaces a per-record
+        tree-walk + json.dumps with one schema-driven pass."""
         hit = self._by_id.get(schema_id)
         if hit is not None:
             return hit
         from json.encoder import encode_basestring
 
         from byte_convert_avro_spark.avro.binary import compile_reader
+        from byte_convert_avro_spark.avro.jsonenc import compile_json_writer
 
         text = self.store.get_schema_text(schema_id)
         parsed = parse_schema(text)
         canonical = parsed.canonical_str()
-        entry = (parsed, compile_reader(parsed), canonical, encode_basestring(canonical))
+        entry = (
+            parsed,
+            compile_reader(parsed),
+            canonical,
+            encode_basestring(canonical),
+            compile_json_writer(parsed),
+        )
         self._by_id[schema_id] = entry
         return entry

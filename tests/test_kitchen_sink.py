@@ -153,3 +153,18 @@ def test_binary_roundtrip_random_records(v):
     else:
         assert got_num == v["num"]
     assert unwrap(plain["nested"]["v"]) == v["nested"]["v"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(v=_VALUES)
+def test_compiled_writer_equals_dumps(v):
+    """compile_json_writer(schema)(datum) must be byte-identical to
+    json.dumps(to_avro_json(datum)) — the compiled fast path can never
+    drift from the specification path."""
+    from byte_convert_avro_spark.avro.jsonenc import compile_json_writer
+
+    parsed = parse_schema(KITCHEN_SINK)
+    reader = compile_reader(parsed)
+    datum, _ = reader(memoryview(schemaless_encode(v, KITCHEN_SINK)), 0)
+    spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
+    assert compile_json_writer(parsed)(datum) == spec
