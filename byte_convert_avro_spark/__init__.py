@@ -11,7 +11,14 @@ AvroTransform.java``).  This package re-expresses that dataflow Spark-first:
 - :mod:`.schema_store`  — schema-id resolution with per-executor LRU (O11)
 - :mod:`.decoder`       — Arrow-batched decode + envelope projection (O13-O16)
 - :mod:`.engine`        — config surface + batch/streaming pipelines (O2-O7, O17-O20)
-- :mod:`.operators`     — analytics/LLM-data-pipeline operators (driver contract)
+- :mod:`.operators`     — analytics/LLM-data-pipeline operators (dedup,
+  similarity, text, multimodal, as-of, skew mitigation)
+- :mod:`.functions`     — curated pure-Catalyst column-function library
+- :mod:`.sources`       — Kafka-shaped record sources + partitioned/bucketed sinks
+- :mod:`.streaming`     — Structured Streaming pipeline, watermarked windows,
+  stateful sessionization
+- :mod:`.plans`         — physical-plan audit tooling (pushdown/pruning/
+  exchange/join-strategy assertions)
 - :mod:`.queries`       — named queries + DuckDB oracle SQL (driver contract)
 
 Everything here derives from public knowledge only: the Apache Avro

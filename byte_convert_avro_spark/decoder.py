@@ -121,7 +121,11 @@ def make_decode_udf(
             keys_out: list[bytes | None] = []
             values_out: list[bytes | None] = []
             errors: list[str | None] = []
-            for topic, key, value in zip(topic_s, key_s, value_s):
+            # plain-list iteration: pandas Series element access pays
+            # per-item overhead the hot loop doesn't need
+            for topic, key, value in zip(
+                topic_s.to_list(), key_s.to_list(), value_s.to_list()
+            ):
                 err = None
                 k_out, v_out = key, value
                 enabled = topics.get(topic)
