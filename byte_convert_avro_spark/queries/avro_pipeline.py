@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from byte_convert_avro_spark.engine import Engine, EngineConfig
-from byte_convert_avro_spark.queries.base import register, t
+from byte_convert_avro_spark.queries.base import register, spread, t
 from byte_convert_avro_spark.schema_store import LocalSchemaStore
 
 CUSTOMER_SCHEMA = (

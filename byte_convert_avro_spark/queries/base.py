@@ -99,3 +99,14 @@ SQL_CHARGE = (
     " * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))"
     " * (100 + CAST(ROUND(l_tax*100,0) AS BIGINT))) AS BIGINT) / 1000000.0"
 )
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a (small) input across all cores before CPU-heavy
+    narrow work.  The driver's parquet tables are single row-group files,
+    so their scans are ONE task; any expensive per-row compute downstream
+    (hashing, 64-dim array math, pair joins) would otherwise run serially.
+    On a many-file production lake this shuffle is unnecessary — it exists
+    to make single-file inputs behave like partitioned ones."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys]) if keys else df.repartition(n)

@@ -13,7 +13,7 @@ from byte_convert_avro_spark.operators import dedup as D
 from byte_convert_avro_spark.operators import multimodal as M
 from byte_convert_avro_spark.operators import similarity as S
 from byte_convert_avro_spark.operators import text as X
-from byte_convert_avro_spark.queries.base import register, t
+from byte_convert_avro_spark.queries.base import register, spread, t
 
 _HEXPOS = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
@@ -50,7 +50,7 @@ def _hex_int(h: str, start: int, n: int) -> str:
 def simhash_signatures(spark: SparkSession, sf: str):
     """16-bit SimHash per document (majority vote over md5-nibble signs of
     distinct tokens).  Integer votes -> no float anywhere."""
-    return D.simhash(t(spark, sf, "documents"), "text", "doc_id", bits=16)
+    return D.simhash(spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +92,7 @@ def jaccard_verified_candidates(spark: SparkSession, sf: str):
     """The full LSH dedup pipeline: MinHash signatures -> candidate pairs ->
     exact shingle-Jaccard verification.  The expensive exact comparison
     runs only on LSH candidates (904 pairs at sf0.01, not 125k all-pairs)."""
-    docs = t(spark, sf, "documents")
+    docs = spread(t(spark, sf, "documents"), "doc_id")
     sigs = D.minhash_signatures(docs, "text", "doc_id", n_bands=8, shingle_n=3)
     pairs = D.lsh_candidates(sigs).select("doc_a", "doc_b")
     return D.jaccard_similarity(docs, pairs, "text", "doc_id", shingle_n=3)
@@ -119,7 +119,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str):
     corpus's cosine range).  All-pairs correctness form; the scale path
     prefixes :func:`operators.similarity.sign_lsh_buckets` and joins within
     buckets."""
-    return D.embedding_near_dup(t(spark, sf, "embeddings"), threshold=0.4)
+    return D.embedding_near_dup(spread(t(spark, sf, "embeddings"), "vec_id"), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -179,7 +179,7 @@ def doc_token_counts(spark: SparkSession, sf: str):
 def rolling_hash_chunks(spark: SparkSession, sf: str):
     """Per-position rolling fingerprints (16-char windows) — winnowing's
     raw material for substring-level duplicate detection."""
-    return X.rolling_hashes(t(spark, sf, "documents"), "text", "doc_id", window=16)
+    return X.rolling_hashes(spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", window=16)
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +205,7 @@ def multimodal_image_meta(spark: SparkSession, sf: str):
     the documented NotImplementedError hook) -> typed columns.  The oracle
     recomputes the fake decode arithmetic in SQL, pinning the batch
     plumbing exactly."""
-    docs = t(spark, sf, "documents").select(
+    docs = spread(t(spark, sf, "documents"), "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
     return M.decode_image_metadata(docs, "blob", "doc_id", deterministic_fake=True)
@@ -272,7 +272,7 @@ def ivf_search_top3(spark: SparkSession, sf: str):
     bit-for-bit; ties break on (d2, cell) / (sim, vec_id).  At corpus
     scale the probe join touches ~2/K of the vectors (cells are the
     shuffle/partition key); centroids always broadcast."""
-    e = t(spark, sf, "embeddings").select(
+    e = spread(t(spark, sf, "embeddings"), "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     dims = e.select("vec_id", "label", F.posexplode("e").alias("dim0", "x")).select(
@@ -357,7 +357,7 @@ def lsh_bucketed_near_dup(spark: SparkSession, sf: str):
     pair generation is partition-local.  The oracle reproduces the same
     prefilter, so the result (including its recall loss vs the all-pairs
     form ``embedding_near_dup_pairs``) is pinned exactly."""
-    emb = t(spark, sf, "embeddings").select(
+    emb = spread(t(spark, sf, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     b = S.sign_lsh_buckets(emb, vec_col="e", n_bits=8)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import register, t
+from byte_convert_avro_spark.queries.base import spread, register, t
 
 N_BANDS = 8
 
@@ -234,7 +234,16 @@ def minhash_signatures(spark: SparkSession, sf: str):
     Scale shape: explode(shingles) × bands -> partial min per (doc, band)
     happens map-side, so the shuffle carries |docs|×|bands| rows only.
     """
-    d = t(spark, sf, "documents").withColumn("w", F.split("text", " ")).filter(F.size("w") >= 3)
+    # The driver's parquet is a single row group, so the scan is ONE task;
+    # the md5-heavy shingle work must not inherit that.  Repartitioning the
+    # (tiny) doc rows BEFORE the explode spreads the hashing across all
+    # cores — on a real lake with many files/row-groups this shuffle is a
+    # no-op cost and can be dropped.
+    d = (
+        spread(t(spark, sf, "documents"), "doc_id")
+        .withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 3)
+    )
     shingles = d.select(
         "doc_id",
         F.explode(

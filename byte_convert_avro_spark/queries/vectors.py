@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import register, t
+from byte_convert_avro_spark.queries.base import register, spread, t
 
 DIM = 64
 _DOT = (
@@ -34,8 +34,13 @@ _DOT_SQL = (
 
 
 def _emb(spark: SparkSession, sf: str):
-    return t(spark, sf, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    # spread: the single-row-group parquet scan is one task; 64-dim array
+    # math downstream must run on all cores (queries/base.py spread())
+    return spread(
+        t(spark, sf, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        ),
+        "vec_id",
     )
 
 
@@ -174,4 +179,47 @@ def ivf_assign_nearest_centroid(spark: SparkSession, sf: str):
         dist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", F.col("clabel").alias("nearest_label"), "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "array_hof_showcase",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 100)
+    SELECT vec_id,
+           LEN(list_filter(e, x -> x > 0)) AS n_positive,
+           ROUND(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b), 4) AS sum_sq,
+           ROUND(list_reduce(list_transform(generate_series(1, 64), i -> e[i] * (CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END)),
+                             (a, b) -> a + b), 4) AS alt_sum,
+           CASE WHEN LEN(list_filter(e, x -> ABS(x) > 2.0)) > 0 THEN 1 ELSE 0 END AS has_outlier,
+           ROUND(list_aggregate(list_transform(e, x -> ABS(x)), 'max'), 4) AS max_abs
+    FROM v
+    """,
+)
+def array_hof_showcase(spark: SparkSession, sf: str):
+    """Higher-order array functions, fully JVM-side: filter / transform /
+    aggregate (fold) / exists / zip_with-style alternating sum — the
+    vocabulary every embedding-column pipeline leans on.  One narrow
+    projection, no shuffle, no Python."""
+    e = _emb(spark, sf).filter(F.col("vec_id") < 100)
+    alt = F.expr(
+        "aggregate(zip_with(e, sequence(1, 64),"
+        " (x, i) -> x * (CASE WHEN i % 2 = 1 THEN 1.0 ELSE -1.0 END)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("e", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                F.transform("e", lambda x: x * x),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.round(alt, 4).alias("alt_sum"),
+        F.when(F.exists("e", lambda x: F.abs(x) > 2.0), 1).otherwise(0).alias("has_outlier"),
+        F.round(F.array_max(F.transform("e", lambda x: F.abs(x))), 4).alias("max_abs"),
     )
