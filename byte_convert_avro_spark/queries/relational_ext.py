@@ -355,3 +355,130 @@ def cube_sales(spark: SparkSession, sf: str):
             "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf: str):
+    """TPC-H Q13 shape: orders-per-customer histogram — left outer join
+    (customers with zero orders count as 0) + double aggregation.  The
+    first agg shrinks to |customers| rows; the second to |distinct counts|
+    — the classic two-level reduction."""
+    cust = t(spark, sf, "customer").select("c_custkey")
+    orders = t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+_SQL_REV_UNITS_EXT = (
+    "CAST(ROUND(l_extendedprice*100,0) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))"
+)
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_SQL_REV_UNITS_EXT}) AS BIGINT) AS total_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_units AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_units = (SELECT MAX(total_units) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf: str):
+    """TPC-H Q15 shape: per-supplier quarterly revenue, keep the max via an
+    uncorrelated scalar subquery.  Exact integer units make 'equals max'
+    deterministic (double revenue would make the = predicate fragile).
+    Spark: the scalar max is a 1-row broadcast join against the same
+    pre-aggregated revenue — one lineitem scan total."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(units).alias("total_units")
+    )
+    max_rev = revenue.agg(F.max("total_units").alias("mx"))
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_units == max_rev.mx)
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_units").cast("double") / F.lit(10_000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sole_supplier_orders",
+    """
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_sole_orders
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY n_sole_orders DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf: str):
+    """TPC-H Q21 shape (adapted to available columns): suppliers who were
+    the ONLY supplier on finished orders — EXISTS + NOT EXISTS pair.
+    Spark plan: the NOT EXISTS decorrelates into a per-order distinct-
+    supplier count (one lineitem shuffle) instead of a left-anti self-join
+    carrying every line twice."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    sole = per_order.filter(F.col("n_supps") == 1)
+    orders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    supp = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(sole, "l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("n_sole_orders"))
+        .orderBy(F.desc("n_sole_orders"), "s_name")
+        .limit(10)
+    )
