@@ -482,3 +482,47 @@ def q21_sole_supplier_orders(spark: SparkSession, sf: str):
         .orderBy(F.desc("n_sole_orders"), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "moving_90d_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+                  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS rev_90d,
+           CAST(FIRST_VALUE(o_orderkey) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY CAST(epoch(o_orderdate) // 86400 AS BIGINT), o_orderkey
+                ) AS BIGINT) AS first_order
+    FROM orders
+    """,
+)
+def moving_90d_customer_revenue(spark: SparkSession, sf: str):
+    """RANGE-frame window: per-customer trailing-90-day revenue (value-
+    based frame — peers by day distance, not row count — the frame family
+    ``customer_running_total``'s ROWS frame can't express) + first_value
+    navigation.  Day numbers are integer epoch-days so the frame bounds
+    are engine-portable; the decimal sum keeps the frame total exact.  One
+    shuffle on o_custkey serves both windows."""
+    orders = t(spark, sf, "orders").withColumn(
+        "order_day", F.expr("CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)")
+    )
+    w_range = (
+        W.partitionBy("o_custkey").orderBy("order_day").rangeBetween(-90, 0)
+    )
+    w_first = W.partitionBy("o_custkey").orderBy("order_day", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w_range)
+        .cast("double")
+        .alias("rev_90d"),
+        F.first("o_orderkey").over(w_first).cast("long").alias("first_order"),
+    )
