@@ -1,0 +1,140 @@
+"""Fused decode→Avro-JSON codegen for flat record schemas.
+
+The hot shape on a Kafka topic is a flat record: primitive fields plus
+``[null, primitive]`` unions.  For that subset this module generates ONE
+Python function per schema — varint/zigzag decoding inlined (no per-field
+call), JSON text emitted directly (no intermediate dict, no _UnionValue
+allocations, field names and union labels escaped at compile time).
+
+Anything outside the subset (arrays, maps, nested records, enums with
+exotic symbols, multi-branch unions, recursion) returns None and the
+engine falls back to the general compiled reader + compiled JSON writer —
+same output bytes, pinned by the equality property test.
+
+Output parity: byte-identical to
+``json.dumps(to_avro_json(reader(payload)), separators=(",", ":"),
+ensure_ascii=False)`` — the specification path in ``jsonenc.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+from json.encoder import encode_basestring as _esc
+
+from byte_convert_avro_spark.avro.schema import AvroSchema
+
+_unpack_float = struct.Struct("<f").unpack_from
+_unpack_double = struct.Struct("<d").unpack_from
+
+#: inline zigzag-varint decode; leaves `v{n}` holding the long and advances pos
+_VARINT = """
+    n = 0; shift = 0
+    while True:
+        b = buf[pos]; pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80): break
+        shift += 7
+    {out} = (n >> 1) ^ -(n & 1)
+"""
+
+
+def _wf(v: float) -> str:
+    """float -> JSON text with Java-literal NaN/Inf parity (jsonenc rules)."""
+    if v != v:
+        return '"NaN"'
+    if v == math.inf:
+        return '"Infinity"'
+    if v == -math.inf:
+        return '"-Infinity"'
+    return repr(v)
+
+
+def _primitive_snippet(name: str, out_var: str) -> str | None:
+    """Code that decodes primitive `name` and appends its JSON text to `o`."""
+    if name in ("int", "long"):
+        return _VARINT.format(out="v") + f"    {out_var} += str(v)\n"
+    if name == "boolean":
+        return (
+            "    b0 = buf[pos]; pos += 1\n"
+            f"    {out_var} += 'true' if b0 == 1 else 'false'\n"
+        )
+    if name == "float":
+        return (
+            "    v = _unpack_float(buf, pos)[0]; pos += 4\n"
+            f"    {out_var} += _wf(v)\n"
+        )
+    if name == "double":
+        return (
+            "    v = _unpack_double(buf, pos)[0]; pos += 8\n"
+            f"    {out_var} += _wf(v)\n"
+        )
+    if name == "string":
+        return (
+            _VARINT.format(out="ln")
+            + "    v = str(buf[pos:pos+ln], 'utf-8'); pos += ln\n"
+            + f"    {out_var} += _esc(v)\n"
+        )
+    if name == "bytes":
+        return (
+            _VARINT.format(out="ln")
+            + "    v = str(buf[pos:pos+ln], 'latin-1'); pos += ln\n"
+            + f"    {out_var} += _esc(v)\n"
+        )
+    if name == "null":
+        return f"    {out_var} += 'null'\n"
+    return None
+
+
+def compile_fused(schema: AvroSchema):
+    """-> fn(buf: bytes|memoryview, pos: int) -> str (Avro-JSON text), or
+    None when the schema is outside the flat fast subset."""
+    if schema.kind != "record":
+        return None
+    parts: list[str] = ["def _fused(buf, pos):\n", "    o = ''\n"]
+    first = True
+    for f in schema.fields or []:
+        prefix = ("{" if first else ",") + json.dumps(f.name, ensure_ascii=False) + ":"
+        first = False
+        parts.append(f"    o += {prefix!r}\n")
+        ft = f.type
+        if ft.kind == "primitive":
+            snip = _primitive_snippet(ft.name, "o")
+            if snip is None:
+                return None
+            parts.append(snip)
+        elif ft.kind == "union":
+            branches = ft.fields or []
+            if len(branches) != 2:
+                return None
+            labels = [b.union_label for b in branches]
+            if "null" not in labels:
+                return None
+            other = branches[1] if labels[0] == "null" else branches[0]
+            null_idx = labels.index("null")
+            if other.kind != "primitive":
+                return None
+            snip = _primitive_snippet(other.name, "o")
+            if snip is None:
+                return None
+            wrap_open = "{" + json.dumps(other.union_label) + ":"
+            parts.append(_VARINT.format(out="bi"))
+            parts.append(f"    if bi == {null_idx}:\n")
+            parts.append("        o += 'null'\n")
+            parts.append("    else:\n")
+            parts.append(f"        o += {wrap_open!r}\n")
+            parts.append("".join("    " + line + "\n" for line in snip.splitlines()))
+            parts.append("        o += '}'\n")
+        else:
+            return None
+    parts.append("    return o + '}', pos\n" if not first else "    return '{}', pos\n")
+    src = "".join(parts)
+    ns = {
+        "_unpack_float": _unpack_float,
+        "_unpack_double": _unpack_double,
+        "_esc": _esc,
+        "_wf": _wf,
+    }
+    exec(src, ns)  # noqa: S102 — source is generated from the schema, no user input
+    return ns["_fused"]

@@ -76,7 +76,18 @@ def _decode_one(payload: bytes, parser: CachedParser, is_key: bool) -> bytes:
     if payload[0] != MAGIC_BYTE:
         raise WireFormatError("Unknown magic byte!")
     (schema_id,) = _unpack_be_int(payload, 1)
-    schema, reader, schema_str, esc_schema, jsonw = parser.get(schema_id)
+    schema, reader, schema_str, esc_schema, jsonw, fused = parser.get(schema_id)
+
+    if fused is not None and not is_key:
+        # flat-record fast path: one generated function decodes the Avro
+        # body AND emits the Avro-JSON text (byte-identical to the general
+        # path; avro/fused.py)
+        msg, _pos = fused(memoryview(payload), WIRE_PREFIX_LEN)
+        return (
+            '{"originSchema":' + esc_schema
+            + ',"originMessage":' + _esc_json(msg)
+            + ',"originSchemaId":' + str(schema_id) + "}"
+        ).encode("utf-8")
 
     value, _pos = reader(memoryview(payload), WIRE_PREFIX_LEN)
     if is_key:

@@ -150,6 +150,7 @@ class CachedParser:
         from json.encoder import encode_basestring
 
         from byte_convert_avro_spark.avro.binary import compile_reader
+        from byte_convert_avro_spark.avro.fused import compile_fused
         from byte_convert_avro_spark.avro.jsonenc import compile_json_writer
 
         text = self.store.get_schema_text(schema_id)
@@ -161,6 +162,8 @@ class CachedParser:
             canonical,
             encode_basestring(canonical),
             compile_json_writer(parsed),
+            # fused decode->JSON codegen for flat records; None -> general path
+            compile_fused(parsed),
         )
         self._by_id[schema_id] = entry
         return entry

@@ -168,3 +168,59 @@ def test_compiled_writer_equals_dumps(v):
     datum, _ = reader(memoryview(schemaless_encode(v, KITCHEN_SINK)), 0)
     spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
     assert compile_json_writer(parsed)(datum) == spec
+
+
+FLAT_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Flat",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "email", "type": ["null", "string"]},
+            {"name": "balance", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "opt_n", "type": ["null", "long"]},
+        ],
+    }
+)
+
+_FLAT_VALUES = st.fixed_dictionaries(
+    {
+        "id": st.integers(-(2**63), 2**63 - 1),
+        "name": st.text(max_size=40),
+        "email": st.one_of(st.none(), st.text(max_size=20)),
+        "balance": st.floats(allow_nan=False, allow_infinity=False),
+        "ok": st.booleans(),
+        "raw": st.binary(max_size=20),
+        "opt_n": st.one_of(st.none(), st.integers(-(2**50), 2**50)),
+    }
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(v=_FLAT_VALUES)
+def test_fused_codegen_equals_spec(v):
+    """The fused decode->JSON codegen (avro/fused.py) is byte-identical to
+    the specification path for flat records."""
+    from byte_convert_avro_spark.avro.fused import compile_fused
+
+    parsed = parse_schema(FLAT_SCHEMA)
+    fused = compile_fused(parsed)
+    assert fused is not None
+    buf = schemaless_encode(v, FLAT_SCHEMA)
+    datum, _ = compile_reader(parsed)(memoryview(buf), 0)
+    spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
+    got, pos = fused(memoryview(buf), 0)
+    assert got == spec
+    assert pos == len(buf)
+
+
+def test_fused_refuses_complex_schemas():
+    """Kitchen-sink (arrays/maps/enums/nested) falls back to the general
+    path — compile_fused must return None, never a wrong function."""
+    from byte_convert_avro_spark.avro.fused import compile_fused
+
+    assert compile_fused(parse_schema(KITCHEN_SINK)) is None
+    assert compile_fused(parse_schema('"int"')) is None
