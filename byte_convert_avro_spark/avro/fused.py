@@ -1,13 +1,14 @@
 """Fused decode→Avro-JSON codegen for flat record schemas.
 
-The hot shape on a Kafka topic is a flat record: primitive fields plus
-``[null, primitive]`` unions.  For that subset this module generates ONE
+The hot shape on a Kafka topic is a flat record: primitive/enum/fixed
+fields plus ``[null, <those>]`` unions.  For that subset this module
+generates ONE
 Python function per schema — varint/zigzag decoding inlined (no per-field
 call), JSON text emitted directly (no intermediate dict, no _UnionValue
 allocations, field names and union labels escaped at compile time).
 
-Anything outside the subset (arrays, maps, nested records, enums with
-exotic symbols, multi-branch unions, recursion) returns None and the
+Anything outside the subset (arrays, maps, nested records, multi-branch
+unions, recursion) returns None and the
 engine falls back to the general compiled reader + compiled JSON writer —
 same output bytes, pinned by the equality property test.
 
@@ -92,30 +93,38 @@ def compile_fused(schema: AvroSchema):
     None when the schema is outside the flat fast subset."""
     if schema.kind != "record":
         return None
+    consts: dict[str, object] = {}
+
+    def field_snippet(ft: AvroSchema, idx: int) -> str | None:
+        """Decode one value of type ft and append its JSON text to o."""
+        if ft.kind == "primitive":
+            return _primitive_snippet(ft.name, "o")
+        if ft.kind == "enum":
+            # symbols escaped at compile time -> pure table lookup
+            consts[f"_sym{idx}"] = tuple(_esc(sym) for sym in (ft.symbols or []))
+            return _VARINT.format(out="si") + f"    o += _sym{idx}[si]\n"
+        if ft.kind == "fixed":
+            return (
+                f"    v = str(buf[pos:pos+{ft.size}], 'latin-1'); pos += {ft.size}\n"
+                "    o += _esc(v)\n"
+            )
+        return None
+
     parts: list[str] = ["def _fused(buf, pos):\n", "    o = ''\n"]
     first = True
-    for f in schema.fields or []:
+    for idx, f in enumerate(schema.fields or []):
         prefix = ("{" if first else ",") + json.dumps(f.name, ensure_ascii=False) + ":"
         first = False
         parts.append(f"    o += {prefix!r}\n")
         ft = f.type
-        if ft.kind == "primitive":
-            snip = _primitive_snippet(ft.name, "o")
-            if snip is None:
-                return None
-            parts.append(snip)
-        elif ft.kind == "union":
+        if ft.kind == "union":
             branches = ft.fields or []
-            if len(branches) != 2:
-                return None
             labels = [b.union_label for b in branches]
-            if "null" not in labels:
+            if len(branches) != 2 or "null" not in labels:
                 return None
             other = branches[1] if labels[0] == "null" else branches[0]
             null_idx = labels.index("null")
-            if other.kind != "primitive":
-                return None
-            snip = _primitive_snippet(other.name, "o")
+            snip = field_snippet(other, idx)
             if snip is None:
                 return None
             wrap_open = "{" + json.dumps(other.union_label) + ":"
@@ -127,14 +136,18 @@ def compile_fused(schema: AvroSchema):
             parts.append("".join("    " + line + "\n" for line in snip.splitlines()))
             parts.append("        o += '}'\n")
         else:
-            return None
+            snip = field_snippet(ft, idx)
+            if snip is None:
+                return None
+            parts.append(snip)
     parts.append("    return o + '}', pos\n" if not first else "    return '{}', pos\n")
     src = "".join(parts)
-    ns = {
+    ns: dict[str, object] = {
         "_unpack_float": _unpack_float,
         "_unpack_double": _unpack_double,
         "_esc": _esc,
         "_wf": _wf,
+        **consts,
     }
     exec(src, ns)  # noqa: S102 — source is generated from the schema, no user input
     return ns["_fused"]

@@ -182,6 +182,9 @@ FLAT_SCHEMA = json.dumps(
             {"name": "ok", "type": "boolean"},
             {"name": "raw", "type": "bytes"},
             {"name": "opt_n", "type": ["null", "long"]},
+            {"name": "col", "type": {"type": "enum", "name": "FC", "symbols": ["A", "B", "C"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "FF", "size": 3}},
+            {"name": "opt_col", "type": ["null", "FC"]},
         ],
     }
 )
@@ -195,6 +198,9 @@ _FLAT_VALUES = st.fixed_dictionaries(
         "ok": st.booleans(),
         "raw": st.binary(max_size=20),
         "opt_n": st.one_of(st.none(), st.integers(-(2**50), 2**50)),
+        "col": st.sampled_from(["A", "B", "C"]),
+        "fx": st.binary(min_size=3, max_size=3),
+        "opt_col": st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),
     }
 )
 
