@@ -94,54 +94,68 @@ def compile_fused(schema: AvroSchema):
     if schema.kind != "record":
         return None
     consts: dict[str, object] = {}
+    counter = iter(range(1_000_000))
 
-    def field_snippet(ft: AvroSchema, idx: int) -> str | None:
+    def field_snippet(ft: AvroSchema, visiting: frozenset) -> str | None:
         """Decode one value of type ft and append its JSON text to o."""
         if ft.kind == "primitive":
             return _primitive_snippet(ft.name, "o")
         if ft.kind == "enum":
             # symbols escaped at compile time -> pure table lookup
-            consts[f"_sym{idx}"] = tuple(_esc(sym) for sym in (ft.symbols or []))
-            return _VARINT.format(out="si") + f"    o += _sym{idx}[si]\n"
+            k = next(counter)
+            consts[f"_sym{k}"] = tuple(_esc(sym) for sym in (ft.symbols or []))
+            return _VARINT.format(out="si") + f"    o += _sym{k}[si]\n"
         if ft.kind == "fixed":
             return (
                 f"    v = str(buf[pos:pos+{ft.size}], 'latin-1'); pos += {ft.size}\n"
                 "    o += _esc(v)\n"
             )
+        if ft.kind == "record":
+            return record_snippet(ft, visiting)
         return None
 
-    parts: list[str] = ["def _fused(buf, pos):\n", "    o = ''\n"]
-    first = True
-    for idx, f in enumerate(schema.fields or []):
-        prefix = ("{" if first else ",") + json.dumps(f.name, ensure_ascii=False) + ":"
-        first = False
-        parts.append(f"    o += {prefix!r}\n")
-        ft = f.type
-        if ft.kind == "union":
-            branches = ft.fields or []
-            labels = [b.union_label for b in branches]
-            if len(branches) != 2 or "null" not in labels:
-                return None
-            other = branches[1] if labels[0] == "null" else branches[0]
-            null_idx = labels.index("null")
-            snip = field_snippet(other, idx)
-            if snip is None:
-                return None
-            wrap_open = "{" + json.dumps(other.union_label) + ":"
-            parts.append(_VARINT.format(out="bi"))
-            parts.append(f"    if bi == {null_idx}:\n")
-            parts.append("        o += 'null'\n")
-            parts.append("    else:\n")
-            parts.append(f"        o += {wrap_open!r}\n")
-            parts.append("".join("    " + line + "\n" for line in snip.splitlines()))
-            parts.append("        o += '}'\n")
-        else:
-            snip = field_snippet(ft, idx)
-            if snip is None:
-                return None
-            parts.append(snip)
-    parts.append("    return o + '}', pos\n" if not first else "    return '{}', pos\n")
-    src = "".join(parts)
+    def record_snippet(rec: AvroSchema, visiting: frozenset) -> str | None:
+        """Append the record's full '{...}' JSON to o (nested inline)."""
+        if id(rec) in visiting:
+            return None  # recursive type -> general path
+        visiting = visiting | {id(rec)}
+        out: list[str] = []
+        first = True
+        for f in rec.fields or []:
+            prefix = ("{" if first else ",") + json.dumps(f.name, ensure_ascii=False) + ":"
+            first = False
+            out.append(f"    o += {prefix!r}\n")
+            ft = f.type
+            if ft.kind == "union":
+                branches = ft.fields or []
+                labels = [b.union_label for b in branches]
+                if len(branches) != 2 or "null" not in labels:
+                    return None
+                other = branches[1] if labels[0] == "null" else branches[0]
+                null_idx = labels.index("null")
+                snip = field_snippet(other, visiting)
+                if snip is None:
+                    return None
+                wrap_open = "{" + json.dumps(other.union_label) + ":"
+                out.append(_VARINT.format(out="bi"))
+                out.append(f"    if bi == {null_idx}:\n")
+                out.append("        o += 'null'\n")
+                out.append("    else:\n")
+                out.append(f"        o += {wrap_open!r}\n")
+                out.append("".join("    " + line + "\n" for line in snip.splitlines()))
+                out.append("        o += '}'\n")
+            else:
+                snip = field_snippet(ft, visiting)
+                if snip is None:
+                    return None
+                out.append(snip)
+        out.append("    o += '}'\n" if not first else "    o += '{}'\n")
+        return "".join(out)
+
+    body = record_snippet(schema, frozenset())
+    if body is None:
+        return None
+    src = "def _fused(buf, pos):\n    o = ''\n" + body + "    return o, pos\n"
     ns: dict[str, object] = {
         "_unpack_float": _unpack_float,
         "_unpack_double": _unpack_double,

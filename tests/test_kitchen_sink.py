@@ -230,3 +230,74 @@ def test_fused_refuses_complex_schemas():
 
     assert compile_fused(parse_schema(KITCHEN_SINK)) is None
     assert compile_fused(parse_schema('"int"')) is None
+
+
+NESTED_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Outer",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "who",
+                "type": {
+                    "type": "record",
+                    "name": "Name",
+                    "fields": [
+                        {"name": "first", "type": "string"},
+                        {"name": "last", "type": ["null", "string"]},
+                    ],
+                },
+            },
+            {"name": "alt", "type": ["null", "Name"]},
+        ],
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    v=st.fixed_dictionaries(
+        {
+            "id": st.integers(-(2**62), 2**62),
+            "who": st.fixed_dictionaries(
+                {"first": st.text(max_size=15), "last": st.one_of(st.none(), st.text(max_size=15))}
+            ),
+            "alt": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {"first": st.text(max_size=15), "last": st.one_of(st.none(), st.text(max_size=15))}
+                ),
+            ),
+        }
+    )
+)
+def test_fused_nested_records_equal_spec(v):
+    """Nested records (and [null, record] unions) inline into the fused
+    codegen and stay byte-identical to the specification path."""
+    from byte_convert_avro_spark.avro.fused import compile_fused
+
+    parsed = parse_schema(NESTED_SCHEMA)
+    fused = compile_fused(parsed)
+    assert fused is not None
+    buf = schemaless_encode(v, NESTED_SCHEMA)
+    datum, _ = compile_reader(parsed)(memoryview(buf), 0)
+    spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
+    got, pos = fused(memoryview(buf), 0)
+    assert got == spec and pos == len(buf)
+
+
+def test_fused_refuses_recursive_schema():
+    from byte_convert_avro_spark.avro.fused import compile_fused
+
+    rec = json.dumps(
+        {
+            "type": "record",
+            "name": "Node",
+            "fields": [
+                {"name": "v", "type": "long"},
+                {"name": "next", "type": ["null", "Node"]},
+            ],
+        }
+    )
+    assert compile_fused(parse_schema(rec)) is None
