@@ -526,3 +526,47 @@ def moving_90d_customer_revenue(spark: SparkSession, sf: str):
         .alias("rev_90d"),
         F.first("o_orderkey").over(w_first).cast("long").alias("first_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS units,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer, avg_bal
+    WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * n > units
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf: str):
+    """TPC-H Q22 shape: customers with above-average balance and NO orders
+    (anti-join + uncorrelated scalar-average subquery).  The average
+    compare is integer-unit cross-multiplied (bal*n > sum) so no division
+    enters the predicate; the scalar aggregate is a 1-row broadcast."""
+    cust = t(spark, sf, "customer")
+    units = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(units).alias("units"), F.count("*").alias("n"))
+    )
+    orders = t(spark, sf, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(units * F.col("n") > F.col("units"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(units).cast("double") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
