@@ -112,6 +112,30 @@ def compile_fused(schema: AvroSchema):
             )
         if ft.kind == "record":
             return record_snippet(ft, visiting)
+        if ft.kind in ("array", "map"):
+            inner = field_snippet(
+                ft.items if ft.kind == "array" else ft.values, visiting
+            )
+            if inner is None:
+                return None
+            k = next(counter)
+            open_ch, close_ch = ("[", "]") if ft.kind == "array" else ("{", "}")
+            lines = [f"    o += {open_ch!r}\n", f"    fa{k} = True\n", "    while True:\n"]
+            block = [_VARINT.format(out=f"cnt{k}")]
+            block.append(f"    if cnt{k} == 0: break\n")
+            block.append(f"    if cnt{k} < 0:\n")
+            block.append(f"        cnt{k} = -cnt{k}\n")
+            block.append("".join("    " + ln + "\n" for ln in _VARINT.format(out="_bsz").splitlines()))
+            block.append(f"    for _ in range(cnt{k}):\n")
+            item = [f"    if fa{k}: fa{k} = False\n", "    else: o += ','\n"]
+            if ft.kind == "map":
+                item.append(_VARINT.format(out="kln"))
+                item.append("    o += _esc(str(buf[pos:pos+kln], 'utf-8')) + ':'; pos += kln\n")
+            item.append(inner)
+            block.append("".join("    " + ln + "\n" for ln in "".join(item).splitlines()))
+            lines.append("".join("    " + ln + "\n" for ln in "".join(block).splitlines()))
+            lines.append(f"    o += {close_ch!r}\n")
+            return "".join(lines)
         return None
 
     def record_snippet(rec: AvroSchema, visiting: frozenset) -> str | None:

@@ -301,3 +301,57 @@ def test_fused_refuses_recursive_schema():
         }
     )
     assert compile_fused(parse_schema(rec)) is None
+
+
+COLL_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Coll",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "nums", "type": {"type": "array", "items": "double"}},
+            {"name": "counts", "type": {"type": "map", "values": "long"}},
+            {"name": "opt_tags", "type": ["null", {"type": "array", "items": "int"}]},
+            {
+                "name": "people",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "P",
+                        "fields": [{"name": "n", "type": "string"}],
+                    },
+                },
+            },
+        ],
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    v=st.fixed_dictionaries(
+        {
+            "id": st.integers(-(2**62), 2**62),
+            "tags": st.lists(st.text(max_size=10), max_size=6),
+            "nums": st.lists(st.floats(allow_nan=False, allow_infinity=False), max_size=5),
+            "counts": st.dictionaries(st.text(max_size=6), st.integers(-(2**40), 2**40), max_size=5),
+            "opt_tags": st.one_of(st.none(), st.lists(st.integers(-(2**31), 2**31 - 1), max_size=4)),
+            "people": st.lists(st.fixed_dictionaries({"n": st.text(max_size=8)}), max_size=4),
+        }
+    )
+)
+def test_fused_collections_equal_spec(v):
+    """Arrays (of primitives and records), maps, and [null, array] unions
+    through the fused codegen — byte-identical to the specification path."""
+    from byte_convert_avro_spark.avro.fused import compile_fused
+
+    parsed = parse_schema(COLL_SCHEMA)
+    fused = compile_fused(parsed)
+    assert fused is not None
+    buf = schemaless_encode(v, COLL_SCHEMA)
+    datum, _ = compile_reader(parsed)(memoryview(buf), 0)
+    spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
+    got, pos = fused(memoryview(buf), 0)
+    assert got == spec and pos == len(buf)
