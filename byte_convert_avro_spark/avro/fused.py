@@ -7,8 +7,8 @@ Python function per schema — varint/zigzag decoding inlined (no per-field
 call), JSON text emitted directly (no intermediate dict, no _UnionValue
 allocations, field names and union labels escaped at compile time).
 
-Anything outside the subset (arrays, maps, nested records, multi-branch
-unions, recursion) returns None and the
+Anything outside the subset (recursive types, non-record top level)
+returns None and the
 engine falls back to the general compiled reader + compiled JSON writer —
 same output bytes, pinned by the equality property test.
 
@@ -152,22 +152,23 @@ def compile_fused(schema: AvroSchema):
             ft = f.type
             if ft.kind == "union":
                 branches = ft.fields or []
-                labels = [b.union_label for b in branches]
-                if len(branches) != 2 or "null" not in labels:
+                if not branches:
                     return None
-                other = branches[1] if labels[0] == "null" else branches[0]
-                null_idx = labels.index("null")
-                snip = field_snippet(other, visiting)
-                if snip is None:
-                    return None
-                wrap_open = "{" + json.dumps(other.union_label) + ":"
-                out.append(_VARINT.format(out="bi"))
-                out.append(f"    if bi == {null_idx}:\n")
-                out.append("        o += 'null'\n")
-                out.append("    else:\n")
-                out.append(f"        o += {wrap_open!r}\n")
-                out.append("".join("    " + line + "\n" for line in snip.splitlines()))
-                out.append("        o += '}'\n")
+                k = next(counter)
+                out.append(_VARINT.format(out=f"bi{k}"))
+                for j, b in enumerate(branches):
+                    kw = "if" if j == 0 else "elif"
+                    out.append(f"    {kw} bi{k} == {j}:\n")
+                    if b.union_label == "null":
+                        out.append("        o += 'null'\n")
+                        continue
+                    snip = field_snippet(b, visiting)
+                    if snip is None:
+                        return None
+                    wrap_open = "{" + json.dumps(b.union_label) + ":"
+                    out.append(f"        o += {wrap_open!r}\n")
+                    out.append("".join("    " + line + "\n" for line in snip.splitlines()))
+                    out.append("        o += '}'\n")
             else:
                 snip = field_snippet(ft, visiting)
                 if snip is None:

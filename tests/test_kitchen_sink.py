@@ -223,13 +223,30 @@ def test_fused_codegen_equals_spec(v):
     assert pos == len(buf)
 
 
-def test_fused_refuses_complex_schemas():
-    """Kitchen-sink (arrays/maps/enums/nested) falls back to the general
-    path — compile_fused must return None, never a wrong function."""
+def test_fused_refuses_out_of_subset():
+    """Outside the fused subset (non-record top level; recursion — see
+    test_fused_refuses_recursive_schema) compile_fused must return None,
+    never a wrong function."""
     from byte_convert_avro_spark.avro.fused import compile_fused
 
-    assert compile_fused(parse_schema(KITCHEN_SINK)) is None
     assert compile_fused(parse_schema('"int"')) is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(v=_VALUES)
+def test_fused_kitchen_sink_equals_spec(v):
+    """The FULL kitchen-sink schema (multi-branch unions, enum, fixed,
+    array, map, nested record) now fuses — byte-identical to spec."""
+    from byte_convert_avro_spark.avro.fused import compile_fused
+
+    parsed = parse_schema(KITCHEN_SINK)
+    fused = compile_fused(parsed)
+    assert fused is not None
+    buf = schemaless_encode(v, KITCHEN_SINK)
+    datum, _ = compile_reader(parsed)(memoryview(buf), 0)
+    spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
+    got, pos = fused(memoryview(buf), 0)
+    assert got == spec and pos == len(buf)
 
 
 NESTED_SCHEMA = json.dumps(
