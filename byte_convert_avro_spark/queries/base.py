@@ -42,13 +42,26 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table.  ``events`` needs the ns-as-long legacy conf
     (Spark's parquet reader rejects TIMESTAMP(NANOS) otherwise); its ``ts``
-    column then arrives as nanosecond epoch longs."""
+    column then arrives as nanosecond epoch longs.
+
+    Memoized per (session, dir, table) — a poor man's catalog: repeated
+    loads reuse the already-analyzed relation instead of re-listing the
+    path and re-reading parquet footers on every query."""
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _TABLE_MEMO[key] = df
+    return df
 
 
 def dsum(col: Column | str, scale: str = "decimal(18,4)") -> Column:
