@@ -570,3 +570,76 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str):
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_function_showcase",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(dayofmonth(o_orderdate) AS INT) AS d,
+           CAST(CASE dayofweek(o_orderdate) WHEN 0 THEN 7
+                ELSE dayofweek(o_orderdate) END AS INT) AS iso_dow,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def datetime_function_showcase(spark: SparkSession, sf: str):
+    """Date/time function family: truncation, field extraction (ISO
+    day-of-week normalized — Spark and DuckDB number Sundays differently),
+    interval arithmetic, month-end, day difference.  All codegen'd; output
+    normalized to strings/ints per the cross-engine discipline."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.weekday("o_orderdate").cast("int").alias("iso_dow0"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("days_since_epoch_start"),
+    ).withColumn("iso_dow", (F.col("iso_dow0") + 1).cast("int")).drop("iso_dow0")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "string_function_showcase",
+    """
+    SELECT c_custkey,
+           lower(c_name) AS lname,
+           reverse(c_name) AS rname,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(c_name, '#', '-') AS dashed,
+           CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           split_part(c_name, '#', 1) AS name_head,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+           repeat('ab', 3) AS abab
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def string_function_showcase(spark: SparkSession, sf: str):
+    """String function family: case, reverse, padding, replace, locate,
+    trim, split, edit distance, repeat — all JVM-side."""
+    c = t(spark, sf, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.reverse("c_name").alias("rname"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_replace("c_name", "#", "-").alias("dashed"),
+        F.locate("#", F.col("c_name")).cast("int").alias("hash_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_head"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("int").alias("seg_dist"),
+        F.repeat(F.lit("ab"), 3).alias("abab"),
+    )
