@@ -423,3 +423,45 @@ def skew_salted_user_totals(spark: SparkSession, sf: str):
         F.col("_min").cast("double").alias("min_value"),
         F.col("_max").cast("double").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_split_assignment",
+    """
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf: str):
+    """Deterministic train/val/test split (80/10/10) by content-stable
+    hash bucket — the reproducible-sampling primitive every training-data
+    pipeline needs: assignment depends only on doc_id, so it is identical
+    across runs, engines, partitionings, and cluster sizes (unlike
+    TABLESAMPLE/rand()).  The first 8 md5 hex digits give a uniform
+    32-bit bucket."""
+    d = t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    ).cast("int")
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select(split.alias("split"), "lang", "doc_id").groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
