@@ -465,3 +465,112 @@ def dataset_split_assignment(spark: SparkSession, sf: str):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "sequence_packing_4k",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY seq_id
+    """,
+)
+def sequence_packing_4k(spark: SparkSession, sf: str):
+    """Token-budget sequence packing: documents in doc_id order fill
+    4096-token training sequences; a document's sequence is determined by
+    the running token total BEFORE it (offset-cumsum // budget) — fully
+    deterministic, no greedy state.  The global ordered cumsum is the one
+    scale caveat: Spark plans an all-to-one-partition window, so at real
+    scale you pack per shard (PARTITION BY shard key) — same expression,
+    one extra key — and this query documents the single-shard semantics
+    the sharded form must match."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_tokens"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096).cast("long"),
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_after_dedup",
+    """
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id IN (SELECT doc_id FROM keepers)),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM words WHERE len(w) >= 3),
+    sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+    sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+    bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+    sigs AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
+             FROM sh0 CROSS JOIN bands GROUP BY doc_id, band),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                                     AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    near AS (
+      SELECT p.doc_b
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+      JOIN sizes za ON za.doc_id = p.doc_a
+      JOIN sizes zb ON zb.doc_id = p.doc_b
+      GROUP BY p.doc_a, p.doc_b, za.n_sh, zb.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (za.n_sh + zb.n_sh - COUNT(*)) >= 0.5
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM keepers)
+      AND doc_id NOT IN (SELECT doc_b FROM near)
+    """,
+)
+def corpus_after_dedup(spark: SparkSession, sf: str):
+    """END-TO-END dedup capstone: exact dedup (min-id keeper per content
+    hash) -> MinHash-LSH candidates -> exact Jaccard >= 0.5 verification
+    -> drop the higher-id member of each verified near-dup pair -> final
+    corpus size.  Composes the whole operators/dedup.py ladder in one
+    oracle-checked result."""
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    keepers = D.drop_exact_dups(docs, "text", "doc_id")
+    sigs = D.minhash_signatures(keepers, "text", "doc_id", n_bands=8, shingle_n=3)
+    pairs = D.lsh_candidates(sigs).select("doc_a", "doc_b")
+    verified = D.jaccard_similarity(keepers, pairs, "text", "doc_id", shingle_n=3)
+    near_b = verified.filter(F.col("jaccard") >= 0.5).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    clean = keepers.join(near_b, "doc_id", "left_anti")
+    return clean.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
