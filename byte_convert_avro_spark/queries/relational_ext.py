@@ -428,10 +428,16 @@ def q15_top_supplier(spark: SparkSession, sf: str):
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(units).alias("total_units")
     )
-    max_rev = revenue.agg(F.max("total_units").alias("mx"))
+    # the scalar max as a whole-frame window over the ALREADY-AGGREGATED
+    # rows — referencing `revenue` from a second .agg() would recompute the
+    # subtree and scan lineitem twice (Spark has no automatic CTE reuse);
+    # the single-partition exchange here moves |suppliers| rows, not facts
+    with_max = revenue.withColumn(
+        "mx", F.max("total_units").over(W.partitionBy(F.lit(1)))
+    )
     supp = t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.join(F.broadcast(max_rev), revenue.total_units == max_rev.mx)
+        with_max.filter(F.col("total_units") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",

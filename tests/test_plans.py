@@ -113,3 +113,12 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
 
     df = Q["top_orders_by_value"](spark, sf_dir)
     assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_q15_single_fact_scan(spark, sf_dir):
+    """The scalar-max subquery must NOT recompute the revenue aggregation:
+    exactly one lineitem scan in the plan."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    plan = explain_str(Q["q15_top_supplier"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") == 1
