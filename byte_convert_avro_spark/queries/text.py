@@ -291,3 +291,52 @@ def minhash_dup_candidates(spark: SparkSession, sf: str):
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands_matched"))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "pii_redaction_stats",
+    r"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             regexp_matches(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+') AS has_email,
+             regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g') AS t1
+      FROM documents
+    ), final AS (
+      SELECT doc_id, has_email,
+             regexp_matches(t1, '\+?[0-9][0-9 -]{7,14}[0-9]') AS has_phone,
+             regexp_replace(t1, '\+?[0-9][0-9 -]{7,14}[0-9]', '<PHONE>', 'g') AS clean
+      FROM scrubbed
+    )
+    SELECT CAST(SUM(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(SUM(CASE WHEN has_phone THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+           CAST(SUM(LENGTH(clean)) AS BIGINT) AS clean_chars,
+           COUNT(*) AS n_docs
+    FROM final
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf: str):
+    """PII scrub pass (emails, phone-number-shaped digit runs): detection
+    counts + total post-redaction length.  Pure regexp_replace — the
+    patterns are deliberately in the RE2/Java-compatible subset so both
+    engines see identical matches.  At corpus scale this is a narrow map
+    stage; the aggregation is the only (tiny) shuffle."""
+    d = t(spark, sf, "documents")
+    email = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    phone = r"\+?[0-9][0-9 -]{7,14}[0-9]"
+    s = d.select(
+        "doc_id",
+        (F.regexp_count("text", F.lit(email)) > 0).alias("has_email"),
+        F.regexp_replace("text", email, "<EMAIL>").alias("t1"),
+    ).select(
+        "doc_id",
+        "has_email",
+        (F.regexp_count("t1", F.lit(phone)) > 0).alias("has_phone"),
+        F.regexp_replace("t1", phone, "<PHONE>").alias("clean"),
+    )
+    return s.agg(
+        F.sum(F.when(F.col("has_email"), 1).otherwise(0)).cast("long").alias("docs_with_email"),
+        F.sum(F.when(F.col("has_phone"), 1).otherwise(0)).cast("long").alias("docs_with_phone"),
+        F.sum(F.length("clean")).cast("long").alias("clean_chars"),
+        F.count("*").alias("n_docs"),
+    )

@@ -158,3 +158,18 @@ def test_parse_topics_rejects(bad):
 def test_local_store_lookup_error():
     with pytest.raises(SchemaLookupError):
         LocalSchemaStore().get_schema_text(99)
+
+
+def test_truncated_avro_body_permissive(spark, store):
+    """Payload with a valid wire prefix but a truncated Avro body: the
+    decode (fused or general) raises inside the UDF and PERMISSIVE fills
+    _error while passing the original bytes through."""
+    from byte_convert_avro_spark.avro import schemaless_encode
+
+    good = encode_wire(1, schemaless_encode({"first": "a", "last": "b"}, FULLNAME_SCHEMA))
+    truncated = good[:-3]  # cuts into the last string's bytes
+    rows = [("t", None, truncated, 0), ("t", None, good, 1)]
+    out = {r.offset: r for r in _run(spark, store, rows)}
+    assert out[0]._error is not None and "value:" in out[0]._error
+    assert bytes(out[0].value) == truncated  # original bytes pass through
+    assert out[1]._error is None  # the good record in the same batch decodes
