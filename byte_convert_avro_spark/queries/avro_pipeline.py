@@ -36,12 +36,9 @@ def _store() -> LocalSchemaStore:
     return s
 
 
-@register(
-    "avro_roundtrip_customers",
-    "SELECT c_custkey, c_name, c_acctbal FROM customer",
-)
-def avro_roundtrip_customers(spark: SparkSession, sf: str):
-    store = _store()
+def _encode_udf():
+    """Arrow-batched customer->wire-format encoder (shared by the batch
+    roundtrip and the streaming decode query)."""
 
     @F.pandas_udf(T.BinaryType())
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
@@ -58,12 +55,26 @@ def avro_roundtrip_customers(spark: SparkSession, sf: str):
                 out.append(encode_wire(SCHEMA_ID, bytes(buf)))
             yield pd.Series(out)
 
-    cust = t(spark, sf, "customer")
-    records = cust.select(
-        F.lit("customers").alias("topic"),
+    return encode
+
+
+def _wire_records(spark: SparkSession, sf: str, topic: str):
+    """customer rows -> Kafka-shaped wire-format records."""
+    encode = _encode_udf()
+    return t(spark, sf, "customer").select(
+        F.lit(topic).alias("topic"),
         F.lit(None).cast("binary").alias("key"),
         encode(F.struct("c_custkey", "c_name", "c_acctbal")).alias("value"),
     )
+
+
+@register(
+    "avro_roundtrip_customers",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def avro_roundtrip_customers(spark: SparkSession, sf: str):
+    store = _store()
+    records = _wire_records(spark, sf, "customers")
     eng = Engine(EngineConfig(avro_topics="customers:false"), store=store)
     decoded = eng.transform(records)
     msg = F.get_json_object(F.col("value").cast("string"), "$.originMessage")
@@ -71,4 +82,60 @@ def avro_roundtrip_customers(spark: SparkSession, sf: str):
         F.get_json_object(msg, "$.c_custkey").cast("long").alias("c_custkey"),
         F.get_json_object(msg, "$.c_name").alias("c_name"),
         F.get_json_object(msg, "$.c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_decode_customers",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS bal_total
+    FROM customer
+    """,
+)
+def streaming_decode_customers(spark: SparkSession, sf: str):
+    """The decode pipeline run BY THE STREAMING ENGINE under the oracle
+    gate: customer rows -> wire-format records on disk -> readStream ->
+    Engine.transform (same narrow plan as batch) -> envelope JSON parsed
+    back -> aggregate, hash-checked against the raw customer table.  Any
+    corruption anywhere in encode/stream/decode/envelope breaks the hash."""
+    import os
+    import tempfile
+    import uuid
+
+    from byte_convert_avro_spark.streaming import (
+        decode_stream,
+        run_stream_to_memory,
+        stream_records,
+    )
+
+    store = _store()
+    eng = Engine(EngineConfig(avro_topics="t:true"), store=store)
+    records = _wire_records(spark, sf, "t")
+    src = os.path.join(
+        tempfile.gettempdir(), f"stream_decode_{uuid.uuid4().hex[:10]}"
+    )
+    records.write.mode("overwrite").parquet(src)
+
+    decoded = decode_stream(
+        eng, stream_records(spark, src)
+    )
+    q, table = run_stream_to_memory(decoded)
+    try:
+        spark.table(table).count()  # force materialization before parse
+    finally:
+        q.stop()
+    env = spark.table(table).select(
+        F.get_json_object(F.col("value").cast("string"), "$.originMessage").alias("msg")
+    )
+    parsed = env.select(
+        F.get_json_object("msg", "$.c_custkey").cast("long").alias("c_custkey"),
+        F.get_json_object("msg", "$.c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    return parsed.agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        (F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).cast("double") / F.lit(100.0)).alias("bal_total"),
     )
