@@ -67,3 +67,13 @@ def test_query_matches_oracle(name, spark, ddb):
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]
     assert not mismatches, f"first value mismatches: {mismatches[:3]}"
+
+
+def test_registry_contract_integrity():
+    """Driver-contract invariants: every registered query has an oracle
+    (no silent rows-only regressions) and every oracle reads at least one
+    of the driver's pre-registered views."""
+    qs, sqls = queries(), oracle_sql()
+    assert set(qs) == set(sqls), f"rows-only queries crept in: {set(qs) - set(sqls)}"
+    for name, sql in sqls.items():
+        assert any(t_ in sql for t_ in TABLES), f"{name}: no driver table referenced"
