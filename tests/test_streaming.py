@@ -299,3 +299,83 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert got == [(1, 1), (1, 2)]  # both views within the hour; user 2 none
+
+
+# ---------------------------------------------------------------------------
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event_id arriving again in
+    a later micro-batch (within the horizon) is dropped."""
+    from byte_convert_avro_spark.streaming.dedup import dedup_stream
+
+    DEDUP_SCHEMA = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, DEDUP_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    src = os.path.join(tmp_path, "dup")
+    write([
+        (100, 1, _ns(0), "view", 1.0),
+        (101, 1, _ns(60), "view", 2.0),
+        (100, 1, _ns(0), "view", 1.0),  # dup within same batch
+    ])
+    stream = dedup_stream(
+        spark.readStream.schema(DEDUP_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src),
+        key_cols="event_id",
+        watermark="1 hour",
+    )
+    q, table = run_stream_to_memory(stream)
+    try:
+        # later micro-batch replays event 100 and adds a new one
+        write([(100, 1, _ns(0), "view", 1.0), (102, 2, _ns(120), "view", 3.0)])
+        q.processAllAvailable()
+        got = sorted(r.event_id for r in spark.table(table).collect())
+    finally:
+        q.stop()
+    assert got == [100, 101, 102]
+
+
+# ---------------------------------------------------------------------------
+def test_restart_with_checkpoint_no_duplicates(spark, tmp_path):
+    """Exactly-once file sink: stop a checkpointed query mid-stream, add
+    input, restart with the same checkpoint — every input row appears in
+    the sink exactly once."""
+    src = os.path.join(tmp_path, "in")
+    sink = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    _write_events(spark, src, [(1, _ns(i * 60), "view", float(i)) for i in range(5)])
+
+    def start():
+        return (
+            _events_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write_events(spark, src, [(2, _ns(1000 + i * 60), "view", float(i)) for i in range(3)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(sink)
+    assert out.count() == 8
+    assert out.select("event_type").distinct().count() == 1
+    # re-reading the same checkpoint with no new data adds nothing
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(sink).count() == 8
