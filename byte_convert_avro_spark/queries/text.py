@@ -15,7 +15,7 @@ corpus (only within-bucket pairs materialize).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from byte_convert_avro_spark.queries.base import spread, register, t
@@ -339,4 +339,55 @@ def pii_redaction_stats(spark: SparkSession, sf: str):
         F.sum(F.when(F.col("has_phone"), 1).otherwise(0)).cast("long").alias("docs_with_phone"),
         F.sum(F.length("clean")).cast("long").alias("clean_chars"),
         F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "above_median_quality_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             LEN(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, lang, n_distinct,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_distinct, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM base
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           MIN(n_distinct) AS min_vocab,
+           CAST(SUM(n_distinct) AS BIGINT) AS total_vocab
+    FROM ranked
+    WHERE rn > (n + 1) // 2
+    GROUP BY lang
+    """,
+)
+def above_median_quality_docs(spark: SparkSession, sf: str):
+    """Per-group quality filtering: keep documents whose vocabulary size is
+    strictly above their language's median rank — the exact, engine-
+    portable form of 'top half by quality per group' (rank-based, so no
+    quantile-interpolation differences can leak in).  One shuffle on lang
+    serves both windows and the final aggregation."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct")
+    )
+    wl = W.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "n_distinct",
+        F.row_number().over(wl.orderBy("n_distinct", "doc_id")).alias("rn"),
+        F.count("*").over(wl).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") > F.floor((F.col("n") + 1) / 2))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_distinct").alias("min_vocab"),
+            F.sum("n_distinct").cast("long").alias("total_vocab"),
+        )
     )

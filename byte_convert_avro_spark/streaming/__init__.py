@@ -20,6 +20,7 @@ Everything here is the streaming twin of a batch query in
 discipline, so batch output is the correctness oracle for the stream.
 """
 
+from byte_convert_avro_spark.streaming.dedup import dedup_stream
 from byte_convert_avro_spark.streaming.pipeline import (
     decode_stream,
     run_stream_to_memory,
@@ -36,6 +37,7 @@ from byte_convert_avro_spark.streaming.windows import (
 
 __all__ = [
     "decode_stream",
+    "dedup_stream",
     "run_stream_to_memory",
     "stream_records",
     "hourly_tumbling_stream",
