@@ -574,3 +574,46 @@ def corpus_after_dedup(spark: SparkSession, sf: str):
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "source_mix_upsampling",
+    """
+    WITH weighted AS (
+      SELECT doc_id, source, (LENGTH(source) % 3) + 1 AS n_copies
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS mixed_docs,
+           COUNT(*) AS base_docs,
+           CAST(MAX(n_copies) AS INT) AS weight
+    FROM weighted
+    GROUP BY source
+    """,
+)
+def source_mix_upsampling(spark: SparkSession, sf: str):
+    """Dataset-mixture weighting: per-source integer upsampling factors
+    (deterministic demo weight) -> the mixed-epoch document counts.  The
+    applying form replicates rows with explode(sequence(1, n)) — here the
+    aggregate form keeps the oracle cheap while pinning the same weights.
+    At scale, mixture weights multiply scan cost only for the upsampled
+    sources; replication happens at iterator time, never materialized."""
+    d = t(spark, sf, "documents").withColumn(
+        "n_copies", (F.length("source") % 3 + 1).cast("int")
+    )
+    # the replicating form (what a training-data export would run):
+    replicated = d.select(
+        "doc_id", "source", F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("_copy")
+    )
+    return (
+        replicated.groupBy("source")
+        .agg(F.count("*").alias("mixed_docs"))
+        .join(
+            d.groupBy("source").agg(
+                F.count("*").alias("base_docs"), F.max("n_copies").alias("weight")
+            ),
+            "source",
+        )
+        .select("source", "mixed_docs", "base_docs", "weight")
+    )
