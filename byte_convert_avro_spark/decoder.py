@@ -78,11 +78,20 @@ def _decode_one(payload: bytes, parser: CachedParser, is_key: bool) -> bytes:
     (schema_id,) = _unpack_be_int(payload, 1)
     schema, reader, schema_str, esc_schema, jsonw, fused = parser.get(schema_id)
 
-    if fused is not None and not is_key:
-        # flat-record fast path: one generated function decodes the Avro
-        # body AND emits the Avro-JSON text (byte-identical to the general
+    if fused is not None:
+        # record fast path: one generated function decodes the Avro body
+        # AND emits the Avro-JSON text (byte-identical to the general
         # path; avro/fused.py)
         msg, _pos = fused(memoryview(payload), WIRE_PREFIX_LEN)
+        if is_key:
+            # O15 envelope = the record object with originSchema appended
+            # as its last field — splice it into the closing brace (same
+            # bytes as dict-insertion + dumps: schema field order, then
+            # originSchema)
+            sep = "," if len(msg) > 2 else ""
+            return (
+                msg[:-1] + sep + '"originSchema":' + esc_schema + "}"
+            ).encode("utf-8")
         return (
             '{"originSchema":' + esc_schema
             + ',"originMessage":' + _esc_json(msg)

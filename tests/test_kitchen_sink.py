@@ -372,3 +372,27 @@ def test_fused_collections_equal_spec(v):
     spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
     got, pos = fused(memoryview(buf), 0)
     assert got == spec and pos == len(buf)
+
+
+@settings(max_examples=50, deadline=None)
+@given(v=_FLAT_VALUES)
+def test_fused_key_envelope_equals_general(v):
+    """Key envelope (O15) via the fused splice == the general dict path."""
+    from byte_convert_avro_spark.decoder import _decode_one
+    from byte_convert_avro_spark.schema_store import CachedParser, LocalSchemaStore
+    from byte_convert_avro_spark.wire import encode_wire
+
+    store = LocalSchemaStore()
+    store.register(FLAT_SCHEMA, 3)
+    parser = CachedParser(store)
+    payload = encode_wire(3, schemaless_encode(v, FLAT_SCHEMA))
+    got = _decode_one(payload, parser, is_key=True).decode()
+    # general-path reference: decoded object + originSchema appended
+    parsed, reader, canonical = (
+        parser.get(3)[0], parser.get(3)[1], parser.get(3)[2]
+    )
+    datum, _ = reader(memoryview(payload), 5)
+    env = dict(to_avro_json(datum))
+    env["originSchema"] = canonical
+    spec = json.dumps(env, separators=(",", ":"), ensure_ascii=False)
+    assert got == spec
