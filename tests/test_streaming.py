@@ -379,3 +379,43 @@ def test_restart_with_checkpoint_no_duplicates(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(sink).count() == 8
+
+
+# ---------------------------------------------------------------------------
+def test_stream_failfast_aborts_query(spark, tmp_path):
+    """O19 in streaming: FAILFAST mode turns a malformed payload into a
+    StreamingQueryException (the job aborts, nothing silently drops);
+    PERMISSIVE on the same input keeps the stream alive with _error set."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    store = LocalSchemaStore()
+    store.register(FULLNAME_SCHEMA, 1)
+    rows = [
+        (None, encode_wire(1, schemaless_encode({"first": "a", "last": "b"}, FULLNAME_SCHEMA)), "t", 0, 0, None, 0),
+        (None, b"\x00\x00", "t", 0, 1, None, 0),  # too short -> invalid
+    ]
+    src = os.path.join(tmp_path, "ff")
+    spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).write.parquet(src)
+
+    eng_ff = Engine(EngineConfig(avro_topics="t:true", mode="FAILFAST"), store=store)
+    q = (
+        decode_stream(eng_ff, stream_records(spark, src))
+        .writeStream.format("memory")
+        .queryName("ff_out")
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()
+
+    eng_ok = Engine(EngineConfig(avro_topics="t:true"), store=store)
+    q2, table = run_stream_to_memory(decode_stream(eng_ok, stream_records(spark, src)))
+    try:
+        out = {r.offset: r._error for r in spark.table(table).collect()}
+    finally:
+        q2.stop()
+    assert out[0] is None and out[1] is not None
