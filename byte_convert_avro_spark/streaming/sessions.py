@@ -85,74 +85,93 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     )
 
 
-def _merge_sessions(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user session accumulator (runs inside the state store round).
+def _make_merge_sessions(value_cap: float | None):
+    """Build the per-user session accumulator (runs inside the state store
+    round).
 
     Merge the micro-batch's events (sorted by event time) into the open
     session carried in state; every gap > 30 min closes a session, which is
     emitted.  The trailing session stays open in state with an event-time
     timeout one gap past its last event — when the watermark passes that,
     the timed-out invocation flushes it.
+
+    ``value_cap`` is the custom semantics the built-in ``session_window``
+    cannot express: a session also closes as soon as its value total
+    reaches the cap (budget/quota sessions); the next event starts a new
+    one.
     """
-    (user_id,) = key
-    if state.hasTimedOut:
-        start_us, end_us, n, value_sum = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start_us": [start_us],
-                "session_end_us": [end_us],
-                "n_events": [n],
-                "session_value": [round(value_sum, 4)],
-            }
-        )
-        return
 
-    ts = []
-    vals = []
-    for pdf in batches:
-        ts.extend(int(v) for v in pdf["ts_us"])
-        vals.extend(float(v) for v in pdf["value"])
-    order = sorted(range(len(ts)), key=lambda i: ts[i])
+    def _merge_sessions(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, value_sum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                    "session_value": [round(value_sum, 4)],
+                }
+            )
+            return
 
-    if state.exists:
-        cur = list(state.get)  # [start, end, n, value_sum]
-    else:
-        cur = None
-    closed: list[list] = []
-    for i in order:
-        t_us, v = ts[i], vals[i]
-        if cur is None:
-            cur = [t_us, t_us, 1, v]
-        elif t_us - cur[1] > GAP_US:
-            closed.append(cur)
-            cur = [t_us, t_us, 1, v]
+        ts = []
+        vals = []
+        for pdf in batches:
+            ts.extend(int(v) for v in pdf["ts_us"])
+            vals.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(ts)), key=lambda i: ts[i])
+
+        if state.exists:
+            cur = list(state.get)  # [start, end, n, value_sum]
         else:
-            cur[1] = max(cur[1], t_us)
-            cur[2] += 1
-            cur[3] += v
-    if cur is not None:
-        state.update(tuple(cur))
-        state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)  # ms
-    if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start_us": [c[0] for c in closed],
-                "session_end_us": [c[1] for c in closed],
-                "n_events": [c[2] for c in closed],
-                "session_value": [round(c[3], 4) for c in closed],
-            }
-        )
+            cur = None
+        closed: list[list] = []
+        for i in order:
+            t_us, v = ts[i], vals[i]
+            if cur is None:
+                cur = [t_us, t_us, 1, v]
+            elif t_us - cur[1] > GAP_US:
+                closed.append(cur)
+                cur = [t_us, t_us, 1, v]
+            else:
+                cur[1] = max(cur[1], t_us)
+                cur[2] += 1
+                cur[3] += v
+            if value_cap is not None and cur[3] >= value_cap:
+                closed.append(cur)  # cap reached -> close immediately
+                cur = None
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp((cur[1] + GAP_US) // 1000)  # ms
+        elif state.exists:
+            state.remove()  # cap closed the trailing session
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "session_value": [round(c[3], 4) for c in closed],
+                }
+            )
+
+    return _merge_sessions
 
 
-def sessionize_stateful(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Custom stateful sessionization via ``applyInPandasWithState``."""
+def sessionize_stateful(
+    events: DataFrame, watermark: str = "1 hour", value_cap: float | None = None
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+    ``value_cap`` closes a session the moment its value total reaches the
+    cap — semantics outside the native ``session_window``'s vocabulary."""
     ev = (
         with_event_time(events)
         .withColumn("ts_us", F.expr("ts DIV 1000"))
@@ -160,7 +179,7 @@ def sessionize_stateful(events: DataFrame, watermark: str = "1 hour") -> DataFra
         .select("user_id", "ts_us", "ts_ts", "value")
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _merge_sessions,
+        _make_merge_sessions(value_cap),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -419,3 +419,32 @@ def test_stream_failfast_aborts_query(spark, tmp_path):
     finally:
         q2.stop()
     assert out[0] is None and out[1] is not None
+
+
+# ---------------------------------------------------------------------------
+def test_stateful_sessions_value_cap(spark, tmp_path):
+    """Value-capped sessions (semantics session_window can't express):
+    events of 1.0 every minute with cap=2.5 close a session at every
+    third event, even with no time gap."""
+    from byte_convert_avro_spark.streaming import sessionize_stateful
+
+    src = os.path.join(tmp_path, "cap")
+    _write_events(spark, src, [(1, _ns(i * 60), "view", 1.0) for i in range(7)])
+    q, table = run_stream_to_memory(
+        sessionize_stateful(
+            _events_stream(spark, src), watermark="1 hour", value_cap=2.5
+        )
+    )
+    try:
+        # watermark pusher flushes the trailing open session
+        _write_events(spark, src, [(9, _ns(10 * H), "view", 0.0)])
+        q.processAllAvailable()
+        got = sorted(
+            (r.n_events, r.session_value)
+            for r in spark.table(table).collect()
+            if r.user_id == 1
+        )
+    finally:
+        q.stop()
+    # 7 events: [1,2,3]=3.0 capped, [4,5,6]=3.0 capped, [7]=1.0 flushed
+    assert got == [(1, 1.0), (3, 3.0), (3, 3.0)]
