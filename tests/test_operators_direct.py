@@ -122,3 +122,59 @@ def test_drop_exact_dups_keeps_min_id(spark):
     )
     kept = sorted((r.doc_id, r.text) for r in drop_exact_dups(df).collect())
     assert kept == [(1, "x"), (2, "y")]
+
+
+# ---------------------------------------------------------------------------
+def _toy_vectors(spark):
+    """Two well-separated clusters around (1,0) and (0,1)."""
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),
+        (2, [0.95, 0.05], "a"),
+        (10, [0.0, 1.0], "b"),
+        (11, [0.1, 0.9], "b"),
+        (12, [0.05, 0.95], "b"),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+
+def test_cosine_topk_operator(spark):
+    from byte_convert_avro_spark.operators.similarity import cosine_topk
+
+    vecs = _toy_vectors(spark)
+    queries = vecs.filter(F.col("vec_id").isin(0, 10))
+    corpus = vecs.filter(~F.col("vec_id").isin(0, 10))
+    got = {
+        (r.qid, r.rank): r.id for r in cosine_topk(corpus, queries, k=2).collect()
+    }
+    # query 0 (cluster a) -> nearest are 2 then 1; query 10 -> 12 then 11
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 1
+    assert got[(10, 1)] == 12 and got[(10, 2)] == 11
+
+
+def test_ivf_build_and_search_match_brute_force(spark):
+    from byte_convert_avro_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    vecs = _toy_vectors(spark)
+    cents = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])], "label string, embedding array<double>"
+    )
+    indexed = ivf_build(vecs, cents)
+    cells = {r.vec_id: r.cell for r in indexed.collect()}
+    assert all(cells[i] == "a" for i in (0, 1, 2))
+    assert all(cells[i] == "b" for i in (10, 11, 12))
+
+    queries = vecs.filter(F.col("vec_id").isin(0, 10))
+    # nprobe=2 probes BOTH cells -> must equal exact brute force
+    ivf = {
+        (r.qid, r.rank): r.id
+        for r in ivf_search(indexed, cents, queries, k=3, nprobe=2).collect()
+    }
+    brute = {
+        (r.qid, r.rank): r.id for r in cosine_topk(vecs, queries, k=3).collect()
+    }
+    assert ivf == brute
