@@ -139,3 +139,47 @@ def streaming_decode_customers(spark: SparkSession, sf: str):
         F.sum("c_custkey").cast("long").alias("key_sum"),
         (F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).cast("double") / F.lit(100.0)).alias("bal_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "decode_error_rates",
+    """
+    SELECT CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           CAST(SUM(CASE WHEN c_custkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           COUNT(*) AS n_total
+    FROM customer
+    """,
+)
+def decode_error_rates(spark: SparkSession, sf: str):
+    """PERMISSIVE error accounting under the oracle gate: every 10th
+    record's magic byte is corrupted before decode; the engine must fill
+    ``_error`` for exactly those records and pass the rest — the counts
+    hash-match the arithmetic oracle.  (O19: the reference aborts the
+    task on SerializationException; PERMISSIVE is the at-scale posture —
+    quantify and quarantine, never abort.)"""
+    store = _store()
+    # records carry the custkey alongside for deterministic corruption
+    encode = _encode_udf()
+    cust = t(spark, sf, "customer")
+    rec = cust.select(
+        "c_custkey",
+        F.lit("t").alias("topic"),
+        F.lit(None).cast("binary").alias("key"),
+        encode(F.struct("c_custkey", "c_name", "c_acctbal")).alias("value"),
+    )
+    corrupted = rec.withColumn(
+        "value",
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            # flip the magic byte: 0x01 ++ rest -> O9 rejects
+            F.concat(F.lit(b"\x01"), F.expr("substring(value, 2, length(value)-1)")),
+        ).otherwise(F.col("value")),
+    )
+    eng = Engine(EngineConfig(avro_topics="t:true"), store=store)
+    decoded = eng.transform(corrupted)
+    return decoded.agg(
+        F.sum(F.when(F.col("_error").isNotNull(), 1).otherwise(0)).cast("long").alias("n_failed"),
+        F.sum(F.when(F.col("_error").isNull(), 1).otherwise(0)).cast("long").alias("n_decoded"),
+        F.count("*").alias("n_total"),
+    )
