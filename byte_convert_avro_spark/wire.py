@@ -41,15 +41,14 @@ def is_valid_wire(col: Column) -> Column:
 def schema_id(col: Column) -> Column:
     """O10: bytes 2-5 as big-endian int32 (AvroTransform.java:182,257).
 
-    ``conv(hex(...), 16, 10)`` stays JVM-side; cast through long then int so
-    ids with the high bit set wrap identically to Java's signed int.
+    ``conv(hex(...), 16, 10)`` stays JVM-side and yields the unsigned
+    value; the explicit two's-complement fold makes high-bit ids wrap to
+    Java's signed int (a bare long->int cast would throw under ANSI mode
+    instead of wrapping).
     """
-    return (
-        F.conv(F.hex(F.substring(col, 2, 4)), 16, 10)
-        .cast("long")
-        .cast("int")
-        .alias("schema_id")
-    )
+    unsigned = F.conv(F.hex(F.substring(col, 2, 4)), 16, 10).cast("long")
+    signed = F.when(unsigned >= 2**31, unsigned - 2**32).otherwise(unsigned)
+    return signed.cast("int").alias("schema_id")
 
 
 def body(col: Column) -> Column:

@@ -178,3 +178,37 @@ def test_ivf_build_and_search_match_brute_force(spark):
         (r.qid, r.rank): r.id for r in cosine_topk(vecs, queries, k=3).collect()
     }
     assert ivf == brute
+
+
+# ---------------------------------------------------------------------------
+def test_multimodal_stub_contract(spark):
+    """The real-decoder hook raises NotImplementedError (documented stub);
+    deterministic_fake exercises the identical Arrow-batched plumbing."""
+    from py4j.protocol import Py4JJavaError
+
+    from byte_convert_avro_spark.operators.multimodal import decode_image_metadata
+
+    df = spark.createDataFrame([(1, b"blob-bytes")], "doc_id long, blob binary")
+    fake = decode_image_metadata(df, deterministic_fake=True).collect()[0]
+    assert 1 <= fake.width <= 1920 and 1 <= fake.height <= 1080
+    assert fake.format in ("png", "jpeg", "webp") and fake.n_bytes == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        decode_image_metadata(df, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "imaging library" in str(ei.value)
+
+
+def test_wire_schema_id_matches_struct_unpack(spark):
+    """Native-expression schema-id extraction == struct.unpack('>i'),
+    including negative (high-bit) ids."""
+    import struct
+
+    from byte_convert_avro_spark.wire import schema_id
+
+    ids = [0, 1, 100, 2**31 - 1, -1, -2**31, 123456789]
+    payloads = [(bytes([0]) + struct.pack(">i", i) + b"body",) for i in ids]
+    df = spark.createDataFrame(payloads, "v binary")
+    got = [r.sid for r in df.select(schema_id(F.col("v")).alias("sid")).collect()]
+    assert got == ids
