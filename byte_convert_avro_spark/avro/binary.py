@@ -45,6 +45,24 @@ class _UnionValue:
 Reader = Callable[[memoryview, int], tuple[Any, int]]
 
 
+class TruncatedPayloadError(ValueError):
+    """Payload ends mid-value (or carries a negative length prefix).
+
+    The Python analogue of the JVM ``BinaryDecoder``'s ``EOFException`` —
+    the reference lets it propagate and forwards the undecoded original
+    (AvroTransform.java:149-152,188-191).  Python slices truncate silently,
+    so every length-prefixed read must bounds-check before slicing or a
+    payload cut inside its last field would "decode" to corrupt data."""
+
+
+def _need(buf: memoryview, pos: int, ln: int) -> None:
+    if ln < 0 or pos + ln > len(buf):
+        raise TruncatedPayloadError(
+            f"payload truncated: need {ln} bytes at position {pos}, "
+            f"have {len(buf) - pos}"
+        )
+
+
 def _read_long(buf: memoryview, pos: int) -> tuple[int, int]:
     """Zigzag varint (spec: int and long use variable-length zig-zag)."""
     b = buf[pos]
@@ -84,6 +102,7 @@ def _compile(s: AvroSchema, memo: dict[int, Reader]) -> Reader:
         size = s.size
 
         def read_fixed(buf: memoryview, pos: int) -> tuple[bytes, int]:
+            _need(buf, pos, size)
             return bytes(buf[pos:pos + size]), pos + size
 
         return read_fixed
@@ -133,6 +152,7 @@ def _compile(s: AvroSchema, memo: dict[int, Reader]) -> Reader:
                     _, pos = _read_long(buf, pos)
                 for _ in range(n):
                     ln, pos = _read_long(buf, pos)
+                    _need(buf, pos, ln)
                     key = bytes(buf[pos:pos + ln]).decode("utf-8")
                     pos += ln
                     out[key], pos = val(buf, pos)
@@ -171,11 +191,13 @@ def _read_double(buf: memoryview, pos: int) -> tuple[float, int]:
 
 def _read_bytes(buf: memoryview, pos: int) -> tuple[bytes, int]:
     ln, pos = _read_long(buf, pos)
+    _need(buf, pos, ln)
     return bytes(buf[pos:pos + ln]), pos + ln
 
 
 def _read_string(buf: memoryview, pos: int) -> tuple[str, int]:
     ln, pos = _read_long(buf, pos)
+    _need(buf, pos, ln)
     return bytes(buf[pos:pos + ln]).decode("utf-8"), pos + ln
 
 

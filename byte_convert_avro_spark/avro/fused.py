@@ -1,11 +1,13 @@
 """Fused decode→Avro-JSON codegen for flat record schemas.
 
-The hot shape on a Kafka topic is a flat record: primitive/enum/fixed
-fields plus ``[null, <those>]`` unions.  For that subset this module
+For record schemas built from primitives/enums/fixed/nested records/
+arrays/maps/unions (any branch count, nested anywhere) this module
 generates ONE
 Python function per schema — varint/zigzag decoding inlined (no per-field
 call), JSON text emitted directly (no intermediate dict, no _UnionValue
 allocations, field names and union labels escaped at compile time).
+Truncated payloads raise (bounds check before every length-prefixed
+slice) — EOF parity with the general reader and the JVM BinaryDecoder.
 
 Anything outside the subset (recursive types, non-record top level)
 returns None and the
@@ -24,10 +26,25 @@ import math
 import struct
 from json.encoder import encode_basestring as _esc
 
+from byte_convert_avro_spark.avro.binary import TruncatedPayloadError
 from byte_convert_avro_spark.avro.schema import AvroSchema
 
 _unpack_float = struct.Struct("<f").unpack_from
 _unpack_double = struct.Struct("<d").unpack_from
+
+
+def _trunc(pos: int, ln: int, blen: int) -> None:
+    """EOF parity with the general reader (binary.py _need): slices would
+    silently truncate, so every length-prefixed read checks first."""
+    raise TruncatedPayloadError(
+        f"payload truncated: need {ln} bytes at position {pos}, have {blen - pos}"
+    )
+
+
+def _bad_union(i: int) -> None:
+    """Out-of-range union branch index: raise (like the general reader's
+    branches[i] IndexError) instead of silently desyncing the decode."""
+    raise ValueError(f"union branch index {i} out of range")
 
 #: inline zigzag-varint decode; leaves `v{n}` holding the long and advances pos
 _VARINT = """
@@ -74,12 +91,14 @@ def _primitive_snippet(name: str, out_var: str) -> str | None:
     if name == "string":
         return (
             _VARINT.format(out="ln")
+            + "    if ln < 0 or pos + ln > blen: _trunc(pos, ln, blen)\n"
             + "    v = str(buf[pos:pos+ln], 'utf-8'); pos += ln\n"
             + f"    {out_var} += _esc(v)\n"
         )
     if name == "bytes":
         return (
             _VARINT.format(out="ln")
+            + "    if ln < 0 or pos + ln > blen: _trunc(pos, ln, blen)\n"
             + "    v = str(buf[pos:pos+ln], 'latin-1'); pos += ln\n"
             + f"    {out_var} += _esc(v)\n"
         )
@@ -107,11 +126,36 @@ def compile_fused(schema: AvroSchema):
             return _VARINT.format(out="si") + f"    o += _sym{k}[si]\n"
         if ft.kind == "fixed":
             return (
+                f"    if pos + {ft.size} > blen: _trunc(pos, {ft.size}, blen)\n"
                 f"    v = str(buf[pos:pos+{ft.size}], 'latin-1'); pos += {ft.size}\n"
                 "    o += _esc(v)\n"
             )
         if ft.kind == "record":
             return record_snippet(ft, visiting)
+        if ft.kind == "union":
+            # arbitrary branch count, any fusable branch type (so unions
+            # nested inside arrays/maps fuse too); out-of-range index
+            # raises instead of desyncing (general-reader parity)
+            branches = ft.fields or []
+            if not branches:
+                return None
+            k = next(counter)
+            out = [_VARINT.format(out=f"bi{k}")]
+            for j, b in enumerate(branches):
+                kw = "if" if j == 0 else "elif"
+                out.append(f"    {kw} bi{k} == {j}:\n")
+                if b.union_label == "null":
+                    out.append("        o += 'null'\n")
+                    continue
+                snip = field_snippet(b, visiting)
+                if snip is None:
+                    return None
+                wrap_open = "{" + json.dumps(b.union_label) + ":"
+                out.append(f"        o += {wrap_open!r}\n")
+                out.append("".join("    " + line + "\n" for line in snip.splitlines()))
+                out.append("        o += '}'\n")
+            out.append(f"    else:\n        _bad_union(bi{k})\n")
+            return "".join(out)
         if ft.kind in ("array", "map"):
             inner = field_snippet(
                 ft.items if ft.kind == "array" else ft.values, visiting
@@ -130,6 +174,7 @@ def compile_fused(schema: AvroSchema):
             item = [f"    if fa{k}: fa{k} = False\n", "    else: o += ','\n"]
             if ft.kind == "map":
                 item.append(_VARINT.format(out="kln"))
+                item.append("    if kln < 0 or pos + kln > blen: _trunc(pos, kln, blen)\n")
                 item.append("    o += _esc(str(buf[pos:pos+kln], 'utf-8')) + ':'; pos += kln\n")
             item.append(inner)
             block.append("".join("    " + ln + "\n" for ln in "".join(item).splitlines()))
@@ -149,43 +194,28 @@ def compile_fused(schema: AvroSchema):
             prefix = ("{" if first else ",") + json.dumps(f.name, ensure_ascii=False) + ":"
             first = False
             out.append(f"    o += {prefix!r}\n")
-            ft = f.type
-            if ft.kind == "union":
-                branches = ft.fields or []
-                if not branches:
-                    return None
-                k = next(counter)
-                out.append(_VARINT.format(out=f"bi{k}"))
-                for j, b in enumerate(branches):
-                    kw = "if" if j == 0 else "elif"
-                    out.append(f"    {kw} bi{k} == {j}:\n")
-                    if b.union_label == "null":
-                        out.append("        o += 'null'\n")
-                        continue
-                    snip = field_snippet(b, visiting)
-                    if snip is None:
-                        return None
-                    wrap_open = "{" + json.dumps(b.union_label) + ":"
-                    out.append(f"        o += {wrap_open!r}\n")
-                    out.append("".join("    " + line + "\n" for line in snip.splitlines()))
-                    out.append("        o += '}'\n")
-            else:
-                snip = field_snippet(ft, visiting)
-                if snip is None:
-                    return None
-                out.append(snip)
+            snip = field_snippet(f.type, visiting)
+            if snip is None:
+                return None
+            out.append(snip)
         out.append("    o += '}'\n" if not first else "    o += '{}'\n")
         return "".join(out)
 
     body = record_snippet(schema, frozenset())
     if body is None:
         return None
-    src = "def _fused(buf, pos):\n    o = ''\n" + body + "    return o, pos\n"
+    src = (
+        "def _fused(buf, pos):\n    blen = len(buf)\n    o = ''\n"
+        + body
+        + "    return o, pos\n"
+    )
     ns: dict[str, object] = {
         "_unpack_float": _unpack_float,
         "_unpack_double": _unpack_double,
         "_esc": _esc,
         "_wf": _wf,
+        "_trunc": _trunc,
+        "_bad_union": _bad_union,
         **consts,
     }
     exec(src, ns)  # noqa: S102 — source is generated from the schema, no user input

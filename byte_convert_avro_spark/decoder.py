@@ -76,7 +76,11 @@ def _decode_one(payload: bytes, parser: CachedParser, is_key: bool) -> bytes:
     if payload[0] != MAGIC_BYTE:
         raise WireFormatError("Unknown magic byte!")
     (schema_id,) = _unpack_be_int(payload, 1)
-    schema, reader, schema_str, esc_schema, jsonw, fused = parser.get(schema_id)
+    schema, reader, schema_str, esc_schema, jsonw, fused, fused_key = parser.get(schema_id)
+    if is_key:
+        # key path uses the fused decoder only when the originSchema splice
+        # is collision-free (schema_store.CachedParser.get)
+        fused = fused_key
 
     if fused is not None:
         # record fast path: one generated function decodes the Avro body

@@ -22,6 +22,7 @@ Cross-engine determinism rules (Spark vs DuckDB must hash-match):
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -42,7 +43,14 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+#: session -> {(sf_dir, table) -> DataFrame}.  Weak-keyed on the live
+#: SparkSession object so a stopped/collected session drops its cached
+#: relations with it (an ``id(spark)`` key could be recycled by a new
+#: session at the same address and would pin DataFrames for the process
+#: lifetime).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,14 +61,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Memoized per (session, dir, table) — a poor man's catalog: repeated
     loads reuse the already-analyzed relation instead of re-listing the
     path and re-reading parquet footers on every query."""
-    key = (id(spark), sf_dir, name)
-    hit = _TABLE_MEMO.get(key)
+    per = _TABLE_MEMO.get(spark)
+    if per is None:
+        per = {}
+        _TABLE_MEMO[spark] = per
+    hit = per.get((sf_dir, name))
     if hit is not None:
         return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    _TABLE_MEMO[key] = df
+    per[(sf_dir, name)] = df
     return df
 
 

@@ -519,6 +519,68 @@ def sequence_packing_4k(spark: SparkSession, sf: str):
 
 # ---------------------------------------------------------------------------
 @register(
+    "sequence_packing_sharded",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS INT) AS shard,
+             LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT shard, seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+)
+def sequence_packing_sharded(spark: SparkSession, sf: str):
+    """The scale-safe form of sequence packing (this is the one to run on
+    a cluster): a content-stable hash shard key added to PARTITION BY makes
+    the ordered cumsum a per-shard window — 16 independent partitions here,
+    thousands on a real corpus — instead of the all-to-one-partition plan
+    of ``sequence_packing_4k`` (kept as the single-shard semantics pin).
+    Each shard packs its own documents in doc_id order into 4096-token
+    sequences; (shard, seq_id) is the globally unique sequence key.  The
+    shard key reuses the md5-bucket discipline of
+    ``dataset_split_assignment``, so assignment is identical across
+    engines, partitionings, and cluster sizes."""
+    d = t(spark, sf, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16
+    ).cast("int")
+    toks = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096).cast("long"),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "corpus_after_dedup",
     """
     WITH keepers AS (

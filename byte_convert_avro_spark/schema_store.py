@@ -140,10 +140,17 @@ class CachedParser:
 
     def get(self, schema_id: int):
         """-> (parsed schema, compiled binary reader, canonical schema
-        string, JSON-escaped schema string, compiled Avro-JSON writer).
+        string, JSON-escaped schema string, compiled Avro-JSON writer,
+        fused value decoder, fused key decoder).
         The escaped schema is cached because the value envelope embeds it
         in every record; the compiled writer replaces a per-record
-        tree-walk + json.dumps with one schema-driven pass."""
+        tree-walk + json.dumps with one schema-driven pass.
+
+        The key decoder is the same fused function, but disabled (None)
+        when the writer schema itself has a top-level ``originSchema``
+        field: the key envelope OVERWRITES that field (reference:
+        ObjectNode.put replaces in place), which the fused append-only
+        splice cannot express — that schema class takes the general path."""
         hit = self._by_id.get(schema_id)
         if hit is not None:
             return hit
@@ -156,6 +163,10 @@ class CachedParser:
         text = self.store.get_schema_text(schema_id)
         parsed = parse_schema(text)
         canonical = parsed.canonical_str()
+        fused = compile_fused(parsed)
+        key_collision = parsed.kind == "record" and any(
+            f.name == "originSchema" for f in parsed.fields or []
+        )
         entry = (
             parsed,
             compile_reader(parsed),
@@ -163,7 +174,8 @@ class CachedParser:
             encode_basestring(canonical),
             compile_json_writer(parsed),
             # fused decode->JSON codegen for flat records; None -> general path
-            compile_fused(parsed),
+            fused,
+            None if key_collision else fused,
         )
         self._by_id[schema_id] = entry
         return entry

@@ -115,6 +115,21 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in explain_str(df, "simple")
 
 
+def test_sequence_packing_sharded_no_single_partition_window(spark, sf_dir):
+    """The sharded packing form must plan a hash-partitioned window (one
+    partition per shard), never the all-to-one Exchange SinglePartition of
+    the single-shard semantics pin ``sequence_packing_4k``."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    plan = explain_str(Q["sequence_packing_sharded"](spark, sf_dir), "simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    # and the unsharded pin really is the single-partition plan (the
+    # contrast that documents why the sharded form exists)
+    pin = explain_str(Q["sequence_packing_4k"](spark, sf_dir), "simple")
+    assert "SinglePartition" in pin
+
+
 def test_q15_single_fact_scan(spark, sf_dir):
     """The scalar-max subquery must NOT recompute the revenue aggregation:
     exactly one lineitem scan in the plan."""
