@@ -1,0 +1,68 @@
+"""Driver-contract insurance: exercise ``__spark_entry__`` exactly as the
+driver harness does — fresh import, ``queries()``/``oracle_sql()`` dicts,
+each callable invoked with ``(spark, sf_dir)`` at sf0.01 and materialized.
+
+The oracle suite (test_queries_oracle.py) already value-checks every query
+at sf0.001 through the package registry; what it does NOT prove is that the
+entries the driver has never sampled (streaming jobs that write temp dirs,
+the decode round-trips, the multimodal mapInPandas plumbing) run cold
+through the entry module at the driver's scale factor.  This file runs
+exactly that subset end-to-end (the rest are covered by the oracle suite —
+re-running all 76 here would double CI time for no new information).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: queries absent from every driver CORRECTNESS_r* sample so far — the ones
+#: whose cold-execution through the entry module is otherwise unproven.
+#: Streaming + decode + multimodal entries do real side-channel work (temp
+#: checkpoint dirs, memory sinks, Arrow batches); the others ride along
+#: cheaply as import-shape insurance.
+DRIVER_UNSAMPLED = [
+    "streaming_decode_customers",
+    "streaming_hourly_tumbling",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "avro_roundtrip_customers",
+    "decode_error_rates",
+    "multimodal_image_meta",
+    "sequence_packing_sharded",
+]
+
+
+@pytest.fixture(scope="module")
+def entry():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_entry_runs_flagship(spark, entry):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert df.columns  # stable, non-empty schema
+
+
+def test_registry_dicts_well_formed(entry):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
+
+
+@pytest.mark.parametrize("name", DRIVER_UNSAMPLED)
+def test_driver_unsampled_queries_run_cold(spark, entry, name):
+    """Each runs through the entry module with the driver's calling
+    convention and materializes ≥0 rows with a stable schema."""
+    qs = entry.queries()
+    assert name in qs
+    df = qs[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0 and len(df.columns) > 0
