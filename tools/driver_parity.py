@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Replica of the driver's correctness harness, runnable standalone.
+
+Builds a *bare* driver-like SparkSession — ``local[N]`` + shuffle
+partitions only, none of :func:`byte_convert_avro_spark.session.get_spark`'s
+engine configs (no Arrow flag, no AQE toggles, no pinned timezone) — then
+executes EVERY ``__spark_entry__.queries()`` entry at the driver's scale
+factor and compares against ``oracle_sql()`` via DuckDB with the driver's
+rules: column sets compared by sorted name, row counts exact, values
+compared order-insensitively after canonicalization.
+
+This is coverage insurance for the registry entries the per-round driver
+sample has never hit (streaming jobs, decode round-trips, multimodal): it
+proves each runs COLD through the entry module in a session we didn't
+configure.  Exits non-zero on any failure; prints one JSON object.
+
+Usage:  python tools/driver_parity.py [--sf-dir DIR] [--only q1 q2 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def _table(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    return sorted(tuple(_canon(r[c]) for c in cols) for _, r in df.iterrows())
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("driver_parity")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    names = sorted(queries)
+    if args.only:
+        names = [n for n in names if n in set(args.only)]
+
+    results: dict[str, dict] = {}
+    failed = 0
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            sdf = queries[name](spark, args.sf_dir).toPandas()
+            sql = oracles.get(name)
+            if sql is None:
+                results[name] = {"ok": True, "mode": "rows-only", "rows": len(sdf)}
+            else:
+                odf = con.execute(sql).df()
+                cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+                rows_ok = len(sdf) == len(odf)
+                vals_ok = cols_ok and rows_ok and _table(sdf) == _table(odf)
+                results[name] = {
+                    "ok": cols_ok and rows_ok and vals_ok,
+                    "rows": len(sdf),
+                    "oracle_rows": len(odf),
+                    "cols_ok": cols_ok,
+                    "vals_ok": vals_ok,
+                }
+        except Exception as ex:  # noqa: BLE001 — harness boundary
+            results[name] = {"ok": False, "err": repr(ex)[:400]}
+        results[name]["sec"] = round(time.monotonic() - t0, 3)
+        if not results[name]["ok"]:
+            failed += 1
+            print(f"FAIL {name}: {results[name]}", file=sys.stderr)
+
+    print(json.dumps({
+        "sf_dir": args.sf_dir,
+        "total": len(names),
+        "failed": failed,
+        "results": results,
+    }))
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
