@@ -86,8 +86,13 @@ def q1_pricing_summary(spark: SparkSession, sf: str):
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf: str):
-    """TPC-H Q3 shape: selective dim filter -> broadcast join -> agg ->
-    top-k.  customer is broadcast (no shuffle for the probe side).
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer scales with SF, so its join is deliberately NOT
+    broadcast-hinted: AQE broadcasts it at runtime while the post-filter
+    side fits (it does at every test SF) and falls back to a shuffle join
+    at cluster scale — a forced hint would pin the broadcast forever and
+    OOM the driver at 100 TB (measured 4.5x slower already at local sf1,
+    tools/scale_data.py).
 
     Plan: revenue is pre-aggregated per l_orderkey before the join —
     o_orderdate/o_orderpriority are functionally dependent on the order
@@ -99,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf: str):
     rev = li.groupBy("l_orderkey").agg(revenue_sum().alias("revenue"))
     return (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -130,8 +135,10 @@ def q3_shipping_priority(spark: SparkSession, sf: str):
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf: str):
-    """TPC-H Q5 shape: 6-way join; every dimension side is broadcast, the
-    only shuffle is lineitem->orders (largest two)."""
+    """TPC-H Q5 shape: 6-way join.  Only the fixed-size dims
+    (nation/region) are broadcast-hinted; customer and supplier scale
+    with SF, so their join strategy is left to AQE (broadcast while
+    small, shuffle at cluster scale)."""
     region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nation = t(spark, sf, "nation")
     cust = t(spark, sf, "customer")
@@ -142,9 +149,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str):
     li = t(spark, sf, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -219,7 +226,7 @@ def q10_returned_items(spark: SparkSession, sf: str):
     rev = li.groupBy("l_orderkey").agg(F.sum(units).alias("_units"))
     return (
         rev.join(orders, rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.sum("_units") / F.lit(10_000.0)).alias("revenue"))
@@ -253,7 +260,11 @@ def q18_large_volume_orders(spark: SparkSession, sf: str):
     grouping by it alone is equivalent to the 5-key group, and the join
     then sees only qualifying orders (at 100 TB: the join input shrinks
     by the lines-per-order factor × HAVING selectivity, and the wide
-    composite-key shuffle disappears entirely)."""
+    composite-key shuffle disappears entirely).  customer is NOT
+    broadcast-hinted — it scales with SF; forcing the hint measured 4.5x
+    slower at local sf1 (driver collect + rebroadcast of 1.5M rows) and
+    would OOM outright at cluster scale.  AQE still broadcasts it while
+    small."""
     li = t(spark, sf, "lineitem")
     orders = t(spark, sf, "orders")
     cust = t(spark, sf, "customer")
@@ -264,7 +275,7 @@ def q18_large_volume_orders(spark: SparkSession, sf: str):
     )
     return (
         sq.join(orders, sq.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

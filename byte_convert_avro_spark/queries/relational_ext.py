@@ -81,8 +81,9 @@ def q4_order_priority(spark: SparkSession, sf: str):
 )
 def q7_nation_trade_volume(spark: SparkSession, sf: str):
     """TPC-H Q7 shape: cross-nation trade pairs by ship year.  Both nation
-    hops broadcast; supplier/customer broadcast; lineitem->orders is the
-    one real shuffle."""
+    hops broadcast-hinted (fixed 25 rows); supplier/customer scale with
+    SF so AQE picks their join strategy; lineitem->orders is the one
+    unavoidable shuffle."""
     li = t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
@@ -97,8 +98,8 @@ def q7_nation_trade_volume(spark: SparkSession, sf: str):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("sn_key") != F.col("cn_key"))
@@ -151,12 +152,12 @@ def q8_market_share(spark: SparkSession, sf: str):
     )
     units = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -183,14 +184,14 @@ def q8_market_share(spark: SparkSession, sf: str):
 )
 def q14_promo_revenue(spark: SparkSession, sf: str):
     """TPC-H Q14 shape: promo revenue share per month — conditional agg
-    ratio, part broadcast."""
+    ratio.  part scales with SF: no forced broadcast, AQE decides."""
     li = t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
     )
     part = t(spark, sf, "part").select("p_partkey", "p_type")
     units = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
         .agg(
             (
@@ -219,7 +220,7 @@ def q19_brand_quantity_revenue(spark: SparkSession, sf: str):
     both survive as pushed filters (Catalyst splits the OR where legal)."""
     li = t(spark, sf, "lineitem")
     part = t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -436,9 +437,11 @@ def q15_top_supplier(spark: SparkSession, sf: str):
         "mx", F.max("total_units").over(W.partitionBy(F.lit(1)))
     )
     supp = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    # the post-filter aggregate is ~1 row — THAT is the broadcast side;
+    # supplier scales with SF and must stay distributed.
     return (
-        with_max.filter(F.col("total_units") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        F.broadcast(with_max.filter(F.col("total_units") == F.col("mx")))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -482,7 +485,7 @@ def q21_sole_supplier_orders(spark: SparkSession, sf: str):
     return (
         li.join(sole, "l_orderkey")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("n_sole_orders"))
         .orderBy(F.desc("n_sole_orders"), "s_name")
