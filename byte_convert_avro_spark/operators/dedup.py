@@ -68,11 +68,12 @@ def minhash_signatures(
     accumulate as parallel agg buffers in a single codegen'd hash
     aggregation — partial min runs map-side, so the one shuffle carries
     |docs| rows of n_bands columns regardless of shingle count.  (Two
-    rejected forms, measured at local sf10: exploding shingles×bands
-    costs n_bands× the explode rows for the same hashes — 16s; computing
-    the signature row-locally with array higher-order functions avoids
-    the shuffle entirely but falls out of whole-stage codegen into
-    interpreted lambdas — 25s.  This form: 6s.)"""
+    rejected forms, A/B'd same-session at local sf10: exploding
+    shingles×bands pushes n_bands× the rows through explode+agg for the
+    same hashes — ~2-2.5× slower than this form; computing the signature
+    row-locally with array higher-order functions avoids the shuffle
+    entirely but falls out of whole-stage codegen into interpreted
+    lambdas — ~3-4× slower.)"""
     sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
     mins = sh.groupBy(id_col).agg(
         *[
