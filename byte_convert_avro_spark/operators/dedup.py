@@ -183,3 +183,25 @@ def embedding_near_dup(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def cross_corpus_ngram_overlap(
+    train: DataFrame, bench: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per train document, the number of
+    distinct word ``n``-grams it shares with ANY benchmark/eval document.
+    -> train rows (id_col, ..., n_shared_grams) for contaminated docs only.
+
+    Scale: the eval side of a decontamination pass is tiny (benchmarks are
+    MBs; the corpus is TBs), so its distinct gram set is ``F.broadcast``
+    hinted — the train side streams map-side through the hash join and the
+    only shuffle is the final partial-agg count by document.  Train grams
+    are never collected or shuffled whole."""
+    tg = word_shingles(train, text_col, n).select(id_col, "sh")
+    bg = word_shingles(bench.select(text_col), text_col, n).select("sh").distinct()
+    return (
+        tg.join(F.broadcast(bg), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shared_grams"))
+    )

@@ -23,6 +23,7 @@ from byte_convert_avro_spark.queries import relational_ext  # noqa: E402,F401
 from byte_convert_avro_spark.queries import relational_gaps  # noqa: E402,F401
 from byte_convert_avro_spark.queries import events  # noqa: E402,F401
 from byte_convert_avro_spark.queries import text  # noqa: E402,F401
+from byte_convert_avro_spark.queries import training_prep  # noqa: E402,F401
 from byte_convert_avro_spark.queries import vectors  # noqa: E402,F401
 from byte_convert_avro_spark.queries import avro_pipeline  # noqa: E402,F401
 from byte_convert_avro_spark.queries import pipeline_ops  # noqa: E402,F401

@@ -1,0 +1,132 @@
+"""Training-corpus preparation: benchmark decontamination and
+deterministic stratified sampling.
+
+Both queries follow the content-stable-hash discipline of
+``dataset_split_assignment``: every decision is a pure function of
+``doc_id``, so results are identical across runs, engines, partitionings,
+and cluster sizes — the property a reproducible training-data pipeline
+needs and ``rand()``/``TABLESAMPLE`` cannot give.
+
+Scale notes:
+
+- Decontamination broadcasts the benchmark gram set (eval suites are MBs
+  against a TB-scale corpus): the train side streams map-side through the
+  hash join; the only shuffle is the final count-by-document partial agg.
+- Stratified sampling computes per-stratum thresholds from a tiny
+  aggregate (|langs| rows), broadcasts them back, and filters map-side;
+  the quota arithmetic is integer (parts-per-million via ``div``), so the
+  sampled set is engine-exact, not float-rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.operators.dedup import cross_corpus_ngram_overlap
+from byte_convert_avro_spark.queries.base import register, spread, t
+
+
+def _hash_mod(col: str, mod: int):
+    """First 8 md5 hex digits of CAST(col AS STRING) -> uniform bucket in
+    [0, mod).  Identical in DuckDB as ('0x' || substr(md5(..),1,8))::BIGINT."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % mod
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "decontamination_ngram_overlap",
+    """
+    WITH assigned AS (
+      SELECT doc_id, lang, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) AS bucket
+      FROM documents
+    ),
+    tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM assigned WHERE bucket < 80),
+    bw AS (SELECT string_split(text, ' ') AS w
+           FROM assigned WHERE bucket >= 90),
+    tg AS (
+      SELECT doc_id, lang, array_to_string(w[i:i+4], ' ') AS sh
+      FROM tw, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+      WHERE len(w) >= 5
+    ),
+    bg AS (
+      SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS sh
+      FROM bw, UNNEST(generate_series(1, len(w) - 4)) AS u(i)
+      WHERE len(w) >= 5
+    )
+    SELECT tg.doc_id, ANY_VALUE(tg.lang) AS lang,
+           COUNT(DISTINCT tg.sh) AS n_shared_grams
+    FROM tg JOIN bg USING (sh)
+    GROUP BY tg.doc_id
+    """,
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf: str):
+    """Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    flag train-split documents sharing any 5-gram with a held-out
+    test-split document (the stand-in eval benchmark).  Splits reuse the
+    ``dataset_split_assignment`` hash buckets, so "benchmark" membership
+    is content-stable.  Plan: distinct benchmark grams are broadcast
+    (eval sets are tiny at any corpus scale); train grams hash-join
+    map-side and only the per-doc count shuffles."""
+    d = t(spark, sf, "documents").withColumn("bucket", _hash_mod("doc_id", 100))
+    train = spread(d.filter(F.col("bucket") < 80), "doc_id").select("doc_id", "lang", "text")
+    bench = d.filter(F.col("bucket") >= 90).select("text")
+    hits = cross_corpus_ngram_overlap(train, bench, "text", "doc_id", n=5)
+    return hits.join(
+        train.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_shared_grams")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_balanced",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1),
+    tgt AS (SELECT MIN(n_total) AS target FROM counts),
+    thr AS (SELECT lang, n_total, (target * 1000000) // n_total AS ppm
+            FROM counts, tgt),
+    hashed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS ppm_b
+      FROM documents
+    )
+    SELECT lang, n_total, ppm,
+           COUNT(*) AS n_sampled,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM hashed JOIN thr USING (lang)
+    WHERE ppm_b < ppm
+    GROUP BY 1, 2, 3
+    """,
+)
+def stratified_sample_balanced(spark: SparkSession, sf: str):
+    """Deterministic stratified downsampling to a balanced language mix:
+    every stratum is sampled toward the size of the SMALLEST stratum by
+    keeping docs whose stable hash falls under a per-stratum
+    parts-per-million quota (integer ``div`` — engine-exact, no float
+    rates).  Plan: stratum counts are a tiny agg (|langs| rows) joined
+    back via broadcast; the keep/drop decision is a map-side filter, so
+    the corpus is read once and never shuffled before the final summary
+    agg."""
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    target = counts.agg(F.min("n_total").alias("target"))
+    thr = counts.crossJoin(F.broadcast(target)).select(
+        "lang", "n_total",
+        F.expr("(target * CAST(1000000 AS BIGINT)) div n_total").alias("ppm"),
+    )
+    hashed = d.select("doc_id", "lang", _hash_mod("doc_id", 1_000_000).alias("ppm_b"))
+    return (
+        hashed.join(F.broadcast(thr), "lang")
+        .filter(F.col("ppm_b") < F.col("ppm"))
+        .groupBy("lang", "n_total", "ppm")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
