@@ -231,36 +231,18 @@ def minhash_signatures(spark: SparkSession, sf: str):
     ``md5(band || '|' || shingle)`` plays the role of the band's hash
     permutation — deterministic and identical across engines.
 
-    Scale shape: explode(shingles) × bands -> partial min per (doc, band)
-    happens map-side, so the shuffle carries |docs|×|bands| rows only.
-    """
-    # The driver's parquet is a single row group, so the scan is ONE task;
-    # the md5-heavy shingle work must not inherit that.  Repartitioning the
-    # (tiny) doc rows BEFORE the explode spreads the hashing across all
-    # cores — on a real lake with many files/row-groups this shuffle is a
-    # no-op cost and can be dropped.
-    d = (
-        spread(t(spark, sf, "documents"), "doc_id")
-        .withColumn("w", F.split("text", " "))
-        .filter(F.size("w") >= 3)
-    )
-    shingles = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 2),"
-                " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))"
-            )
-        ).alias("sh"),
-    )
-    banded = shingles.select(
-        "doc_id",
-        "sh",
-        F.explode(F.array(*[F.lit(i) for i in range(N_BANDS)])).alias("band"),
-    )
-    return banded.groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh")))).alias("sig")
-    )
+    Delegates to :func:`operators.dedup.minhash_signatures` — shingles
+    explode ONCE and all band minima accumulate as parallel agg buffers
+    in a single codegen'd hash aggregation (~2-2.5× faster at local sf10
+    than the explode×bands form this replaced; A/B in the operator's
+    docstring).  The ``spread`` repartition exists because the driver's
+    parquet is a single row group (one scan task): the md5-heavy shingle
+    work must not inherit that.  On a real lake with many files/row-groups
+    it is a no-op cost and can be dropped."""
+    from byte_convert_avro_spark.operators import dedup as D
+
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    return D.minhash_signatures(docs, "text", "doc_id", n_bands=N_BANDS, shingle_n=3)
 
 
 # ---------------------------------------------------------------------------
