@@ -25,6 +25,7 @@ from byte_convert_avro_spark.streaming.pipeline import (
     decode_stream,
     run_stream_to_memory,
     stream_records,
+    use_rocksdb_state,
 )
 from byte_convert_avro_spark.streaming.sessions import (
     sessionize_stateful,
@@ -44,4 +45,5 @@ __all__ = [
     "sliding_window_stream",
     "sessionize_stream",
     "sessionize_stateful",
+    "use_rocksdb_state",
 ]

@@ -25,6 +25,29 @@ from pyspark.sql.streaming import StreamingQuery
 from byte_convert_avro_spark.engine import KAFKA_RECORD_SCHEMA, Engine
 
 
+#: Spark ships both providers in core; RocksDB keeps state off-heap on
+#: local SSD with incremental checkpointing — the posture for large state
+#: (billions of keys) where the default in-memory HDFS-backed provider
+#: would blow executor heap and re-upload full snapshots.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, enable: bool = True) -> None:
+    """Switch the state store provider for streaming queries started AFTER
+    this call (existing queries keep the provider they started with —
+    Spark pins it in the checkpoint).  Idempotent; ``enable=False``
+    restores the default in-memory provider."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        ROCKSDB_PROVIDER if enable else HDFS_PROVIDER,
+    )
+
+
 def stream_records(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-based stream of Kafka-shaped parquet records (O1 test harness).
 

@@ -448,3 +448,49 @@ def test_stateful_sessions_value_cap(spark, tmp_path):
         q.stop()
     # 7 events: [1,2,3]=3.0 capped, [4,5,6]=3.0 capped, [7]=1.0 flushed
     assert got == [(1, 1.0), (3, 3.0), (3, 3.0)]
+
+
+# ---------------------------------------------------------------------------
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """The watermarked tumbling agg produces identical results under the
+    RocksDB state store provider (the large-state posture on a real
+    cluster: off-heap keys, incremental checkpoints) as under the default
+    in-memory provider — same plan, different state backend."""
+    from byte_convert_avro_spark.streaming import use_rocksdb_state
+    from byte_convert_avro_spark.streaming.pipeline import ROCKSDB_PROVIDER
+
+    rows_b1 = [
+        (1, _ns(10 * 60), "view", 1.0),
+        (2, _ns(40 * 60), "view", 2.0),
+        (1, _ns(H + 10 * 60), "click", 4.0),
+    ]
+    rows_b2 = [(3, _ns(5 * H), "view", 8.0)]  # advances watermark, closes windows
+
+    results = {}
+    for backend in ("default", "rocksdb"):
+        src = os.path.join(tmp_path, f"ev_{backend}")
+        _write_events(spark, src, rows_b1)
+        use_rocksdb_state(spark, enable=(backend == "rocksdb"))
+        try:
+            if backend == "rocksdb":
+                assert (
+                    spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                    == ROCKSDB_PROVIDER
+                )
+            stream = hourly_tumbling_stream(_events_stream(spark, src), watermark="2 hours")
+            q, table = run_stream_to_memory(stream, output_mode="append")
+            try:
+                _write_events(spark, src, rows_b2)
+                q.processAllAvailable()
+                results[backend] = {
+                    (r.hour_start.hour, r.event_type): (r.n_events, r.total_value)
+                    for r in spark.table(table).collect()
+                }
+            finally:
+                q.stop()
+        finally:
+            use_rocksdb_state(spark, enable=False)
+
+    assert results["rocksdb"] == results["default"]
+    assert results["rocksdb"][(0, "view")] == (2, 3.0)
+    assert results["rocksdb"][(1, "click")] == (1, 4.0)
