@@ -130,3 +130,89 @@ def stratified_sample_balanced(spark: SparkSession, sf: str):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_metrics",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct_words, w
+      FROM words WHERE len(w) >= 2
+    ),
+    bigrams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+      FROM base, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+    ),
+    counts AS (
+      SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT c.doc_id, MIN(c.bg) AS top_bigram, m.mc AS top_bigram_n
+      FROM counts c
+      JOIN (SELECT doc_id, MAX(cnt) AS mc FROM counts GROUP BY 1) m
+        ON m.doc_id = c.doc_id AND c.cnt = m.mc
+      GROUP BY c.doc_id, m.mc
+    )
+    SELECT b.doc_id, b.n_words, b.n_distinct_words,
+           ROUND(1.0 - CAST(b.n_distinct_words AS DOUBLE) / b.n_words, 4)
+             AS dup_word_frac,
+           t.top_bigram, t.top_bigram_n,
+           ROUND(2.0 * t.top_bigram_n / b.n_words, 4) AS top_bigram_word_frac
+    FROM base b JOIN top t USING (doc_id)
+    """,
+)
+def repetition_metrics(spark: SparkSession, sf: str):
+    """Gopher/C4-style repetition quality filters: per document, the
+    duplicate-word fraction and the share of words covered by the most
+    frequent bigram (ties broken by lexicographically-smallest bigram so
+    engines agree).  Docs dominated by one repeated phrase are the classic
+    low-quality-for-training signal these thresholds remove.
+
+    Plan: one explode -> count per (doc, bigram) -> per-doc max join; all
+    shuffle keys carry the doc_id so distribution is uniform in documents,
+    and every agg is partial-first.  No Python anywhere."""
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    base = (
+        d.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            F.size(F.array_distinct("w")).alias("n_distinct_words"),
+            "w",
+        )
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+    maxes = counts.groupBy("doc_id").agg(F.max("cnt").alias("mc"))
+    top = (
+        counts.join(maxes, "doc_id")
+        .filter(F.col("cnt") == F.col("mc"))
+        .groupBy("doc_id", "mc")
+        .agg(F.min("bg").alias("top_bigram"))
+        .select("doc_id", "top_bigram", F.col("mc").alias("top_bigram_n"))
+    )
+    return base.drop("w").join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(1.0 - F.col("n_distinct_words").cast("double") / F.col("n_words"), 4)
+        .alias("dup_word_frac"),
+        "top_bigram",
+        "top_bigram_n",
+        F.round(2.0 * F.col("top_bigram_n") / F.col("n_words"), 4)
+        .alias("top_bigram_word_frac"),
+    )
