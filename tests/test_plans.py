@@ -140,3 +140,33 @@ def test_q15_single_fact_scan(spark, sf_dir):
 
     plan = explain_str(Q["q15_top_supplier"](spark, sf_dir), "simple")
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_decontamination_broadcasts_bench_grams(spark, sf_dir):
+    """The eval-side gram set is hinted broadcast — the train corpus must
+    stream map-side through the join (at 100 TB the train side cannot
+    shuffle on gram)."""
+    df = Q["decontamination_ngram_overlap"](spark, sf_dir)
+    assert join_strategies(df).count("BroadcastHashJoin") >= 1
+    # documents scan reads only the touched columns
+    cols = read_schemas(df)["documents"]
+    assert set(cols) <= {"doc_id", "lang", "text"}
+
+
+def test_stratified_sample_broadcasts_thresholds(spark, sf_dir):
+    """Per-stratum quotas join back via an explicit broadcast; the corpus
+    is never shuffled before the final summary agg."""
+    df = Q["stratified_sample_balanced"](spark, sf_dir)
+    assert join_strategies(df).count("BroadcastHashJoin") >= 1
+
+
+def test_q2_pair_agg_before_joins(spark, sf_dir):
+    """The Q2 shape pre-aggregates lineitem to (part, supplier) pairs and
+    windows over THAT — the fact table is scanned once and the window
+    input is pair-sized, never raw lineitem."""
+    df = Q["q2_min_cost_supplier"](spark, sf_dir)
+    # region + nation fixed-size dims hinted broadcast
+    assert join_strategies(df).count("BroadcastHashJoin") >= 2
+    pf = pushed_filters(df)
+    assert any("STANDARD" in f for f in pf.get("part", []))
+    assert any("EUROPE" in f for f in pf.get("region", []))
