@@ -1,13 +1,17 @@
-"""Generic as-of join — Spark has no native one; two implementations:
+"""Generic as-of join — Spark has no native one; three implementations:
 
 1. :func:`asof_join` — the **native** plan: union both sides with a kind
    tag, one shuffle on the key, ``last(value, ignorenulls)`` over an
    ordered running window.  Whole-stage codegen, no Python; backward
    direction with allow-exact-match semantics.  Use this whenever it fits.
-2. :func:`asof_join_tolerance` — cogrouped ``pd.merge_asof`` per key:
-   supports tolerance and nearest/forward directions that the window trick
-   can't express.  Both sides shuffle once on the key; the match is a
-   partition-local linear merge (never a range-join explosion).
+2. :func:`asof_join_tolerance_native` — backward/forward WITH tolerance,
+   still fully native: the same union+window plan, with matches farther
+   than ``tolerance`` nulled out afterwards (``merge_asof`` tolerance
+   semantics) and forward direction via axis negation.
+3. :func:`asof_join_tolerance` — cogrouped ``pd.merge_asof`` per key:
+   kept for ``nearest`` direction, which needs both neighbours.  Both
+   sides shuffle once on the key; the match is a partition-local linear
+   merge (never a range-join explosion).
 """
 
 from __future__ import annotations
@@ -53,6 +57,47 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("_kind") == 1).drop("_kind")
+
+
+def asof_join_tolerance_native(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    tolerance: int | None = None,
+    direction: str = "backward",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward/forward as-of with ``merge_asof`` tolerance semantics as a
+    pure native plan: run :func:`asof_join` (forward = backward on the
+    negated axis), then null out matched columns whose gap exceeds
+    ``tolerance`` — the left row survives unmatched, exactly like
+    ``pd.merge_asof``.  Whole-stage codegen, no Python; use
+    :func:`asof_join_tolerance` only for ``nearest``."""
+    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    if direction == "backward":
+        j = asof_join(left, right, on, by, right_cols)
+        gap = F.col(on) - F.col(f"{on}_asof")
+    elif direction == "forward":
+        j = asof_join(
+            left.withColumn(on, -F.col(on)),
+            right.withColumn(on, -F.col(on)),
+            on,
+            by,
+            right_cols,
+        ).withColumn(on, -F.col(on)).withColumn(f"{on}_asof", -F.col(f"{on}_asof"))
+        gap = F.col(f"{on}_asof") - F.col(on)
+    else:
+        raise ValueError(
+            f"direction must be backward|forward (got {direction!r}); "
+            "use asof_join_tolerance for nearest"
+        )
+    if tolerance is None:
+        return j
+    j = j.withColumn("_within", F.col(f"{on}_asof").isNotNull() & (gap <= tolerance))
+    for c in right_cols + [on]:
+        j = j.withColumn(f"{c}_asof", F.when(F.col("_within"), F.col(f"{c}_asof")))
+    return j.drop("_within")
 
 
 def asof_join_tolerance(

@@ -206,6 +206,51 @@ def events_asof_purchase_view(spark: SparkSession, sf: str):
 
 # ---------------------------------------------------------------------------
 @register(
+    "events_asof_tolerance_30m",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts_us AS purchase_ts_us,
+           CASE WHEN p.ts_us - v.ts_us <= 1800000000
+                THEN v.ts_us END AS view_ts_us,
+           CASE WHEN p.ts_us - v.ts_us <= 1800000000
+                THEN p.ts_us - v.ts_us END AS gap_us
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """,
+)
+def events_asof_tolerance_30m(spark: SparkSession, sf: str):
+    """As-of with tolerance, fully native: each purchase matched to the
+    latest same-user view at-or-before it, DROPPED (nulled) when the view
+    is older than 30 minutes — ``pd.merge_asof(tolerance=...)`` semantics
+    without Python: the union+window as-of plan plus a gap predicate
+    (operators/asof.py: asof_join_tolerance_native)."""
+    from byte_convert_avro_spark.operators.asof import asof_join_tolerance_native
+
+    ev = _ev(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    j = asof_join_tolerance_native(
+        purchases, views, on="ts_us", by="user_id",
+        tolerance=1_800_000_000, right_cols=[],
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("ts_us_asof").alias("view_ts_us"),
+        (F.col("ts_us") - F.col("ts_us_asof")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "events_props_json",
     """
     SELECT event_type,

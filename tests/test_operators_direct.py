@@ -7,7 +7,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.operators.asof import asof_join, asof_join_tolerance
+from byte_convert_avro_spark.operators.asof import (
+    asof_join,
+    asof_join_tolerance,
+    asof_join_tolerance_native,
+)
 from byte_convert_avro_spark.operators.dedup import drop_exact_dups
 from byte_convert_avro_spark.operators.multimodal import blob_stats, frame_sample_positions
 from byte_convert_avro_spark.operators.similarity import sign_lsh_buckets
@@ -212,3 +216,33 @@ def test_wire_schema_id_matches_struct_unpack(spark):
     df = spark.createDataFrame(payloads, "v binary")
     got = [r.sid for r in df.select(schema_id(F.col("v")).alias("sid")).collect()]
     assert got == ids
+
+
+def test_asof_tolerance_native_matches_cogrouped(spark):
+    """The native union+window tolerance form is pointwise identical to the
+    cogrouped merge_asof form for backward AND forward, bounded and
+    unbounded — same rows, same nulled-out matches."""
+    left, right = _frames(spark)
+    for direction in ("backward", "forward"):
+        for tol in (None, 1, 5, 100):
+            native = {
+                (r.k, r.t): (r.rv_asof, r.t_asof)
+                for r in asof_join_tolerance_native(
+                    left, right, on="t", by="k", tolerance=tol, direction=direction
+                ).collect()
+            }
+            cogrouped = {
+                (r.k, r.t): (r.rv_asof, r.t_asof)
+                for r in asof_join_tolerance(
+                    left, right, on="t", by="k", tolerance=tol, direction=direction
+                ).collect()
+            }
+            assert native == cogrouped, (direction, tol)
+
+
+def test_asof_tolerance_native_rejects_nearest(spark):
+    left, right = _frames(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join_tolerance_native(left, right, on="t", by="k", direction="nearest")
