@@ -205,3 +205,55 @@ def cross_corpus_ngram_overlap(
         .groupBy(id_col)
         .agg(F.count_distinct("sh").alias("n_shared_grams"))
     )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into clusters: connected
+    components by iterative min-label propagation.  -> (v, component)
+    where ``component`` is the smallest id reachable from ``v``.
+
+    The step dedup pipelines need after LSH pairing — "A~B, B~C" must
+    collapse to ONE keeper for {A,B,C}, which no single join can express.
+
+    Scale: each iteration is one shuffle join (edges × labels on src) +
+    one partial-first min-agg on dst; rounds are bounded by component
+    DIAMETER, and near-dup clusters are shallow (a handful of hops), not
+    corpus-sized chains.  ``localCheckpoint`` truncates lineage each
+    round so plans don't grow with iterations; convergence is detected
+    with an aggregate (no driver-side row collection).  max_iter is the
+    runaway backstop for pathological chain graphs."""
+    e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("v").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("v", F.col("label").alias("component"))

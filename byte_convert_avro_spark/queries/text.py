@@ -277,6 +277,58 @@ def minhash_dup_candidates(spark: SparkSession, sf: str):
 
 # ---------------------------------------------------------------------------
 @register(
+    "dedup_cluster_assignment",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS v, src AS label FROM edges
+      UNION
+      SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v)
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_cluster_assignment(spark: SparkSession, sf: str):
+    """Cluster resolution — the step AFTER LSH pairing that no single join
+    can express: "A~B, B~C" must collapse to one keeper for {{A,B,C}}.
+    Connected components over the candidate-pair graph by iterative
+    min-label propagation (operators/dedup.py:connected_components);
+    component id = smallest doc_id reachable, the deterministic keeper.
+    The DuckDB oracle computes the same fixpoint as a recursive CTE.
+
+    Scale: rounds bounded by component diameter (near-dup clusters are
+    shallow); each round is one shuffle join + partial min-agg, lineage
+    truncated per round.  NOTE: constructing this query runs the
+    propagation loop eagerly (localCheckpoint + converge check are
+    actions) — same eager pattern as the streaming queries."""
+    from byte_convert_avro_spark.operators.dedup import connected_components
+
+    pairs = minhash_dup_candidates(spark, sf).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    w = W.partitionBy("component")
+    return comp.select(
+        F.col("v").alias("doc_id"),
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "pii_redaction_stats",
     r"""
     WITH scrubbed AS (
