@@ -21,7 +21,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import dsum, register, t
+from byte_convert_avro_spark.queries.base import cents, dsum, register, t
 
 US_PER_HOUR = 3_600_000_000
 US_PER_15MIN = 900_000_000
@@ -246,6 +246,88 @@ def events_asof_tolerance_30m(spark: SparkSession, sf: str):
         F.col("ts_us").alias("purchase_ts_us"),
         F.col("ts_us_asof").alias("view_ts_us"),
         (F.col("ts_us") - F.col("ts_us_asof")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_gapfill_locf",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             epoch_us(ts) AS ts_us,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, COUNT(*) AS n_events,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS day_cents
+      FROM ev GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, day, CAST(ROUND(value * 100, 0) AS BIGINT) AS close_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM ev
+    ),
+    closes AS (SELECT user_id, day, close_cents FROM ranked WHERE rn = 1),
+    bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY 1),
+    spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds),
+    j AS (
+      SELECT s.user_id, s.day,
+             COALESCE(d.n_events, 0) AS n_events,
+             COALESCE(d.day_cents, 0) AS day_cents,
+             c.close_cents
+      FROM spine s
+      LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+      LEFT JOIN closes c ON c.user_id = s.user_id AND c.day = s.day
+    )
+    SELECT user_id, day, n_events,
+           CAST(day_cents AS DOUBLE) / 100.0 AS day_value,
+           CAST(last_value(close_cents IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS close_value
+    FROM j
+    """,
+)
+def events_daily_gapfill_locf(spark: SparkSession, sf: str):
+    """Time-series resample + gap-fill: a dense daily spine per user over
+    their observed [first, last] day, zero-filled activity, and the
+    last-observation-carried-forward close value — the standard
+    "resample('1D').ffill()" shape Spark has no primitive for.
+
+    Plan: per-user bounds are a tiny agg; the spine is sequence()+explode
+    (rows = users x own-span days, never global span x all users); LOCF is
+    last(ignorenulls) over the per-user ordered window.  Everything
+    shuffles on user_id only; integer cents keep the fill engine-exact."""
+    ev = _ev(spark, sf).select(
+        "user_id", "event_id", "ts_us",
+        F.expr("ts_us div 86400000000").alias("day"),
+        cents("value").alias("value_cents"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("day_cents"),
+        F.max(F.struct("ts_us", "event_id", "value_cents")).alias("_last"),
+    )
+    bounds = ev.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.coalesce("day_cents", F.lit(0)).cast("double") / 100.0).alias("day_value"),
+        (
+            F.last(F.col("_last.value_cents"), ignorenulls=True).over(w).cast("double")
+            / 100.0
+        ).alias("close_value"),
     )
 
 
