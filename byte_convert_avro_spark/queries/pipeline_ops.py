@@ -212,6 +212,52 @@ def multimodal_image_meta(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_samples",
+    f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+    vids AS (
+      SELECT doc_id,
+             CAST(({_hex_int('h', 1, 4)} % 30000) + 1000 AS BIGINT) AS duration_ms
+      FROM m
+    ),
+    frames AS (
+      SELECT doc_id, duration_ms,
+             unnest(generate_series(0, duration_ms - 1, 1000)) AS frame_ms
+      FROM vids
+    )
+    SELECT doc_id, duration_ms,
+           COUNT(*) AS n_frames,
+           MAX(frame_ms) AS last_frame_ms
+    FROM frames GROUP BY 1, 2
+    """,
+)
+def multimodal_frame_samples(spark: SparkSession, sf: str):
+    """Video frame-sampling plan: a deterministic fake duration per blob
+    (hash-derived, same idea as the image-meta fake) explodes into 1 fps
+    sample positions via operators.multimodal.frame_sample_positions —
+    one row per frame-to-decode.  The expensive per-frame decode would
+    run AFTER this explode in bounded Arrow batches; the plan itself is
+    pure column expressions.  The oracle re-runs the explode as
+    generate_series, pinning the sampling semantics exactly."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        (
+            (
+                F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long")
+                % 30000
+            )
+            + 1000
+        ).alias("duration_ms"),
+    )
+    fr = M.frame_sample_positions(docs, "duration_ms", every_ms=1000)
+    return fr.groupBy("doc_id", "duration_ms").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_ms").alias("last_frame_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
 _IVF_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
 )
