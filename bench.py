@@ -38,6 +38,9 @@ HEADLINE = [
     "knn_cosine_top5",
     "dedup_exact_groups",
     "avro_roundtrip_customers",
+    # round-3 families
+    "decontamination_ngram_overlap",
+    "events_asof_tolerance_30m",
 ]
 
 
