@@ -216,3 +216,97 @@ def repetition_metrics(spark: SparkSession, sf: str):
         F.round(2.0 * F.col("top_bigram_n") / F.col("n_words"), 4)
         .alias("top_bigram_word_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_dedup_new_batch",
+    """
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT) AS bucket
+      FROM documents
+    ),
+    corpus AS (SELECT doc_id, text FROM assigned WHERE bucket < 80),
+    newb   AS (SELECT doc_id, text FROM assigned WHERE bucket >= 90),
+    exact AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS m
+      FROM newb n JOIN corpus c ON md5(c.text) = md5(n.text)
+      GROUP BY 1
+    ),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    nw AS (SELECT doc_id, string_split(text, ' ') AS w FROM newb),
+    cidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM cw WHERE len(w) >= 3),
+    csh  AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM cidx),
+    nidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+             FROM nw WHERE len(w) >= 3),
+    nsh  AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM nidx),
+    bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+    csig AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
+             FROM csh CROSS JOIN bands GROUP BY 1, 2),
+    nsig AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
+             FROM nsh CROSS JOIN bands GROUP BY 1, 2),
+    near AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS m
+      FROM nsig n JOIN csig c ON n.band = c.band AND n.sig = c.sig
+      GROUP BY 1
+    )
+    SELECT nb.doc_id,
+           CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+                WHEN r.m IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status,
+           COALESCE(e.m, r.m) AS matched_corpus_doc
+    FROM newb nb
+    LEFT JOIN exact e ON e.doc_id = nb.doc_id
+    LEFT JOIN near  r ON r.doc_id = nb.doc_id
+    """,
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf: str):
+    """Incremental-ingestion dedup: classify each NEW document (the
+    held-out hash split stands in for today's crawl batch) against the
+    EXISTING corpus — exact content-hash dup, MinHash-LSH near-dup, or
+    unique; matched_corpus_doc = smallest matching corpus doc.  The
+    daily-ingest shape: the corpus is never re-deduped, only probed.
+
+    Plan: the new batch is tiny next to the corpus, so BOTH probe joins
+    broadcast the new side (hashes, then band signatures) — the corpus
+    streams map-side; on a real lake its hash/signature tables are
+    precomputed once and reused every batch."""
+    from byte_convert_avro_spark.operators import dedup as D
+
+    d = t(spark, sf, "documents").withColumn("bucket", _hash_mod("doc_id", 100))
+    corpus = d.filter(F.col("bucket") < 80).select("doc_id", "text")
+    newb = d.filter(F.col("bucket") >= 90).select("doc_id", "text")
+
+    nh = newb.select("doc_id", F.md5("text").alias("h"))
+    ch = corpus.select(F.md5("text").alias("h"), F.col("doc_id").alias("cdoc"))
+    exact = (
+        ch.join(F.broadcast(nh), "h")
+        .groupBy("doc_id")
+        .agg(F.min("cdoc").alias("m_exact"))
+    )
+
+    sig_new = D.minhash_signatures(newb, "text", "doc_id", n_bands=8, shingle_n=3)
+    sig_corpus = D.minhash_signatures(
+        spread(corpus, "doc_id"), "text", "doc_id", n_bands=8, shingle_n=3
+    ).select(F.col("doc_id").alias("cdoc"), "band", "sig")
+    near = (
+        sig_corpus.join(F.broadcast(sig_new), ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.min("cdoc").alias("m_near"))
+    )
+
+    return (
+        newb.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("m_exact").isNotNull(), "exact_dup")
+            .when(F.col("m_near").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+            F.coalesce("m_exact", "m_near").alias("matched_corpus_doc"),
+        )
+    )
