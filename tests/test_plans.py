@@ -170,3 +170,31 @@ def test_q2_pair_agg_before_joins(spark, sf_dir):
     pf = pushed_filters(df)
     assert any("STANDARD" in f for f in pf.get("part", []))
     assert any("EUROPE" in f for f in pf.get("region", []))
+
+
+def test_asof_tolerance_is_pure_codegen(spark, sf_dir):
+    """The tolerance as-of must stay fully native — no Python stage
+    anywhere (the cogrouped merge_asof fallback would show ArrowEvalPython
+    / FlatMapCoGroupsInPandas)."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = Q["events_asof_tolerance_30m"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "Python" not in plan and "Pandas" not in plan
+    # one shuffle on user_id for the window (+ optional AQE reuse)
+    assert count_exchanges(df) <= 2
+
+
+def test_incremental_dedup_broadcasts_new_batch(spark, sf_dir):
+    """Both probe joins must broadcast the tiny new-batch side — the
+    corpus may never shuffle on content hash or band signature."""
+    df = Q["incremental_dedup_new_batch"](spark, sf_dir)
+    assert join_strategies(df).count("BroadcastHashJoin") >= 2
+
+
+def test_gapfill_reads_only_needed_columns(spark, sf_dir):
+    """The gap-fill spine query prunes the events scan to the four
+    touched columns (props/event_type never load)."""
+    df = Q["events_daily_gapfill_locf"](spark, sf_dir)
+    cols = read_schemas(df)["events"]
+    assert set(cols) <= {"user_id", "event_id", "ts", "value"}
