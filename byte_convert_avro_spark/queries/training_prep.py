@@ -299,8 +299,8 @@ def incremental_dedup_new_batch(spark: SparkSession, sf: str):
 
     return (
         newb.select("doc_id")
-        .join(exact, "doc_id", "left")
-        .join(near, "doc_id", "left")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("m_exact").isNotNull(), "exact_dup")
