@@ -652,3 +652,68 @@ def string_function_showcase(spark: SparkSession, sf: str):
         F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("int").alias("seg_dist"),
         F.repeat(F.lit("ab"), 3).alias("abab"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "order_price_percentiles",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, vc,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY vc, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    )
+    SELECT o_orderpriority,
+           MAX(n) AS n_orders,
+           CAST(MAX(CASE WHEN rn = (1*n + 3) // 4  THEN vc END) AS DOUBLE) / 100.0 AS p25,
+           CAST(MAX(CASE WHEN rn = (2*n + 3) // 4  THEN vc END) AS DOUBLE) / 100.0 AS p50,
+           CAST(MAX(CASE WHEN rn = (3*n + 3) // 4  THEN vc END) AS DOUBLE) / 100.0 AS p75,
+           CAST(MAX(CASE WHEN rn = (9*n + 9) // 10 THEN vc END) AS DOUBLE) / 100.0 AS p90
+    FROM r
+    GROUP BY o_orderpriority
+    """,
+)
+def order_price_percentiles(spark: SparkSession, sf: str):
+    """Exact discrete percentiles (p25/p50/p75/p90 of order value per
+    priority) with NO floating-point interpolation: the pick is the row
+    whose rank equals ceil(q*n), computed in integer arithmetic
+    ((q_num*n + q_den-1) div q_den), over integer-cents values with a
+    unique-key tie-break — bit-identical across engines by construction.
+
+    Scale: one shuffle on the group key, one in-partition sort (the price
+    of EXACT quantiles); at lake scale use approx_percentile sketches for
+    the screening pass and this for the audited final numbers."""
+    o = t(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents("o_totalprice").alias("vc"),
+    )
+    wr = W.partitionBy("o_orderpriority").orderBy("vc", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "vc",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(num: int, den: int, out: str):
+        rank = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return (
+            F.max(F.when(F.col("rn") == rank, F.col("vc"))).cast("double") / 100.0
+        ).alias(out)
+
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        pick(1, 4, "p25"),
+        pick(2, 4, "p50"),
+        pick(3, 4, "p75"),
+        pick(9, 10, "p90"),
+    )
