@@ -153,3 +153,50 @@ def streaming_session_windows(spark: SparkSession, sf: str):
         )
     )
     return _run_complete(agg)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT COUNT(*) AS n_unique,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf: str):
+    """Streaming exact-dedup executed BY THE STREAMING ENGINE: the events
+    file is streamed TWICE (two independent file sources unioned, so every
+    record arrives duplicated), deduped on event_id with
+    ``dropDuplicatesWithinWatermark`` (streaming/dedup.py), drained to a
+    memory sink, and aggregated — the result must equal the aggregate of
+    the ORIGINAL table exactly, which is only true if the streaming state
+    dropped every duplicate and nothing else.  Duplicates are exact
+    copies, so which copy survives cannot affect the hash."""
+    import uuid as _uuid
+
+    from byte_convert_avro_spark.streaming.dedup import dedup_stream
+
+    batch = t(spark, sf, "events")  # sets the nanosAsLong conf
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+
+    doubled = src().union(src())
+    dd = dedup_stream(doubled, "event_id", watermark="90 days")
+    name = f"stream_{_uuid.uuid4().hex[:12]}"
+    q = dd.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).agg(
+        F.count("*").alias("n_unique"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
