@@ -32,7 +32,8 @@ def asof_join(
     """Backward as-of: for each left row, latest right row with
     ``right.on <= left.on`` within the same ``by`` group.  Right columns
     arrive suffixed ``_asof``."""
-    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
     l_tag = left.select(
         *left.columns, F.lit(1).alias("_kind"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}_asof") for c in right_cols],
@@ -74,7 +75,8 @@ def asof_join_tolerance_native(
     ``tolerance`` — the left row survives unmatched, exactly like
     ``pd.merge_asof``.  Whole-stage codegen, no Python; use
     :func:`asof_join_tolerance` only for ``nearest``."""
-    right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
     if direction == "backward":
         j = asof_join(left, right, on, by, right_cols)
         gap = F.col(on) - F.col(f"{on}_asof")

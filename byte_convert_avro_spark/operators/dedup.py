@@ -187,22 +187,25 @@ def embedding_near_dup(
 
 def cross_corpus_ngram_overlap(
     train: DataFrame, bench: DataFrame, text_col: str = "text",
-    id_col: str = "doc_id", n: int = 5,
+    id_col: str = "doc_id", n: int = 5, carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Benchmark decontamination: per train document, the number of
     distinct word ``n``-grams it shares with ANY benchmark/eval document.
-    -> train rows (id_col, ..., n_shared_grams) for contaminated docs only.
+    -> (id_col, *carry_cols, n_shared_grams) for contaminated docs only;
+    ``carry_cols`` are per-document train columns (functionally dependent
+    on ``id_col``, e.g. lang) passed through the aggregation so callers
+    need no re-scan join to recover them.
 
     Scale: the eval side of a decontamination pass is tiny (benchmarks are
     MBs; the corpus is TBs), so its distinct gram set is ``F.broadcast``
     hinted — the train side streams map-side through the hash join and the
     only shuffle is the final partial-agg count by document.  Train grams
     are never collected or shuffled whole."""
-    tg = word_shingles(train, text_col, n).select(id_col, "sh")
+    tg = word_shingles(train, text_col, n).select(id_col, *carry_cols, "sh")
     bg = word_shingles(bench.select(text_col), text_col, n).select("sh").distinct()
     return (
         tg.join(F.broadcast(bg), "sh")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry_cols)
         .agg(F.count_distinct("sh").alias("n_shared_grams"))
     )
 
@@ -222,8 +225,10 @@ def connected_components(
     DIAMETER, and near-dup clusters are shallow (a handful of hops), not
     corpus-sized chains.  ``localCheckpoint`` truncates lineage each
     round so plans don't grow with iterations; convergence is detected
-    with an aggregate (no driver-side row collection).  max_iter is the
-    runaway backstop for pathological chain graphs."""
+    with an aggregate (no driver-side row collection).  If the fixpoint
+    is NOT reached within ``max_iter`` rounds (a pathological chain of
+    diameter > max_iter), the function RAISES rather than silently
+    returning partially-propagated labels — re-run with a higher budget."""
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -255,5 +260,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("v", F.col("label").alias("component"))
+            return labels.select("v", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds the budget); re-run with higher max_iter"
+    )

@@ -75,6 +75,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def hash_bucket(col, mod: int):
+    """Content-stable uniform bucket in [0, mod): first 8 md5 hex digits
+    of CAST(col AS STRING).  THE reproducible-sampling primitive — split
+    assignment, sharding, sampling quotas, and decontamination's
+    train/bench membership all derive from this ONE definition, so they
+    stay mutually consistent.  DuckDB twin:
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::BIGINT % mod``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % mod
+    )
+
+
 def dsum(col: Column | str, scale: str = "decimal(18,4)") -> Column:
     """Order-independent exact sum, reported as double."""
     c = F.col(col) if isinstance(col, str) else col

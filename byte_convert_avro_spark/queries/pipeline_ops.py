@@ -13,7 +13,7 @@ from byte_convert_avro_spark.operators import dedup as D
 from byte_convert_avro_spark.operators import multimodal as M
 from byte_convert_avro_spark.operators import similarity as S
 from byte_convert_avro_spark.operators import text as X
-from byte_convert_avro_spark.queries.base import register, spread, t
+from byte_convert_avro_spark.queries.base import hash_bucket, register, spread, t
 
 _HEXPOS = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
@@ -499,10 +499,7 @@ def dataset_split_assignment(spark: SparkSession, sf: str):
     TABLESAMPLE/rand()).  The first 8 md5 hex digits give a uniform
     32-bit bucket."""
     d = t(spark, sf, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    ).cast("int")
+    bucket = hash_bucket("doc_id", 100).cast("int")
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -599,10 +596,7 @@ def sequence_packing_sharded(spark: SparkSession, sf: str):
     ``dataset_split_assignment``, so assignment is identical across
     engines, partitionings, and cluster sizes."""
     d = t(spark, sf, "documents")
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 16
-    ).cast("int")
+    shard = hash_bucket("doc_id", 16).cast("int")
     toks = d.select(
         "doc_id",
         shard.alias("shard"),

@@ -256,19 +256,26 @@ def q12_ship_delay_priority(spark: SparkSession, sf: str):
 )
 def q16_supplier_part_counts(spark: SparkSession, sf: str):
     """TPC-H Q16 shape (part-supplier pairs from lineitem; brand/type
-    exclusions kept): distinct suppliers per (brand, type, size).  The
-    pair-distinct and the count-distinct share the same key family, so
-    Spark plans one exchange on l_partkey+l_suppkey then reshuffles only
-    the |pairs|-sized intermediate."""
-    pairs = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    exclusions kept): distinct suppliers per (brand, type, size).
+
+    Plan order matters at scale: the selective part filter joins
+    (broadcastable dim) against lineitem BEFORE the pair-distinct, so the
+    distinct exchange carries only pairs whose part survives the filter —
+    Catalyst cannot push a join below an aggregate on its own, and
+    distinct-then-filter would shuffle every pair in the fact table."""
     part = t(spark, sf, "part").filter(
         (F.col("p_brand") != "Brand#4")
         & ~F.col("p_type").like("PROMO%")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    filtered_pairs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
+    )
     return (
-        pairs.join(part, pairs.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
+        filtered_pairs.groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )

@@ -174,27 +174,15 @@ def streaming_dedup_events(spark: SparkSession, sf: str):
     the ORIGINAL table exactly, which is only true if the streaming state
     dropped every duplicate and nothing else.  Duplicates are exact
     copies, so which copy survives cannot affect the hash."""
-    import uuid as _uuid
+    from byte_convert_avro_spark.streaming import dedup_stream, run_stream_to_memory
 
-    from byte_convert_avro_spark.streaming.dedup import dedup_stream
-
-    batch = t(spark, sf, "events")  # sets the nanosAsLong conf
-
-    def src() -> DataFrame:
-        return (
-            spark.readStream.schema(batch.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-        )
-
-    doubled = src().union(src())
+    # two independent source instances of the same file = every record
+    # arrives twice; dedup_stream's with_event_time overwrites the ts_ts
+    # column _events_stream already added, so reuse is safe
+    doubled = _events_stream(spark, sf).union(_events_stream(spark, sf))
     dd = dedup_stream(doubled, "event_id", watermark="90 days")
-    name = f"stream_{_uuid.uuid4().hex[:12]}"
-    q = dd.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    q, name = run_stream_to_memory(dd, output_mode="append")
+    q.stop()
     return spark.table(name).agg(
         F.count("*").alias("n_unique"),
         F.countDistinct("user_id").alias("n_users"),

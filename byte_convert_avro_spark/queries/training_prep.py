@@ -24,16 +24,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from byte_convert_avro_spark.operators.dedup import cross_corpus_ngram_overlap
-from byte_convert_avro_spark.queries.base import register, spread, t
-
-
-def _hash_mod(col: str, mod: int):
-    """First 8 md5 hex digits of CAST(col AS STRING) -> uniform bucket in
-    [0, mod).  Identical in DuckDB as ('0x' || substr(md5(..),1,8))::BIGINT."""
-    return (
-        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
-        .cast("long") % mod
-    )
+from byte_convert_avro_spark.queries.base import hash_bucket, register, spread, t
 
 
 # ---------------------------------------------------------------------------
@@ -73,13 +64,13 @@ def decontamination_ngram_overlap(spark: SparkSession, sf: str):
     is content-stable.  Plan: distinct benchmark grams are broadcast
     (eval sets are tiny at any corpus scale); train grams hash-join
     map-side and only the per-doc count shuffles."""
-    d = t(spark, sf, "documents").withColumn("bucket", _hash_mod("doc_id", 100))
+    d = t(spark, sf, "documents").withColumn("bucket", hash_bucket("doc_id", 100))
     train = spread(d.filter(F.col("bucket") < 80), "doc_id").select("doc_id", "lang", "text")
     bench = d.filter(F.col("bucket") >= 90).select("text")
-    hits = cross_corpus_ngram_overlap(train, bench, "text", "doc_id", n=5)
-    return hits.join(
-        train.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "n_shared_grams")
+    hits = cross_corpus_ngram_overlap(
+        train, bench, "text", "doc_id", n=5, carry_cols=("lang",)
+    )
+    return hits.select("doc_id", "lang", "n_shared_grams")
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +110,7 @@ def stratified_sample_balanced(spark: SparkSession, sf: str):
         "lang", "n_total",
         F.expr("(target * CAST(1000000 AS BIGINT)) div n_total").alias("ppm"),
     )
-    hashed = d.select("doc_id", "lang", _hash_mod("doc_id", 1_000_000).alias("ppm_b"))
+    hashed = d.select("doc_id", "lang", hash_bucket("doc_id", 1_000_000).alias("ppm_b"))
     return (
         hashed.join(F.broadcast(thr), "lang")
         .filter(F.col("ppm_b") < F.col("ppm"))
@@ -275,7 +266,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf: str):
     precomputed once and reused every batch."""
     from byte_convert_avro_spark.operators import dedup as D
 
-    d = t(spark, sf, "documents").withColumn("bucket", _hash_mod("doc_id", 100))
+    d = t(spark, sf, "documents").withColumn("bucket", hash_bucket("doc_id", 100))
     corpus = d.filter(F.col("bucket") < 80).select("doc_id", "text")
     newb = d.filter(F.col("bucket") >= 90).select("doc_id", "text")
 

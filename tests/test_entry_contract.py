@@ -8,7 +8,7 @@ entries the driver has never sampled (streaming jobs that write temp dirs,
 the decode round-trips, the multimodal mapInPandas plumbing) run cold
 through the entry module at the driver's scale factor.  This file runs
 exactly that subset end-to-end (the rest are covered by the oracle suite —
-re-running all 91 here would double CI time for no new information).
+re-running all 92 here would double CI time for no new information).
 """
 
 from __future__ import annotations
