@@ -31,7 +31,13 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of: for each left row, latest right row with
     ``right.on <= left.on`` within the same ``by`` group.  Right columns
-    arrive suffixed ``_asof``."""
+    arrive suffixed ``_asof``.
+
+    When several right rows share the same ``(by, on)``, the one with the
+    greatest payload tuple (the ``right_cols`` values, compared in order)
+    wins — the payload columns are appended to the window sort so the
+    choice is deterministic across partitionings/engines, not
+    partition-order luck."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
     l_tag = left.select(
@@ -46,7 +52,11 @@ def asof_join(
         F.col(on).alias(f"{on}_asof"),
     ).select(*l_tag.columns)  # align column order
     u = l_tag.unionByName(r_tag)
-    w = W.partitionBy(by).orderBy(on, "_kind").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy(by)
+        .orderBy(on, "_kind", *[f"{c}_asof" for c in right_cols])
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     filled = u.select(
         *[c for c in left.columns],
         "_kind",

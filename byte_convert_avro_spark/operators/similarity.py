@@ -130,3 +130,51 @@ def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8)
         F.when(F.element_at(e, i + 1) >= 0, "1").otherwise("0") for i in range(n_bits)
     ]
     return df.withColumn("lsh_bucket", F.concat(*bits))
+
+
+def sign_lsh_banded_candidates(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_bands: int = 4, bits_per_band: int = 8,
+) -> DataFrame:
+    """Multi-band sign-LSH candidate pairs: band ``b`` buckets on the sign
+    pattern of dimensions ``[b*bits_per_band, (b+1)*bits_per_band)``;
+    candidates = pairs agreeing on ANY band's full pattern (OR over
+    bands).  -> (id_a, id_b, n_bands_matched), id_a < id_b.
+
+    The recall upgrade over :func:`sign_lsh_buckets`: a near-dup pair
+    differing in one early-dimension sign is lost by the single-band
+    bucketing but recovered by any of the other ``n_bands - 1`` disjoint
+    bands (band 0 IS the single-band key, so the candidate set is a
+    strict superset).  Still fully deterministic — fixed disjoint
+    dimension subsets, no RNG.
+
+    Scale: each vector expands to exactly ``n_bands`` (band, bucket)
+    rows; the self-join runs within (band, bucket) — the shuffle key — so
+    pair generation is partition-local per bucket and the pair count is
+    bounded by Σ|bucket|² across bands, never |corpus|²."""
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
+    band_keys = [
+        F.concat(
+            *[
+                F.when(F.element_at(F.col("e"), b * bits_per_band + i + 1) >= 0, "1")
+                .otherwise("0")
+                for i in range(bits_per_band)
+            ]
+        )
+        for b in range(n_bands)
+    ]
+    keyed = e.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+    )
+    a = keyed.select(F.col("id").alias("id_a"), "band", "bucket")
+    b2 = keyed.select(
+        F.col("id").alias("id_b"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")
+    )
+    return (
+        a.join(
+            b2,
+            (a.band == b2.band2) & (a.bucket == b2.bucket2) & (a.id_a < b2.id_b),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands_matched"))
+    )

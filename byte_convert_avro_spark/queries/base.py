@@ -53,10 +53,29 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
 )
 
 
+def events_ts_to_ns(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to nanosecond epoch longs — the
+    engine-internal convention every downstream query derives ``ts_us``
+    from (``ts DIV 1000``).
+
+    The driver's parquet has shipped ``ts`` in two physical forms across
+    rounds: TIMESTAMP(NANOS) (readable only as longs via the
+    ``nanosAsLong`` legacy conf) and plain µs TIMESTAMP.  Both normalize
+    here; the session TZ is pinned UTC so the NTZ→epoch conversion is
+    exact.  DuckDB oracles are unaffected (``epoch_us(ts)`` handles either
+    physical type natively)."""
+    dt = df.schema["ts"].dataType.simpleString()
+    if dt.startswith("timestamp"):
+        return df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table.  ``events`` needs the ns-as-long legacy conf
-    (Spark's parquet reader rejects TIMESTAMP(NANOS) otherwise); its ``ts``
-    column then arrives as nanosecond epoch longs.
+    """Load one driver table.  ``events``' ``ts`` column is normalized to
+    nanosecond epoch longs (see :func:`events_ts_to_ns`); the ns-as-long
+    legacy conf is set first so a TIMESTAMP(NANOS) file stays readable.
 
     Memoized per (session, dir, table) — a poor man's catalog: repeated
     loads reuse the already-analyzed relation instead of re-listing the
@@ -71,6 +90,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = events_ts_to_ns(df)
     per[(sf_dir, name)] = df
     return df
 

@@ -429,6 +429,77 @@ def lsh_bucketed_near_dup(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
+def _bucket8(offset: int) -> str:
+    """DuckDB: sign-pattern bucket string over dims offset+1..offset+8."""
+    return (
+        "concat("
+        + ", ".join(
+            f"CASE WHEN e[{offset + i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+        )
+        + ")"
+    )
+
+
+@register(
+    "lsh_banded_near_dup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    keyed AS (
+      SELECT vec_id, band, bucket FROM (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, {_bucket8(b * 8)} AS bucket FROM v"
+            for b in range(4)
+        )})
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands_matched
+      FROM keyed a
+      JOIN keyed b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT vec_id, e, sqrt({_DOT64.format(a='e', b='e')}) AS nrm FROM v)
+    SELECT p.id_a, p.id_b, p.n_bands_matched,
+           ROUND({_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm), 4) AS sim
+    FROM pairs p
+    JOIN n a ON a.vec_id = p.id_a
+    JOIN n b ON b.vec_id = p.id_b
+    WHERE ROUND({_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+)
+def lsh_banded_near_dup(spark: SparkSession, sf: str):
+    """The HIGH-RECALL scale path for embedding near-dup: 4 deterministic
+    sign-LSH bands over disjoint 8-dim subsets (band 0 = the single-band
+    key of ``lsh_bucketed_near_dup``), candidates = agreement on ANY band,
+    then exact cosine verification within the candidate set only.
+
+    Band 0 makes the candidate set a strict superset of the single-band
+    query's, so recall vs the all-pairs form ``embedding_near_dup_pairs``
+    can only improve (measured in tests/test_operators_direct.py); cost
+    stays Σ|bucket|² per band — never |corpus|² — and every stage's
+    shuffle key is (band, bucket)."""
+    emb = spread(t(spark, sf, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cands = S.sign_lsh_banded_candidates(
+        emb, vec_col="e", id_col="vec_id", n_bands=4, bits_per_band=8
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    n = emb.withColumn("nrm", F.sqrt(F.expr(dot.format(a="e", b="e"))))
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "sim",
+            F.round(F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", "n_bands_matched", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 @register(
     "skew_salted_user_totals",
     """

@@ -24,20 +24,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import dsum, register, t
+from byte_convert_avro_spark.queries.base import dsum, events_ts_to_ns, register, t
 
 US_PER_HOUR = 3_600_000_000
 
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    batch = t(spark, sf, "events")  # also sets the nanosAsLong conf
-    return (
-        spark.readStream.schema(batch.schema)
+    import os
+
+    t(spark, sf, "events")  # sets the nanosAsLong conf for ns-format files
+    # The stream must declare the RAW file schema (ts may be a timestamp
+    # or a ns-long depending on the driver's parquet generation), then
+    # normalize to ns-longs exactly like the batch loader does.
+    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
         # file source wants a directory: stream the sf dir, globbed to the
         # single events file
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
-        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return events_ts_to_ns(stream).withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
 
 

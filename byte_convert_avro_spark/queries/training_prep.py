@@ -150,10 +150,11 @@ def stratified_sample_balanced(spark: SparkSession, sf: str):
       GROUP BY c.doc_id, m.mc
     )
     SELECT b.doc_id, b.n_words, b.n_distinct_words,
-           ROUND(1.0 - CAST(b.n_distinct_words AS DOUBLE) / b.n_words, 4)
-             AS dup_word_frac,
+           CAST(((b.n_words - b.n_distinct_words) * 10000) // b.n_words AS BIGINT)
+             AS dup_word_frac_e4,
            t.top_bigram, t.top_bigram_n,
-           ROUND(2.0 * t.top_bigram_n / b.n_words, 4) AS top_bigram_word_frac
+           CAST((2 * t.top_bigram_n * 10000) // b.n_words AS BIGINT)
+             AS top_bigram_word_frac_e4
     FROM base b JOIN top t USING (doc_id)
     """,
 )
@@ -163,6 +164,12 @@ def repetition_metrics(spark: SparkSession, sf: str):
     frequent bigram (ties broken by lexicographically-smallest bigram so
     engines agree).  Docs dominated by one repeated phrase are the classic
     low-quality-for-training signal these thresholds remove.
+
+    Fractions are emitted as integer parts-per-10^4 (``*_e4`` columns,
+    floor of frac*10000) computed in pure integer arithmetic — the same
+    cross-engine determinism discipline as the cents columns elsewhere;
+    ROUND(double, 4) can disagree between engines on representation-tie
+    values.
 
     Plan: one explode -> count per (doc, bigram) -> per-doc max join; all
     shuffle keys carry the doc_id so distribution is uniform in documents,
@@ -200,12 +207,12 @@ def repetition_metrics(spark: SparkSession, sf: str):
         "doc_id",
         "n_words",
         "n_distinct_words",
-        F.round(1.0 - F.col("n_distinct_words").cast("double") / F.col("n_words"), 4)
-        .alias("dup_word_frac"),
+        F.expr("(cast(n_words - n_distinct_words as bigint) * 10000) div n_words")
+        .alias("dup_word_frac_e4"),
         "top_bigram",
         "top_bigram_n",
-        F.round(2.0 * F.col("top_bigram_n") / F.col("n_words"), 4)
-        .alias("top_bigram_word_frac"),
+        F.expr("(2 * cast(top_bigram_n as bigint) * 10000) div n_words")
+        .alias("top_bigram_word_frac_e4"),
     )
 
 

@@ -37,4 +37,8 @@ def test_all_queries_pass_driver_replica():
     assert report["failed"] == 0, {
         k: v for k, v in report["results"].items() if not v["ok"]
     }
-    assert report["total"] >= 76
+    import __spark_entry__ as entry
+
+    # Track the registry size exactly: a regression that silently drops
+    # registry entries must fail the coverage guard (ADVICE r3 #3).
+    assert report["total"] == len(entry.queries())
