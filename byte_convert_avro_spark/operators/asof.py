@@ -20,6 +20,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can sort on the type (maps — at any nesting — can't)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -33,41 +45,58 @@ def asof_join(
     ``right.on <= left.on`` within the same ``by`` group.  Right columns
     arrive suffixed ``_asof``.
 
-    When several right rows share the same ``(by, on)``, the one with the
-    greatest payload tuple (the ``right_cols`` values, compared in order)
-    wins — the payload columns are appended to the window sort so the
-    choice is deterministic across partitionings/engines, not
-    partition-order luck."""
+    The right payload travels as ONE struct column, so the match is always
+    an ATOMIC right row: when several right rows share the same
+    ``(by, on)``, the one with the greatest ``(right_cols..., on)`` struct
+    (field-wise comparison, NULL fields ordered first) wins — and its
+    values are taken together, never stitched across tied rows (a per-
+    column ``last(ignorenulls)`` fill would pull a NULL field's value from
+    an earlier tied row).  The struct is also the tie-break sort key, so
+    the choice is deterministic across partitionings/engines.
+
+    Payload types must be orderable; a map-typed payload column raises
+    ``TypeError`` at plan time — use :func:`asof_join_tolerance` (the
+    cogrouped ``pd.merge_asof`` form) for such payloads."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField(on, right.schema[on].dataType)]
+    )
+    if not _orderable(payload_t):
+        bad = [c for c in right_cols if not _orderable(right.schema[c].dataType)]
+        raise TypeError(
+            f"asof_join payload columns {bad} are not orderable (map-typed); "
+            "use asof_join_tolerance (cogrouped merge_asof) instead"
+        )
     l_tag = left.select(
         *left.columns, F.lit(1).alias("_kind"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}_asof") for c in right_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias(f"{on}_asof"),
+        F.lit(None).cast(payload_t).alias("_r"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on, by)],
         F.col(on), F.col(by), F.lit(0).alias("_kind"),
-        *[F.col(c).alias(f"{c}_asof") for c in right_cols],
-        F.col(on).alias(f"{on}_asof"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols], F.col(on).alias(on)
+        ).alias("_r"),
     ).select(*l_tag.columns)  # align column order
     u = l_tag.unionByName(r_tag)
     w = (
         W.partitionBy(by)
-        .orderBy(on, "_kind", *[f"{c}_asof" for c in right_cols])
+        .orderBy(on, "_kind", "_r")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = u.select(
         *[c for c in left.columns],
         "_kind",
-        *[
-            F.last(F.when(F.col("_kind") == 0, F.col(f"{c}_asof")), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}_asof")
-            for c in right_cols + [on]
-        ],
+        F.last(F.when(F.col("_kind") == 0, F.col("_r")), ignorenulls=True)
+        .over(w)
+        .alias("_rf"),
     )
-    return filled.filter(F.col("_kind") == 1).drop("_kind")
+    return filled.filter(F.col("_kind") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("_rf").getField(c).alias(f"{c}_asof") for c in right_cols + [on]],
+    )
 
 
 def asof_join_tolerance_native(

@@ -165,8 +165,14 @@ def embedding_near_dup(
     threshold: float = 0.95, round_to: int = 4,
 ) -> DataFrame:
     """Cosine-threshold near-dup pairs.  All-pairs (correctness form) —
-    at corpus scale prefilter with :func:`similarity.sign_lsh_buckets` and
-    run this within buckets.  -> (id_a, id_b, sim)"""
+    at corpus scale prefilter with
+    :func:`similarity.sign_lsh_banded_candidates` and verify within the
+    candidate set.  -> (id_a, id_b, sim)
+
+    The threshold compares the RAW sequential-fold cosine (bit-identical
+    across engines); ``round_to`` applies to the displayed ``sim`` only —
+    filtering on a rounded double would make the emitted row set depend on
+    per-engine representation ties at the boundary."""
     dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
     e = df.select(
         F.col(id_col).alias("id"),
@@ -177,11 +183,11 @@ def embedding_near_dup(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "sim",
-            F.round(F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), round_to),
+            "_sim_raw",
+            F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
         )
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+        .filter(F.col("_sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_sim_raw", round_to).alias("sim"))
     )
 
 

@@ -52,6 +52,13 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
     weakref.WeakKeyDictionary()
 )
 
+#: session -> {sf_dir -> raw (pre-normalization) events schema}.  Stashed by
+#: :func:`t` at load time so streaming readers, which must declare the RAW
+#: file schema, never re-list the path or re-read parquet footers.
+_RAW_EVENTS_SCHEMA_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, object]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def events_ts_to_ns(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to nanosecond epoch longs — the
@@ -61,9 +68,11 @@ def events_ts_to_ns(df: DataFrame) -> DataFrame:
     The driver's parquet has shipped ``ts`` in two physical forms across
     rounds: TIMESTAMP(NANOS) (readable only as longs via the
     ``nanosAsLong`` legacy conf) and plain µs TIMESTAMP.  Both normalize
-    here; the session TZ is pinned UTC so the NTZ→epoch conversion is
-    exact.  DuckDB oracles are unaffected (``epoch_us(ts)`` handles either
-    physical type natively)."""
+    here.  The ``cast('timestamp')`` + ``unix_micros`` path interprets an
+    NTZ value in the SESSION timezone, so :func:`t` pins
+    ``spark.sql.session.timeZone=UTC`` before any events load — that makes
+    the conversion match DuckDB's ``epoch_us(ts)`` (naive-as-UTC) on any
+    host, including the driver's bare un-configured session."""
     dt = df.schema["ts"].dataType.simpleString()
     if dt.startswith("timestamp"):
         return df.withColumn(
@@ -89,11 +98,32 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ→epoch in events_ts_to_ns reads the session TZ; pin it so the
+        # normalization is host-independent (see events_ts_to_ns docstring).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
+        raws = _RAW_EVENTS_SCHEMA_MEMO.get(spark)
+        if raws is None:
+            raws = {}
+            _RAW_EVENTS_SCHEMA_MEMO[spark] = raws
+        raws[sf_dir] = df.schema
         df = events_ts_to_ns(df)
     per[(sf_dir, name)] = df
     return df
+
+
+def raw_events_schema(spark: SparkSession, sf_dir: str):
+    """The PRE-normalization schema of ``events.parquet`` (``ts`` may be a
+    timestamp or a ns-long depending on the driver's parquet generation).
+    Streaming file sources must declare exactly this schema.  Served from
+    the stash :func:`t` fills at load time — no extra path listing or
+    footer read per streaming query."""
+    raws = _RAW_EVENTS_SCHEMA_MEMO.get(spark)
+    if raws is None or sf_dir not in raws:
+        t(spark, sf_dir, "events")
+        raws = _RAW_EVENTS_SCHEMA_MEMO[spark]
+    return raws[sf_dir]
 
 
 def hash_bucket(col, mod: int):

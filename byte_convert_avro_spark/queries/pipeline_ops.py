@@ -110,8 +110,8 @@ def jaccard_verified_candidates(spark: SparkSession, sf: str):
            ROUND(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*b.e[i]),
                              (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*b.e[i]),
-                            (x, y) -> x + y) / (a.nrm * b.nrm), 4) >= 0.4
+    WHERE list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*b.e[i]),
+                      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf: str):
@@ -392,7 +392,7 @@ _BUCKET8 = (
            a.lsh_bucket AS lsh_bucket,
            ROUND({_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm), 4) AS sim
     FROM n a JOIN n b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
-    WHERE ROUND({_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm), 4) >= 0.4
+    WHERE {_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) >= 0.4
     """,
 )
 def lsh_bucketed_near_dup(spark: SparkSession, sf: str):
@@ -420,11 +420,13 @@ def lsh_bucketed_near_dup(spark: SparkSession, sf: str):
     return (
         a.join(bb, (F.col("lsh_bucket") == F.col("lsh_b")) & (F.col("id_a") < F.col("id_b")))
         .withColumn(
-            "sim",
-            F.round(F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 4),
+            "_sim_raw", F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
         )
-        .filter(F.col("sim") >= 0.4)
-        .select("id_a", "id_b", "lsh_bucket", "sim")
+        # threshold on the RAW sequential-fold value (bit-identical across
+        # engines); ROUND is display-only — a rounded filter would make the
+        # row set depend on representation ties at the boundary
+        .filter(F.col("_sim_raw") >= 0.4)
+        .select("id_a", "id_b", "lsh_bucket", F.round("_sim_raw", 4).alias("sim"))
     )
 
 
@@ -463,7 +465,7 @@ def _bucket8(offset: int) -> str:
     FROM pairs p
     JOIN n a ON a.vec_id = p.id_a
     JOIN n b ON b.vec_id = p.id_b
-    WHERE ROUND({_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm), 4) >= 0.4
+    WHERE {_DOT64.format(a='a.e', b='b.e')} / (a.nrm * b.nrm) >= 0.4
     """,
 )
 def lsh_banded_near_dup(spark: SparkSession, sf: str):
@@ -472,11 +474,11 @@ def lsh_banded_near_dup(spark: SparkSession, sf: str):
     key of ``lsh_bucketed_near_dup``), candidates = agreement on ANY band,
     then exact cosine verification within the candidate set only.
 
-    Band 0 makes the candidate set a strict superset of the single-band
-    query's, so recall vs the all-pairs form ``embedding_near_dup_pairs``
-    can only improve (measured in tests/test_operators_direct.py); cost
-    stays Σ|bucket|² per band — never |corpus|² — and every stage's
-    shuffle key is (band, bucket)."""
+    Band 0 makes the candidate set a superset of the single-band query's
+    (asserted directly in tests/test_banded_lsh.py, which also measures
+    recall vs the all-pairs form ``embedding_near_dup_pairs`` and pins it
+    >= the single-band query's); cost stays Σ|bucket|² per band — never
+    |corpus|² — and every stage's shuffle key is (band, bucket)."""
     emb = spread(t(spark, sf, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -491,11 +493,11 @@ def lsh_banded_near_dup(spark: SparkSession, sf: str):
         cands.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "sim",
-            F.round(F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 4),
+            "_sim_raw", F.expr(dot.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
         )
-        .filter(F.col("sim") >= 0.4)
-        .select("id_a", "id_b", "n_bands_matched", "sim")
+        # raw-value threshold, display-only ROUND (see lsh_bucketed_near_dup)
+        .filter(F.col("_sim_raw") >= 0.4)
+        .select("id_a", "id_b", "n_bands_matched", F.round("_sim_raw", 4).alias("sim"))
     )
 
 

@@ -24,19 +24,24 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import dsum, events_ts_to_ns, register, t
+from byte_convert_avro_spark.queries.base import (
+    dsum,
+    events_ts_to_ns,
+    raw_events_schema,
+    register,
+    t,
+)
 
 US_PER_HOUR = 3_600_000_000
 
 
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
-    import os
-
-    t(spark, sf, "events")  # sets the nanosAsLong conf for ns-format files
     # The stream must declare the RAW file schema (ts may be a timestamp
     # or a ns-long depending on the driver's parquet generation), then
-    # normalize to ns-longs exactly like the batch loader does.
-    raw_schema = spark.read.parquet(os.path.join(sf, "events.parquet")).schema
+    # normalize to ns-longs exactly like the batch loader does.  The
+    # schema comes from the stash t() fills at batch-load time (which also
+    # sets the nanosAsLong + UTC confs) — no extra footer read per query.
+    raw_schema = raw_events_schema(spark, sf)
     stream = (
         spark.readStream.schema(raw_schema)
         # file source wants a directory: stream the sf dir, globbed to the
