@@ -11,12 +11,19 @@ reads (measured 2.6x under-report on the running-total query), so a
 count-based bench times a different, cheaper plan than users run.  The
 noop write evaluates every output column JVM-side with zero driver
 transfer.  Warm-up pass first (JVM + codegen warm).
+
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and reports
+the MEDIAN — this VM has documented 1.3-3x load drift (BENCH_sf10_local
+note; round 4's official single-shot artifact was 5x off a quiet-host
+re-run of identical code), so single-shot numbers are not adjudicable.
+The host load average is recorded in the JSON for the same reason.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -41,12 +48,19 @@ HEADLINE = [
     # round-3 families
     "decontamination_ngram_overlap",
     "events_asof_tolerance_30m",
+    # round-5: the heavy dedup family — the most expensive multi-join
+    # plans in the registry; benched so regressions stay visible
+    "jaccard_verified_candidates",
+    "dedup_cluster_assignment",
+    "corpus_after_dedup",
+    "lsh_banded_near_dup",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries()
@@ -68,13 +82,20 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    # interleave rounds (run 0 of every query, then run 1, ...) so a
+    # transient host-load spike degrades one ROUND of many queries
+    # instead of every sample of one query
+    for i in range(n_runs):
+        for name in HEADLINE:
+            q = reg[name]
+            t0 = time.perf_counter()
+            materialize(q(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            runs.setdefault(name, []).append(dt)
+            print(f"# run {i}: {name}: {dt:.3f}s", file=sys.stderr)
     for name in HEADLINE:
-        q = reg[name]
-        t0 = time.perf_counter()
-        materialize(q(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        timings[name] = round(statistics.median(runs[name]), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +105,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
+                "aggregation": "median",
+                "all_runs": {k: [round(x, 3) for x in v] for k, v in runs.items()},
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "materialize": "noop-write (full column evaluation)",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1,4 +1,4 @@
-"""Fused decode→Avro-JSON codegen for flat record schemas.
+"""Fused decode→Avro-JSON codegen for record schemas.
 
 For record schemas built from primitives/enums/fixed/nested records/
 arrays/maps/unions (any branch count, nested anywhere) this module
@@ -9,8 +9,15 @@ allocations, field names and union labels escaped at compile time).
 Truncated payloads raise (bounds check before every length-prefixed
 slice) — EOF parity with the general reader and the JVM BinaryDecoder.
 
-Anything outside the subset (recursive types, non-record top level)
-returns None and the
+RECURSIVE record types (self-referential directly or through any
+union/array/map/record path) fuse too: unbounded inlining is impossible,
+so each record type on a cycle compiles to its own memoized function and
+references emit calls — a per-type function graph mirroring the data
+recursion, with everything off-cycle still inlined.  Decode-time recursion
+depth equals data nesting depth, the same bound the general
+closure-tree reader has.
+
+A non-record top level returns None and the
 engine falls back to the general compiled reader + compiled JSON writer —
 same output bytes, pinned by the equality property test.
 
@@ -107,15 +114,72 @@ def _primitive_snippet(name: str, out_var: str) -> str | None:
     return None
 
 
+def _recursive_records(root: AvroSchema) -> set[int]:
+    """ids of record nodes that lie on a reference cycle (direct or via
+    union/array/map/record paths).  Named-type references are resolved to
+    shared instances by ``parse_schema``, so object identity is the type
+    identity."""
+    cyclic: set[int] = set()
+    stack: list[int] = []
+    onstack: set[int] = set()
+    done: set[int] = set()
+
+    def walk(node: AvroSchema) -> None:
+        if node.kind == "record":
+            if id(node) in onstack:
+                cyclic.update(stack[stack.index(id(node)):])
+                return
+            if id(node) in done:
+                return
+            stack.append(id(node))
+            onstack.add(id(node))
+            for f in node.fields or []:
+                walk(f.type)
+            stack.pop()
+            onstack.discard(id(node))
+            done.add(id(node))
+        elif node.kind == "union":
+            for b in node.fields or []:
+                walk(b)
+        elif node.kind == "array":
+            walk(node.items)
+        elif node.kind == "map":
+            walk(node.values)
+
+    walk(root)
+    return cyclic
+
+
 def compile_fused(schema: AvroSchema):
     """-> fn(buf: bytes|memoryview, pos: int) -> str (Avro-JSON text), or
-    None when the schema is outside the flat fast subset."""
+    None when the schema is outside the fusable subset (non-record top
+    level, empty unions)."""
     if schema.kind != "record":
         return None
     consts: dict[str, object] = {}
     counter = iter(range(1_000_000))
+    cyclic = _recursive_records(schema)
+    rec_fn_names: dict[int, str] = {}
+    rec_fn_srcs: list[str] = []
 
-    def field_snippet(ft: AvroSchema, visiting: frozenset) -> str | None:
+    def rec_fn(rec: AvroSchema) -> str | None:
+        """Memoized per-type decode function for a record on a cycle;
+        registered before body generation so self-references emit calls."""
+        if id(rec) in rec_fn_names:
+            return rec_fn_names[id(rec)]
+        name = f"_recf{next(counter)}"
+        rec_fn_names[id(rec)] = name
+        body = record_snippet(rec)
+        if body is None:
+            return None
+        rec_fn_srcs.append(
+            f"def {name}(buf, pos):\n    blen = len(buf)\n    o = ''\n"
+            + body
+            + "    return o, pos\n"
+        )
+        return name
+
+    def field_snippet(ft: AvroSchema) -> str | None:
         """Decode one value of type ft and append its JSON text to o."""
         if ft.kind == "primitive":
             return _primitive_snippet(ft.name, "o")
@@ -131,7 +195,12 @@ def compile_fused(schema: AvroSchema):
                 "    o += _esc(v)\n"
             )
         if ft.kind == "record":
-            return record_snippet(ft, visiting)
+            if id(ft) in cyclic:
+                name = rec_fn(ft)
+                if name is None:
+                    return None
+                return f"    _rs, pos = {name}(buf, pos)\n    o += _rs\n"
+            return record_snippet(ft)
         if ft.kind == "union":
             # arbitrary branch count, any fusable branch type (so unions
             # nested inside arrays/maps fuse too); out-of-range index
@@ -147,7 +216,7 @@ def compile_fused(schema: AvroSchema):
                 if b.union_label == "null":
                     out.append("        o += 'null'\n")
                     continue
-                snip = field_snippet(b, visiting)
+                snip = field_snippet(b)
                 if snip is None:
                     return None
                 wrap_open = "{" + json.dumps(b.union_label) + ":"
@@ -157,9 +226,7 @@ def compile_fused(schema: AvroSchema):
             out.append(f"    else:\n        _bad_union(bi{k})\n")
             return "".join(out)
         if ft.kind in ("array", "map"):
-            inner = field_snippet(
-                ft.items if ft.kind == "array" else ft.values, visiting
-            )
+            inner = field_snippet(ft.items if ft.kind == "array" else ft.values)
             if inner is None:
                 return None
             k = next(counter)
@@ -183,28 +250,27 @@ def compile_fused(schema: AvroSchema):
             return "".join(lines)
         return None
 
-    def record_snippet(rec: AvroSchema, visiting: frozenset) -> str | None:
-        """Append the record's full '{...}' JSON to o (nested inline)."""
-        if id(rec) in visiting:
-            return None  # recursive type -> general path
-        visiting = visiting | {id(rec)}
+    def record_snippet(rec: AvroSchema) -> str | None:
+        """Append the record's full '{...}' JSON to o (nested inline;
+        cycle members referenced from fields go through rec_fn calls, so
+        generation always terminates)."""
         out: list[str] = []
         first = True
         for f in rec.fields or []:
             prefix = ("{" if first else ",") + json.dumps(f.name, ensure_ascii=False) + ":"
             first = False
             out.append(f"    o += {prefix!r}\n")
-            snip = field_snippet(f.type, visiting)
+            snip = field_snippet(f.type)
             if snip is None:
                 return None
             out.append(snip)
         out.append("    o += '}'\n" if not first else "    o += '{}'\n")
         return "".join(out)
 
-    body = record_snippet(schema, frozenset())
+    body = record_snippet(schema)
     if body is None:
         return None
-    src = (
+    src = "".join(rec_fn_srcs) + (
         "def _fused(buf, pos):\n    blen = len(buf)\n    o = ''\n"
         + body
         + "    return o, pos\n"

@@ -13,8 +13,11 @@ Strategy ladder (cheapest first):
 4. :func:`jaccard_similarity` — exact n-gram Jaccard, applied to candidate
    pairs only (verification stage after LSH).
 5. :func:`embedding_near_dup` — cosine-threshold pairs over an embedding
-   column; all-pairs for correctness, sign-LSH prefilter
-   (:func:`similarity.sign_lsh_buckets`) as the scale path.
+   column; all-pairs for correctness.  The scale path is
+   :func:`similarity.sign_lsh_banded_candidates` (multi-band sign-LSH —
+   recall measured in tests/test_banded_lsh.py: 0.987 vs the single-band
+   prefilter's 0.687 at cosine>=0.95 on a known-truth corpus), with
+   exact-cosine verification inside the candidate set only.
 
 Hashes are md5 throughout — deterministic, engine-portable, and uniform.
 """
@@ -107,28 +110,47 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     -> (id_col, simhash)
 
     Near-dups differ in few bits; bucketing on bit-prefixes gives the LSH
-    variant.  (bits <= 32 — one md5 hex nibble per bit.)"""
+    variant.  (bits <= 32 — one md5 hex nibble per bit.)
+
+    Scale: all ``bits`` majority votes accumulate as parallel conditional-
+    sum agg buffers in ONE codegen'd hash aggregation over the distinct
+    (doc, token) rows — partial sums run map-side, so the only post-
+    distinct shuffle carries |docs| rows of ``bits`` ints.  The hex
+    nibbles are decoded once per row into 32-bit ints (``conv`` per
+    8-nibble group) and each vote is an integer shift-and-mask — not a
+    per-buffer substring.  (A/B'd at local sf1, 5-run interleaved
+    medians — see NOTES round 5: this form 0.70s; the pre-round-5
+    explode×bits form 0.73s with bits× the rows through explode, hash-agg
+    probes and TWO extra shuffles; substring-per-buffer 0.78s;
+    isin-per-buffer 1.81s.  Locally a wash vs explode — the buffer form
+    wins at scale by never materializing bits× intermediate rows.)"""
+    n_groups = (bits + 7) // 8
     tokens = (
         df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
         .distinct()
         .withColumn("h", F.md5("tok"))
     )
-    banded = tokens.select(
+    for g in range(n_groups):
+        tokens = tokens.withColumn(
+            f"_m{g}",
+            F.expr(f"conv(substring(h, {8 * g + 1}, 8), 16, 10)").cast("long"),
+        )
+
+    def vote(i: int):
+        g, j = divmod(i, 8)
+        # nibble j's high bit within the 32-bit group value
+        return F.sum(
+            F.expr(f"CASE WHEN (_m{g} >> {4 * (7 - j) + 3}) & 1 = 1 THEN 1 ELSE -1 END")
+        )
+
+    votes = tokens.groupBy(id_col).agg(
+        *[vote(i).alias(f"_v{i}") for i in range(bits)]
+    )
+    return votes.select(
         id_col,
-        "h",
-        F.explode(F.array(*[F.lit(i + 1) for i in range(bits)])).alias("b"),
-    ).withColumn(
-        "s",
-        F.when(F.substring(F.col("h"), F.col("b"), 1).isin(*"89abcdef"), 1).otherwise(-1),
-    )
-    per_bit = banded.groupBy(id_col, "b").agg(
-        F.when(F.sum("s") >= 0, "1").otherwise("0").alias("bit")
-    )
-    return per_bit.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("b", "bit"))), lambda s: s["bit"]),
-            "",
-        ).alias("simhash")
+        F.concat(
+            *[F.when(F.col(f"_v{i}") >= 0, "1").otherwise("0") for i in range(bits)]
+        ).alias("simhash"),
     )
 
 
@@ -139,20 +161,35 @@ def jaccard_similarity(
     """Exact shingle-set Jaccard for given candidate ``pairs``
     (doc_a, doc_b).  Verification stage after LSH — cost scales with the
     candidate set, not the corpus.  -> (doc_a, doc_b, n_common, n_a, n_b,
-    jaccard)"""
-    sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n).select(id_col, "sh").distinct()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("_rb_doc"), F.col("sh").alias("_rb_sh"))
-    common = (
-        pairs.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("_rb_doc")) & (F.col("sh") == F.col("_rb_sh")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    jaccard)
+
+    Scale: each document's distinct shingles are aggregated ONCE into a
+    sorted array (one shuffle on the doc id, map-side partial
+    ``collect_set``), and pairs join those per-doc arrays — the overlap is
+    then a partition-local ``array_intersect`` per pair.  (Rejected form,
+    A/B'd at local sf1 — see NOTES round 5: joining pairs onto exploded
+    shingle ROWS re-shuffles a hub document's full shingle set once per
+    candidate pair — a doc in 10k pairs ships its shingles 10k× — and
+    needs a second |pairs × common-shingles|-row groupBy to count the
+    overlap.)"""
+    sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    sets = sh.groupBy(id_col).agg(F.array_sort(F.collect_set("sh")).alias("_shs"))
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("_shb"))
     return (
-        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sha", "_shb")).cast("long").alias("n_common"),
+            F.size("_sha").cast("long").alias("n_a"),
+            F.size("_shb").cast("long").alias("n_b"),
+        )
+        # pairs sharing no shingle are dropped — the pre-rewrite form (and
+        # the DuckDB oracle) inner-joined on the shared shingle, so a
+        # zero-overlap candidate never produced a row
+        .filter(F.col("n_common") >= 1)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -230,11 +267,16 @@ def connected_components(
     one partial-first min-agg on dst; rounds are bounded by component
     DIAMETER, and near-dup clusters are shallow (a handful of hops), not
     corpus-sized chains.  ``localCheckpoint`` truncates lineage each
-    round so plans don't grow with iterations; convergence is detected
-    with an aggregate (no driver-side row collection).  If the fixpoint
-    is NOT reached within ``max_iter`` rounds (a pathological chain of
-    diameter > max_iter), the function RAISES rather than silently
-    returning partially-propagated labels — re-run with a higher budget."""
+    round so plans don't grow with iterations — marked LAZY and triggered
+    by the convergence aggregate, so materializing the new labels AND
+    detecting the fixpoint is ONE action (one job launch) per round: the
+    per-row changed flag is computed in the label-update projection
+    itself and summed, never a second pass over the joined old/new
+    labels.  If the fixpoint is NOT reached within ``max_iter`` rounds
+    (a pathological chain of diameter > max_iter), the function RAISES
+    rather than silently returning partially-propagated labels — re-run
+    with a higher budget.  (Job-count bound pinned by
+    tests/test_operators_direct.py::test_connected_components_one_job_per_round.)"""
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -255,17 +297,17 @@ def connected_components(
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # this aggregate is the round's ONE action: computing it runs every
+        # partition of new_labels, which materializes the lazy checkpoint
+        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             return labels.select("v", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "

@@ -357,3 +357,92 @@ def events_props_json(spark: SparkSession, sf: str):
         F.max("k").alias("max_k"),
         F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_next_purchase",
+    """
+    WITH u AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      SELECT *, MIN(CASE WHEN kind = 1 THEN ts_us END) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, kind
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+      FROM u
+    )
+    SELECT event_id AS view_id, user_id, ts_us AS view_ts_us,
+           CASE WHEN next_p - ts_us <= 7200000000 THEN next_p END AS purchase_ts_us,
+           CASE WHEN next_p - ts_us <= 7200000000 THEN next_p - ts_us END AS gap_us
+    FROM w WHERE kind = 0
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf: str):
+    """FORWARD as-of under the oracle gate: each view matched to the NEXT
+    same-user purchase at-or-after it, nulled beyond a 2h tolerance —
+    ``pd.merge_asof(direction='forward', tolerance=...)`` semantics via
+    the fully-native union+window plan (operators/asof.py negates the
+    time axis and reuses the backward machinery; one shuffle on user_id,
+    whole-stage codegen, no Python).  The DuckDB oracle expresses the
+    same match as a running MIN over the following frame ordered
+    (ts, kind) with purchases after views at equal ts — allow-exact-match
+    parity with the operator."""
+    from byte_convert_avro_spark.operators.asof import asof_join_tolerance_native
+
+    ev = _ev(spark, sf)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us")
+    j = asof_join_tolerance_native(
+        views, purchases, on="ts_us", by="user_id",
+        tolerance=7_200_000_000, direction="forward", right_cols=[],
+    )
+    return j.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("ts_us_asof").alias("purchase_ts_us"),
+        (F.col("ts_us_asof") - F.col("ts_us")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_weekly_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+    )
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf: str):
+    """Cohort retention: users grouped by first-seen week, counted in
+    every later week they return — the activation/retention triangle
+    every product-analytics stack computes.  Weeks are integer epoch-week
+    buckets (µs DIV 604800e6) — engine-portable, no calendars.
+
+    Plan: distinct (user, week) and the per-user MIN are both shuffles on
+    user_id — co-partitioned, so the join between them is shuffle-free
+    after the first exchange; the final count shuffles only the tiny
+    (cohort, offset) grid.  Nothing is ever collected."""
+    act = (
+        _ev(spark, sf)
+        .select("user_id", F.expr("ts_us DIV 604800000000").alias("week"))
+        .distinct()
+    )
+    firsts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

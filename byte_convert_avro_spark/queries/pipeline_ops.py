@@ -116,9 +116,10 @@ def jaccard_verified_candidates(spark: SparkSession, sf: str):
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf: str):
     """Embedding-cosine near-dup pairs (threshold 0.4 — calibrated to this
-    corpus's cosine range).  All-pairs correctness form; the scale path
-    prefixes :func:`operators.similarity.sign_lsh_buckets` and joins within
-    buckets."""
+    corpus's cosine range).  All-pairs correctness form; the scale path is
+    ``lsh_banded_near_dup`` (multi-band
+    :func:`operators.similarity.sign_lsh_banded_candidates` prefilter,
+    measured recall in tests/test_banded_lsh.py)."""
     return D.embedding_near_dup(spread(t(spark, sf, "embeddings"), "vec_id"), threshold=0.4)
 
 

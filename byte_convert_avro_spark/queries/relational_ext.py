@@ -717,3 +717,40 @@ def order_price_percentiles(spark: SparkSession, sf: str):
         pick(3, 4, "p75"),
         pick(9, 10, "p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_sales",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+)
+def grouping_sets_sales(spark: SparkSession, sf: str):
+    """Explicit GROUPING SETS — the irregular member of the grouping-sets
+    family (``rollup_sales``/``cube_sales`` cover the hierarchical/full
+    lattices): per (priority, status), per priority, and per status in ONE
+    pass.  grouping() flags disambiguate a subtotal row from a genuine
+    NULL group value — the only portable way to tell them apart.  Spark
+    expands the sets into a single expand + hash aggregate: one shuffle
+    for all three groupings, never three scans."""
+    orders = t(spark, sf, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        ).agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("int").alias("g_st"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+        )
+    )

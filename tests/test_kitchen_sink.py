@@ -224,9 +224,9 @@ def test_fused_codegen_equals_spec(v):
 
 
 def test_fused_refuses_out_of_subset():
-    """Outside the fused subset (non-record top level; recursion — see
-    test_fused_refuses_recursive_schema) compile_fused must return None,
-    never a wrong function."""
+    """Outside the fused subset (non-record top level) compile_fused must
+    return None, never a wrong function.  (Recursive records are IN the
+    subset — see test_fused_recursive_linked_list_equals_spec.)"""
     from byte_convert_avro_spark.avro.fused import compile_fused
 
     assert compile_fused(parse_schema('"int"')) is None
@@ -304,20 +304,100 @@ def test_fused_nested_records_equal_spec(v):
     assert got == spec and pos == len(buf)
 
 
-def test_fused_refuses_recursive_schema():
+LINKED_LIST = json.dumps(
+    {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+)
+
+
+def _fused_vs_spec(schema: str, v) -> None:
     from byte_convert_avro_spark.avro.fused import compile_fused
 
-    rec = json.dumps(
+    parsed = parse_schema(schema)
+    fused = compile_fused(parsed)
+    assert fused is not None
+    buf = schemaless_encode(v, parsed)
+    datum, _ = compile_reader(parsed)(memoryview(buf), 0)
+    spec = json.dumps(to_avro_json(datum), separators=(",", ":"), ensure_ascii=False)
+    got, pos = fused(memoryview(buf), 0)
+    assert got == spec and pos == len(buf)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vs=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=30))
+def test_fused_recursive_linked_list_equals_spec(vs):
+    """Self-referential record schemas fuse as a per-type function graph
+    (no unbounded inlining): a linked list of any length decodes on the
+    fused path byte-identically to the general-reader + spec-JSON path."""
+    node = None
+    for x in reversed(vs):
+        node = {"v": x, "next": node}
+    if node is None:
+        node = {"v": 0, "next": None}
+    _fused_vs_spec(LINKED_LIST, node)
+
+
+def test_fused_mutually_recursive_records_equal_spec():
+    """A -> B -> A mutual recursion: both cycle members compile to
+    functions; output byte-identical to spec."""
+    ab = json.dumps(
         {
             "type": "record",
-            "name": "Node",
+            "name": "A",
             "fields": [
-                {"name": "v", "type": "long"},
-                {"name": "next", "type": ["null", "Node"]},
+                {"name": "x", "type": "string"},
+                {
+                    "name": "b",
+                    "type": [
+                        "null",
+                        {
+                            "type": "record",
+                            "name": "B",
+                            "fields": [
+                                {"name": "y", "type": "long"},
+                                {"name": "a", "type": ["null", "A"]},
+                            ],
+                        },
+                    ],
+                },
             ],
         }
     )
-    assert compile_fused(parse_schema(rec)) is None
+    _fused_vs_spec(ab, {"x": "root", "b": {"y": 1, "a": {"x": "leaf", "b": None}}})
+
+
+def test_fused_recursion_through_array_and_map_equals_spec():
+    """Cycles that pass through array/map containers fuse too."""
+    tree = json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {"name": "v", "type": "int"},
+                {"name": "kids", "type": {"type": "array", "items": "T"}},
+            ],
+        }
+    )
+    _fused_vs_spec(
+        tree, {"v": 1, "kids": [{"v": 2, "kids": []}, {"v": 3, "kids": [{"v": 4, "kids": []}]}]}
+    )
+    m = json.dumps(
+        {
+            "type": "record",
+            "name": "M",
+            "fields": [
+                {"name": "v", "type": "int"},
+                {"name": "kids", "type": {"type": "map", "values": "M"}},
+            ],
+        }
+    )
+    _fused_vs_spec(m, {"v": 1, "kids": {"a": {"v": 2, "kids": {}}}})
 
 
 COLL_SCHEMA = json.dumps(

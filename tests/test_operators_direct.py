@@ -246,3 +246,31 @@ def test_asof_tolerance_native_rejects_nearest(spark):
 
     with _pytest.raises(ValueError):
         asof_join_tolerance_native(left, right, on="t", by="k", direction="nearest")
+
+
+def test_connected_components_one_job_per_round(spark):
+    """Each propagation round must be ONE Spark job: the lazy
+    localCheckpoint of the new labels is materialized by the convergence
+    aggregate itself, never a separate count() pass.  A 6-node path has
+    diameter 5 -> 6 rounds to detect the fixpoint; with the 2 setup
+    checkpoints that is at most 8 jobs (the old two-actions-per-round
+    form needed 14).  AQE is disabled so jobs map 1:1 to actions."""
+    from byte_convert_avro_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "doc_a int, doc_b int"
+        )
+        sc.setJobGroup("cc_job_bound", "connected_components job-count test")
+        labels = connected_components(pairs, max_iter=10)
+        sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup("cc_job_bound")
+        assert len(jobs) <= 8, f"expected <= 8 jobs for 6 rounds, got {len(jobs)}"
+        got = {(r.v, r.component) for r in labels.collect()}
+        assert got == {(i, 0) for i in range(6)}
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
