@@ -198,3 +198,32 @@ def test_gapfill_reads_only_needed_columns(spark, sf_dir):
     df = Q["events_daily_gapfill_locf"](spark, sf_dir)
     cols = read_schemas(df)["events"]
     assert set(cols) <= {"user_id", "event_id", "ts", "value"}
+
+
+def test_simhash_one_explode_single_vote_aggregation(spark, sf_dir):
+    """The parallel-buffer SimHash plans exactly ONE Generate (the token
+    split explode) — never the bits-x bit-position explode — and one
+    aggregation carrying all vote buffers: exchanges are bounded by
+    spread + distinct + the per-doc groupBy."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+    import re
+
+    df = Q["simhash_signatures"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert len(re.findall(r"Generate explode", plan)) == 1
+    assert count_exchanges(df) <= 3
+
+
+def test_jaccard_joins_shingle_arrays_not_rows(spark, sf_dir):
+    """Jaccard verification joins per-doc shingle ARRAYS onto pairs: the
+    overlap count is a partition-local array_intersect, and no join
+    condition touches a shingle column (the old row-explode form joined
+    on sh = sh, re-shuffling hub docs' shingles once per pair)."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = Q["jaccard_verified_candidates"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "array_intersect" in plan
+    for line in plan.splitlines():
+        if "Join" in line and "Inner" in line:
+            assert "sh#" not in line and "_rb_sh" not in line, line
