@@ -446,3 +446,109 @@ def events_weekly_retention(spark: SparkSession, sf: str):
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_view
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s.t_signup
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_view_after_signup,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_view
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf: str):
+    """Sequential funnel: signup -> first view AT/AFTER the signup ->
+    purchase AT/AFTER that view, counted per stage (the ORDER of events
+    matters — a purchase before the post-signup view does not convert,
+    which no unordered distinct-count can express).
+
+    Plan: three per-user conditional-min aggregations chained by joins on
+    user_id — every shuffle is on the same key, so stages co-partition
+    after the first exchange; stage counts are single-row aggregates.
+    Nothing driver-side, no window over the raw stream."""
+    ev = _ev(spark, sf)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_view"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_view")))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_7d_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), bounds AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud
+    ), contrib AS (
+      SELECT DISTINCT ud.user_id, ud.day + k.k AS obs_day
+      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) k
+    )
+    SELECT c.obs_day AS day, COUNT(*) AS active_users_7d
+    FROM contrib c, bounds b
+    WHERE c.obs_day BETWEEN b.d0 AND b.d1
+    GROUP BY c.obs_day
+    """,
+)
+def events_rolling_7d_active_users(spark: SparkSession, sf: str):
+    """Rolling 7-day distinct active users per day (the WAU curve) —
+    COUNT(DISTINCT) over a sliding window, which no window frame can
+    express directly in either engine.  Re-expressed scale-sane: dedup to
+    (user, day), explode each activity into the <= 7 observation days it
+    covers (bounded fan-out), distinct again, count per day.
+
+    Plan: both distincts are single shuffles on (user, day); the x7
+    explode happens AFTER the first dedup, so the fan-out input is
+    |users x active-days|, never raw events.  Days are integer epoch-days
+    (µs DIV 86400e6) — engine-portable."""
+    ev = _ev(spark, sf)
+    ud = ev.select("user_id", F.expr("ts_us DIV 86400000000").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    contrib = (
+        ud.select(
+            "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("obs_day")
+        )
+        .distinct()
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter((F.col("obs_day") >= F.col("d0")) & (F.col("obs_day") <= F.col("d1")))
+        .groupBy(F.col("obs_day").alias("day"))
+        .agg(F.count("*").alias("active_users_7d"))
+    )

@@ -397,13 +397,17 @@ _BUCKET8 = (
     """,
 )
 def lsh_bucketed_near_dup(spark: SparkSession, sf: str):
-    """The SCALE path for embedding near-dup: sign-LSH bucket prefilter
-    (deterministic fixed-hyperplane family — first 8 dimension signs), then
-    exact cosine only WITHIN buckets.  Pair candidates drop from |corpus|²
-    to Σ|bucket|²; the bucket key is also the shuffle key, so each bucket's
+    """Single-band sign-LSH near-dup: bucket prefilter (deterministic
+    fixed-hyperplane family — first 8 dimension signs), then exact cosine
+    only WITHIN buckets.  Pair candidates drop from |corpus|² to
+    Σ|bucket|²; the bucket key is also the shuffle key, so each bucket's
     pair generation is partition-local.  The oracle reproduces the same
     prefilter, so the result (including its recall loss vs the all-pairs
-    form ``embedding_near_dup_pairs``) is pinned exactly."""
+    form ``embedding_near_dup_pairs``) is pinned exactly.  Kept as the
+    cheapest prefilter and the recall baseline; the DEFAULT scale path is
+    ``lsh_banded_near_dup`` (measured recall in
+    tests/test_banded_lsh.py: 0.987 banded vs 0.687 single-band at
+    cosine>=0.95)."""
     emb = spread(t(spark, sf, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
