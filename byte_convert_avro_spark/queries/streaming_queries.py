@@ -201,3 +201,77 @@ def streaming_dedup_events(spark: SparkSession, sf: str):
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_view_purchase_join",
+    """
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           epoch_us(v.ts) AS view_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+    """,
+)
+def streaming_view_purchase_join(spark: SparkSession, sf: str):
+    """STREAM-STREAM inner join executed by the streaming engine: every
+    (view, purchase) pair for the same user with the purchase at most 30
+    minutes after the view — two independent file-source streams joined
+    on user_id + an event-time range, drained append-mode to a memory
+    sink.  The finite-input result must equal the batch self-join
+    exactly, which holds only if the join state correctly buffered BOTH
+    sides until their matches arrived.
+
+    Scale notes: this is the production shape — equality key (user_id)
+    is the shuffle/state key; both sides carry watermarks and the range
+    condition is on the event-time column, which is what lets the state
+    store EVICT buffered rows older than watermark - 30min instead of
+    growing forever (the 90-day watermark here is deliberately larger
+    than the dataset's span because the oracle needs every pair)."""
+    views = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.expr("ts DIV 1000").alias("view_ts_us"),
+            F.col("ts_ts").alias("v_time"),
+        )
+        .withWatermark("v_time", "90 days")
+    )
+    purchases = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.expr("ts DIV 1000").alias("purchase_ts_us"),
+            F.col("ts_ts").alias("p_time"),
+        )
+        .withWatermark("p_time", "90 days")
+    )
+    j = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_time") >= F.col("v_time"))
+        & (F.col("p_time") <= F.col("v_time") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts_us",
+        "purchase_ts_us",
+        (F.col("purchase_ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = j.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
