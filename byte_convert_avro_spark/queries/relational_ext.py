@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from byte_convert_avro_spark.queries.base import (
     SQL_REVENUE,
     cents,
+    dsum,
     register,
     revenue_sum,
     t,
@@ -751,6 +752,6 @@ def grouping_sets_sales(spark: SparkSession, sf: str):
             F.grouping("o_orderpriority").cast("int").alias("g_pri"),
             F.grouping("o_orderstatus").cast("int").alias("g_st"),
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         )
     )

@@ -268,10 +268,8 @@ def streaming_view_purchase_join(spark: SparkSession, sf: str):
         "purchase_ts_us",
         (F.col("purchase_ts_us") - F.col("view_ts_us")).alias("gap_us"),
     )
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = j.writeStream.format("memory").queryName(name).outputMode("append").start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from byte_convert_avro_spark.streaming import run_stream_to_memory
+
+    q, name = run_stream_to_memory(j, output_mode="append")
+    q.stop()
     return spark.table(name)
