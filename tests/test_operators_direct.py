@@ -252,14 +252,20 @@ def test_connected_components_one_job_per_round(spark):
     """Each propagation round must be ONE Spark job: the lazy
     localCheckpoint of the new labels is materialized by the convergence
     aggregate itself, never a separate count() pass.  A 6-node path has
-    diameter 5 -> 6 rounds to detect the fixpoint; with the 2 setup
-    checkpoints that is at most 8 jobs (the old two-actions-per-round
-    form needed 14).  AQE is disabled so jobs map 1:1 to actions."""
+    diameter 5 -> 6 rounds to detect the fixpoint; with the 2 setup jobs
+    (edge-cache materialization + initial labels checkpoint) that is at
+    most 8 jobs (the old two-actions-per-round form needed 14).  AQE and
+    auto-broadcast are disabled so jobs map 1:1 to actions — the cached
+    edge list carries accurate stats, so on a tiny graph the optimizer
+    broadcasts it, and every broadcast build is a separate (harmless)
+    driver job that would obscure the action count this test pins."""
     from byte_convert_avro_spark.operators.dedup import connected_components
 
     sc = spark.sparkContext
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(5)], "doc_a int, doc_b int"
@@ -274,3 +280,4 @@ def test_connected_components_one_job_per_round(spark):
     finally:
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
