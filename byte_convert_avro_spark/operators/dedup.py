@@ -278,13 +278,23 @@ def connected_components(
     with a higher budget.  (Job-count bound pinned by
     tests/test_operators_direct.py::test_connected_components_one_job_per_round.)"""
     e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    # The static edge list is CACHED pre-partitioned and pre-sorted on the
-    # join key (the iterative-graph discipline): InMemoryTableScan reports
-    # its partitioning/ordering, so every round's sort-merge join reads
-    # the big side shuffle- and sort-free and only the (small) labels side
-    # moves.  localCheckpoint would lose that — a checkpointed RDD reports
-    # no outputPartitioning and the edges would re-shuffle every round
-    # (A/B'd at sf1 on an 8.4M-pair graph: ~1.3× — NOTES round 5).
+    # The static edge list's storage form is SIZE-ADAPTIVE (both A/B'd at
+    # local sf0.1/sf1 — NOTES round 5):
+    # - BIG graphs: CACHED pre-partitioned and pre-sorted on the join key
+    #   (the iterative-graph discipline).  InMemoryTableScan reports its
+    #   partitioning/ordering, so every round's sort-merge join reads the
+    #   big side shuffle- and sort-free and only the (small) labels side
+    #   moves — 1.3× at sf1 (8.4M-pair graph).  localCheckpoint would
+    #   lose that: a checkpointed RDD reports no outputPartitioning.
+    # - SMALL graphs: localCheckpoint (raw-row storage).  The SQL cache
+    #   pays columnar decompression on every round's scan, which at small
+    #   sizes costs more than the per-round shuffle it avoids (1.5×
+    #   SLOWER at sf0.1's 164k edge rows).
+    # Both per-round joins carry a MERGE hint: the cache's accurate stats
+    # would otherwise flip smaller graphs to broadcast joins, whose per-
+    # round broadcast-BUILD is a driver round trip that costs more than
+    # the labels shuffle it saves (measured at sf0.1) and breaks the
+    # one-job-per-round property.
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -292,7 +302,11 @@ def connected_components(
         .sortWithinPartitions("src")
         .persist()
     )
-    edges.count()  # materialize the cache (one setup job)
+    n_edges = edges.count()  # materialize the cache (one setup job)
+    if n_edges < 2_000_000:
+        small = edges.localCheckpoint()  # reads the cache once
+        edges.unpersist()
+        edges = small
     labels = (
         edges.select(F.col("src").alias("v")).distinct()
         .withColumn("label", F.col("v"))
@@ -301,12 +315,13 @@ def connected_components(
     try:
         for _ in range(max_iter):
             nbr_min = (
-                edges.join(labels.select(F.col("v").alias("src"), "label"), "src")
+                edges.hint("merge")
+                .join(labels.select(F.col("v").alias("src"), "label"), "src")
                 .groupBy(F.col("dst").alias("v"))
                 .agg(F.min("label").alias("nbr_label"))
             )
             new_labels = (
-                labels.join(nbr_min, "v", "left")
+                labels.join(nbr_min.hint("merge"), "v", "left")
                 .select(
                     "v",
                     F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
