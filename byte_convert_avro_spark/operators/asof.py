@@ -150,7 +150,13 @@ def asof_join_tolerance(
     direction: str = "backward",
 ) -> DataFrame:
     """General as-of via cogrouped ``pd.merge_asof``: integer/float ``on``
-    axis, optional tolerance, backward/forward/nearest."""
+    axis, optional tolerance, backward/forward/nearest.
+
+    Tie caveat: among right rows sharing the same ``(by, on)``,
+    ``merge_asof`` keeps the last one in input order, and cogroup arrival
+    order is not deterministic across Spark runs — prefer
+    :func:`asof_join` / :func:`asof_join_tolerance_native` (greatest-
+    payload-struct rule) when tied right keys are possible."""
     l_cols = left.columns
     r_cols = [c for c in right.columns if c != by]
     out_schema = ", ".join(

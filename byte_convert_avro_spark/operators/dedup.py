@@ -163,17 +163,19 @@ def jaccard_similarity(
     candidate set, not the corpus.  -> (doc_a, doc_b, n_common, n_a, n_b,
     jaccard)
 
-    Scale: each document's distinct shingles are aggregated ONCE into a
-    sorted array (one shuffle on the doc id, map-side partial
-    ``collect_set``), and pairs join those per-doc arrays — the overlap is
-    then a partition-local ``array_intersect`` per pair.  (Rejected form,
+    Scale: each document's distinct shingles are aggregated ONCE into an
+    array (one shuffle on the doc id, map-side partial ``collect_set``;
+    element order is irrelevant to ``array_intersect``/``size``, so no
+    per-doc sort is spent), and pairs join those per-doc arrays — the
+    overlap is then a partition-local ``array_intersect`` per pair.
+    (Rejected form,
     A/B'd at local sf1 — see NOTES round 5: joining pairs onto exploded
     shingle ROWS re-shuffles a hub document's full shingle set once per
     candidate pair — a doc in 10k pairs ships its shingles 10k× — and
     needs a second |pairs × common-shingles|-row groupBy to count the
     overlap.)"""
     sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    sets = sh.groupBy(id_col).agg(F.array_sort(F.collect_set("sh")).alias("_shs"))
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_shs"))
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
     b = sets.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("_shb"))
     return (
