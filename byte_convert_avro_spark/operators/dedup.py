@@ -304,17 +304,24 @@ def connected_components(
         .sortWithinPartitions("src")
         .persist()
     )
-    n_edges = edges.count()  # materialize the cache (one setup job)
-    if n_edges < 2_000_000:
-        small = edges.localCheckpoint()  # reads the cache once
-        edges.unpersist()
-        edges = small
-    labels = (
-        edges.select(F.col("src").alias("v")).distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint()
-    )
+    # the try opens BEFORE any action so a failure during setup (count,
+    # checkpoint conversion, labels) cannot leak a pinned edge cache for
+    # the session.  (A two-phase alternative — cache the plain distinct
+    # first and build the partitioned cache only for big graphs, sparing
+    # small graphs the repartition+sort — was A/B'd and LOST at both
+    # scales: the big path pays an extra full cache write+read, sf1 8.6s
+    # vs 6.4s, and the small path measured no cheaper either.)
     try:
+        n_edges = edges.count()  # materialize the cache (one setup job)
+        if n_edges < 2_000_000:
+            ckpt = edges.localCheckpoint()  # raw-row storage, reads the cache once
+            edges.unpersist()
+            edges = ckpt
+        labels = (
+            edges.select(F.col("src").alias("v")).distinct()
+            .withColumn("label", F.col("v"))
+            .localCheckpoint()
+        )
         for _ in range(max_iter):
             nbr_min = (
                 edges.hint("merge")
@@ -346,5 +353,6 @@ def connected_components(
         )
     finally:
         # the returned frame derives from checkpointed label RDDs only —
-        # the edge cache can always be released here
+        # the edge cache can always be released here (a no-op when the
+        # small path already swapped edges for its checkpoint)
         edges.unpersist()

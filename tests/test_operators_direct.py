@@ -255,11 +255,12 @@ def test_connected_components_one_job_per_round(spark):
     diameter 5 -> 6 rounds to detect the fixpoint; with the 3 setup jobs
     (edge-cache materialization, small-graph checkpoint conversion,
     initial labels checkpoint) that is at most 9 jobs (the old
-    two-actions-per-round form needed 15).  AQE and
-    auto-broadcast are disabled so jobs map 1:1 to actions — the cached
-    edge list carries accurate stats, so on a tiny graph the optimizer
-    broadcasts it, and every broadcast build is a separate (harmless)
-    driver job that would obscure the action count this test pins."""
+    two-actions-per-round form needed 15).  AQE is disabled so jobs map
+    1:1 to actions; auto-broadcast is disabled as future-proofing only —
+    today the tiny graph takes the checkpoint path (no stats) and both
+    joins carry merge hints, so no broadcast-build jobs can occur, but
+    if either changed, each broadcast build would add a (harmless)
+    driver job and obscure the action count this test pins."""
     from byte_convert_avro_spark.operators.dedup import connected_components
 
     sc = spark.sparkContext
