@@ -227,3 +227,42 @@ def test_jaccard_joins_shingle_arrays_not_rows(spark, sf_dir):
     for line in plan.splitlines():
         if "Join" in line and "Inner" in line:
             assert "sh#" not in line and "_rb_sh" not in line, line
+
+
+def test_partitioned_cache_joins_shuffle_free_on_cached_side(spark):
+    """The mechanism connected_components' big-graph path relies on: a
+    relation cached AFTER repartition+sortWithinPartitions on the join
+    key advertises that layout through InMemoryTableScan, so a merge
+    join re-shuffles and re-sorts ONLY the other side.  (A checkpointed
+    RDD advertises neither — that asymmetry is why the operator caches
+    big edge lists instead of checkpointing them.)  If a Spark upgrade
+    stops preserving cache layout, this fails before the operator gets
+    slower silently."""
+    from pyspark.sql import functions as F
+
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    big = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("src"), F.col("id").alias("dst")
+    )
+    cached = big.repartition(F.col("src")).sortWithinPartitions("src").persist()
+    try:
+        cached.count()
+        labels = spark.range(1000).select(
+            F.col("id").alias("src"), F.col("id").alias("label")
+        )
+        j = cached.hint("merge").join(labels, "src")
+        plan = explain_str(j, "simple")
+        assert "InMemoryTableScan" in plan
+        # the explain text embeds the cache's BUILD plan (its one-time
+        # repartition+sort) inside InMemoryRelation, so count live nodes
+        # only: exactly one ENSURE_REQUIREMENTS exchange (labels side),
+        # and nothing between the join and the InMemoryTableScan but the
+        # null-filter — no re-exchange, no re-sort of the cached side.
+        assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+        cached_side = plan.split("InMemoryTableScan")[0]
+        assert "SortMergeJoin" in cached_side, plan
+        above_scan = cached_side.split("SortMergeJoin")[1]
+        assert "Exchange" not in above_scan and "Sort" not in above_scan, plan
+    finally:
+        cached.unpersist()
