@@ -8,8 +8,10 @@ Strategy ladder (cheapest first):
    word shingles.  Cost: one explode + one partial-agg shuffle for
    signatures; candidate pairing joins only within LSH buckets, so pair
    count is bounded by bucket collisions, never |docs|².
-3. :func:`simhash` — 16-bit SimHash (majority vote over token hash bits);
-   near-dup candidates = small Hamming distance.
+3. :func:`simhash` — 16-bit SimHash (majority vote over token hash
+   bits); :func:`simhash_near_dup` pairs documents within a Hamming
+   ball via banded buckets — pigeonhole-EXACT (recall 1.0) when
+   max_hamming < n_bands, unlike the probabilistic LSH stages.
 4. :func:`jaccard_similarity` — exact n-gram Jaccard, applied to candidate
    pairs only (verification stage after LSH).
 5. :func:`embedding_near_dup` — cosine-threshold pairs over an embedding
@@ -151,6 +153,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.concat(
             *[F.when(F.col(f"_v{i}") >= 0, "1").otherwise("0") for i in range(bits)]
         ).alias("simhash"),
+    )
+
+
+def simhash_near_dup(
+    sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash",
+    bits: int = 16, n_bands: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-ball near-dup pairs over SimHash signatures: band the
+    ``bits``-bit signature into ``n_bands`` contiguous substrings,
+    candidates = pairs agreeing on ANY band, then verify exact Hamming
+    distance <= ``max_hamming``.  -> (doc_a, doc_b, hamming).
+
+    EXACT by pigeonhole when ``max_hamming < n_bands`` (the default):
+    a pair within the Hamming ball differs in at most ``n_bands - 1``
+    bit positions, so at least one band is untouched and the pair always
+    collides — 100%% recall, not probabilistic (pinned by
+    tests/test_operators_direct.py::test_simhash_near_dup_pigeonhole_exact).
+
+    Scale: the self-join runs within (band, band-key) buckets — the
+    shuffle key — so pair generation is partition-local and bounded by
+    Σ|bucket|² per band, never |docs|²; the verify is a native
+    conv→xor→bit_count per candidate (codegen'd, no explode)."""
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must divide into n_bands={n_bands}")
+    w = bits // n_bands
+    keyed = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(*[F.substring(sig_col, b * w + 1, w) for b in range(n_bands)])
+        ).alias("band", "bk"),
+    )
+    a = keyed.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa"), "band", "bk")
+    b = keyed.select(
+        F.col("id").alias("doc_b"), F.col("sig").alias("_sb"),
+        F.col("band").alias("band2"), F.col("bk").alias("bk2"),
+    )
+    cands = (
+        a.join(b, (a.band == b.band2) & (a.bk == b.bk2) & (a.doc_a < b.doc_b))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+    )
+    ham = F.expr(
+        "bit_count(CAST(conv(_sa, 2, 10) AS BIGINT) ^ CAST(conv(_sb, 2, 10) AS BIGINT))"
+    ).cast("int")
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

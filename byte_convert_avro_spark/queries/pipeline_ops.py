@@ -53,6 +53,66 @@ def simhash_signatures(spark: SparkSession, sf: str):
     return D.simhash(spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", bits=16)
 
 
+_SIMHASH_CTE = """
+    toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    ), hw AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    sbits AS (
+      SELECT doc_id, b,
+             CASE WHEN substr(h, b, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END AS s
+      FROM hw CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS b) bb
+    ), sagg AS (
+      SELECT doc_id, b, CASE WHEN SUM(s) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM sbits GROUP BY doc_id, b
+    ), sh16 AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+      FROM sagg GROUP BY doc_id
+    )
+"""
+
+_HAMMING16 = "(" + " + ".join(
+    f"CASE WHEN substr(sa.simhash, {i}, 1) <> substr(sb.simhash, {i}, 1) THEN 1 ELSE 0 END"
+    for i in range(1, 17)
+) + ")"
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH {_SIMHASH_CTE},
+    keyed AS (
+      SELECT doc_id, simhash, band, substr(simhash, band * 4 + 1, 4) AS bk
+      FROM sh16 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bands
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keyed a
+      JOIN keyed b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, {_HAMMING16} AS hamming
+    FROM cands c
+    JOIN sh16 sa ON sa.doc_id = c.doc_a
+    JOIN sh16 sb ON sb.doc_id = c.doc_b
+    WHERE {_HAMMING16} <= 3
+    """,
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf: str):
+    """SimHash Hamming-ball near-dup pairs: 4-bit band buckets over the
+    16-bit signature, candidates = agreement on ANY band, exact Hamming
+    verify <= 3 within candidates only.  EXACT by pigeonhole (3 flipped
+    bits cannot touch all 4 bands), so unlike the probabilistic LSH
+    paths this candidate set provably loses nothing — the whole ladder
+    stage the dedup module docstring promises
+    (operators/dedup.py simhash_near_dup).  The Spark verify is a
+    native conv→xor→bit_count; the oracle spells the same distance as a
+    16-term positional sum — same integers either way."""
+    sigs = D.simhash(spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", bits=16)
+    return D.simhash_near_dup(sigs, "doc_id", "simhash", bits=16, n_bands=4, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 @register(
     "jaccard_verified_candidates",

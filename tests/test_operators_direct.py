@@ -283,3 +283,42 @@ def test_connected_components_one_job_per_round(spark):
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+
+
+def test_simhash_near_dup_pigeonhole_exact(spark, sf_dir):
+    """With max_hamming < n_bands the banded candidate set provably
+    contains EVERY pair in the Hamming ball (3 flipped bits cannot touch
+    all 4 bands), so the operator's output must equal the brute-force
+    all-pairs computation exactly — recall 1.0, not probabilistic."""
+    from byte_convert_avro_spark.operators.dedup import simhash, simhash_near_dup
+    from byte_convert_avro_spark.queries.base import t
+
+    sigs = simhash(
+        t(spark, sf_dir, "documents").limit(200), "text", "doc_id", bits=16
+    ).cache()
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup(sigs, bits=16, n_bands=4, max_hamming=3).collect()
+    }
+    rows = sigs.collect()
+    truth = {}
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1:]:
+            a, b = sorted((ra.doc_id, rb.doc_id))
+            sa = ra.simhash if a == ra.doc_id else rb.simhash
+            sb = rb.simhash if a == ra.doc_id else ra.simhash
+            h = sum(x != y for x, y in zip(sa, sb))
+            if h <= 3:
+                truth[(a, b)] = h
+    sigs.unpersist()
+    assert truth, "sanity: the corpus must contain Hamming<=3 pairs"
+    assert got == truth
+
+
+def test_simhash_near_dup_rejects_unbandable_bits(spark):
+    from byte_convert_avro_spark.operators.dedup import simhash_near_dup
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "0" * 10)], "doc_id int, simhash string")
+    with _pytest.raises(ValueError):
+        simhash_near_dup(df, bits=10, n_bands=4)
