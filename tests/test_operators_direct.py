@@ -322,3 +322,24 @@ def test_simhash_near_dup_rejects_unbandable_bits(spark):
     df = spark.createDataFrame([(1, "0" * 10)], "doc_id int, simhash string")
     with _pytest.raises(ValueError):
         simhash_near_dup(df, bits=10, n_bands=4)
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    """A chain whose diameter exceeds max_iter must RAISE — silently
+    returning partially-propagated labels would merge dedup clusters
+    wrongly downstream (the documented contract in operators/dedup.py)."""
+    from byte_convert_avro_spark.operators.dedup import connected_components
+
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a int, doc_b int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+    # the same graph converges fine with an adequate budget
+    got = {
+        (r.v, r.component)
+        for r in connected_components(pairs, max_iter=15).collect()
+    }
+    assert got == {(i, 0) for i in range(9)}
