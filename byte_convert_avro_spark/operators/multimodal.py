@@ -108,3 +108,109 @@ def blob_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             .otherwise("unknown"),
         )
     )
+
+
+def _fake_resize(data: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real resize: a content+target-derived
+    payload (so downstream hashing/dedup over 'resized' blobs is
+    exercised with real, distinct bytes)."""
+    import hashlib
+
+    h1 = hashlib.md5(data + f"|{w}x{h}".encode()).hexdigest()
+    return (h1 + f"|{w}x{h}-resized").encode()
+
+
+def resize_images(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    target_w: int = 64,
+    target_h: int = 64,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize image blobs to (target_w, target_h), emitting the resized
+    bytes plus oracle-friendly digests.  Production hook: Pillow
+    ``Image.open(...).resize(...)`` in ``_resize``; the distributed shape
+    (Arrow batches in, new binary + typed columns out) is final.
+    -> (id_col, resized binary, out_w, out_h, out_bytes, resized_md5)"""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def _resize(data: bytes) -> bytes:
+            if deterministic_fake:
+                return _fake_resize(data, target_w, target_h)
+            raise NotImplementedError(
+                "real image resizing needs an imaging library (e.g. Pillow); "
+                "this container ships none — pass deterministic_fake=True "
+                "to exercise the pipeline"
+            )
+
+        for pdf in it:
+            resized = [_resize(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": resized,
+                    "out_w": target_w,
+                    "out_h": target_h,
+                    "out_bytes": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, resized binary, out_w int, out_h int, "
+            "out_bytes long, resized_md5 string"
+        ),
+    )
+
+
+def _fake_features(data: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real feature extractor: ``dim`` values
+    in [-1, 1] derived from md5 byte pairs — reproducible in SQL, so the
+    full multimodal->similarity pipeline sits under the oracle gate."""
+    import hashlib
+
+    h = hashlib.md5(data).hexdigest()
+    return [(int(h[2 * i: 2 * i + 2], 16) - 127.5) / 127.5 for i in range(dim)]
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    dim: int = 8,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Extract an embedding from each blob (production hook: a vision
+    encoder over the decoded image; ``dim`` <= 16 for the md5-derived
+    fake).  The output feeds the similarity operators directly
+    (``operators/similarity.cosine_topk`` etc.).
+    -> (id_col, features array<double>)"""
+    if not 1 <= dim <= 16:
+        raise ValueError(f"dim must be in [1, 16] (md5 supplies 16 byte pairs), got {dim}")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _extract(data: bytes) -> list[float]:
+            if deterministic_fake:
+                return _fake_features(data, dim)
+            raise NotImplementedError(
+                "real feature extraction needs a vision encoder; this "
+                "container ships none — pass deterministic_fake=True to "
+                "exercise the pipeline"
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "features": [_extract(bytes(b)) for b in pdf[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=f"{id_col} long, features array<double>"
+    )

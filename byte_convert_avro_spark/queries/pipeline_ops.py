@@ -857,3 +857,82 @@ def source_mix_upsampling(spark: SparkSession, sf: str):
         )
         .select("source", "mixed_docs", "base_docs", "weight")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_resize_plumbing",
+    """
+    SELECT doc_id,
+           CAST(64 AS INT) AS out_w,
+           CAST(64 AS INT) AS out_h,
+           CAST(LENGTH(md5(text || '|64x64') || '|64x64-resized') AS BIGINT) AS out_bytes,
+           md5(md5(text || '|64x64') || '|64x64-resized') AS resized_md5
+    FROM documents
+    """,
+)
+def multimodal_resize_plumbing(spark: SparkSession, sf: str):
+    """Image-resize plumbing end-to-end: blob -> Arrow-batched resize
+    (deterministic fake; the real Pillow hook is the documented
+    NotImplementedError) -> NEW binary column + typed dims.  The oracle
+    recomputes the fake's content-derived digests in SQL, pinning that
+    every blob went through the batch pipeline and produced exactly the
+    expected bytes (compared via md5 — raw binary never crosses the
+    engine-compare boundary)."""
+    docs = spread(t(spark, sf, "documents"), "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return M.resize_images(
+        docs, "blob", "doc_id", target_w=64, target_h=64, deterministic_fake=True
+    ).select("doc_id", "out_w", "out_h", "out_bytes", "resized_md5")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_feature_knn",
+    """
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+    f AS (
+      SELECT doc_id,
+           (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1) - 127.5) / 127.5 AS f0,
+           (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 1) - 127.5) / 127.5 AS f1,
+           (((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1) - 127.5) / 127.5 AS f2,
+           (((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1) - 127.5) / 127.5 AS f3,
+           (((strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 1) - 127.5) / 127.5 AS f4,
+           (((strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1) * 1) - 127.5) / 127.5 AS f5,
+           (((strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1) * 1) - 127.5) / 127.5 AS f6,
+           (((strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1) * 1) - 127.5) / 127.5 AS f7
+      FROM m
+    ),
+    n AS (SELECT *, sqrt(f0 * f0 + f1 * f1 + f2 * f2 + f3 * f3 + f4 * f4 + f5 * f5 + f6 * f6 + f7 * f7) AS nrm FROM f),
+    q AS (SELECT * FROM n WHERE doc_id < 10),
+    c AS (SELECT * FROM n WHERE doc_id >= 10),
+    sims AS (
+      SELECT q.doc_id AS qid, c.doc_id AS id,
+             ROUND((q.f0 * c.f0 + q.f1 * c.f1 + q.f2 * c.f2 + q.f3 * c.f3 + q.f4 * c.f4 + q.f5 * c.f5 + q.f6 * c.f6 + q.f7 * c.f7) / (q.nrm * c.nrm), 4) AS sim
+      FROM c CROSS JOIN q
+    )
+    SELECT qid, id, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank
+      FROM sims)
+    WHERE rank <= 3
+    """,
+)
+def multimodal_feature_knn(spark: SparkSession, sf: str):
+    """The full multimodal->similarity pipeline under ONE oracle row:
+    blob -> Arrow-batched feature extraction (deterministic md5-derived
+    fake; the real vision-encoder hook is the documented
+    NotImplementedError) -> cosine top-3 neighbors per query blob via
+    operators/similarity.cosine_topk (query side broadcast, JVM-side
+    dot products).  The oracle recomputes the fake features AND the
+    ranking in SQL: both engines sum the 8 products left-to-right over
+    identical doubles, so ordering cannot diverge."""
+    docs = spread(t(spark, sf, "documents"), "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    feats = M.extract_features(docs, "blob", "doc_id", dim=8, deterministic_fake=True)
+    queries = feats.filter(F.col("doc_id") < 10)
+    corpus = feats.filter(F.col("doc_id") >= 10)
+    return S.cosine_topk(
+        corpus, queries, k=3, vec_col="features", id_col="doc_id"
+    )

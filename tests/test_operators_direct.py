@@ -343,3 +343,39 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
         for r in connected_components(pairs, max_iter=15).collect()
     }
     assert got == {(i, 0) for i in range(9)}
+
+
+def test_multimodal_resize_and_features_contract(spark):
+    """resize_images / extract_features: deterministic fakes exercise the
+    Arrow-batched plumbing with verifiable outputs; the real hooks raise
+    (documented stubs); extract_features feeds similarity ops directly."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, b"some-image-bytes")], "doc_id long, blob binary")
+
+    r = resize_images(df, deterministic_fake=True).collect()[0]
+    expect = hashlib.md5(b"some-image-bytes" + b"|64x64").hexdigest() + "|64x64-resized"
+    assert bytes(r.resized) == expect.encode()
+    assert r.resized_md5 == hashlib.md5(expect.encode()).hexdigest()
+    assert (r.out_w, r.out_h, r.out_bytes) == (64, 64, len(expect))
+
+    f = extract_features(df, dim=8, deterministic_fake=True).collect()[0]
+    h = hashlib.md5(b"some-image-bytes").hexdigest()
+    assert f.features == [(int(h[2 * i: 2 * i + 2], 16) - 127.5) / 127.5 for i in range(8)]
+    assert all(-1.0 <= x <= 1.0 for x in f.features)
+
+    with _pytest.raises(Exception) as e1:
+        resize_images(df, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(e1.value) or "imaging library" in str(e1.value)
+    with _pytest.raises(Exception) as e2:
+        extract_features(df, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(e2.value) or "vision encoder" in str(e2.value)
+    with _pytest.raises(ValueError):
+        extract_features(df, dim=17, deterministic_fake=True)
