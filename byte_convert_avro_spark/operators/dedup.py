@@ -168,8 +168,11 @@ def simhash_near_dup(
     EXACT by pigeonhole when ``max_hamming < n_bands`` (the default):
     a pair within the Hamming ball differs in at most ``n_bands - 1``
     bit positions, so at least one band is untouched and the pair always
-    collides — 100%% recall, not probabilistic (pinned by
+    collides — 100% recall, not probabilistic (pinned by
     tests/test_operators_direct.py::test_simhash_near_dup_pigeonhole_exact).
+    A signature whose actual width differs from ``bits`` would silently
+    break that guarantee (bands would cover only a prefix), so every row
+    is width-checked in the plan and a mismatch RAISES.
 
     Scale: the self-join runs within (band, band-key) buckets — the
     shuffle key — so pair generation is partition-local and bounded by
@@ -178,7 +181,18 @@ def simhash_near_dup(
     if bits % n_bands:
         raise ValueError(f"bits={bits} must divide into n_bands={n_bands}")
     w = bits // n_bands
-    keyed = sigs.select(
+    # job-time width guard: assert_true returns NULL on pass (keeping the
+    # filter in the plan) and raises on the first wrong-width signature
+    checked = sigs.filter(
+        F.assert_true(
+            F.length(sig_col) == bits,
+            F.concat(
+                F.lit(f"simhash_near_dup: signature width != bits={bits}: "),
+                F.col(sig_col),
+            ),
+        ).isNull()
+    )
+    keyed = checked.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),
         F.posexplode(

@@ -26,33 +26,9 @@ def _hex_int(h: str, start: int, n: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-# ---------------------------------------------------------------------------
-@register(
-    "simhash_signatures",
-    """
-    WITH toks AS (
-      SELECT DISTINCT doc_id, tok FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-    ), hw AS (SELECT doc_id, md5(tok) AS h FROM toks),
-    bits AS (
-      SELECT doc_id, b,
-             CASE WHEN substr(h, b, 1) IN ('8','9','a','b','c','d','e','f')
-                  THEN 1 ELSE -1 END AS s
-      FROM hw CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS b) bb
-    ), agg AS (
-      SELECT doc_id, b, CASE WHEN SUM(s) >= 0 THEN '1' ELSE '0' END AS bit
-      FROM bits GROUP BY doc_id, b
-    )
-    SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
-    FROM agg GROUP BY doc_id
-    """,
-)
-def simhash_signatures(spark: SparkSession, sf: str):
-    """16-bit SimHash per document (majority vote over md5-nibble signs of
-    distinct tokens).  Integer votes -> no float anywhere."""
-    return D.simhash(spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", bits=16)
-
-
+#: the ONE canonical 16-bit SimHash oracle pipeline — both simhash
+#: queries compose it, so the tokenize/vote/assemble semantics cannot
+#: drift between them.
 _SIMHASH_CTE = """
     toks AS (
       SELECT DISTINCT doc_id, tok FROM (
@@ -76,6 +52,20 @@ _HAMMING16 = "(" + " + ".join(
     f"CASE WHEN substr(sa.simhash, {i}, 1) <> substr(sb.simhash, {i}, 1) THEN 1 ELSE 0 END"
     for i in range(1, 17)
 ) + ")"
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_signatures",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sh16
+    """,
+)
+def simhash_signatures(spark: SparkSession, sf: str):
+    """16-bit SimHash per document (majority vote over md5-nibble signs of
+    distinct tokens).  Integer votes -> no float anywhere."""
+    return D.simhash(spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -888,20 +878,20 @@ def multimodal_resize_plumbing(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
+#: the fake feature decode, defined ONCE from the shared _hex_int helper
+#: (the pandas-side twin is operators/multimodal._fake_features)
+_FAKE_FEATS = ",\n           ".join(
+    f"({_hex_int('h', 2 * i + 1, 2)} - 127.5) / 127.5 AS f{i}" for i in range(8)
+)
+
+
 @register(
     "multimodal_feature_knn",
-    """
+    f"""
     WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
     f AS (
       SELECT doc_id,
-           (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1) - 127.5) / 127.5 AS f0,
-           (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 1) - 127.5) / 127.5 AS f1,
-           (((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1) - 127.5) / 127.5 AS f2,
-           (((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 1) - 127.5) / 127.5 AS f3,
-           (((strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 1) - 127.5) / 127.5 AS f4,
-           (((strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1) * 1) - 127.5) / 127.5 AS f5,
-           (((strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 14, 1)) - 1) * 1) - 127.5) / 127.5 AS f6,
-           (((strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 16, 1)) - 1) * 1) - 127.5) / 127.5 AS f7
+           {_FAKE_FEATS}
       FROM m
     ),
     n AS (SELECT *, sqrt(f0 * f0 + f1 * f1 + f2 * f2 + f3 * f3 + f4 * f4 + f5 * f5 + f6 * f6 + f7 * f7) AS nrm FROM f),
@@ -930,9 +920,17 @@ def multimodal_feature_knn(spark: SparkSession, sf: str):
     docs = spread(t(spark, sf, "documents"), "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
-    feats = M.extract_features(docs, "blob", "doc_id", dim=8, deterministic_fake=True)
-    queries = feats.filter(F.col("doc_id") < 10)
-    corpus = feats.filter(F.col("doc_id") >= 10)
+    # split BEFORE extraction: doc_id filters cannot push below a
+    # mapInPandas stage, so filtering extracted output would run the
+    # Python feature pass over the full corpus twice (once per join side)
+    queries = M.extract_features(
+        docs.filter(F.col("doc_id") < 10), "blob", "doc_id", dim=8,
+        deterministic_fake=True,
+    )
+    corpus = M.extract_features(
+        docs.filter(F.col("doc_id") >= 10), "blob", "doc_id", dim=8,
+        deterministic_fake=True,
+    )
     return S.cosine_topk(
         corpus, queries, k=3, vec_col="features", id_col="doc_id"
     )

@@ -379,3 +379,17 @@ def test_multimodal_resize_and_features_contract(spark):
     assert "NotImplementedError" in str(e2.value) or "vision encoder" in str(e2.value)
     with _pytest.raises(ValueError):
         extract_features(df, dim=17, deterministic_fake=True)
+
+
+def test_simhash_near_dup_raises_on_wrong_width_signature(spark):
+    """A signature narrower/wider than `bits` would silently break the
+    pigeonhole guarantee (bands cover only a prefix) — must raise."""
+    from byte_convert_avro_spark.operators.dedup import simhash_near_dup
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "0" * 16), (2, "0" * 12)], "doc_id int, simhash string"
+    )
+    with _pytest.raises(Exception, match="signature width"):
+        simhash_near_dup(df, bits=16, n_bands=4).collect()
