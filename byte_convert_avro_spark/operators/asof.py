@@ -59,6 +59,14 @@ def asof_join(
     cogrouped ``pd.merge_asof`` form) for such payloads."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
+    elif len(set(right_cols)) != len(right_cols) or on in right_cols or by in right_cols:
+        # the payload struct is right_cols + [on]; a duplicate or an
+        # explicit on/by entry would create duplicate field names and make
+        # the final getField projection ambiguous — fail fast instead
+        raise ValueError(
+            f"asof_join right_cols must be unique and exclude on={on!r}/"
+            f"by={by!r}, got {right_cols}"
+        )
     payload_t = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in right_cols]
         + [T.StructField(on, right.schema[on].dataType)]

@@ -126,6 +126,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     probes and TWO extra shuffles; substring-per-buffer 0.78s;
     isin-per-buffer 1.81s.  Locally a wash vs explode — the buffer form
     wins at scale by never materializing bits× intermediate rows.)"""
+    if not 1 <= bits <= 32:
+        # md5 supplies 32 hex nibbles; past that the conv() groups would
+        # read empty substrings and emit constant votes — fail fast
+        raise ValueError(f"simhash bits must be in [1, 32], got {bits}")
     n_groups = (bits + 7) // 8
     tokens = (
         df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
@@ -180,6 +184,10 @@ def simhash_near_dup(
     conv→xor→bit_count per candidate (codegen'd, no explode)."""
     if bits % n_bands:
         raise ValueError(f"bits={bits} must divide into n_bands={n_bands}")
+    if not 1 <= bits <= 63:
+        # the verify casts conv(sig, 2, 10) to a signed BIGINT; a 64-bit
+        # signature would overflow it and mis-count distances — fail fast
+        raise ValueError(f"simhash_near_dup bits must be in [1, 63], got {bits}")
     w = bits // n_bands
     # job-time width guard: assert_true returns NULL on pass (keeping the
     # filter in the plan) and raises on the first wrong-width signature
@@ -292,6 +300,111 @@ def embedding_near_dup(
         )
         .filter(F.col("_sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("_sim_raw", round_to).alias("sim"))
+    )
+
+
+def text_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 16,
+) -> DataFrame:
+    """Non-overlapping ``window``-char chunk fingerprints per document:
+    -> (id_col, chunk_idx, chunk_hash), 1-based chunk_idx.  Documents
+    shorter than ``window`` produce no rows; the tail remainder shorter
+    than ``window`` is never chunked (substring-dedup treats it as
+    unsharable).  The unit of substring-level duplicate detection —
+    contrast :func:`text.rolling_hashes`, the stride-1 overlapping form
+    (winnowing's raw material)."""
+    d = df.filter(F.length(text_col) >= window)
+    return d.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) DIV {window}),"
+                f" i -> md5(substring({text_col}, (i - 1) * {window} + 1, {window})))"
+            )
+        ).alias("chunk_idx0", "chunk_hash"),
+    ).select(id_col, (F.col("chunk_idx0") + 1).alias("chunk_idx"), "chunk_hash")
+
+
+def repeated_chunks(
+    chunks: DataFrame, id_col: str = "doc_id", min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated chunks: hashes appearing in >= ``min_docs``
+    DISTINCT documents (within-doc repeats alone don't qualify — this is
+    the boilerplate/license detector, not self-repetition).
+    -> (chunk_hash, n_docs, n_occurrences)
+
+    Scale: ONE shuffle on the uniform 128-bit chunk hash; the distinct-doc
+    count partial-aggregates map-side.  Never all-pairs."""
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def chunk_dup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 16, min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span accounting over non-overlapping
+    ``window``-char chunks — the substring-level rung of the dedup ladder
+    (exact-doc < chunk < near-doc): a doc that is MOSTLY cross-document
+    boilerplate is invisible to exact dedup and may sit below near-dup
+    thresholds, but its chunk profile exposes it.
+    -> (id_col, total_chars, n_chunks, n_dup_chunks, dup_frac, kept_chars,
+    dropped) for EVERY input document (short docs: 0 chunks, kept whole).
+
+    - ``dup_frac``     duplicated-chunk fraction (0.0 when chunkless)
+    - ``kept_chars``   chars surviving chunk-level stripping
+      (total - window * n_dup_chunks) — exact because chunks don't overlap
+    - ``dropped``      1 iff >= half the chunks are cross-doc duplicates
+      (integer compare ``2*n_dup >= n_chunks`` — no float threshold)
+
+    Scale: chunk explode is narrow; the shared-chunk detection is one
+    shuffle on chunk_hash; the membership join re-shuffles chunks on the
+    same key (the chunk exchange is reusable) against the much smaller
+    shared set; the per-doc rollup shuffles on the doc id.  No stage pairs
+    documents — cost is O(corpus chunks), never |docs|²."""
+    chunks = text_chunks(df, text_col, id_col, window)
+    shared = repeated_chunks(chunks, id_col, min_docs).select(
+        "chunk_hash", F.lit(1).alias("_dup")
+    )
+    per = (
+        chunks.join(shared, "chunk_hash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_chunks"),
+        )
+    )
+    base = df.select(id_col, F.length(text_col).cast("long").alias("total_chars"))
+    j = base.join(per, id_col, "left").select(
+        id_col,
+        "total_chars",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+    )
+    return j.select(
+        id_col,
+        "total_chars",
+        "n_chunks",
+        "n_dup_chunks",
+        F.when(
+            F.col("n_chunks") > 0,
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        (F.col("total_chars") - F.lit(window) * F.col("n_dup_chunks")).alias("kept_chars"),
+        (
+            (F.col("n_chunks") > 0)
+            & (F.col("n_dup_chunks") * 2 >= F.col("n_chunks"))
+        )
+        .cast("int")
+        .alias("dropped"),
     )
 
 

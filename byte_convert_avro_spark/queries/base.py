@@ -67,13 +67,21 @@ def events_ts_to_ns(df: DataFrame) -> DataFrame:
 
     The driver's parquet has shipped ``ts`` in two physical forms across
     rounds: TIMESTAMP(NANOS) (readable only as longs via the
-    ``nanosAsLong`` legacy conf) and plain µs TIMESTAMP.  Both normalize
-    here.  The ``cast('timestamp')`` + ``unix_micros`` path interprets an
-    NTZ value in the SESSION timezone, so :func:`t` pins
-    ``spark.sql.session.timeZone=UTC`` before any events load — that makes
-    the conversion match DuckDB's ``epoch_us(ts)`` (naive-as-UTC) on any
-    host, including the driver's bare un-configured session."""
+    ``nanosAsLong`` legacy conf) and µs TIMESTAMP_NTZ.  Both normalize
+    here, and both conversions are SESSION-TZ-INDEPENDENT: the NTZ path
+    is a wall-clock ``timestampdiff`` against the NTZ epoch (naive-as-UTC,
+    exactly DuckDB's ``epoch_us(ts)``), and ``unix_micros`` on an instant
+    TIMESTAMP reads the UTC epoch directly.  No ordering between this
+    conversion and any session-conf mutation can change the result."""
     dt = df.schema["ts"].dataType.simpleString()
+    if dt == "timestamp_ntz":
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+            )
+            * F.lit(1000),
+        )
     if dt.startswith("timestamp"):
         return df.withColumn(
             "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
@@ -98,8 +106,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # NTZ→epoch in events_ts_to_ns reads the session TZ; pin it so the
-        # normalization is host-independent (see events_ts_to_ns docstring).
+        # The epoch conversion itself is TZ-independent (see
+        # events_ts_to_ns), but event-time RENDERING (date_format over
+        # timestamp_micros) and streaming window() alignment read the
+        # session TZ; pin UTC so those match DuckDB's naive semantics on
+        # any host (incl. the driver's bare session).  Documented global
+        # side effect — the engine's own sessions already default to UTC
+        # (session.py).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

@@ -234,6 +234,85 @@ def rolling_hash_chunks(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
+_CHUNKS_CTE = """
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             md5(substr(text, (i - 1) * 16 + 1, 16)) AS chunk_hash
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, LENGTH(text) // 16)) AS i
+            FROM documents)
+    )
+"""
+
+
+@register(
+    "repeated_chunks_cross_doc",
+    f"""
+    WITH {_CHUNKS_CTE}
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def repeated_chunks_cross_doc(spark: SparkSession, sf: str):
+    """Cross-document repeated substrings (16-char non-overlapping chunk
+    hashes appearing in >= 2 distinct docs) — the boilerplate/license
+    detector.  574 shared chunks at sf0.01.  One shuffle on the uniform
+    chunk hash, map-side partial distinct-doc counts — never all-pairs
+    (operators/dedup.py text_chunks + repeated_chunks)."""
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    return D.repeated_chunks(D.text_chunks(docs, "text", "doc_id", window=16))
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_strip_repeated_chunks",
+    f"""
+    WITH {_CHUNKS_CTE},
+    shared AS (
+      SELECT chunk_hash FROM chunks
+      GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    perdoc AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             SUM(CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM chunks c LEFT JOIN shared s ON s.chunk_hash = c.chunk_hash
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
+           CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+           CASE WHEN COALESCE(p.n_chunks, 0) > 0
+                THEN CAST(p.n_dup AS DOUBLE) / p.n_chunks
+                ELSE 0.0 END AS dup_frac,
+           CAST(LENGTH(d.text) - 16 * COALESCE(p.n_dup, 0) AS BIGINT) AS kept_chars,
+           CAST(CASE WHEN COALESCE(p.n_chunks, 0) > 0
+                      AND 2 * p.n_dup >= p.n_chunks
+                THEN 1 ELSE 0 END AS INT) AS dropped
+    FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    """,
+)
+def corpus_strip_repeated_chunks(spark: SparkSession, sf: str):
+    """SUBSTRING-LEVEL dedup — the ladder rung between exact-doc and
+    near-doc: per-document duplicated-span accounting over non-overlapping
+    16-char chunks, with the chunk-stripped size (``kept_chars``) and the
+    drop verdict (>= half the chunks are cross-document duplicates —
+    integer compare, no float threshold).  A doc that is mostly shared
+    boilerplate is invisible to exact dedup and can sit below near-dup
+    Jaccard thresholds; this exposes and strips it.  At sf0.01: 308/500
+    docs carry >= 1 duplicated chunk, 47 would be dropped.  Scale story in
+    operators/dedup.py chunk_dup_stats: one chunk-hash shuffle + one
+    doc-id rollup, cost O(corpus chunks)."""
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    return D.chunk_dup_stats(docs, "text", "doc_id", window=16, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
 @register(
     "multimodal_image_meta",
     f"""

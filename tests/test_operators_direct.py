@@ -293,8 +293,11 @@ def test_simhash_near_dup_pigeonhole_exact(spark, sf_dir):
     from byte_convert_avro_spark.operators.dedup import simhash, simhash_near_dup
     from byte_convert_avro_spark.queries.base import t
 
+    # deterministic subset: a bare limit() over an unordered parquet scan
+    # is not a stable row set, so a cache eviction between the two collects
+    # could compare different subsets — filter on the key instead
     sigs = simhash(
-        t(spark, sf_dir, "documents").limit(200), "text", "doc_id", bits=16
+        t(spark, sf_dir, "documents").where("doc_id < 200"), "text", "doc_id", bits=16
     ).cache()
     got = {
         (r.doc_a, r.doc_b): r.hamming
@@ -322,6 +325,34 @@ def test_simhash_near_dup_rejects_unbandable_bits(spark):
     df = spark.createDataFrame([(1, "0" * 10)], "doc_id int, simhash string")
     with _pytest.raises(ValueError):
         simhash_near_dup(df, bits=10, n_bands=4)
+
+
+def test_simhash_bit_width_guards(spark):
+    """bits outside md5's 32 nibbles (simhash) or BIGINT's 63 sign bits
+    (simhash_near_dup verify) must RAISE instead of silently emitting
+    garbage signatures / mis-counted distances."""
+    from byte_convert_avro_spark.operators.dedup import simhash, simhash_near_dup
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match=r"\[1, 32\]"):
+        simhash(docs, "text", "doc_id", bits=33)
+    with _pytest.raises(ValueError):
+        simhash(docs, "text", "doc_id", bits=0)
+    sigs = spark.createDataFrame([(1, "0" * 64)], "doc_id int, simhash string")
+    with _pytest.raises(ValueError, match=r"\[1, 63\]"):
+        simhash_near_dup(sigs, bits=64, n_bands=4)
+
+
+def test_asof_rejects_bad_right_cols(spark):
+    """Explicit right_cols containing duplicates or the on/by column would
+    build a payload struct with duplicate field names — must RAISE."""
+    import pytest as _pytest
+
+    left, right = _frames(spark)
+    for bad in (["rv", "rv"], ["rv", "t"], ["rv", "k"]):
+        with _pytest.raises(ValueError, match="right_cols"):
+            asof_join(left, right, on="t", by="k", right_cols=bad)
 
 
 def test_connected_components_raises_on_budget_exhaustion(spark):

@@ -229,6 +229,22 @@ def test_jaccard_joins_shingle_arrays_not_rows(spark, sf_dir):
             assert "sh#" not in line and "_rb_sh" not in line, line
 
 
+def test_chunk_dedup_no_pair_join_partial_distinct(spark, sf_dir):
+    """Substring-level dedup never pairs documents: the plan contains no
+    cartesian/nested-loop join, the shared-chunk detection partial-
+    aggregates the distinct-doc count map-side before its one chunk-hash
+    shuffle, and total exchanges stay bounded (spread repartitions + the
+    chunk-hash shuffle + join requirements)."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = Q["corpus_strip_repeated_chunks"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count(distinct" in plan
+    assert count_exchanges(df) <= 6
+
+
 def test_partitioned_cache_joins_shuffle_free_on_cached_side(spark):
     """The mechanism connected_components' big-graph path relies on: a
     relation cached AFTER repartition+sortWithinPartitions on the join
