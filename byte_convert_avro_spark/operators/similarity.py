@@ -124,6 +124,94 @@ def ivf_search(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_lloyd(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means — the TRAINING step of the IVF index
+    (so :func:`ivf_build`/:func:`ivf_search` search an index that was
+    actually trained, not per-label means).  -> (cell, ``vec_col``
+    array<double>): the centroids after exactly ``n_iter`` rounds.
+
+    Fully deterministic, no RNG and engine-reproducible:
+
+    - seeds = the vectors of the ``k`` SMALLEST ids (cell label = seed id);
+    - assignment ties break to the lowest cell id;
+    - every float reduction is a fixed-order IEEE fold: the squared-L2
+      distance folds dims left-to-right, and each centroid update sums
+      members in id order (one division by the count at the end).
+
+    Scale (the connected_components discipline — one action per round):
+    centroids are k×dim values BY CONSTRUCTION, so each round collects
+    them to the driver and re-broadcasts them as literals.  Assignment is
+    then a NARROW row-local argmin over ``k`` literal distance
+    expressions — no crossJoin, no shuffle, no per-round join; the only
+    shuffle per round is the (cell, dim)-keyed centroid update, whose
+    partial sums run map-side.  Rounds are a fixed budget, not a
+    convergence loop, so job count is exactly bounded (pinned by
+    tests/test_operators_direct.py::test_kmeans_one_job_per_round).
+    Cells that lose all members drop out permanently (deterministic in
+    both engines)."""
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    seed_rows = e.orderBy("id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (int(r.id), [float(x) for x in r.e]) for r in seed_rows
+    ]
+
+    def ordered_fold(sort_key: str, value: str):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(sort_key, value))),
+                lambda s: s[value],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    for _ in range(n_iter):
+        d2s = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(v) for v in vec]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                for _, vec in cents
+            ]
+        )
+        cells = F.array(*[F.lit(c) for c, _ in cents]).cast("array<bigint>")
+        assigned = e.withColumn(
+            # array_position returns the FIRST index of the min -> ties
+            # break to the lowest cell id (cents is sorted by cell)
+            "cell",
+            F.element_at(cells, F.array_position(d2s, F.array_min(d2s)).cast("int")),
+        )
+        dims = assigned.select(
+            "cell", "id", F.posexplode("e").alias("dim0", "x")
+        ).select("cell", (F.col("dim0") + 1).alias("dim"), "id", "x")
+        newc = dims.groupBy("cell", "dim").agg(
+            (ordered_fold("id", "x") / F.count("*")).alias("c")
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in newc.collect():  # k×dim rows — small by construction
+            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)
+        cents = [
+            (cell, [d[i] for i in sorted(d)]) for cell, d in sorted(by_cell.items())
+        ]
+    return corpus.sparkSession.createDataFrame(
+        cents, schema=f"cell long, {vec_col} array<double>"
+    )
+
+
 def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8) -> DataFrame:
     """Deterministic sign-LSH bucket key: the sign pattern of the first
     ``n_bits`` dimensions (a fixed-hyperplane family — no RNG, so the

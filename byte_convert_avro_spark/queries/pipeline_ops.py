@@ -396,23 +396,81 @@ _IVF_DOT_SQL = (
 )
 
 
+def _kmeans_sql_cte(k: int = 8, n_iter: int = 3) -> str:
+    """The DuckDB twin of operators/similarity.kmeans_lloyd as a CTE
+    chain: seeds = the ``k`` smallest vec_ids, then ``n_iter`` unrolled
+    Lloyd rounds.  Ends with ``cent{n_iter}`` (cell, ce LIST) and
+    ``cdim{n_iter - 1}`` (cell, dim, c) — the same fixed-order folds as
+    the operator (distance dims left-to-right, member sums in vec_id
+    order), so every centroid value is bit-identical across engines."""
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for r in range(n_iter):
+        parts.append(
+            f"""dist{r} AS (
+      SELECT v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS d2
+      FROM v CROSS JOIN cent{r} c)"""
+        )
+        parts.append(
+            f"""assign{r} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dist{r})
+      WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cdim{r} AS (
+      SELECT a.cell, dd.dim,
+             list_reduce(list(v.e[dd.dim] ORDER BY v.vec_id),
+                         (a2, b2) -> a2 + b2) / COUNT(*) AS c
+      FROM assign{r} a JOIN v ON v.vec_id = a.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
+      GROUP BY a.cell, dd.dim)"""
+        )
+        parts.append(
+            f"cent{r + 1} AS (SELECT cell, list(c ORDER BY dim) AS ce FROM cdim{r} GROUP BY cell)"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kmeans_centroids_k8",
+    f"""
+    WITH {_kmeans_sql_cte(8, 3)}
+    SELECT cell, CAST(dim AS INT) AS dim, c FROM cdim2
+    """,
+)
+def kmeans_centroids_k8(spark: SparkSession, sf: str):
+    """Deterministic Lloyd's k-means (k=8, 3 fixed rounds, smallest-id
+    seeds) — the IVF TRAINING step, oracle-checked value-for-value: the
+    DuckDB twin unrolls the same three rounds as a CTE chain and every
+    centroid coordinate matches bit-for-bit (fixed-order IEEE folds on
+    both sides).  One narrow literal-argmin assignment + one (cell, dim)
+    shuffle + one k×dim driver collect per round
+    (operators/similarity.kmeans_lloyd)."""
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    cents = S.kmeans_lloyd(emb, "embedding", "vec_id", k=8, n_iter=3)
+    return cents.select(
+        "cell", F.posexplode("embedding").alias("dim0", "c")
+    ).select("cell", (F.col("dim0") + 1).cast("int").alias("dim"), "c")
+
+
 @register(
     "ivf_search_top3",
     f"""
-    WITH dims AS (
-      SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
-             unnest(generate_series(1, 64)) AS dim
-      FROM embeddings
-    ), cent AS (
-      SELECT label AS cell, dim,
-             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS c
-      FROM dims GROUP BY label, dim
-    ), dist AS (
-      SELECT d.vec_id, cent.cell,
-             list_reduce(list((d.x - cent.c) * (d.x - cent.c) ORDER BY d.dim),
+    WITH {_kmeans_sql_cte(8, 3)},
+    dist AS (
+      SELECT v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
                          (a, b) -> a + b) AS d2
-      FROM dims d JOIN cent ON d.dim = cent.dim
-      GROUP BY d.vec_id, cent.cell
+      FROM v CROSS JOIN cent3 c
     ), ranked AS (
       SELECT vec_id, cell, d2,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
@@ -421,18 +479,16 @@ _IVF_DOT_SQL = (
       SELECT vec_id, cell FROM ranked WHERE rn = 1 AND vec_id >= 5
     ), probes AS (
       SELECT vec_id AS qid, cell FROM ranked WHERE rn <= 2 AND vec_id < 5
-    ), v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e,
-             sqrt({_IVF_DOT_SQL.format(a='(embedding::DOUBLE[])', b='(embedding::DOUBLE[])')}) AS nrm
-      FROM embeddings
+    ), vn AS (
+      SELECT vec_id, e, sqrt({_IVF_DOT_SQL.format(a='e', b='e')}) AS nrm FROM v
     ), cand AS (
       SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON p.cell = a.cell
     ), sims AS (
       SELECT cand.qid, cand.vec_id,
              ROUND({_IVF_DOT_SQL.format(a='cv.e', b='qv.e')} / (cv.nrm * qv.nrm), 4) AS sim
       FROM cand
-      JOIN v cv ON cv.vec_id = cand.vec_id
-      JOIN v qv ON qv.vec_id = cand.qid
+      JOIN vn cv ON cv.vec_id = cand.vec_id
+      JOIN vn qv ON qv.vec_id = cand.qid
     )
     SELECT qid, vec_id, sim, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
@@ -441,66 +497,25 @@ _IVF_DOT_SQL = (
     """,
 )
 def ivf_search_top3(spark: SparkSession, sf: str):
-    """Full IVF ANN search, oracle-checked end to end: ordered-fold
-    centroids (train), squared-L2 cell assignment (index), 2-nearest-cell
-    probe per query, exact cosine top-3 within probed cells only.  Every
-    float reduction is a fixed-order IEEE fold so both engines agree
-    bit-for-bit; ties break on (d2, cell) / (sim, vec_id).  At corpus
-    scale the probe join touches ~2/K of the vectors (cells are the
-    shuffle/partition key); centroids always broadcast."""
-    e = spread(t(spark, sf, "embeddings"), "vec_id").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    """Full IVF ANN search over a TRAINED index, oracle-checked end to
+    end: deterministic k-means centroids (kmeans_lloyd, k=8, 3 rounds) ->
+    squared-L2 cell assignment of the corpus (ivf_build, centroids
+    broadcast) -> 2-nearest-cell probe per query -> exact cosine top-3
+    within probed cells only (ivf_search).  Every float reduction is a
+    fixed-order IEEE fold so both engines agree bit-for-bit; ties break
+    on (d2, cell) / (sim, vec_id).  At corpus scale the probe join
+    touches ~nprobe/K of the vectors (cells are the shuffle/partition
+    key); centroids stay broadcast at any corpus size."""
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    cents = S.kmeans_lloyd(emb, "embedding", "vec_id", k=8, n_iter=3)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    qs = emb.filter(F.col("vec_id") < 5)
+    indexed = S.ivf_build(corpus, cents, "embedding", "vec_id", cent_id="cell")
+    res = S.ivf_search(
+        indexed, cents, qs, k=3, nprobe=2,
+        vec_col="embedding", id_col="vec_id", cent_id="cell",
     )
-    dims = e.select("vec_id", "label", F.posexplode("e").alias("dim0", "x")).select(
-        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
-    )
-
-    def ordered_fold(sort_key: str, value: str):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(sort_key, value))),
-                lambda s: s[value],
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-
-    cent = dims.groupBy(F.col("label").alias("cell"), "dim").agg(
-        (ordered_fold("vec_id", "x") / F.count("*")).alias("c")
-    )
-    dist = (
-        dims.join(F.broadcast(cent), "dim")
-        .withColumn("sq", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-        .groupBy("vec_id", "cell")
-        .agg(ordered_fold("dim", "sq").alias("d2"))
-    )
-    rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cell"))
-    ranked = dist.withColumn("rn", rn)
-    assigned = ranked.filter((F.col("rn") == 1) & (F.col("vec_id") >= 5)).select(
-        "vec_id", "cell"
-    )
-    probes = ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5)).select(
-        F.col("vec_id").alias("qid"), "cell"
-    )
-    v = e.select(
-        "vec_id", "e", F.sqrt(F.expr(_IVF_DOT.format(a="e", b="e"))).alias("nrm")
-    )
-    cand = probes.join(assigned, "cell").select("qid", "vec_id")
-    cv = v.select(F.col("vec_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
-    qv = v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
-    sims = (
-        cand.join(cv, "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                F.expr(_IVF_DOT.format(a="ce", b="qe")) / (F.col("cn") * F.col("qn")), 4
-            ).alias("sim"),
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    return res.withColumnRenamed("id", "vec_id")
 
 
 # ---------------------------------------------------------------------------

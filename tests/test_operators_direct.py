@@ -285,6 +285,59 @@ def test_connected_components_one_job_per_round(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
 
 
+def test_kmeans_one_job_per_round(spark):
+    """kmeans_lloyd runs EXACTLY one Spark job per Lloyd round (the
+    (cell, dim) centroid-update collect) plus one seed job: assignment is
+    a narrow literal-argmin, so no per-round join/broadcast-build jobs
+    exist.  AQE off so jobs map 1:1 to actions."""
+    import random
+
+    from byte_convert_avro_spark.operators.similarity import kmeans_lloyd
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        random.seed(7)
+        data = [(i, [random.random() for _ in range(8)]) for i in range(100)]
+        df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+        sc.setJobGroup("km_job_bound", "kmeans job-count test")
+        kmeans_lloyd(df, "embedding", "vec_id", k=4, n_iter=3).collect()
+        sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup("km_job_bound")
+        # 1 seed collect + 3 round collects + 1 final collect
+        assert len(jobs) <= 5, f"expected <= 5 jobs for 3 rounds, got {len(jobs)}"
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_kmeans_recovers_separated_clusters_deterministically(spark):
+    """On well-separated blobs Lloyd converges to the exact per-blob
+    means within 3 rounds, and two runs return bit-identical centroids
+    (no RNG anywhere)."""
+    from byte_convert_avro_spark.operators.similarity import kmeans_lloyd
+
+    # two tight blobs around (0, 0) and (100, 100)
+    pts = [(i, [float(i % 5), float(i % 3)]) for i in range(10)]
+    pts += [(10 + i, [100.0 + (i % 5), 100.0 + (i % 3)]) for i in range(10)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    runs = []
+    for _ in range(2):
+        cents = {
+            r.cell: tuple(r.embedding)
+            for r in kmeans_lloyd(df, "embedding", "vec_id", k=2, n_iter=3).collect()
+        }
+        runs.append(cents)
+    assert runs[0] == runs[1]
+    got = sorted(runs[0].values())
+    exact = lambda xs: (sum(x[0] for x in xs) / len(xs), sum(x[1] for x in xs) / len(xs))
+    lo = exact([p[1] for p in pts[:10]])
+    hi = exact([p[1] for p in pts[10:]])
+    assert got[0] == tuple(map(float, lo)) or abs(got[0][0] - lo[0]) < 1e-9
+    assert abs(got[1][0] - hi[0]) < 1e-9 and abs(got[1][1] - hi[1]) < 1e-9
+
+
 def test_simhash_near_dup_pigeonhole_exact(spark, sf_dir):
     """With max_hamming < n_bands the banded candidate set provably
     contains EVERY pair in the Hamming ball (3 flipped bits cannot touch
