@@ -168,6 +168,159 @@ def resize_images(
     )
 
 
+#: schema of the metadata struct produced by decode_audio_metadata
+AUDIO_META_SCHEMA = (
+    "duration_ms long, sample_rate int, channels int, codec string, "
+    "n_bytes long, content_md5 string"
+)
+
+_AUDIO_RATES = [8000, 16000, 22050, 44100, 48000]
+
+
+def _fake_audio_meta(data: bytes) -> dict:
+    """Deterministic stand-in for a real audio header parse (soundfile/
+    mutagen would read the container header)."""
+    import hashlib
+
+    h = hashlib.md5(data).hexdigest()
+    return {
+        "duration_ms": (int(h[:5], 16) % 600000) + 1000,
+        "sample_rate": _AUDIO_RATES[int(h[5], 16) % 5],
+        "channels": (int(h[6], 16) % 2) + 1,
+        "codec": ["wav", "mp3", "flac", "opus"][int(h[7], 16) % 4],
+        "n_bytes": len(data),
+        "content_md5": h,
+    }
+
+
+def decode_audio_metadata(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Decode audio container headers into typed metadata columns — the
+    audio twin of :func:`decode_image_metadata`.
+
+    Production hook: replace ``_decode`` with a soundfile/mutagen header
+    read.  The distributed shape (Arrow batches in, metadata columns out)
+    is final.  -> (id_col, duration_ms, sample_rate, channels, codec,
+    n_bytes, content_md5)"""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _decode(data: bytes) -> dict:
+            if deterministic_fake:
+                return _fake_audio_meta(data)
+            raise NotImplementedError(
+                "real audio decoding needs an audio library (e.g. "
+                "soundfile/mutagen); this container ships none — pass "
+                "deterministic_fake=True to exercise the pipeline"
+            )
+
+        for pdf in it:
+            metas = [_decode(bytes(b)) for b in pdf[blob_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=f"{id_col} long, {AUDIO_META_SCHEMA}"
+    )
+
+
+def _fake_resample(data: bytes, rate: int) -> bytes:
+    """Deterministic stand-in for a real resample: content+target-derived
+    payload, same discipline as :func:`_fake_resize`."""
+    import hashlib
+
+    h1 = hashlib.md5(data + f"|{rate}hz".encode()).hexdigest()
+    return (h1 + f"|{rate}hz-resampled").encode()
+
+
+def resample_audio(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    target_rate: int = 16000,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resample audio blobs to ``target_rate`` Hz, emitting the new bytes
+    plus oracle-friendly digests — the audio twin of
+    :func:`resize_images`.  Production hook: librosa/soxr resample in
+    ``_resample``; the distributed shape (Arrow batches in, new binary +
+    typed columns out) is final.
+    -> (id_col, resampled binary, out_rate, out_bytes, resampled_md5)"""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def _resample(data: bytes) -> bytes:
+            if deterministic_fake:
+                return _fake_resample(data, target_rate)
+            raise NotImplementedError(
+                "real audio resampling needs an audio library (e.g. "
+                "librosa/soxr); this container ships none — pass "
+                "deterministic_fake=True to exercise the pipeline"
+            )
+
+        for pdf in it:
+            resampled = [_resample(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resampled": resampled,
+                    "out_rate": target_rate,
+                    "out_bytes": [len(r) for r in resampled],
+                    "resampled_md5": [hashlib.md5(r).hexdigest() for r in resampled],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, resampled binary, out_rate int, "
+            "out_bytes long, resampled_md5 string"
+        ),
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Acoustic fingerprint per blob — the dedup/similarity key for audio
+    (production hook: chromaprint/fpcalc over the decoded PCM; the fake
+    is a 16-hex md5-derived digest reproducible in SQL so the pipeline
+    sits under the oracle gate).  -> (id_col, fingerprint string)"""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def _fp(data: bytes) -> str:
+            if deterministic_fake:
+                h = hashlib.md5(data).hexdigest()
+                return hashlib.md5((h + "|fp").encode()).hexdigest()[:16]
+            raise NotImplementedError(
+                "real audio fingerprinting needs chromaprint/fpcalc; this "
+                "container ships none — pass deterministic_fake=True to "
+                "exercise the pipeline"
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "fingerprint": [_fp(bytes(b)) for b in pdf[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=f"{id_col} long, fingerprint string"
+    )
+
+
 def _fake_features(data: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real feature extractor: ``dim`` values
     in [-1, 1] derived from md5 byte pairs — reproducible in SQL, so the

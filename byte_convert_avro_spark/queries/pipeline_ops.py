@@ -972,6 +972,56 @@ def multimodal_resize_plumbing(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "multimodal_audio_pipeline",
+    f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h,
+                      octet_length(encode(text)) AS nb FROM documents)
+    SELECT m.doc_id,
+           CAST(({_hex_int('h', 1, 5)} % 600000) + 1000 AS BIGINT) AS duration_ms,
+           CAST(CASE {_hex_int('h', 6, 1)} % 5
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                WHEN 3 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+           CAST(({_hex_int('h', 7, 1)} % 2) + 1 AS INT) AS channels,
+           CASE {_hex_int('h', 8, 1)} % 4
+                WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
+                WHEN 2 THEN 'flac' ELSE 'opus' END AS codec,
+           CAST(nb AS BIGINT) AS n_bytes,
+           CAST(16000 AS INT) AS out_rate,
+           md5(md5(d.text || '|16000hz') || '|16000hz-resampled') AS resampled_md5,
+           substr(md5(m.h || '|fp'), 1, 16) AS fingerprint
+    FROM m JOIN documents d ON d.doc_id = m.doc_id
+    """,
+)
+def multimodal_audio_pipeline(spark: SparkSession, sf: str):
+    """The AUDIO modality end-to-end under one oracle row: blob ->
+    Arrow-batched header decode (duration/rate/channels/codec) ->
+    16 kHz resample (new bytes, compared via md5) -> acoustic
+    fingerprint — operators/multimodal.decode_audio_metadata +
+    resample_audio + audio_fingerprint, each a deterministic fake behind
+    the documented real-decoder hook (soundfile / librosa-soxr /
+    chromaprint), composed by doc_id joins.  The oracle recomputes all
+    three fakes' arithmetic in SQL, pinning the batch plumbing exactly —
+    completing the image/video/audio triple the module header promises."""
+    docs = spread(t(spark, sf, "documents"), "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    meta = M.decode_audio_metadata(docs, "blob", "doc_id", deterministic_fake=True)
+    rs = M.resample_audio(
+        docs, "blob", "doc_id", target_rate=16000, deterministic_fake=True
+    ).select("doc_id", "out_rate", "resampled_md5")
+    fp = M.audio_fingerprint(docs, "blob", "doc_id", deterministic_fake=True)
+    return (
+        meta.join(rs, "doc_id")
+        .join(fp, "doc_id")
+        .select(
+            "doc_id", "duration_ms", "sample_rate", "channels", "codec",
+            "n_bytes", "out_rate", "resampled_md5", "fingerprint",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 #: the fake feature decode, defined ONCE from the shared _hex_int helper
 #: (the pandas-side twin is operators/multimodal._fake_features)
 _FAKE_FEATS = ",\n           ".join(

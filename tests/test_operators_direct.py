@@ -204,6 +204,46 @@ def test_multimodal_stub_contract(spark):
     assert "NotImplementedError" in str(ei.value) or "imaging library" in str(ei.value)
 
 
+def test_multimodal_audio_contract(spark):
+    """decode_audio_metadata / resample_audio / audio_fingerprint:
+    deterministic fakes exercise the Arrow-batched plumbing with
+    hand-verifiable outputs; the real hooks raise (documented stubs)."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_audio_metadata,
+        resample_audio,
+    )
+
+    df = spark.createDataFrame([(1, b"some-audio-bytes")], "doc_id long, blob binary")
+    h = hashlib.md5(b"some-audio-bytes").hexdigest()
+
+    m = decode_audio_metadata(df, deterministic_fake=True).collect()[0]
+    assert m.duration_ms == (int(h[:5], 16) % 600000) + 1000
+    assert m.sample_rate in (8000, 16000, 22050, 44100, 48000)
+    assert m.channels in (1, 2) and m.codec in ("wav", "mp3", "flac", "opus")
+    assert m.n_bytes == 16 and m.content_md5 == h
+
+    r = resample_audio(df, target_rate=16000, deterministic_fake=True).collect()[0]
+    expect = (
+        hashlib.md5(b"some-audio-bytes" + b"|16000hz").hexdigest() + "|16000hz-resampled"
+    )
+    assert bytes(r.resampled) == expect.encode()
+    assert r.resampled_md5 == hashlib.md5(expect.encode()).hexdigest()
+    assert (r.out_rate, r.out_bytes) == (16000, len(expect))
+
+    f = audio_fingerprint(df, deterministic_fake=True).collect()[0]
+    assert f.fingerprint == hashlib.md5((h + "|fp").encode()).hexdigest()[:16]
+
+    for op in (decode_audio_metadata, resample_audio, audio_fingerprint):
+        with _pytest.raises(Exception) as e:
+            op(df, deterministic_fake=False).collect()
+        assert "NotImplementedError" in str(e.value) or "library" in str(e.value) or "chromaprint" in str(e.value)
+
+
 def test_wire_schema_id_matches_struct_unpack(spark):
     """Native-expression schema-id extraction == struct.unpack('>i'),
     including negative (high-bit) ids."""
