@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from byte_convert_avro_spark.queries.base import (
     dsum,
     events_ts_to_ns,
+    hash_bucket,
     raw_events_schema,
     register,
     t,
@@ -201,6 +202,147 @@ def streaming_dedup_events(spark: SparkSession, sf: str):
         F.countDistinct("user_id").alias("n_users"),
         dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_late_data_watermark",
+    """
+    -- The batch twin of the watermark's drop/emit decisions, derived from
+    -- the harness construction (every boundary is data-independent):
+    --   engineered event time = hour slot s = md5-bucket(event_id) % 48,
+    --   second-in-hour < 3600, with EVERY slot-39 event pinned to second
+    --   3599, so block 4's max is exactly 39h59m59s.
+    --   arrival order: [B4 - f, {f}, B0, B1, B2, B3, B5] (f = one slot-39
+    --   row; its timestamp EQUALS the remaining B4 max, so the running
+    --   max never moves between those batches and the one-batch watermark
+    --   propagation lag cannot change any verdict).
+    --   watermark delay 12h =>
+    --   * late shards (B0..B3, slots 0..31) filter against
+    --     wm = 39h59m59s - 12h = 27h59m59s: slot s DROPPED iff
+    --     (s+1)*3600 <= 27*3600+3599  <=>  s <= 26; slots 27..31 survive
+    --     (their windows also escape eviction by exactly the pinned 1s).
+    --   * final watermark = 47h + sec_max - 12h with 0 <= sec_max <= 3598
+    --     => a window EMITS iff (s+1)*3600 <= 35*3600 + sec_max
+    --     <=> s <= 34, for ANY sec_max.
+    -- Hence the append-mode sink holds exactly slots 27..34 at full
+    -- per-slot counts.
+    WITH shaped AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 48 AS slot,
+             value
+      FROM events
+    )
+    SELECT CAST(slot AS INT) AS hour_slot,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM shaped
+    WHERE slot BETWEEN 27 AND 34
+    GROUP BY slot
+    """,
+)
+def streaming_late_data_watermark(spark: SparkSession, sf: str):
+    """ADVERSARIAL late-data evidence: micro-batches arrive in shuffled
+    event-time order (one file per trigger over out-of-order shards) under
+    a tight 12h watermark, and the append-mode result proves the engine
+    (a) DROPPED exactly the rows later than the watermark — slots <= 26,
+    whose windows sat more than 12h behind the already-seen maximum when
+    they arrived — while late-but-inside-watermark slots 27..31 were
+    accepted at full counts, and (b) EMITTED exactly the windows the final
+    watermark closed (slots <= 34; 35..47 stay open forever).  Event
+    times are ENGINEERED from event_id hash buckets (48 hour slots, six
+    8-hour blocks, block 4 first, then the old blocks, then block 5) so
+    both drop and emit boundaries are provably data-independent — the
+    full derivation sits in the oracle SQL.  The boundary mechanics
+    (ms-truncated watermark, non-strict window_end <= wm on both drop and
+    evict, one-batch filter lag neutralized by the pinned equal-max
+    shard) were pinned empirically; tests/test_streaming.py asserts a
+    named late row is excluded."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = t(spark, sf, "events")
+    slot = hash_bucket("event_id", 48).cast("int")
+    shaped = ev.select("event_id", F.col("value").alias("value"), slot.alias("slot"))
+    sec = (
+        F.when(F.col("slot") == 39, F.lit(3599))
+        .otherwise(hash_bucket(F.col("event_id") * 1000003, 3599).cast("int"))
+    )
+    shaped = shaped.withColumn(
+        "ts_us", (F.col("slot") * 3600 + sec).cast("long") * F.lit(1_000_000)
+    )
+
+    # structural guards the boundary derivation depends on
+    occ = {
+        r.b: (r.n, r.min_id)
+        for r in shaped.groupBy((F.col("slot") == 39).alias("b"))
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("min_id"))
+        .collect()
+    }
+    n39 = occ.get(True, (0, None))[0]
+    has47 = shaped.filter(F.col("slot") == 47).limit(1).count()
+    if n39 < 2 or not has47:
+        raise ValueError(
+            "late-data harness needs >= 2 slot-39 events and a nonempty "
+            f"slot 47 (got {n39} and {has47}) — corpus too small"
+        )
+    f_id = occ[True][1]  # min event_id among slot-39 rows
+
+    block = F.floor(F.col("slot") / 8)
+    shards = [
+        shaped.filter((block == 4) & (F.col("event_id") != f_id)),  # B4 - f
+        shaped.filter(F.col("event_id") == f_id),                    # f (same max)
+        shaped.filter(block == 0),
+        shaped.filter(block == 1),
+        shaped.filter(block == 2),
+        shaped.filter(block == 3),
+        shaped.filter(block == 5),
+    ]
+    d = tempfile.mkdtemp(prefix="late_shards_")
+    try:
+        for i, sh in enumerate(shards):
+            tmp = os.path.join(d, "_w")
+            sh.select("event_id", "value", "ts_us").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            # file source batches by modification time: make arrival
+            # order explicit and strictly increasing
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        stream = (
+            spark.readStream.schema("event_id long, value double, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        agg = (
+            stream.withColumn("ts_ts", F.timestamp_micros("ts_us"))
+            .withWatermark("ts_ts", "12 hours")
+            .groupBy(F.window("ts_ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+            .select(
+                (F.col("w.start").cast("long") / 3600).cast("int").alias("hour_slot"),
+                "n_events",
+                "total_value",
+            )
+        )
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

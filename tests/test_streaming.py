@@ -494,3 +494,32 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
     assert results["rocksdb"] == results["default"]
     assert results["rocksdb"][(0, "view")] == (2, 3.0)
     assert results["rocksdb"][(1, "click")] == (1, 4.0)
+
+
+def test_late_data_query_excludes_named_late_rows(spark, sf_dir):
+    """streaming_late_data_watermark end-to-end on the driver corpus: the
+    append-mode result holds EXACTLY hour slots 27..34 at full per-slot
+    counts — i.e. named rows in slots <= 26 (late past the 12h watermark
+    when their shard arrived) were dropped by the engine, late-but-inside
+    slots 27..31 all survived, and open windows 35..47 never emitted."""
+    from byte_convert_avro_spark.queries.base import hash_bucket, t
+    from byte_convert_avro_spark.queries.streaming_queries import (
+        streaming_late_data_watermark,
+    )
+
+    out = {r.hour_slot: r.n_events for r in streaming_late_data_watermark(spark, sf_dir).collect()}
+    assert set(out) == set(range(27, 35)), sorted(out)
+
+    slots = (
+        t(spark, sf_dir, "events")
+        .select(hash_bucket("event_id", 48).cast("int").alias("slot"), "event_id")
+    )
+    per_slot = {r.slot: r.n for r in slots.groupBy("slot").agg(F.count("*").alias("n")).collect()}
+    # late-but-inside-watermark slots arrive in the out-of-order shards and
+    # must survive at FULL count; a specific late row provably exists and
+    # is excluded wholesale with its slot
+    for s in range(27, 35):
+        assert out[s] == per_slot[s], (s, out[s], per_slot[s])
+    late_row = slots.filter(F.col("slot") == 5).agg(F.min("event_id")).first()[0]
+    assert late_row is not None  # the named late event exists in the corpus
+    assert 5 not in out  # ...and its window was dropped by the watermark
