@@ -97,6 +97,18 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(statistics.median(runs[name]), 3)
 
+    # decode throughput (the reference's core capability) — median-of-3 so
+    # the fused-codegen path's regression story is tracked round-over-round
+    # in the same artifact (previously only in SCALE.md prose)
+    import bench_decode
+
+    decode = {
+        "single_thread_rec_s": round(bench_decode.bench_single_thread(runs=n_runs)),
+        "spark_rec_s": round(bench_decode.bench_spark(spark=spark, runs=n_runs)),
+        "unit": "records/sec",
+        "runs": n_runs,
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -110,6 +122,7 @@ def main() -> None:
                 "all_runs": {k: [round(x, 3) for x in v] for k, v in runs.items()},
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "materialize": "noop-write (full column evaluation)",
+                "decode": decode,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -43,25 +43,38 @@ def payloads(n: int = 5000) -> list[bytes]:
     ]
 
 
-def bench_single_thread(n: int = 200_000) -> float:
+def bench_single_thread(n: int = 200_000, runs: int = 1) -> float:
+    """Median decode rate over ``runs`` timed passes of ``n`` records."""
+    import statistics
+
     store = LocalSchemaStore()
     store.register(SCHEMA, 1)
     parser = CachedParser(store)
     pls = payloads()
     for p in pls[:200]:
         _decode_one(p, parser, False)
-    t0 = time.perf_counter()
-    for i in range(n):
-        _decode_one(pls[i % 5000], parser, False)
-    return n / (time.perf_counter() - t0)
+    rates = []
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        for i in range(n):
+            _decode_one(pls[i % 5000], parser, False)
+        rates.append(n / (time.perf_counter() - t0))
+    return statistics.median(rates)
 
 
-def bench_spark(n: int = 600_000) -> float:
+def bench_spark(n: int = 600_000, spark=None, runs: int = 1) -> float:
+    """Median end-to-end Spark decode rate.  Pass an existing session to
+    reuse it (it is then NOT stopped — bench.py shares its session)."""
+    import statistics
+
     from byte_convert_avro_spark.engine import KAFKA_RECORD_SCHEMA, Engine, EngineConfig
-    from byte_convert_avro_spark.session import get_spark
 
-    spark = get_spark("bench_decode")
-    spark.sparkContext.setLogLevel("ERROR")
+    own_session = spark is None
+    if own_session:
+        from byte_convert_avro_spark.session import get_spark
+
+        spark = get_spark("bench_decode")
+        spark.sparkContext.setLogLevel("ERROR")
     store = LocalSchemaStore()
     store.register(SCHEMA, 1)
     eng = Engine(EngineConfig(avro_topics="t:true"), store=store)
@@ -75,16 +88,20 @@ def bench_spark(n: int = 600_000) -> float:
     df.count()
     out = eng.transform(df)
     out.count()  # warm
-    t0 = time.perf_counter()
-    cnt = out.count()
-    rate = cnt / (time.perf_counter() - t0)
-    spark.stop()
-    return rate
+    rates = []
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        cnt = out.count()
+        rates.append(cnt / (time.perf_counter() - t0))
+    df.unpersist()
+    if own_session:
+        spark.stop()
+    return statistics.median(rates)
 
 
 def main() -> None:
-    st = bench_single_thread()
-    sp = bench_spark()
+    st = bench_single_thread(runs=3)
+    sp = bench_spark(runs=3)
     print(
         json.dumps(
             {

@@ -94,15 +94,61 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", max_pairs_per_doc: int | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band signature.
-    -> (doc_a, doc_b, n_bands_matched), doc_a < doc_b."""
+    -> (doc_a, doc_b, n_bands_matched), doc_a < doc_b.
+
+    ``max_pairs_per_doc`` (default None = unchanged exact behavior) is
+    the hub-document mitigation for 100 TB corpora: downstream exact
+    verification ships each doc's shingle array once per candidate pair,
+    so a boilerplate hub colliding with k partners costs k array copies.
+    With the cap, each pair must rank within the top ``max_pairs_per_doc``
+    of BOTH endpoints (by ``n_bands_matched`` DESC — strongest evidence
+    first — with the partner id as the deterministic tie-break), which
+    hard-bounds every doc to at most ``max_pairs_per_doc`` surviving
+    pairs (an either-endpoint rule would leave hub fan-in unbounded
+    through its partners' lists).  Cost: two window shuffles over the
+    candidate pair set — cheap relative to the verification they bound."""
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2"))
-    return (
+    pairs = (
         a.join(b, (a.band == b.band2) & (a.sig == b.sig2) & (a.doc_a < b.doc_b))
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands_matched"))
+    )
+    if max_pairs_per_doc is None:
+        return pairs
+    if max_pairs_per_doc < 1:
+        raise ValueError(f"max_pairs_per_doc must be >= 1, got {max_pairs_per_doc}")
+    from pyspark.sql import Window as W
+
+    # rank each doc's UNDIRECTED pair list (both orientations union'd —
+    # two one-sided windows would let a doc keep up to 2k pairs split
+    # across its doc_a/doc_b roles); a pair survives iff it ranks within
+    # k on BOTH endpoints, i.e. both directed rows survive
+    directed = pairs.select(
+        F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner"), "n_bands_matched"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc"), F.col("doc_a").alias("partner"), "n_bands_matched"
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc").orderBy(F.desc("n_bands_matched"), "partner")
+    )
+    kept = directed.withColumn("_rk", rk).filter(F.col("_rk") <= max_pairs_per_doc)
+    return (
+        kept.select(
+            F.least("doc", "partner").alias("doc_a"),
+            F.greatest("doc", "partner").alias("doc_b"),
+            "n_bands_matched",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_sides"), F.first("n_bands_matched").alias("n_bands_matched"))
+        .filter(F.col("_sides") == 2)
+        .drop("_sides")
     )
 
 

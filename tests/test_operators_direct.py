@@ -325,6 +325,51 @@ def test_connected_components_one_job_per_round(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
 
 
+def test_lsh_candidates_hub_cap(spark):
+    """max_pairs_per_doc hard-bounds every doc's surviving pairs: a hub
+    signature colliding with many partners keeps only its top-k (by
+    n_bands_matched DESC, partner id), the both-endpoints rule means no
+    doc exceeds the cap through partners' lists, and the default (None)
+    output is byte-identical to the uncapped form."""
+    from collections import Counter
+
+    from byte_convert_avro_spark.operators.dedup import lsh_candidates
+    import pytest as _pytest
+
+    # doc 0 is a hub: shares band-0 sig 'H' with docs 1..6; docs 10/11
+    # share a private sig on bands 0 AND 1 (strongest pair)
+    rows = [(0, 0, "H")] + [(i, 0, "H") for i in range(1, 7)]
+    rows += [(10, 0, "P"), (11, 0, "P"), (10, 1, "Q"), (11, 1, "Q")]
+    sigs = spark.createDataFrame(rows, "doc_id long, band int, sig string")
+
+    base = {(r.doc_a, r.doc_b): r.n_bands_matched for r in lsh_candidates(sigs).collect()}
+    again = {
+        (r.doc_a, r.doc_b): r.n_bands_matched
+        for r in lsh_candidates(sigs, max_pairs_per_doc=None).collect()
+    }
+    assert base == again  # default unchanged
+    assert base[(10, 11)] == 2 and base[(0, 1)] == 1
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidates(sigs, max_pairs_per_doc=3).collect()
+    }
+    per_doc = Counter()
+    for a2, b2 in capped:
+        per_doc[a2] += 1
+        per_doc[b2] += 1
+    assert max(per_doc.values()) <= 3
+    assert (10, 11) in capped  # strongest pair always survives
+    # the 7-doc clique collapses to the deterministic lowest-id core
+    # {0,1,2,3} (each doc keeps its 3 lowest-id tied partners; a pair
+    # needs BOTH endpoints' votes), docs 4..6 drop out entirely
+    assert capped == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (10, 11)
+    }
+    with _pytest.raises(ValueError):
+        lsh_candidates(sigs, max_pairs_per_doc=0)
+
+
 def test_kmeans_one_job_per_round(spark):
     """kmeans_lloyd runs EXACTLY one Spark job per Lloyd round (the
     (cell, dim) centroid-update collect) plus one seed job: assignment is
