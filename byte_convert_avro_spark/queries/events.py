@@ -552,3 +552,44 @@ def events_rolling_7d_active_users(spark: SparkSession, sf: str):
         .groupBy(F.col("obs_day").alias("day"))
         .agg(F.count("*").alias("active_users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_peak_hour_per_user",
+    f"""
+    WITH h AS (
+      SELECT user_id,
+             CAST((epoch_us(ts) // {US_PER_HOUR}) % 24 AS INT) AS hour_of_day,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT user_id, hour_of_day AS peak_hour, n_events
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY n_events DESC, hour_of_day) AS rn FROM h)
+    WHERE rn = 1
+    """,
+)
+def events_peak_hour_per_user(spark: SparkSession, sf: str):
+    """Groupwise ARGMAX: each user's busiest hour of day (0-23, integer
+    epoch-hour arithmetic — no timezone anywhere) with its event count;
+    ties break to the earliest hour.  The two-stage shape is the scale
+    pattern: the (user, hour) pre-aggregation shrinks the window input to
+    <= 24 rows per user BEFORE the per-user ranking window, so the
+    row_number never sorts raw events."""
+    ev = _ev(spark, sf)
+    h = (
+        ev.select(
+            "user_id",
+            (F.expr(f"ts_us DIV {US_PER_HOUR}") % 24).cast("int").alias("hour_of_day"),
+        )
+        .groupBy("user_id", "hour_of_day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"), "hour_of_day")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("hour_of_day").alias("peak_hour"), "n_events")
+    )

@@ -755,3 +755,169 @@ def grouping_sets_sales(spark: SparkSession, sf: str):
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customers_above_own_avg_orders",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pc
+      FROM orders
+    ), w AS (
+      SELECT o_custkey, o_totalprice, pc,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+             SUM(pc) OVER (PARTITION BY o_custkey) AS s
+      FROM o
+    )
+    SELECT c_custkey, c_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN 2 * pc * n > 3 * s THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big_orders,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM w JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    HAVING SUM(CASE WHEN 2 * pc * n > 3 * s THEN 1 ELSE 0 END) >= 1
+    """,
+)
+def customers_above_own_avg_orders(spark: SparkSession, sf: str):
+    """Correlated AGGREGATE subquery shape — customers owning at least one
+    order priced above 1.5x their OWN average order value (the classic
+    ``WHERE o.price > 1.5 * (SELECT AVG(...) WHERE same customer)``) —
+    decorrelated into one window pass: per-customer count and exact
+    integer-cent sum ride a single partitionBy(custkey) window, and the
+    per-order comparison is the cross-multiplied integer inequality
+    ``2*price_cents*n > 3*sum_cents`` — no division, no float threshold,
+    engine-exact.  One shuffle on the customer key shared by the window
+    and the final rollup; the customer name join stays broadcast."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey", "o_totalprice", cents("o_totalprice").alias("pc")
+    )
+    w = W.partitionBy("o_custkey")
+    x = o.withColumn("n", F.count("*").over(w)).withColumn("s", F.sum("pc").over(w))
+    big = ((F.lit(2) * F.col("pc") * F.col("n")) > (F.lit(3) * F.col("s"))).cast("int")
+    per = (
+        x.withColumn("big", big)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("big").cast("long").alias("n_big_orders"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .filter(F.col("n_big_orders") >= 1)
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    return per.join(F.broadcast(c), per.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_name", "n_orders", "n_big_orders", "max_price"
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "p95_order_by_priority",
+    """
+    WITH o AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS pc
+      FROM orders
+    ), r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY pc, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM o
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN o_totalprice END)
+                AS DOUBLE) AS p95_price,
+           CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN o_orderkey END)
+                AS BIGINT) AS p95_orderkey
+    FROM r
+    GROUP BY o_orderpriority
+    """,
+)
+def p95_order_by_priority(spark: SparkSession, sf: str):
+    """percentile_disc-style SELECTION per group: the discrete p95 order
+    price per priority — the smallest stored value whose cumulative rank
+    reaches 0.95 (rank ceil(0.95 n) = (19n+19) div 20, pure integer — no
+    interpolation, no float rank) — plus the ORDER that achieves it
+    (percentile_disc picks a real row, so the achiever key is exact; ties
+    on price break by orderkey in the rank order itself).  Same
+    two-window/one-shuffle plan as order_price_percentiles; this is the
+    row-selecting member of the percentile family."""
+    o = t(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        cents("o_totalprice").alias("pc"),
+    )
+    wr = W.partitionBy("o_orderpriority").orderBy("pc", "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    at = F.col("rn") == F.expr("(19 * n + 19) div 20")
+    return r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max(F.when(at, F.col("o_totalprice"))).cast("double").alias("p95_price"),
+        F.max(F.when(at, F.col("o_orderkey"))).cast("long").alias("p95_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "running_distinct_customers_by_nation",
+    """
+    WITH fm AS (
+      SELECT c_nationkey, o_custkey,
+             MIN(strftime(o_orderdate, '%Y-%m')) AS first_month
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey, o_custkey
+    ), nm AS (
+      SELECT n_name, first_month AS month, COUNT(*) AS new_customers
+      FROM fm JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name, first_month
+    )
+    SELECT n_name, month, new_customers,
+           CAST(SUM(new_customers) OVER (PARTITION BY n_name ORDER BY month
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_customers
+    FROM nm
+    """,
+)
+def running_distinct_customers_by_nation(spark: SparkSession, sf: str):
+    """Running COUNT(DISTINCT) workaround — cumulative distinct ordering
+    customers per nation by month.  Spark (like most engines) rejects
+    COUNT(DISTINCT) OVER a running frame; the standard rewrite is
+    first-occurrence reduction: collapse to each customer's FIRST order
+    month (one groupBy), count first occurrences per (nation, month), and
+    a plain running SUM over months is then exactly the running distinct
+    count.  Scale: the distinct state never lives in a window buffer —
+    it is the (nation, custkey) groupBy shuffle, and the final window
+    partitions by nation over ~months rows."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    fm = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_nationkey", "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.min("month").alias("first_month"))
+    )
+    nm = (
+        fm.join(F.broadcast(n), fm.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("first_month").alias("month"))
+        .agg(F.count("*").alias("new_customers"))
+    )
+    wcum = (
+        W.partitionBy("n_name").orderBy("month")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return nm.select(
+        "n_name", "month", "new_customers",
+        F.sum("new_customers").over(wcum).cast("long").alias("cumulative_customers"),
+    )
