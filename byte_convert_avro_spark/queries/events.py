@@ -593,3 +593,54 @@ def events_peak_hour_per_user(spark: SparkSession, sf: str):
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("hour_of_day").alias("peak_hour"), "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_longest_daily_streak",
+    f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // {24 * US_PER_HOUR} AS BIGINT) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS len,
+             MIN(day) AS start_day, MAX(day) AS end_day
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, len AS streak_days, start_day, end_day
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY len DESC, start_day) AS rn FROM streaks)
+    WHERE rn = 1
+    """,
+)
+def events_longest_daily_streak(spark: SparkSession, sf: str):
+    """GAPS-AND-ISLANDS: each user's longest run of CONSECUTIVE active
+    days (integer epoch-days — no calendar/timezone anywhere).  The
+    classic island key is ``day - row_number`` (constant within a
+    consecutive run); longest streak per user ties break to the earliest
+    start.  Scale: the distinct collapses events to (user, day) FIRST, so
+    both windows and the rollup run over <= days-per-user rows on one
+    user_id-keyed shuffle."""
+    ev = _ev(spark, sf)
+    days = ev.select(
+        "user_id", F.expr(f"ts_us DIV {24 * US_PER_HOUR}").alias("day")
+    ).distinct()
+    wd = W.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("island", F.col("day") - F.row_number().over(wd))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_days"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    wr = W.partitionBy("user_id").orderBy(F.desc("streak_days"), "start_day")
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "start_day", "end_day")
+    )

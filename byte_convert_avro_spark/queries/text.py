@@ -425,3 +425,198 @@ def above_median_quality_docs(spark: SparkSession, sf: str):
             F.sum("n_distinct").cast("long").alias("total_vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "winnowing_fingerprints",
+    """
+    WITH rh AS (
+      SELECT doc_id, unnest(generate_series(1, LENGTH(text) - 15)) AS pos,
+             md5(substr(text, unnest(generate_series(1, LENGTH(text) - 15)), 16))
+               AS chunk_hash
+      FROM documents WHERE LENGTH(text) >= 16
+    ), win AS (
+      SELECT doc_id, pos,
+             MIN(chunk_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM rh
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel AS fp_hash
+      FROM win WHERE pos <= m - 3
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_fingerprints,
+           MIN(fp_hash) AS min_fp,
+           MAX(fp_hash) AS max_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf: str):
+    """WINNOWING (Schleimer et al., SIGMOD'03) — the selection stage that
+    turns the per-position rolling hashes (``rolling_hash_chunks``) into
+    a compact document fingerprint set: slide a window of 4 consecutive
+    16-char chunk hashes and keep each window's MINIMUM (full windows
+    only); the distinct selected hashes are the fingerprints.  Guarantees
+    every shared substring of >= 19 chars contributes at least one COMMON
+    fingerprint between two documents — the local-dedup primitive between
+    exact chunks and MinHash.  Scale: one shuffle on doc_id; the frame is
+    4 rows, the distinct + rollup stay doc_id-keyed."""
+    from byte_convert_avro_spark.operators.text import rolling_hashes
+
+    rh = rolling_hashes(
+        spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", window=16
+    )
+    wsel = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wcnt = W.partitionBy("doc_id")
+    fps = (
+        rh.select(
+            "doc_id",
+            "pos",
+            F.min("chunk_hash").over(wsel).alias("sel"),
+            F.count("*").over(wcnt).alias("m"),
+        )
+        .filter(F.col("pos") <= F.col("m") - 3)
+        .select("doc_id", F.col("sel").alias("fp_hash"))
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp_hash").alias("min_fp"),
+        F.max("fp_hash").alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS salience
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, salience, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY salience DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf: str):
+    """TF-IDF-style term salience: each document's top-3 most
+    characteristic terms by ``tf x (N / df)``.  The idf factor is the RAW
+    rational N/df rather than its logarithm — deliberately: *, / are
+    IEEE-correctly-rounded (bit-identical across engines) while libm
+    ``ln`` is not, and for a fixed document the ranking by tf*N/df vs
+    tf*ln-idf differs only in how aggressively stopwords are discounted —
+    the determinism is worth that trade at the oracle boundary (swap in
+    ``log`` on a real cluster if classic weighting is wanted).  Scale:
+    tf and df are one explode + two uniform-key groupBys; the score join
+    shuffles on the term (AQE handles stopword skew); the top-3 window is
+    doc_id-keyed."""
+    toks = spread(t(spark, sf, "documents"), "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = t(spark, sf, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("salience"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("salience"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "salience", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "winnowing_shared_fingerprints",
+    """
+    WITH rh AS (
+      SELECT doc_id, unnest(generate_series(1, LENGTH(text) - 15)) AS pos,
+             md5(substr(text, unnest(generate_series(1, LENGTH(text) - 15)), 16))
+               AS chunk_hash
+      FROM documents WHERE LENGTH(text) >= 16
+    ), win AS (
+      SELECT doc_id, pos,
+             MIN(chunk_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS m
+      FROM rh
+    ), fps AS (
+      SELECT DISTINCT doc_id, sel AS fp_hash
+      FROM win WHERE pos <= m - 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared,
+           za.n_fp AS n_a, zb.n_fp AS n_b
+    FROM fps a
+    JOIN fps b ON b.fp_hash = a.fp_hash AND a.doc_id < b.doc_id
+    JOIN sizes za ON za.doc_id = a.doc_id
+    JOIN sizes zb ON zb.doc_id = b.doc_id
+    GROUP BY 1, 2, za.n_fp, zb.n_fp
+    HAVING COUNT(*) >= 3
+    """,
+)
+def winnowing_shared_fingerprints(spark: SparkSession, sf: str):
+    """Cross-document SUBSTRING matching via winnowing (the plagiarism /
+    boilerplate detector): document pairs sharing >= 3 winnowing
+    fingerprints, with each side's fingerprint count for context.  This
+    composes the selection stage of ``winnowing_fingerprints`` into the
+    pair stage — any shared run of >= 19 chars guarantees a shared
+    fingerprint, so heavy textual overlap cannot hide, while the pair
+    join runs on the fingerprint hash (the shuffle key): pair cost is
+    bounded by fingerprint collisions, never |docs|².  Completes the
+    substring-dedup story next to the chunk-granular
+    ``corpus_strip_repeated_chunks``."""
+    from byte_convert_avro_spark.operators.text import rolling_hashes
+
+    rh = rolling_hashes(
+        spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", window=16
+    )
+    wsel = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wcnt = W.partitionBy("doc_id")
+    fps = (
+        rh.select(
+            "doc_id",
+            "pos",
+            F.min("chunk_hash").over(wsel).alias("sel"),
+            F.count("*").over(wcnt).alias("m"),
+        )
+        .filter(F.col("pos") <= F.col("m") - 3)
+        .select("doc_id", F.col("sel").alias("fp_hash"))
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp_hash").alias("fp2"))
+    pairs = (
+        a.join(b, (a.fp_hash == b.fp2) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return pairs.join(za, "doc_a").join(zb, "doc_b").select(
+        "doc_a", "doc_b", "n_shared", "n_a", "n_b"
+    )
