@@ -54,6 +54,11 @@ HEADLINE = [
     "dedup_cluster_assignment",
     "corpus_after_dedup",
     "lsh_banded_near_dup",
+    # round-6: the new capability families — substring-level dedup,
+    # trained-IVF ANN, winnowing pair matching
+    "corpus_strip_repeated_chunks",
+    "ivf_search_top3",
+    "winnowing_shared_fingerprints",
 ]
 
 
