@@ -644,3 +644,53 @@ def events_longest_daily_streak(spark: SparkSession, sf: str):
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "start_day", "end_day")
     )
+
+
+# ---------------------------------------------------------------------------
+#: the value-band dimension of events_value_band_totals — one definition
+#: drives both engines (name, lo inclusive, hi exclusive)
+VALUE_BANDS = [
+    ("micro", 0.0, 5.0),
+    ("small", 5.0, 25.0),
+    ("medium", 25.0, 100.0),
+    ("large", 100.0, 250.0),
+    ("jumbo", 250.0, 1e9),
+]
+
+
+@register(
+    "events_value_band_totals",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES {", ".join(
+        f"('{n}', {lo}, {hi})" for n, lo, hi in VALUE_BANDS
+    )})
+    SELECT b.band,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def events_value_band_totals(spark: SparkSession, sf: str):
+    """Non-equi RANGE join — the join shape the rest of the registry
+    doesn't exercise: events joined to a banded-range dimension on
+    ``lo <= value < hi``.  With the tiny band table broadcast, Spark
+    plans a BroadcastNestedLoopJoin — exactly right here: each event
+    tests 5 range predicates map-side, no shuffle of the fact side at
+    all (the only shuffle is the final band rollup).  The banded-dim
+    range join is the standard pattern for bucketing facts by an
+    irregular dimension (tariffs, SLA tiers, price bands) where equi-join
+    bucketing can't express the predicate."""
+    ev = _ev(spark, sf)
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    j = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -84,3 +84,75 @@ def test_wire_reexports(spark):
     ).collect()
     assert rows[0].ok and rows[0].sid == 42
     assert not rows[1].ok
+
+
+# ---------------------------------------------------------------------------
+def _winnow_py(text: str, w: int = 16, k: int = 4) -> set:
+    """Pure-Python reference of the winnowing scheme the engine runs
+    (operators/text.rolling_hashes + the min-of-k-window selection in
+    queries/text.winnowing_fingerprints): md5 over w-char windows, min
+    hash of each k-window of consecutive positions, full windows only."""
+    import hashlib
+
+    hs = [
+        hashlib.md5(text[i : i + w].encode()).hexdigest()
+        for i in range(len(text) - w + 1)
+    ]
+    return {min(hs[i : i + k]) for i in range(len(hs) - k + 1)}
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint():
+    """The winnowing guarantee (Schleimer et al.): any substring of
+    length >= w + k - 1 = 19 shared between two documents yields at least
+    one COMMON fingerprint — the property the pair-matching query's
+    docstring claims.  Hypothesis builds adversarial contexts around a
+    shared core and the intersection must never be empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alpha = st.text(alphabet="abcdef ", min_size=0, max_size=40)
+    core = st.text(alphabet="xyzuvw", min_size=19, max_size=30)
+
+    @settings(max_examples=60, deadline=None)
+    @given(core, alpha, alpha, alpha, alpha)
+    def prop(shared, p1, s1, p2, s2):
+        a = p1 + shared + s1
+        b = p2 + shared + s2
+        assert _winnow_py(a) & _winnow_py(b), (a, b)
+
+    prop()
+
+
+def test_winnowing_py_reference_matches_engine(spark):
+    """The pure-Python reference used by the guarantee test computes the
+    SAME fingerprint sets as the Spark plan (so the property proven above
+    is a property of what the engine actually runs)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from byte_convert_avro_spark.operators.text import rolling_hashes
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "completely different content that shares nothing with zero!!"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rh = rolling_hashes(df, "text", "doc_id", window=16)
+    wsel = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wcnt = W.partitionBy("doc_id")
+    fps = (
+        rh.select(
+            "doc_id", "pos",
+            F.min("chunk_hash").over(wsel).alias("sel"),
+            F.count("*").over(wcnt).alias("m"),
+        )
+        .filter(F.col("pos") <= F.col("m") - 3)
+        .select("doc_id", "sel")
+        .distinct()
+        .collect()
+    )
+    got = {}
+    for r in fps:
+        got.setdefault(r.doc_id, set()).add(r.sel)
+    for i, text in texts:
+        assert got[i] == _winnow_py(text), i

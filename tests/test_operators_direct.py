@@ -423,6 +423,31 @@ def test_kmeans_recovers_separated_clusters_deterministically(spark):
     assert abs(got[1][0] - hi[0]) < 1e-9 and abs(got[1][1] - hi[1]) < 1e-9
 
 
+def test_kmeans_empty_cell_drops_deterministically(spark):
+    """Duplicate seed vectors force an immediate empty cell (ties break to
+    the lowest cell id, so the higher duplicate gets no members): the
+    emptied cell must drop out permanently and the surviving centroids
+    stay correct and bit-stable across runs — the documented
+    deterministic empty-cell contract."""
+    from byte_convert_avro_spark.operators.similarity import kmeans_lloyd
+
+    pts = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])]
+    pts += [(10 + i, [0.0, 0.1 * 0]) for i in range(5)]
+    pts += [(20 + i, [5.0, 5.0]) for i in range(5)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    runs = []
+    for _ in range(2):
+        cents = {
+            r.cell: tuple(r.embedding)
+            for r in kmeans_lloyd(df, "embedding", "vec_id", k=3, n_iter=2).collect()
+        }
+        runs.append(cents)
+    assert runs[0] == runs[1]
+    # cell 1 (the duplicate [0,0] seed) lost the tie everywhere and died
+    assert set(runs[0]) == {0, 2}
+    assert runs[0][0] == (0.0, 0.0) and runs[0][2] == (5.0, 5.0)
+
+
 def test_simhash_near_dup_pigeonhole_exact(spark, sf_dir):
     """With max_hamming < n_bands the banded candidate set provably
     contains EVERY pair in the Hamming ball (3 flipped bits cannot touch
