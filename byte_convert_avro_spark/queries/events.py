@@ -694,3 +694,84 @@ def events_value_band_totals(spark: SparkSession, sf: str):
         dsum("value").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "sessions_busy_hour_overlap",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                    OR LAG(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+      FROM numbered GROUP BY user_id, session_idx
+    ), busy AS (
+      SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
+             (epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR} AS hr_start_us,
+             (epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR} + {US_PER_HOUR} - 1
+               AS hr_end_us
+      FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+    )
+    SELECT s.user_id, s.session_start_us, s.session_end_us,
+           b.hour_bucket,
+           LEAST(s.session_end_us, b.hr_end_us)
+             - GREATEST(s.session_start_us, b.hr_start_us) + 1 AS overlap_us
+    FROM sessions s
+    JOIN busy b ON s.session_start_us <= b.hr_end_us
+               AND b.hr_start_us <= s.session_end_us
+    """,
+)
+def sessions_busy_hour_overlap(spark: SparkSession, sf: str):
+    """INTERVAL-OVERLAP JOIN — user sessions paired with corpus-wide busy
+    hours (>= 5 events) they overlap, with the exact overlap duration.
+    The naive theta-join on the overlap predicate plans a nested loop
+    over |sessions| x |hours|; the engine instead runs
+    operators/intervals.interval_overlap_join: both interval sets explode
+    into the hour buckets they touch (sessions are sub-hour, so 1-2 rows
+    each), equi-join on the bucket — the shuffle key — and the exact
+    overlap predicate verifies partition-locally.  Pair cost equals true
+    temporal density (sessions per busy hour), never the cross product.
+    The oracle runs the plain overlap join — same pairs, same
+    arithmetic."""
+    from byte_convert_avro_spark.operators.intervals import interval_overlap_join
+
+    sess = events_sessionization(spark, sf).select(
+        "user_id", "session_start_us", "session_end_us"
+    )
+    ev = _ev(spark, sf)
+    busy = (
+        ev.groupBy(F.expr(f"ts_us DIV {US_PER_HOUR}").alias("hour_bucket"))
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 5)
+        .select(
+            "hour_bucket",
+            (F.col("hour_bucket") * US_PER_HOUR).alias("hr_start_us"),
+            (F.col("hour_bucket") * US_PER_HOUR + US_PER_HOUR - 1).alias("hr_end_us"),
+        )
+    )
+    # busy-hour intervals are bucket-aligned, so each (session, hour)
+    # pair is witnessed by exactly one bucket — the dedup shuffle is
+    # provably unnecessary
+    j = interval_overlap_join(
+        sess, busy,
+        "session_start_us", "session_end_us", "hr_start_us", "hr_end_us",
+        bucket=US_PER_HOUR, dedupe=False,
+    )
+    return j.select(
+        "user_id", "session_start_us", "session_end_us", "hour_bucket",
+        (
+            F.least("session_end_us", "hr_end_us")
+            - F.greatest("session_start_us", "hr_start_us")
+            + 1
+        ).alias("overlap_us"),
+    )

@@ -423,6 +423,40 @@ def test_kmeans_recovers_separated_clusters_deterministically(spark):
     assert abs(got[1][0] - hi[0]) < 1e-9 and abs(got[1][1] - hi[1]) < 1e-9
 
 
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Bucketed interval join == the naive overlap predicate on closed
+    intervals, across bucket widths (incl. intervals spanning many
+    buckets, touching endpoints, and zero-length intervals); disjoint-
+    column and bucket guards raise."""
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.intervals import interval_overlap_join
+
+    L = [(1, 0, 10), (2, 5, 5), (3, 20, 45), (4, 100, 100)]
+    R = [(100, 8, 25), (200, 45, 99), (300, 100, 120), (400, 46, 46)]
+    left = spark.createDataFrame(L, "lid int, ls long, le long")
+    right = spark.createDataFrame(R, "rid int, rs long, re long")
+    truth = {
+        (a, b)
+        for a, s1, e1 in L
+        for b, s2, e2 in R
+        if s1 <= e2 and s2 <= e1
+    }
+    for bucket in (1, 7, 10, 1000):
+        got = {
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re", bucket=bucket
+            ).collect()
+        }
+        assert got == truth, bucket
+    with _pytest.raises(ValueError, match="bucket"):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket=0)
+    clash = right.withColumnRenamed("rs", "ls")
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(left, clash, "ls", "le", "ls", "re", bucket=10)
+
+
 def test_kmeans_empty_cell_drops_deterministically(spark):
     """Duplicate seed vectors force an immediate empty cell (ties break to
     the lowest cell id, so the higher duplicate gets no members): the
