@@ -1078,3 +1078,146 @@ def multimodal_feature_knn(spark: SparkSession, sf: str):
     return S.cosine_topk(
         corpus, queries, k=3, vec_col="features", id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_distinct_users_estimate",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(MAX(n_exact) AS BIGINT) AS exact_distinct,
+           CAST(MAX(CASE WHEN rn = 32 THEN h END) AS BIGINT) AS kth_hash,
+           CASE WHEN MAX(n_exact) < 32 THEN CAST(MAX(n_exact) AS DOUBLE)
+                ELSE 31.0 * 4294967296.0
+                     / MAX(CASE WHEN rn = 32 THEN h END)
+           END AS kmv_estimate
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def kmv_distinct_users_estimate(spark: SparkSession, sf: str):
+    """K-MINIMUM-VALUES distinct-count sketch (k=32), FULLY oracle-checked
+    — unlike HLL, every step is deterministic and engine-portable: hash
+    each distinct (type, user) to a uniform 32-bit value (the md5-bucket
+    discipline), keep the 32 smallest per event_type, and estimate
+    |distinct| = (k-1) / kth_smallest_normalized — one division of exact
+    integers, so even the estimate's float is bit-identical across
+    engines.  Exact count carried alongside so the artifact shows the
+    sketch error.  Scale: the KMV state is MERGEABLE — each partition
+    keeps its local k smallest (map-side), the shuffle carries k values
+    per group, never the distinct set; here the distinct feeds a window
+    for oracle parity, with the merge property tested in
+    tests/test_operators_direct.py::test_kmv_partial_merge_equals_global."""
+    ev = t(spark, sf, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("h")
+    wn = W.partitionBy("event_type")
+    r = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n_exact"),
+    )
+    kth = F.max(F.when(F.col("rn") == 32, F.col("h")))
+    return r.groupBy("event_type").agg(
+        F.max("n_exact").cast("long").alias("exact_distinct"),
+        kth.cast("long").alias("kth_hash"),
+        F.when(
+            F.max("n_exact") < 32, F.max("n_exact").cast("double")
+        )
+        .otherwise(F.lit(31.0 * 4294967296.0) / kth)
+        .alias("kmv_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+def _pagerank_sql(n_rounds: int = 3) -> str:
+    """DuckDB twin of operators/graph.pagerank_fixed_rounds over the
+    customer<->supplier trade graph, unrolled round by round.  The
+    damping constants are spelled as the SAME IEEE expressions the
+    operator computes ((1.0 - 0.85), 1.0/N) so every float matches
+    bit-for-bit; neighbor sums fold in source-id order."""
+    parts = [
+        """edges0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        "edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)",
+        "nodes AS (SELECT DISTINCT src AS v FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        # CAST the literals: DuckDB parses bare 1.0/0.85 as DECIMAL and
+        # would do exact-decimal arithmetic where Spark does IEEE double
+        "r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(n_rounds):
+        parts.append(
+            f"""c{t} AS (
+      SELECT e.dst AS v, e.src AS s, r.rank / d.deg AS c
+      FROM edges e JOIN r{t} r ON r.v = e.src JOIN outdeg d ON d.src = e.src)"""
+        )
+        parts.append(
+            f"""s{t} AS (
+      SELECT v, list_reduce(list(c ORDER BY s), (a, b) -> a + b) AS s
+      FROM c{t} GROUP BY v)"""
+        )
+        parts.append(
+            f"""r{t + 1} AS (
+      SELECT n0.v,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * COALESCE(s{t}.s, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes n0 CROSS JOIN nn LEFT JOIN s{t} ON s{t}.v = n0.v)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "pagerank_trade_graph",
+    f"""
+    WITH {_pagerank_sql(3)}
+    SELECT v, rank FROM r3
+    """,
+)
+def pagerank_trade_graph(spark: SparkSession, sf: str):
+    """PageRank (3 fixed power iterations, d=0.85) over the undirected
+    customer<->supplier trade graph (distinct order lines define the
+    edges; both directions added, so no dangling nodes) — the iterative
+    GRAPH-CENTRALITY member of the algorithm family next to
+    connected_components and kmeans_lloyd, oracle-checked value-for-value
+    against an unrolled DuckDB CTE chain: every rank is bit-identical
+    because neighbor sums fold in source-id order and the damping
+    constants are computed with the same IEEE ops on both sides.  Scale
+    notes in operators/graph.py (one shuffle join + one grouped fold per
+    round, lineage truncated)."""
+    from byte_convert_avro_spark.operators.graph import pagerank_fixed_rounds
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_fixed_rounds(edges, "src", "dst", n_rounds=3, damping=0.85)

@@ -423,6 +423,35 @@ def test_kmeans_recovers_separated_clusters_deterministically(spark):
     assert abs(got[1][0] - hi[0]) < 1e-9 and abs(got[1][1] - hi[1]) < 1e-9
 
 
+def test_kmv_partial_merge_equals_global(spark):
+    """The scale property the KMV sketch relies on: the k smallest hashes
+    of a union == the k smallest of each part's LOCAL k smallest, merged —
+    so partitions ship k values, never their distinct sets, and the
+    estimate is identical to the single-pass computation."""
+    from pyspark.sql import functions as F
+
+    k = 32
+    vals = spark.range(0, 5000).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+        (F.col("id") % 7).alias("part"),
+    )
+    global_k = [r.h for r in vals.orderBy("h").limit(k).collect()]
+    from pyspark.sql import Window as W
+
+    local_k = (
+        vals.withColumn(
+            "rn", F.row_number().over(W.partitionBy("part").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    merged_k = [r.h for r in local_k.orderBy("h").limit(k).collect()]
+    assert merged_k == global_k
+    assert 31.0 * 4294967296.0 / merged_k[-1] == 31.0 * 4294967296.0 / global_k[-1]
+
+
 def test_interval_overlap_join_matches_brute_force(spark):
     """Bucketed interval join == the naive overlap predicate on closed
     intervals, across bucket widths (incl. intervals spanning many
