@@ -245,6 +245,31 @@ def test_chunk_dedup_no_pair_join_partial_distinct(spark, sf_dir):
     assert count_exchanges(df) <= 6
 
 
+def test_interval_overlap_query_avoids_nested_loop(spark, sf_dir):
+    """The sessions x busy-hours overlap join must plan as the bucketed
+    EQUI-join (hash/sort-merge on the bucket key) — never the
+    nested-loop/cartesian the naive overlap theta-join degenerates to."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = Q["sessions_busy_hour_overlap"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_band_join_is_broadcast_nested_loop(spark, sf_dir):
+    """The range-band query's non-equi join has no equi key at all, so
+    the RIGHT plan is a BroadcastNestedLoopJoin with the 5-row band dim
+    broadcast (map-side range tests, zero fact-side shuffle before the
+    rollup) — pin that the broadcast actually happened."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = Q["events_value_band_totals"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partitioned_cache_joins_shuffle_free_on_cached_side(spark):
     """The mechanism connected_components' big-graph path relies on: a
     relation cached AFTER repartition+sortWithinPartitions on the join
