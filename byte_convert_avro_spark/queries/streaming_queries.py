@@ -415,3 +415,63 @@ def streaming_view_purchase_join(spark: SparkSession, sf: str):
     q, name = run_stream_to_memory(j, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_static_user_enrichment",
+    """
+    WITH lifetime AS (
+      SELECT user_id,
+             COUNT(*) AS lifetime_events,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS lifetime_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           CAST(ROUND(e.value * 100, 0) AS BIGINT) AS value_cents,
+           l.lifetime_events, l.lifetime_cents
+    FROM events e JOIN lifetime l ON l.user_id = e.user_id
+    WHERE CAST(ROUND(e.value * 100, 0) AS BIGINT) * 10 > l.lifetime_cents
+    """,
+)
+def streaming_static_user_enrichment(spark: SparkSession, sf: str):
+    """STREAM-STATIC join — the production enrichment shape the streaming
+    family lacked: the events file STREAM joins a STATIC per-user
+    lifetime aggregate (computed batch-side), keeping events worth more
+    than 10% of their user's lifetime spend (integer-cent
+    cross-multiplied compare — no float threshold).  Stateless join, so
+    no watermark is needed and the append-mode result must equal the
+    batch join exactly.  Scale: the static side is a broadcast-size
+    per-user rollup; each micro-batch hash-joins against it map-side —
+    no streaming state at all (contrast streaming_view_purchase_join,
+    where BOTH sides are streams and state must buffer/evict)."""
+    static = (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("lifetime_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("lifetime_cents"),
+        )
+    )
+    ev = _events_stream(spark, sf).select(
+        "event_id",
+        F.col("user_id").alias("u2"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    j = (
+        ev.join(F.broadcast(static), ev.u2 == static.user_id)
+        .filter(F.col("value_cents") * 10 > F.col("lifetime_cents"))
+        .select(
+            "event_id", "user_id", "event_type", "value_cents",
+            "lifetime_events", "lifetime_cents",
+        )
+    )
+    from byte_convert_avro_spark.streaming import run_stream_to_memory
+
+    q, name = run_stream_to_memory(j, output_mode="append")
+    q.stop()
+    return spark.table(name)

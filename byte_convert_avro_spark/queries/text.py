@@ -149,9 +149,10 @@ def dedup_exact_groups(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "lang_id_heuristic",
-    """
+#: the ONE canonical stopword-langid oracle pipeline — the raw prediction
+#: query and the confusion matrix both compose it, so the scoring
+#: semantics cannot drift between them
+_LANGID_CTE = """
     WITH scored AS (
       SELECT doc_id, lang,
         (LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))  + 2) / 5 AS s_en,
@@ -159,14 +160,23 @@ def dedup_exact_groups(spark: SparkSession, sf: str):
         (LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', ' le ', ''))  + 2) / 4 AS s_fr,
         (LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', ' el ', ''))  + 2) / 4 AS s_es
       FROM documents
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                  WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                  WHEN s_es > 0 THEN 'es'
+                  ELSE 'unknown' END AS guessed_lang
+      FROM scored
     )
-    SELECT doc_id, lang,
-           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
-                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
-                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
-                WHEN s_es > 0 THEN 'es'
-                ELSE 'unknown' END AS guessed_lang
-    FROM scored
+"""
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    {_LANGID_CTE}
+    SELECT doc_id, lang, guessed_lang FROM pred
     """,
 )
 def lang_id_heuristic(spark: SparkSession, sf: str):
@@ -619,4 +629,40 @@ def winnowing_shared_fingerprints(spark: SparkSession, sf: str):
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
     return pairs.join(za, "doc_a").join(zb, "doc_b").select(
         "doc_a", "doc_b", "n_shared", "n_a", "n_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "langid_confusion_matrix",
+    f"""
+    {_LANGID_CTE}
+    SELECT lang AS actual_lang, guessed_lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_of_actual
+    FROM pred
+    GROUP BY lang, guessed_lang
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf: str):
+    """Classifier-evaluation primitive over the langid heuristic: the
+    (actual, predicted) confusion matrix with each cell's share of its
+    actual-language row — the standard quality readout before swapping a
+    heuristic for a real model.  Composes lang_id_heuristic (same scoring
+    CTE on the oracle side, same plan on the Spark side), then one
+    groupBy + one window over the tiny matrix; the share is a single
+    division of exact counts, bit-identical cross-engine."""
+    pred = lang_id_heuristic(spark, sf)
+    cells = pred.groupBy(
+        F.col("lang").alias("actual_lang"), "guessed_lang"
+    ).agg(F.count("*").alias("n_docs"))
+    wtot = W.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "guessed_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(wtot)).alias(
+            "share_of_actual"
+        ),
     )
