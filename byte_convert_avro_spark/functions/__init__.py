@@ -24,6 +24,7 @@ from byte_convert_avro_spark.wire import (  # noqa: F401 — wire vocabulary
 )
 
 __all__ = [
+    "ordered_fold",
     # wire
     "is_valid_wire", "has_magic_byte", "has_min_length", "schema_id", "body",
     # vectors
@@ -120,3 +121,23 @@ def time_bucket(ts_us: Column | str, width_us: int) -> Column:
     """Integer tumbling-bucket index (floor division, no floats)."""
     ts_us = F.col(ts_us) if isinstance(ts_us, str) else ts_us
     return F.call_function("div", ts_us, F.lit(width_us))
+
+
+def ordered_fold(sort_key: str, value: str) -> Column:
+    """Deterministic aggregate double sum: collect (key, value) pairs,
+    sort by key, fold left-to-right with init 0.0.  THE portable
+    discipline for cross-engine sums of arbitrary doubles: IEEE addition
+    in a fixed order is bit-identical everywhere, while
+    ``CAST(double AS DECIMAL)`` is NOT (Spark and DuckDB round the binary
+    expansion differently at high scales), and 0.0 + x1 == x1 exactly, so
+    it also matches an init-less first-element fold (DuckDB
+    ``list_reduce(list(x ORDER BY k), (a, b) -> a + b)``).  Used by the
+    IVF/centroid queries, kmeans_lloyd, and pagerank_fixed_rounds."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(sort_key, value))),
+            lambda s: s[value],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )

@@ -13,18 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ordered_fold(sort_key: str, value: str):
-    """Bit-deterministic sum: fold values in sort_key order, init 0.0
-    (0.0 + x1 == x1 exactly, so it matches an init-less first-element
-    fold on the oracle side)."""
-    return F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(sort_key, value))),
-            lambda s: s[value],
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
+from byte_convert_avro_spark.functions import ordered_fold as _ordered_fold
 
 
 def pagerank_fixed_rounds(

@@ -163,15 +163,7 @@ def kmeans_lloyd(
         (int(r.id), [float(x) for x in r.e]) for r in seed_rows
     ]
 
-    def ordered_fold(sort_key: str, value: str):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(sort_key, value))),
-                lambda s: s[value],
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+    from byte_convert_avro_spark.functions import ordered_fold
 
     for _ in range(n_iter):
         d2s = F.array(

@@ -475,3 +475,80 @@ def streaming_static_user_enrichment(spark: SparkSession, sf: str):
     q, name = run_stream_to_memory(j, output_mode="append")
     q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MIN(epoch_us(ts)) AS first_ts_us,
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf: str):
+    """CUSTOM STATEFUL operator under the oracle gate: per-user running
+    totals accumulated across micro-batches by ``applyInPandasWithState``
+    (streaming/sessions.running_user_totals) — the events file arrives as
+    FOUR hash-sharded files, one per trigger, so every user's state is
+    genuinely created, re-read, and updated across batches; each batch
+    emits the user's cumulative row (update mode) and the LAST cumulative
+    row per user must equal the batch GROUP BY exactly.  All state
+    arithmetic is integer (cents, µs), so the final row is exact however
+    the batches sliced.  The last row is selected with max(struct(...)) —
+    n_events strictly increases per emission, so the struct max IS the
+    final state."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = t(spark, sf, "events")
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = tempfile.mkdtemp(prefix="stateful_shards_")
+    try:
+        for i in range(4):
+            tmp = os.path.join(d, "_w")
+            raw.filter(F.col("_shard") == i).drop("_shard").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        from byte_convert_avro_spark.streaming import (
+            running_user_totals,
+            run_stream_to_memory,
+        )
+
+        totals = running_user_totals(stream)
+        q, name = run_stream_to_memory(totals, output_mode="update")
+        q.stop()
+        emitted = spark.table(name)
+        final = F.max(
+            F.struct("n_events", "total_cents", "first_ts_us", "last_ts_us")
+        ).alias("_f")
+        return (
+            emitted.groupBy("user_id")
+            .agg(final)
+            .select(
+                "user_id",
+                F.col("_f.n_events").alias("n_events"),
+                F.col("_f.total_cents").alias("total_cents"),
+                F.col("_f.first_ts_us").alias("first_ts_us"),
+                F.col("_f.last_ts_us").alias("last_ts_us"),
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -88,20 +88,7 @@ def knn_cosine_top5(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-def _ordered_fold(sort_key: str, value: str):
-    """Deterministic double sum: collect (key, value), sort by key, fold
-    left-to-right.  NOTE: ``CAST(double AS DECIMAL)`` is NOT portable for
-    exactness — Spark and DuckDB round the binary expansion differently at
-    high scales — so order-fixed IEEE folding is the portable discipline
-    for sums of arbitrary doubles."""
-    return F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(sort_key, value))),
-            lambda s: s[value],
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, v: acc + v,
-    )
+from byte_convert_avro_spark.functions import ordered_fold as _ordered_fold
 
 
 @register(

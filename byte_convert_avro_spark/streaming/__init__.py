@@ -28,6 +28,7 @@ from byte_convert_avro_spark.streaming.pipeline import (
     use_rocksdb_state,
 )
 from byte_convert_avro_spark.streaming.sessions import (
+    running_user_totals,
     sessionize_stateful,
     sessionize_stream,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "hourly_tumbling_stream",
     "sliding_window_stream",
     "sessionize_stream",
+    "running_user_totals",
     "sessionize_stateful",
     "use_rocksdb_state",
 ]

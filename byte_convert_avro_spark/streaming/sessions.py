@@ -185,3 +185,75 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("first_ts_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+TOTALS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _accumulate_totals(
+    key: tuple, batches: "Iterator[pd.DataFrame]", state: "GroupState"
+) -> "Iterator[pd.DataFrame]":
+    """Running per-user accumulator: merge each micro-batch into the
+    state tuple and emit the CUMULATIVE totals after every batch that
+    touched the user.  All arithmetic is integer (cents, µs), so emitted
+    partials are exact at every step."""
+    (user_id,) = key
+    n = cents = 0
+    first_us = last_us = None
+    if state.exists:
+        n, cents, first_us, last_us = state.get
+    for pdf in batches:
+        for ts_us, c in zip(pdf["ts_us"], pdf["value_cents"]):
+            t_i, c_i = int(ts_us), int(c)
+            n += 1
+            cents += c_i
+            first_us = t_i if first_us is None else min(first_us, t_i)
+            last_us = t_i if last_us is None else max(last_us, t_i)
+    state.update((n, cents, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_cents": [cents],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful running totals via ``applyInPandasWithState``
+    (NoTimeout — the state lives for the stream's lifetime and every
+    batch emits the user's cumulative row).  The minimal template for
+    custom cross-batch accumulators; the cumulative emission makes the
+    LAST row per user equal the batch aggregate, which is what the
+    oracle-checked query pins."""
+    ev = with_event_time(events).select(
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _accumulate_totals,
+        outputStructType=TOTALS_SCHEMA,
+        stateStructType=TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
