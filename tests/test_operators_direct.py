@@ -423,6 +423,27 @@ def test_kmeans_recovers_separated_clusters_deterministically(spark):
     assert abs(got[1][0] - hi[0]) < 1e-9 and abs(got[1][1] - hi[1]) < 1e-9
 
 
+def test_pagerank_fast_path_close_to_deterministic(spark):
+    """deterministic=False (plain SUM) must agree with the ordered-fold
+    path to float-accumulation tolerance — same algorithm, different
+    summation order only — and both must sum to ~1.0 (no rank leakage on
+    the symmetric graph)."""
+    from byte_convert_avro_spark.operators.graph import pagerank_fixed_rounds
+
+    e0 = spark.createDataFrame(
+        [(f"a{i}", f"b{i % 3}") for i in range(12)], "src string, dst string"
+    )
+    edges = e0.union(e0.selectExpr("dst AS src", "src AS dst"))
+    det = {r.v: r.rank for r in pagerank_fixed_rounds(edges, n_rounds=3).collect()}
+    fast = {
+        r.v: r.rank
+        for r in pagerank_fixed_rounds(edges, n_rounds=3, deterministic=False).collect()
+    }
+    assert det.keys() == fast.keys()
+    assert all(abs(det[v] - fast[v]) < 1e-12 for v in det)
+    assert abs(sum(det.values()) - 1.0) < 1e-9
+
+
 def test_kmv_partial_merge_equals_global(spark):
     """The scale property the KMV sketch relies on: the k smallest hashes
     of a union == the k smallest of each part's LOCAL k smallest, merged —
