@@ -1098,7 +1098,10 @@ def multimodal_feature_knn(spark: SparkSession, sf: str):
            CAST(MAX(n_exact) AS BIGINT) AS exact_distinct,
            CAST(MAX(CASE WHEN rn = 32 THEN h END) AS BIGINT) AS kth_hash,
            CASE WHEN MAX(n_exact) < 32 THEN CAST(MAX(n_exact) AS DOUBLE)
-                ELSE 31.0 * 4294967296.0
+                -- literals CAST to DOUBLE: bare decimals would compute in
+                -- DuckDB's exact-decimal arithmetic (safe here only because
+                -- the product is exactly representable; be explicit anyway)
+                ELSE CAST(31.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE)
                      / MAX(CASE WHEN rn = 32 THEN h END)
            END AS kmv_estimate
     FROM ranked
