@@ -32,7 +32,12 @@ def pagerank_fixed_rounds(
     Deterministic and engine-portable: uniform init 1/N, per-round rank
     ``(1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u)`` with the neighbor sum
     folded in SOURCE-ID ORDER (bit-identical across engines; the damping
-    constants are computed with the same IEEE ops on both sides).
+    constants are computed with the same IEEE ops on both sides).  The
+    bit-parity contract requires a DUPLICATE-FREE edge list (call
+    ``.distinct()`` first, as ``pagerank_trade_graph`` does): duplicate
+    (src, dst) rows double-count correctly, but their equal-src
+    contributions have no defined fold order, so cross-engine agreement
+    degrades to accumulation-order tolerance.
 
     Scale: the static ``edges ⋈ outdeg`` frame is built once; each round
     is ONE shuffle join (ranks onto edges by src) + one grouped ordered

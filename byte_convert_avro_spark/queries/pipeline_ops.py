@@ -388,9 +388,6 @@ def multimodal_frame_samples(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-_IVF_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-)
 _IVF_DOT_SQL = (
     "list_reduce(list_transform(generate_series(1, 64), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
 )
@@ -1087,7 +1084,7 @@ def multimodal_feature_knn(spark: SparkSession, sf: str):
     WITH hashed AS (
       SELECT DISTINCT event_type,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), ranked AS (
       SELECT event_type, h,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
@@ -1116,21 +1113,27 @@ def kmv_distinct_users_estimate(spark: SparkSession, sf: str):
     |distinct| = (k-1) / kth_smallest_normalized — one division of exact
     integers, so even the estimate's float is bit-identical across
     engines.  Exact count carried alongside so the artifact shows the
-    sketch error.  Scale: the KMV state is MERGEABLE — each partition
+    sketch error (``exact_distinct`` counts distinct HASH values — equal
+    to distinct users up to 32-bit prefix collisions, which is exactly
+    the granularity the sketch itself sees).  Scale: the KMV state is
+    MERGEABLE — each partition
     keeps its local k smallest (map-side), the shuffle carries k values
     per group, never the distinct set; here the distinct feeds a window
     for oracle parity, with the merge property tested in
     tests/test_operators_direct.py::test_kmv_partial_merge_equals_global."""
     ev = t(spark, sf, "events")
+    # distinct on the HASH (textbook KMV ranks distinct hash values, and
+    # it is what the oracle dedups on): deduping on user_id instead would
+    # keep both sides of a 32-bit hash collision and shift every rank
     hashed = (
-        ev.select("event_type", "user_id")
-        .distinct()
+        ev.filter(F.col("user_id").isNotNull())
         .select(
             "event_type",
             F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
             .cast("long")
             .alias("h"),
         )
+        .distinct()
     )
     wr = W.partitionBy("event_type").orderBy("h")
     wn = W.partitionBy("event_type")

@@ -438,9 +438,13 @@ def above_median_quality_docs(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "winnowing_fingerprints",
-    """
+#: the ONE canonical winnowing-selection oracle pipeline (ends with
+#: ``fps(doc_id, fp_hash)``) — the per-doc fingerprint query and the
+#: cross-doc pair matcher both compose it, so the scheme (16-char hashes,
+#: 4-hash windows, full windows only) cannot drift between them.  The
+#: pure-Python reference in tests/test_functions.py stays an INDEPENDENT
+#: implementation on purpose (it is the parity check).
+_WINNOW_FPS_CTE = """
     WITH rh AS (
       SELECT doc_id, unnest(generate_series(1, LENGTH(text) - 15)) AS pos,
              md5(substr(text, unnest(generate_series(1, LENGTH(text) - 15)), 16))
@@ -456,6 +460,35 @@ def above_median_quality_docs(spark: SparkSession, sf: str):
       SELECT DISTINCT doc_id, sel AS fp_hash
       FROM win WHERE pos <= m - 3
     )
+"""
+
+
+def _winnow_fps(spark: SparkSession, sf: str):
+    """Spark twin of ``_WINNOW_FPS_CTE``: distinct (doc_id, fp_hash)."""
+    from byte_convert_avro_spark.operators.text import rolling_hashes
+
+    rh = rolling_hashes(
+        spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", window=16
+    )
+    wsel = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wcnt = W.partitionBy("doc_id")
+    return (
+        rh.select(
+            "doc_id",
+            "pos",
+            F.min("chunk_hash").over(wsel).alias("sel"),
+            F.count("*").over(wcnt).alias("m"),
+        )
+        .filter(F.col("pos") <= F.col("m") - 3)
+        .select("doc_id", F.col("sel").alias("fp_hash"))
+        .distinct()
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    {_WINNOW_FPS_CTE}
     SELECT doc_id,
            COUNT(*) AS n_fingerprints,
            MIN(fp_hash) AS min_fp,
@@ -473,25 +506,7 @@ def winnowing_fingerprints(spark: SparkSession, sf: str):
     fingerprint between two documents — the local-dedup primitive between
     exact chunks and MinHash.  Scale: one shuffle on doc_id; the frame is
     4 rows, the distinct + rollup stay doc_id-keyed."""
-    from byte_convert_avro_spark.operators.text import rolling_hashes
-
-    rh = rolling_hashes(
-        spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", window=16
-    )
-    wsel = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    wcnt = W.partitionBy("doc_id")
-    fps = (
-        rh.select(
-            "doc_id",
-            "pos",
-            F.min("chunk_hash").over(wsel).alias("sel"),
-            F.count("*").over(wcnt).alias("m"),
-        )
-        .filter(F.col("pos") <= F.col("m") - 3)
-        .select("doc_id", F.col("sel").alias("fp_hash"))
-        .distinct()
-    )
-    return fps.groupBy("doc_id").agg(
+    return _winnow_fps(spark, sf).groupBy("doc_id").agg(
         F.count("*").alias("n_fingerprints"),
         F.min("fp_hash").alias("min_fp"),
         F.max("fp_hash").alias("max_fp"),
@@ -558,22 +573,8 @@ def tfidf_top_terms(spark: SparkSession, sf: str):
 # ---------------------------------------------------------------------------
 @register(
     "winnowing_shared_fingerprints",
-    """
-    WITH rh AS (
-      SELECT doc_id, unnest(generate_series(1, LENGTH(text) - 15)) AS pos,
-             md5(substr(text, unnest(generate_series(1, LENGTH(text) - 15)), 16))
-               AS chunk_hash
-      FROM documents WHERE LENGTH(text) >= 16
-    ), win AS (
-      SELECT doc_id, pos,
-             MIN(chunk_hash) OVER (PARTITION BY doc_id ORDER BY pos
-                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
-             COUNT(*) OVER (PARTITION BY doc_id) AS m
-      FROM rh
-    ), fps AS (
-      SELECT DISTINCT doc_id, sel AS fp_hash
-      FROM win WHERE pos <= m - 3
-    ), sizes AS (
+    f"""
+    {_WINNOW_FPS_CTE.rstrip()}, sizes AS (
       SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -598,24 +599,7 @@ def winnowing_shared_fingerprints(spark: SparkSession, sf: str):
     bounded by fingerprint collisions, never |docs|².  Completes the
     substring-dedup story next to the chunk-granular
     ``corpus_strip_repeated_chunks``."""
-    from byte_convert_avro_spark.operators.text import rolling_hashes
-
-    rh = rolling_hashes(
-        spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", window=16
-    )
-    wsel = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    wcnt = W.partitionBy("doc_id")
-    fps = (
-        rh.select(
-            "doc_id",
-            "pos",
-            F.min("chunk_hash").over(wsel).alias("sel"),
-            F.count("*").over(wcnt).alias("m"),
-        )
-        .filter(F.col("pos") <= F.col("m") - 3)
-        .select("doc_id", F.col("sel").alias("fp_hash"))
-        .distinct()
-    )
+    fps = _winnow_fps(spark, sf)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp_hash").alias("fp2"))

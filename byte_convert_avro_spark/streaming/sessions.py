@@ -221,11 +221,17 @@ def _accumulate_totals(
         n, cents, first_us, last_us = state.get
     for pdf in batches:
         for ts_us, c in zip(pdf["ts_us"], pdf["value_cents"]):
-            t_i, c_i = int(ts_us), int(c)
+            # SQL-aggregate NULL semantics (the batch oracle's): COUNT(*)
+            # counts the row, SUM/MIN/MAX skip NULLs — a nullable long
+            # arrives as NaN in the pandas batch and int(NaN) would abort
+            # the whole query otherwise
             n += 1
-            cents += c_i
-            first_us = t_i if first_us is None else min(first_us, t_i)
-            last_us = t_i if last_us is None else max(last_us, t_i)
+            if not pd.isna(c):
+                cents += int(c)
+            if not pd.isna(ts_us):
+                t_i = int(ts_us)
+                first_us = t_i if first_us is None else min(first_us, t_i)
+                last_us = t_i if last_us is None else max(last_us, t_i)
     state.update((n, cents, first_us, last_us))
     yield pd.DataFrame(
         {
@@ -244,8 +250,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     batch emits the user's cumulative row).  The minimal template for
     custom cross-batch accumulators; the cumulative emission makes the
     LAST row per user equal the batch aggregate, which is what the
-    oracle-checked query pins."""
-    ev = with_event_time(events).select(
+    oracle-checked query pins.  No event-time column is added — NoTimeout
+    state needs no watermark."""
+    ev = events.select(
         "user_id",
         F.expr("ts DIV 1000").alias("ts_us"),
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
