@@ -523,3 +523,55 @@ def test_late_data_query_excludes_named_late_rows(spark, sf_dir):
     late_row = slots.filter(F.col("slot") == 5).agg(F.min("event_id")).first()[0]
     assert late_row is not None  # the named late event exists in the corpus
     assert 5 not in out  # ...and its window was dropped by the watermark
+
+
+def test_stateful_accumulator_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState state persists across a checkpointed
+    RESTART: accumulate two shards, stop, add two more, restart with the
+    same checkpoint — the final cumulative row per user must equal the
+    one-shot batch aggregate over all four shards (only possible if the
+    restarted query resumed from persisted state instead of starting
+    from zero)."""
+    from byte_convert_avro_spark.streaming import running_user_totals
+
+    src = os.path.join(tmp_path, "in")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    # user 1 spans BOTH runs (their final row requires state persisted
+    # across the restart); user 2 exists only after the restart
+    batch1 = [(1, _ns(i * 60), "view", float(i + 1)) for i in range(4)]
+    batch2 = [(1, _ns(1000 + i * 60), "view", 10.0 + i) for i in range(3)]
+    batch2 += [(2, _ns(2000), "view", 5.0)]
+    _write_events(spark, src, batch1)
+
+    emitted: list = []  # survives the restart (memory sink can't recover
+    # from a checkpoint; foreachBatch can)
+
+    def start():
+        totals = running_user_totals(_events_stream(spark, src))
+        return (
+            totals.writeStream.foreachBatch(
+                lambda df, _eid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    _write_events(spark, src, batch2)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    final = {}
+    for r in emitted:
+        cur = final.get(r.user_id)
+        cand = (r.n_events, r.total_cents)
+        final[r.user_id] = max(cur, cand) if cur else cand
+    expect = {}
+    for u, _, _, v in batch1 + batch2:
+        n, c = expect.get(u, (0, 0))
+        expect[u] = (n + 1, c + round(v * 100))
+    assert final == expect  # user 1's totals span the restart boundary
