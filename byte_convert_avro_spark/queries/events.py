@@ -775,3 +775,55 @@ def sessions_busy_hour_overlap(spark: SparkSession, sf: str):
             + 1
         ).alias("overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_median_inter_event_gap",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS gap
+      FROM events
+    ), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+    r AS (
+      SELECT user_id, gap,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM gg
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END)
+            + MAX(CASE WHEN rn = n // 2 + 1 THEN gap END)) / 2.0
+             AS median_gap_us
+    FROM r GROUP BY user_id
+    """,
+)
+def events_median_inter_event_gap(spark: SparkSession, sf: str):
+    """EXACT median inter-event gap per user (the burstiness profile):
+    LAG over each user's event sequence -> the two-middle-rows median on
+    the gap distribution (rank positions (n+1) div 2 and n div 2 + 1 —
+    the same integer-rank discipline as median_price_by_priority; the
+    value at a rank is well-defined under gap ordering even with tied
+    gaps, and the even-count average is one exact-integer sum / 2.0).
+    Both windows and the rollup share one user_id shuffle."""
+    ev = _ev(spark, sf)
+    wseq = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(wseq)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    wr = W.partitionBy("user_id").orderBy("gap")
+    wn = W.partitionBy("user_id")
+    r = g.select(
+        "user_id", "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    lo = F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap")))
+    hi = F.max(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("gap")))
+    return r.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        ((lo + hi) / F.lit(2.0)).alias("median_gap_us"),
+    )

@@ -921,3 +921,43 @@ def running_distinct_customers_by_nation(spark: SparkSession, sf: str):
         "n_name", "month", "new_customers",
         F.sum("new_customers").over(wcum).cast("long").alias("cumulative_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_quarter_over_quarter",
+    """
+    WITH q AS (
+      SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m') AS quarter,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT quarter, n_orders, revenue,
+           LAG(revenue) OVER (ORDER BY quarter) AS prev_revenue,
+           revenue / LAG(revenue) OVER (ORDER BY quarter) AS qoq_ratio
+    FROM q
+    """,
+)
+def orders_quarter_over_quarter(spark: SparkSession, sf: str):
+    """Time-series growth shape: quarterly revenue with the
+    quarter-over-quarter ratio via LAG over the AGGREGATED series.  The
+    exact-decimal revenue casts to double once and the ratio is a single
+    IEEE division — deterministic cross-engine.  The global-ordered
+    window runs over ~tens of quarter rows (post-aggregation), so the
+    single-partition window is trivially fine here — the scale hazard
+    only exists when a global window runs over raw rows
+    (cf. sequence_packing_sharded)."""
+    o = t(spark, sf, "orders")
+    q = o.groupBy(
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM").alias("quarter")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = W.orderBy("quarter")
+    return q.select(
+        "quarter", "n_orders", "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") / F.lag("revenue").over(w)).alias("qoq_ratio"),
+    )
