@@ -124,3 +124,51 @@ def test_kafka_source_smoke_or_clean_failure(spark):
         return
     got = {f.name for f in df.schema.fields}
     assert {"topic", "partition", "offset", "key", "value", "timestamp"} <= got
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The posture SCALE.md relies on for JOIN skew (salting covers aggs;
+    AQE covers joins): a 95%-hot-key sort-merge join under tightened skew
+    thresholds must be re-planned with the skewed partition SPLIT
+    (SortMergeJoin(skew=true) in the final adaptive plan) and still
+    return exactly the rows the plain join returns."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # ~95% of left rows share key 0; payloads are id-derived so the
+        # shuffle actually carries bytes (a constant payload would fold
+        # above the join, and identical values compress below threshold)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        j = left.join(right, "k")
+        n = 0
+        for _ in j.toLocalIterator():
+            n += 1
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        # k=0: 285000 (id%20!=0) + 1 (id=0) rows x 1 match; other right-
+        # covered keys: id in {20..1980 step 20} = 99 rows
+        assert n == 285_001 + 99
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
