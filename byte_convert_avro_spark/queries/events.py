@@ -827,3 +827,62 @@ def events_median_inter_event_gap(spark: SparkSession, sf: str):
         F.max("n").cast("long").alias("n_gaps"),
         ((lo + hi) / F.lit(2.0)).alias("median_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_rfm",
+    """
+    WITH per AS (
+      SELECT user_id,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents,
+             MAX(epoch_us(ts)) AS last_ts_us
+      FROM events GROUP BY user_id
+    ), g AS (SELECT MAX(last_ts_us) AS global_max FROM per)
+    SELECT p.user_id,
+           g.global_max - p.last_ts_us AS recency_us,
+           p.frequency, p.monetary_cents,
+           CAST(NTILE(5) OVER (ORDER BY g.global_max - p.last_ts_us DESC,
+                               p.user_id) AS INT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY p.frequency, p.user_id) AS INT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY p.monetary_cents, p.user_id) AS INT)
+             AS m_score
+    FROM per p CROSS JOIN g
+    """,
+)
+def events_user_rfm(spark: SparkSession, sf: str):
+    """RFM SEGMENTATION (recency / frequency / monetary) — the classic
+    user-scoring shape: per-user rollup, recency vs the corpus max
+    timestamp (single-row broadcast cross join), and 1-5 quintile scores
+    per dimension via NTILE with a unique tie-break (5 = best on every
+    axis).  All inputs integer (µs, cents).  Scale note: the NTILE
+    windows here run over the POST-AGGREGATION per-user rows; at
+    hundreds of millions of users the global window becomes the
+    single-partition hazard and the deployment form derives the same
+    scores from broadcast quantile cutoffs (the
+    ``stratified_sample_balanced`` threshold discipline) — this query
+    pins the semantics those cutoffs must reproduce."""
+    ev = _ev(spark, sf)
+    per = ev.groupBy("user_id").agg(
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+        F.max("ts_us").alias("last_ts_us"),
+    )
+    g = per.agg(F.max("last_ts_us").alias("global_max"))
+    p = per.crossJoin(F.broadcast(g)).withColumn(
+        "recency_us", F.col("global_max") - F.col("last_ts_us")
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("recency_us"), "user_id"))
+    f = F.ntile(5).over(W.orderBy("frequency", "user_id"))
+    m = F.ntile(5).over(W.orderBy("monetary_cents", "user_id"))
+    return p.select(
+        "user_id", "recency_us", "frequency", "monetary_cents",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )

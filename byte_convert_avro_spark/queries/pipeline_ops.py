@@ -1227,3 +1227,74 @@ def pagerank_trade_graph(spark: SparkSession, sf: str):
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank_fixed_rounds(edges, "src", "dst", n_rounds=3, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_int8_quantization_error",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS max_abs
+      FROM v
+    ), q AS (
+      SELECT vec_id, e, max_abs,
+             max_abs / CAST(127.0 AS DOUBLE) AS scale,
+             CASE WHEN max_abs = 0 THEN list_transform(e, x -> CAST(0.0 AS DOUBLE))
+                  ELSE list_transform(e, x -> round(x / (max_abs / CAST(127.0 AS DOUBLE)))
+                                              * (max_abs / CAST(127.0 AS DOUBLE)))
+             END AS dq
+      FROM s
+    )
+    SELECT vec_id, max_abs,
+           list_reduce(list_transform(generate_series(1, 64),
+                       i -> (e[i] - dq[i]) * (e[i] - dq[i])), (a, b) -> a + b)
+             / CAST(64.0 AS DOUBLE) AS mse,
+           CASE WHEN max_abs = 0 THEN NULL
+                ELSE list_reduce(list_transform(generate_series(1, 64),
+                                 i -> e[i] * dq[i]), (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                               i -> e[i] * e[i]), (a, b) -> a + b))
+                        * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                               i -> dq[i] * dq[i]), (a, b) -> a + b)))
+           END AS cos_dequant
+    FROM q
+    """,
+)
+def embedding_int8_quantization_error(spark: SparkSession, sf: str):
+    """Vector COMPRESSION accounting — the int8 scalar-quantization step
+    every large embedding store applies, with its exact cost: per vector,
+    symmetric max-abs/127 scale, round-to-int8 quantize + dequantize, and
+    the reconstruction MSE + cosine(original, dequantized).  Fully
+    deterministic cross-engine: abs/max are order-free, ROUND shares the
+    money-discipline semantics, and every reduction folds dims 1..64 in
+    array order (no sorting needed — the array IS the order).  Scale:
+    pure narrow per-row array math, no shuffle at all."""
+    e = spread(t(spark, sf, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    s = e.withColumn(
+        "max_abs", F.array_max(F.transform("e", lambda x: F.abs(x)))
+    )
+    scale = F.col("max_abs") / F.lit(127.0)
+    dq = F.when(
+        F.col("max_abs") == 0,
+        F.transform("e", lambda x: F.lit(0.0)),
+    ).otherwise(
+        F.transform("e", lambda x: F.round(x / scale) * scale)
+    )
+    q = s.withColumn("dq", dq)
+    fold = "aggregate(zip_with({a}, {b}, (x, y) -> {expr}), cast(0.0 as double), (acc, x) -> acc + x)"
+    mse = F.expr(fold.format(a="e", b="dq", expr="(x - y) * (x - y)")) / F.lit(64.0)
+    dot_ed = F.expr(fold.format(a="e", b="dq", expr="x * y"))
+    nrm_e = F.sqrt(F.expr(fold.format(a="e", b="e", expr="x * y")))
+    nrm_d = F.sqrt(F.expr(fold.format(a="dq", b="dq", expr="x * y")))
+    return q.select(
+        "vec_id",
+        "max_abs",
+        mse.alias("mse"),
+        F.when(F.col("max_abs") == 0, F.lit(None).cast("double"))
+        .otherwise(dot_ed / (nrm_e * nrm_d))
+        .alias("cos_dequant"),
+    )
