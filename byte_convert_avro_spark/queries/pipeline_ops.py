@@ -174,10 +174,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "doc_quality_scores",
-    r"""
-    WITH base AS (
+#: the ONE canonical quality-score oracle pipeline (ends with
+#: ``quality(doc_id, quality)``) — the score query and the cluster-keeper
+#: selection both compose it
+_QUALITY_CTE = r"""
+    qbase AS (
       SELECT doc_id,
              LENGTH(text) AS n_chars,
              LEN(string_split(text, ' ')) AS n_words,
@@ -186,15 +187,24 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str):
              CASE WHEN regexp_matches(text, '\b(the|and|of|der|und|le|et|el)\b')
                   THEN 1.0 ELSE 0.0 END AS has_stop
       FROM documents
+    ), quality AS (
+      SELECT doc_id,
+             0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0
+                         WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
+             + 0.2 * has_stop
+             + 0.3 * LEAST(CAST(n_distinct AS DOUBLE) / n_words * 2, 1.0)
+             + 0.2 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 5, 1.0))
+               AS quality
+      FROM qbase
     )
-    SELECT doc_id,
-           0.3 * (CASE WHEN n_chars BETWEEN 100 AND 10000 THEN 1.0
-                       WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
-           + 0.2 * has_stop
-           + 0.3 * LEAST(CAST(n_distinct AS DOUBLE) / n_words * 2, 1.0)
-           + 0.2 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 5, 1.0))
-             AS quality
-    FROM base
+"""
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH {_QUALITY_CTE}
+    SELECT doc_id, quality FROM quality
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf: str):
@@ -1297,4 +1307,129 @@ def embedding_int8_quantization_error(spark: SparkSession, sf: str):
         F.when(F.col("max_abs") == 0, F.lit(None).cast("double"))
         .otherwise(dot_ed / (nrm_e * nrm_d))
         .alias("cos_dequant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_best_keeper",
+    None,  # oracle assigned below (needs text._MINHASH_ORACLE; see _fix)
+)
+def dedup_cluster_best_keeper(spark: SparkSession, sf: str):
+    """QUALITY-AWARE keeper selection — the refinement every production
+    dedup pipeline applies on top of min-id keepers: per near-dup
+    cluster (connected components over the MinHash-LSH candidate graph),
+    keep the member with the HIGHEST quality score (ties -> smallest
+    doc_id).  Composes three oracle-gated stages — candidate pairing,
+    connected_components, doc_quality_scores — into one result; the
+    quality doubles are bit-identical cross-engine, so the argmax is
+    too.  Scale: the per-component argmax is one window over the cluster
+    assignment joined to per-doc scores on doc_id."""
+    from byte_convert_avro_spark.operators.dedup import connected_components
+    from byte_convert_avro_spark.queries.text import minhash_dup_candidates
+
+    pairs = minhash_dup_candidates(spark, sf).select("doc_a", "doc_b")
+    comp = connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "component"
+    )
+    q = X.quality_score(t(spark, sf, "documents"), "text").select("doc_id", "quality")
+    j = comp.join(q, "doc_id")
+    wsz = W.partitionBy("component")
+    wbest = W.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    return (
+        j.withColumn("cluster_size", F.count("*").over(wsz))
+        .withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            "cluster_size",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality").alias("keeper_quality"),
+        )
+    )
+
+
+def _fix_best_keeper_oracle() -> None:
+    """Assign the oracle after import: the CC recursive CTE lives in
+    queries/text.py (_MINHASH_ORACLE) and the quality CTE above — both
+    composed verbatim so neither semantics can drift."""
+    from byte_convert_avro_spark.queries.base import ORACLES
+    from byte_convert_avro_spark.queries.text import _MINHASH_ORACLE
+
+    ORACLES["dedup_cluster_best_keeper"] = f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS v, src AS label FROM edges
+      UNION
+      SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v),
+    {_QUALITY_CTE.strip()},
+    jj AS (
+      SELECT c.component, c.doc_id, q.quality,
+             COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM comp c JOIN quality q ON q.doc_id = c.doc_id
+    )
+    SELECT component, cluster_size,
+           doc_id AS keeper_doc_id, quality AS keeper_quality
+    FROM jj WHERE rn = 1
+    """
+
+
+_fix_best_keeper_oracle()
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_chunking_64w",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w, LEN(string_split(text, ' ')) AS n
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w, n, unnest(generate_series(1, n, 48)) AS s
+      FROM words
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_word,
+           CAST(LEAST(64, n - s + 1) AS BIGINT) AS n_words_in_chunk,
+           md5(array_to_string(w[s:LEAST(s + 63, n)], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def corpus_chunking_64w(spark: SparkSession, sf: str):
+    """Training-corpus CHUNKING — the pre-tokenization splitter: each
+    document slices into 64-word chunks with 16-word overlap (stride 48),
+    tail chunk shorter.  Chunk text is compared via md5 (raw text never
+    crosses the engine boundary); (doc_id, chunk_idx) is the stable chunk
+    key downstream embedding/packing stages join on.  Scale: one narrow
+    split + bounded explode (n/48 rows per doc), no shuffle until a
+    consumer aggregates."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    starts = d.select(
+        "doc_id", "w", "n",
+        F.explode(F.expr("sequence(1, n, 48)")).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr("(s - 1) div 48").cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_word"),
+        F.least(F.lit(64), F.col("n") - F.col("s") + 1).cast("long").alias("n_words_in_chunk"),
+        F.md5(F.array_join(F.slice("w", F.col("s"), F.lit(64)), " ")).alias("chunk_md5"),
     )
