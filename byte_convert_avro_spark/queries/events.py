@@ -886,3 +886,62 @@ def events_user_rfm(spark: SparkSession, sf: str):
         f.cast("int").alias("f_score"),
         m.cast("int").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_anomaly_zscore",
+    f"""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(c) AS BIGINT) AS sum_c,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_bucket, h.c,
+           (CAST(h.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n)
+             / sqrt((CAST(s.n AS DOUBLE) * s.sum_c2 - CAST(s.sum_c AS DOUBLE) * s.sum_c)
+                    / (CAST(s.n AS DOUBLE) * (s.n - 1))) AS zscore
+    FROM h JOIN s ON s.event_type = h.event_type
+    WHERE (CAST(h.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n)
+          / sqrt((CAST(s.n AS DOUBLE) * s.sum_c2 - CAST(s.sum_c AS DOUBLE) * s.sum_c)
+                 / (CAST(s.n AS DOUBLE) * (s.n - 1)))
+          >= CAST(2.5 AS DOUBLE)
+    """,
+)
+def events_hourly_anomaly_zscore(spark: SparkSession, sf: str):
+    """ANOMALY DETECTION with engine-exact statistics: hours whose event
+    count sits >= 2.5 sample standard deviations above that event type's
+    hourly mean.  No stddev aggregate anywhere — built-in stddev
+    accumulates in partition order (non-deterministic last-ulp): instead
+    mean and variance derive from EXACT integer sums
+    (n, Σc, Σc² — sum-of-squares identity), and the z-score is a fixed
+    sequence of IEEE ops on those integers, bit-identical cross-engine,
+    so even the >= threshold row set matches exactly.  Scale: one
+    (type, hour) groupBy + one tiny per-type rollup broadcast back."""
+    ev = _ev(spark, sf)
+    h = ev.groupBy(
+        "event_type", F.expr(f"ts_us DIV {US_PER_HOUR}").alias("hour_bucket")
+    ).agg(F.count("*").alias("c"))
+    s = h.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("long").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    j = h.join(F.broadcast(s), "event_type")
+    mean = F.col("sum_c").cast("double") / F.col("n")
+    var = (
+        F.col("n").cast("double") * F.col("sum_c2")
+        - F.col("sum_c").cast("double") * F.col("sum_c")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.withColumn("zscore", z)
+        .filter(F.col("zscore") >= F.lit(2.5))
+        .select("event_type", "hour_bucket", "c", "zscore")
+    )

@@ -961,3 +961,39 @@ def orders_quarter_over_quarter(spark: SparkSession, sf: str):
         F.lag("revenue").over(w).alias("prev_revenue"),
         (F.col("revenue") / F.lag("revenue").over(w)).alias("qoq_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "setop_multiset_order_priorities",
+    """
+    WITH hi AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), lo AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    ), ex AS (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM lo),
+    ia AS (SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM lo)
+    SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n FROM ex GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n FROM ia GROUP BY 2
+    """,
+)
+def setop_multiset_order_priorities(spark: SparkSession, sf: str):
+    """DUPLICATE-PRESERVING set operations — the multiset semantics the
+    DISTINCT-based setop queries can't express: per customer, urgent/high
+    order slots minus low-priority slots (EXCEPT ALL keeps
+    max(m - n, 0) copies) and the overlap (INTERSECT ALL keeps
+    min(m, n)).  Spark's exceptAll/intersectAll plan these as a
+    count-difference aggregation + generator replay — one shuffle per
+    operand pair, no distinct collapse.  Output rolled up to
+    (op, custkey, n) so the multiset cardinalities are hash-comparable."""
+    o = t(spark, sf, "orders")
+    hi = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
+    lo = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    ex = hi.exceptAll(lo).groupBy("o_custkey").agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "o_custkey", "n"
+    )
+    ia = hi.intersectAll(lo).groupBy("o_custkey").agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "o_custkey", "n"
+    )
+    return ex.unionByName(ia)
