@@ -945,3 +945,47 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf: str):
         .filter(F.col("zscore") >= F.lit(2.5))
         .select("event_type", "hour_bucket", "c", "zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)
+             AS transition_prob
+    FROM trans
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf: str):
+    """BEHAVIORAL bigram model: the event-type transition matrix over
+    each user's time-ordered event sequence (LAG per user, unique
+    (ts, event_id) tie-break) with row-normalized transition
+    probabilities — the first-order Markov model every funnel/session
+    analysis starts from.  Counts are exact integers; each probability
+    is one division.  Scale: the LAG shares the user_id shuffle, the
+    matrix is |types|² rows, and the normalizing window runs over that
+    tiny matrix."""
+    ev = _ev(spark, sf)
+    wseq = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    wnorm = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type", "next_type", "n",
+        (F.col("n").cast("double") / F.sum("n").over(wnorm)).alias("transition_prob"),
+    )

@@ -997,3 +997,54 @@ def setop_multiset_order_priorities(spark: SparkSession, sf: str):
         F.lit("intersect_all").alias("op"), "o_custkey", "n"
     )
     return ex.unionByName(ia)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(strftime(date_trunc('month', o_orderdate), '%Y-%m')) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), activity AS (
+      SELECT DISTINCT o.o_custkey, f.cohort,
+             (CAST(substr(strftime(date_trunc('month', o.o_orderdate), '%Y-%m'), 1, 4) AS INT) * 12
+              + CAST(substr(strftime(date_trunc('month', o.o_orderdate), '%Y-%m'), 6, 2) AS INT))
+             - (CAST(substr(f.cohort, 1, 4) AS INT) * 12
+                + CAST(substr(f.cohort, 6, 2) AS INT)) AS months_since
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cohort, CAST(months_since AS INT) AS months_since,
+           COUNT(*) AS active_customers
+    FROM activity
+    WHERE months_since <= 6
+    GROUP BY 1, 2
+    """,
+)
+def orders_cohort_retention(spark: SparkSession, sf: str):
+    """COHORT RETENTION — the acquisition-analysis staple: customers
+    grouped by first-order month, counted as active per months-since-
+    acquisition (0..6).  Month distance is pure integer arithmetic on
+    yyyy-mm fields (no date subtraction, whose day-level semantics
+    differ between engines).  Scale: two custkey-keyed aggregations +
+    one custkey join; the output matrix is cohorts x 7."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("m")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    midx = lambda c: (
+        F.substring(c, 1, 4).cast("int") * 12 + F.substring(c, 6, 2).cast("int")
+    )
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey", "cohort", (midx(F.col("m")) - midx(F.col("cohort"))).alias("months_since")
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("months_since") <= 6)
+        .groupBy("cohort", F.col("months_since").cast("int").alias("months_since"))
+        .agg(F.count("*").alias("active_customers"))
+    )
