@@ -16,14 +16,18 @@ package adds what a standing deployment actually needs around them:
 from byte_convert_avro_spark.sources.records import (
     kafka_record_stream,
     kafka_records,
+    kafka_records_from_jsonl,
     kafka_records_from_parquet,
+    write_records_jsonl,
 )
 from byte_convert_avro_spark.sources.sinks import write_bucketed, write_partitioned
 
 __all__ = [
     "kafka_records",
     "kafka_record_stream",
+    "kafka_records_from_jsonl",
     "kafka_records_from_parquet",
+    "write_records_jsonl",
     "write_partitioned",
     "write_bucketed",
 ]
