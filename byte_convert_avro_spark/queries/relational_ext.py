@@ -1048,3 +1048,54 @@ def orders_cohort_retention(spark: SparkSession, sf: str):
         .groupBy("cohort", F.col("months_since").cast("int").alias("months_since"))
         .agg(F.count("*").alias("active_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_pareto_share",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {SQL_REVENUE} AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (SELECT CAST(SUM(CAST(revenue * 10000 AS BIGINT)) AS BIGINT) AS t FROM rev),
+    ranked AS (
+      SELECT l_suppkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rnk,
+             SUM(CAST(revenue * 10000 AS BIGINT))
+               OVER (ORDER BY revenue DESC, l_suppkey
+                     ROWS UNBOUNDED PRECEDING) AS cum_units
+      FROM rev
+    )
+    SELECT r.l_suppkey, r.revenue, CAST(r.rnk AS INT) AS rnk,
+           CAST(r.cum_units AS DOUBLE) / tot.t AS cum_share,
+           CAST(CASE WHEN r.cum_units * 5 <= tot.t * 4 THEN 1 ELSE 0 END AS INT)
+             AS in_top_80pct
+    FROM ranked r CROSS JOIN tot
+    """,
+)
+def supplier_pareto_share(spark: SparkSession, sf: str):
+    """PARETO / concentration analysis: suppliers ranked by revenue with
+    the cumulative revenue share and an exact 80%-band flag.  Revenue
+    uses the integer-unit discipline, so the running total is an exact
+    integer sum (order-independent), the share is one division, and the
+    80% cut is the cross-multiplied integer compare
+    ``5 * cum <= 4 * total`` — no float threshold.  Scale: one
+    lineitem aggregation; the ranking window runs over |suppliers|
+    post-aggregation rows with the single-row total broadcast."""
+    li = t(spark, sf, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(revenue_sum().alias("revenue"))
+    units = F.round(F.col("revenue") * 10000, 0).cast("long")
+    rev = rev.withColumn("_u", units)
+    tot = rev.agg(F.sum("_u").cast("long").alias("t"))
+    wr = W.orderBy(F.desc("revenue"), "l_suppkey")
+    ranked = rev.select(
+        "l_suppkey", "revenue",
+        F.row_number().over(wr).cast("int").alias("rnk"),
+        F.sum("_u").over(wr.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_units"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey", "revenue", "rnk",
+        (F.col("cum_units").cast("double") / F.col("t")).alias("cum_share"),
+        (F.col("cum_units") * 5 <= F.col("t") * 4).cast("int").alias("in_top_80pct"),
+    )

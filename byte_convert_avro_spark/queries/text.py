@@ -650,3 +650,34 @@ def langid_confusion_matrix(spark: SparkSession, sf: str):
             "share_of_actual"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(LENGTH(bin(LENGTH(text))) AS INT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           MIN(LENGTH(text)) AS min_chars,
+           MAX(LENGTH(text)) AS max_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf: str):
+    """Power-of-two LENGTH HISTOGRAM — the corpus-profiling first look:
+    docs bucketed by floor(log2(len)) + 1 computed EXACTLY as the
+    length of the binary representation (``conv(n, 10, 2)`` /
+    ``bin(n)``) — libm ``log2`` is not correctly rounded at powers of
+    two and could flip a boundary doc between engines; string length of
+    the base-2 form cannot.  One groupBy on a tiny key space."""
+    d = t(spark, sf, "documents")
+    n = F.length("text")
+    bucket = F.length(F.conv(n.cast("string"), 10, 2)).cast("int")
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(n).alias("min_chars"),
+        F.max(n).alias("max_chars"),
+        F.sum(n).cast("long").alias("total_chars"),
+    )
