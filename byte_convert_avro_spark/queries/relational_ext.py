@@ -1099,3 +1099,65 @@ def supplier_pareto_share(spark: SparkSession, sf: str):
         (F.col("cum_units").cast("double") / F.col("t")).alias("cum_share"),
         (F.col("cum_units") * 5 <= F.col("t") * 4).cast("int").alias("in_top_80pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_open_backlog_daily",
+    """
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS placed,
+             strftime(MAX(l.l_shipdate) + INTERVAL 1 DAY, '%Y-%m-%d') AS closed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT placed AS day, 1 AS d FROM spans
+      UNION ALL
+      SELECT closed AS day, -1 AS d FROM spans
+    ), daily AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+             CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+             CAST(SUM(d) AS BIGINT) AS net
+      FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf: str):
+    """SWEEP-LINE concurrency — the open-order backlog curve: each order
+    is an interval [placed, last ship], turned into +1/-1 boundary
+    deltas whose running sum is the number of concurrently open orders
+    per active day.  The standard O(n log n) replacement for the
+    quadratic day x open-interval join.  All integer; day keys are
+    yyyy-mm-dd strings (lexicographic = chronological).  Scale: one
+    orderkey aggregation + one day rollup; the running window runs over
+    |distinct days| post-aggregation rows."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    l = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("placed"),
+            F.date_format(F.date_add("last_ship", 1), "yyyy-MM-dd").alias("closed"),
+        )
+    )
+    deltas = spans.select(F.col("placed").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.col("closed").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias("n_closed"),
+        F.sum("d").cast("long").alias("net"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day", "n_opened", "n_closed",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )

@@ -681,3 +681,37 @@ def doc_length_histogram(spark: SparkSession, sf: str):
         F.max(n).alias("max_chars"),
         F.sum(n).cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lang_source_concentration",
+    """
+    WITH cnt AS (
+      SELECT lang, source, COUNT(*) AS ns FROM documents GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(ns) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(ns * ns) AS DOUBLE)
+             / (CAST(SUM(ns) AS DOUBLE) * SUM(ns)) AS hhi
+    FROM cnt GROUP BY lang
+    """,
+)
+def lang_source_concentration(spark: SparkSession, sf: str):
+    """SOURCE-MIX CONCENTRATION per language — the Herfindahl-Hirschman
+    index (Σ share²) that flags languages dominated by one source (a
+    training-mix red flag): computed as exact-integer Σns² over n² with
+    ONE division, so no per-share float accumulation exists to diverge
+    (the entropy alternative needs libm ln — not correctly rounded —
+    which is why HHI is the oracle-exact diversity metric here)."""
+    d = t(spark, sf, "documents")
+    cnt = d.groupBy("lang", "source").agg(F.count("*").alias("ns"))
+    return cnt.groupBy("lang").agg(
+        F.sum("ns").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        (
+            F.sum(F.col("ns") * F.col("ns")).cast("double")
+            / (F.sum("ns").cast("double") * F.sum("ns"))
+        ).alias("hhi"),
+    )
