@@ -989,3 +989,48 @@ def events_markov_transitions(spark: SparkSession, sf: str):
         "prev_type", "next_type", "n",
         (F.col("n").cast("double") / F.sum("n").over(wnorm)).alias("transition_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_top_3step_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER w AS p1,
+             LAG(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), paths AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path
+      FROM seq WHERE p2 IS NOT NULL
+    )
+    SELECT path, COUNT(*) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def events_top_3step_paths(spark: SparkSession, sf: str):
+    """SEQUENCE MINING: the 10 most common 3-event behavior paths across
+    all users (double LAG over each user's time-ordered stream, unique
+    tie-break, then a corpus-wide trigram count with deterministic
+    (count, path) top-k).  The windows share one user_id shuffle; the
+    trigram rollup shuffles on the path string; the top-10 plans as
+    TakeOrdered — no global sort materializes."""
+    ev = _ev(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

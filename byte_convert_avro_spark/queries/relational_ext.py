@@ -1161,3 +1161,48 @@ def orders_open_backlog_daily(spark: SparkSession, sf: str):
         "day", "n_opened", "n_closed",
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_quantity_decile_revenue",
+    f"""
+    WITH d AS (
+      SELECT l_quantity, l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS units,
+             NTILE(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+               AS decile
+      FROM lineitem
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_lines,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           CAST(SUM(units) AS BIGINT) / 10000.0 AS revenue
+    FROM d GROUP BY decile
+    """,
+)
+def lineitem_quantity_decile_revenue(spark: SparkSession, sf: str):
+    """DECILE analysis: line items split into quantity deciles (NTILE
+    with the unique (orderkey, linenumber) tie-break so bucket
+    boundaries are engine-identical) with exact integer-unit revenue per
+    decile — does revenue concentrate in large-quantity lines?  Scale
+    caveat (documented like sequence_packing_4k): the NTILE here runs
+    over RAW lineitem rows in one global window — the semantic pin; a
+    deployment derives the same deciles from pre-computed quantile
+    boundaries broadcast against the scan."""
+    li = t(spark, sf, "lineitem")
+    units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    w = W.orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    d = li.select(
+        "l_quantity",
+        units.alias("units"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_lines"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (F.sum("units").cast("long") / F.lit(10000.0)).alias("revenue"),
+    )
