@@ -1034,3 +1034,32 @@ def events_top_3step_paths(spark: SparkSession, sf: str):
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_weekday_profile",
+    f"""
+    SELECT CAST(((epoch_us(ts) // {24 * US_PER_HOUR}) + 4) % 7 AS INT)
+             AS day_of_week,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_weekday_profile(spark: SparkSession, sf: str):
+    """Day-of-week activity profile with CALENDAR-FREE integer
+    arithmetic: dow = (epoch_day + 4) mod 7 (1970-01-01 was a Thursday;
+    0 = Monday) — no date functions, no locale/week-start ambiguity, no
+    timezone anywhere.  One single-shuffle groupBy on an 7 x |types|
+    key space."""
+    ev = _ev(spark, sf)
+    dow = ((F.expr(f"ts_us DIV {24 * US_PER_HOUR}") + 4) % 7).cast("int")
+    return ev.groupBy(dow.alias("day_of_week"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

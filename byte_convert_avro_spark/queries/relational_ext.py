@@ -1206,3 +1206,44 @@ def lineitem_quantity_decile_revenue(spark: SparkSession, sf: str):
         F.max("l_quantity").alias("max_qty"),
         (F.sum("units").cast("long") / F.lit(10000.0)).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "mktsegment_share_by_nation",
+    """
+    WITH cells AS (
+      SELECT n.n_name, c.c_mktsegment, COUNT(*) AS n_customers,
+             CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, c_mktsegment, n_customers, balance_cents,
+           CAST(n_customers AS DOUBLE)
+             / SUM(n_customers) OVER (PARTITION BY n_name) AS segment_share
+    FROM cells
+    """,
+)
+def mktsegment_share_by_nation(spark: SparkSession, sf: str):
+    """COMPOSITION matrix: market-segment mix per nation with each
+    cell's share of its nation (one division of exact counts) plus the
+    exact integer-cent balance.  One broadcast dim join + one groupBy;
+    the normalizing window runs over the nations x segments matrix."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(cents("c_acctbal")).cast("long").alias("balance_cents"),
+        )
+    )
+    wn = W.partitionBy("n_name")
+    return cells.select(
+        "n_name", "c_mktsegment", "n_customers", "balance_cents",
+        (F.col("n_customers").cast("double") / F.sum("n_customers").over(wn)).alias(
+            "segment_share"
+        ),
+    )
