@@ -1063,3 +1063,58 @@ def events_weekday_profile(spark: SparkSession, sf: str):
         dsum("value").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_boxplot_by_type",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+      FROM events
+    ), r AS (
+      SELECT event_type, vc,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY vc, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MIN(vc) / 100.0 AS min_value,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN vc END) / 100.0 AS q1,
+           (MAX(CASE WHEN rn = (n + 1) // 2 THEN vc END)
+            + MAX(CASE WHEN rn = n // 2 + 1 THEN vc END)) / 200.0 AS median,
+           MAX(CASE WHEN rn = (3 * n + 1) // 4 THEN vc END) / 100.0 AS q3,
+           MAX(vc) / 100.0 AS max_value
+    FROM r GROUP BY event_type
+    """,
+)
+def events_value_boxplot_by_type(spark: SparkSession, sf: str):
+    """EXACT five-number summary (box plot) of event values per type:
+    min / Q1 / median / Q3 / max via integer-cent rank selection (ceil
+    ranks for the quartiles, two-middle-rows median) — no interpolation,
+    no approx_percentile, every statistic an actual stored value or an
+    exact two-integer average.  Two windows + the rollup share one
+    event_type shuffle."""
+    ev = _ev(spark, sf)
+    v = ev.select(
+        "event_type", "event_id", F.round(F.col("value") * 100, 0).cast("long").alias("vc")
+    )
+    wr = W.partitionBy("event_type").orderBy("vc", "event_id")
+    wn = W.partitionBy("event_type")
+    r = v.select(
+        "event_type", "vc",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    at = lambda expr: F.max(F.when(F.col("rn") == F.expr(expr), F.col("vc")))
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (F.min("vc") / F.lit(100.0)).alias("min_value"),
+        (at("(n + 3) div 4") / F.lit(100.0)).alias("q1"),
+        ((at("(n + 1) div 2") + at("n div 2 + 1")) / F.lit(200.0)).alias("median"),
+        (at("(3 * n + 1) div 4") / F.lit(100.0)).alias("q3"),
+        (F.max("vc") / F.lit(100.0)).alias("max_value"),
+    )

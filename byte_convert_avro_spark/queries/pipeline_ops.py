@@ -1433,3 +1433,42 @@ def corpus_chunking_64w(spark: SparkSession, sf: str):
         F.least(F.lit(64), F.col("n") - F.col("s") + 1).cast("long").alias("n_words_in_chunk"),
         F.md5(F.array_join(F.slice("w", F.col("s"), F.lit(64)), " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dim_stats",
+    """
+    WITH dims AS (
+      SELECT vec_id, dim, (embedding::DOUBLE[])[dim] AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           COUNT(*) AS n,
+           list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mean,
+           MIN(x) AS min_x,
+           MAX(x) AS max_x
+    FROM dims GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf: str):
+    """FEATURE-NORMALIZATION statistics: per-dimension mean / min / max
+    over the embedding corpus — the standardization-prep pass before any
+    learned index or quantizer.  The mean is an ordered fold over vec_id
+    (bit-exact cross-engine; min/max are order-free).  Scale: one
+    explode to |corpus| x 64 rows, one (dim)-keyed shuffle with map-side
+    partials for min/max."""
+    from byte_convert_avro_spark.functions import ordered_fold
+
+    e = spread(t(spark, sf, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = e.select(
+        "vec_id", F.posexplode("e").alias("dim0", "x")
+    ).select("vec_id", (F.col("dim0") + 1).cast("int").alias("dim"), "x")
+    return dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (ordered_fold("vec_id", "x") / F.count("*")).alias("mean"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
