@@ -1247,3 +1247,46 @@ def mktsegment_share_by_nation(spark: SparkSession, sf: str):
             "segment_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_lead_time_stats",
+    """
+    WITH lt AS (
+      SELECT l.l_suppkey,
+             CAST(epoch_us(l.l_shipdate) // 86400000000
+                  - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(lead_days) AS BIGINT) AS total_lead_days,
+           CAST(SUM(lead_days) AS DOUBLE) / COUNT(*) AS avg_lead_days,
+           MIN(lead_days) AS min_lead_days,
+           MAX(lead_days) AS max_lead_days
+    FROM lt GROUP BY l_suppkey
+    """,
+)
+def supplier_lead_time_stats(spark: SparkSession, sf: str):
+    """Fulfillment LEAD TIME per supplier: order-to-ship delay in whole
+    epoch days (integer floor-division on both timestamps — no date
+    subtraction, whose sub-day semantics differ between engines), with
+    the exact-integer sum, one-division mean, and min/max.  One
+    orderkey-keyed fact-fact join + one supplier rollup; AQE splits hot
+    suppliers."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    l = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    day = lambda c: F.expr(
+        f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {c}) DIV 86400000000"
+    )
+    lt = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", (day("l_shipdate") - day("o_orderdate")).cast("long").alias("lead_days")
+    )
+    return lt.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("lead_days").cast("long").alias("total_lead_days"),
+        (F.sum("lead_days").cast("double") / F.count("*")).alias("avg_lead_days"),
+        F.min("lead_days").alias("min_lead_days"),
+        F.max("lead_days").alias("max_lead_days"),
+    )

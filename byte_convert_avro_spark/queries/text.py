@@ -715,3 +715,60 @@ def lang_source_concentration(spark: SparkSession, sf: str):
             / (F.sum("ns").cast("double") * F.sum("ns"))
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_growth_heaps",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ), per AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS new_tokens FROM firsts GROUP BY 1
+    ), words AS (
+      SELECT doc_id, LEN(string_split(text, ' ')) AS n_words FROM documents
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(p.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(SUM(COALESCE(p.new_tokens, 0))
+                OVER (ORDER BY w.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS vocab_size,
+           CAST(SUM(w.n_words)
+                OVER (ORDER BY w.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS corpus_tokens
+    FROM words w LEFT JOIN per p ON p.doc_id = w.doc_id
+    """,
+)
+def vocab_growth_heaps(spark: SparkSession, sf: str):
+    """HEAPS-LAW vocabulary growth: cumulative distinct vocabulary vs
+    cumulative corpus tokens as documents arrive in doc_id order — the
+    corpus-linguistics curve that decides tokenizer budgets.  The
+    distinct state never lives in a window: each token collapses to its
+    FIRST document (one token-keyed groupBy), per-doc new-token counts
+    roll up, and a plain running sum IS the exact vocabulary size
+    (same first-occurrence reduction as
+    running_distinct_customers_by_nation).  The global window runs over
+    |docs| post-aggregation rows."""
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    per = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    words = d.select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+    j = words.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+        "n_words",
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return j.select(
+        "doc_id",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+        F.sum("n_words").over(w).cast("long").alias("corpus_tokens"),
+    )
