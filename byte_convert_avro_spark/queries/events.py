@@ -1118,3 +1118,58 @@ def events_value_boxplot_by_type(spark: SparkSession, sf: str):
         (at("(3 * n + 1) div 4") / F.lit(100.0)).alias("q3"),
         (F.max("vc") / F.lit(100.0)).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_first_touch_attribution",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+             e.event_id AS touch_id, e.event_type AS touch_type,
+             e.ts_us AS touch_ts_us,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY e.ts_us, e.event_id) AS rn
+      FROM p JOIN e
+        ON e.user_id = p.user_id
+       AND e.ts_us >= p.ts_us - {24 * US_PER_HOUR}
+       AND e.ts_us < p.ts_us
+    )
+    SELECT purchase_id, user_id, purchase_ts_us,
+           touch_id AS first_touch_id,
+           touch_type AS first_touch_type,
+           touch_ts_us AS first_touch_ts_us
+    FROM cand WHERE rn = 1
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf: str):
+    """FIRST-TOUCH ATTRIBUTION: each purchase credited to the EARLIEST
+    event of any type in the preceding 24h for that user.  The Spark
+    plan is the scale form no join can match: a RANGE-framed window
+    (rangeBetween(-24h, -1) over each user's event-time axis) carrying a
+    struct-ARGMIN — min of (ts, event_id, type) structs is the earliest
+    event by lexicographic struct ordering — so attribution costs ONE
+    user_id shuffle with bounded frames, while the oracle spells the
+    same semantics as the quadratic-in-window range join + rank.  Ties
+    impossible (event_id unique in the struct key)."""
+    ev = _ev(spark, sf)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-24 * US_PER_HOUR, -1)
+    )
+    first = F.min(F.struct("ts_us", "event_id", "event_type")).over(w)
+    attributed = ev.withColumn("_ft", first).filter(
+        (F.col("event_type") == "purchase") & F.col("_ft").isNotNull()
+    )
+    return attributed.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("_ft.event_id").alias("first_touch_id"),
+        F.col("_ft.event_type").alias("first_touch_type"),
+        F.col("_ft.ts_us").alias("first_touch_ts_us"),
+    )
