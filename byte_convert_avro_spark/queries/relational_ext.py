@@ -1290,3 +1290,74 @@ def supplier_lead_time_stats(spark: SparkSession, sf: str):
         F.min("lead_days").alias("min_lead_days"),
         F.max("lead_days").alias("max_lead_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "null_semantics_groupby",
+    """
+    WITH x AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'O') AS st,
+             NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+      FROM orders
+    )
+    SELECT st, pri,
+           COUNT(*) AS n_rows,
+           COUNT(st) AS n_nonnull_st,
+           CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_eq,
+           COALESCE(st, pri, 'both-null') AS coalesced
+    FROM x GROUP BY st, pri
+    """,
+)
+def null_semantics_groupby(spark: SparkSession, sf: str):
+    """NULL-SEMANTICS coverage row: NULLIF-derived nullable keys grouped
+    (both engines place NULL keys in one group), COUNT(*) vs COUNT(col)
+    (the rows-vs-nonnull distinction), null-safe equality (<=> /
+    IS NOT DISTINCT FROM — true only when both sides are NULL here), and
+    a COALESCE chain.  Pins that the engine's null discipline matches
+    ANSI at every aggregation touchpoint."""
+    o = t(spark, sf, "orders")
+    x = o.select(
+        F.nullif("o_orderstatus", F.lit("O")).alias("st"),
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pri"),
+    )
+    return x.groupBy("st", "pri").agg(
+        F.count("*").alias("n_rows"),
+        F.count("st").alias("n_nonnull_st"),
+        F.sum(F.col("st").eqNullSafe(F.col("pri")).cast("int"))
+        .cast("long")
+        .alias("n_nullsafe_eq"),
+        F.coalesce(F.first("st"), F.first("pri"), F.lit("both-null")).alias("coalesced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "null_ordering_ranks",
+    """
+    WITH x AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st FROM orders
+    )
+    SELECT o_orderkey, st, rn FROM (
+      SELECT o_orderkey, st,
+             ROW_NUMBER() OVER (ORDER BY st ASC NULLS LAST, o_orderkey) AS rn
+      FROM x)
+    WHERE rn <= 20
+    """,
+)
+def null_ordering_ranks(spark: SparkSession, sf: str):
+    """EXPLICIT null ordering: Spark's default ascending sort is NULLS
+    FIRST while DuckDB's is NULLS LAST — silent cross-engine rank
+    divergence unless the ordering is SPELLED: asc_nulls_last on the
+    Spark side, ASC NULLS LAST in the SQL.  The top-20 ranked rows pin
+    that the explicit form agrees exactly."""
+    o = t(spark, sf, "orders")
+    x = o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("st"))
+    w = W.orderBy(F.col("st").asc_nulls_last(), "o_orderkey")
+    return (
+        x.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderkey", "st", "rn")
+    )
