@@ -1361,3 +1361,35 @@ def null_ordering_ranks(spark: SparkSession, sf: str):
         .filter(F.col("rn") <= 20)
         .select("o_orderkey", "st", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_weekly_totals",
+    """
+    WITH w AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000 + 3) // 7 AS week_idx,
+             o_totalprice
+      FROM orders
+    )
+    SELECT CAST(week_idx AS BIGINT) AS week_idx,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM w GROUP BY week_idx
+    """,
+)
+def orders_weekly_totals(spark: SparkSession, sf: str):
+    """CALENDAR-FREE weekly rollup: week index = (epoch_day + 3) div 7
+    (Monday-aligned, since 1970-01-01 was a Thursday) — pure integer
+    arithmetic instead of ISO week functions, whose year-boundary and
+    week-1 rules differ between engines and locales.  One single-shuffle
+    groupBy on the derived integer key."""
+    o = t(spark, sf, "orders")
+    week = F.expr(
+        "(timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', o_orderdate)"
+        " DIV 86400000000 + 3) DIV 7"
+    )
+    return o.groupBy(week.cast("long").alias("week_idx")).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
