@@ -454,6 +454,53 @@ def chunk_dup_stats(
     )
 
 
+def strip_repeated_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 16, min_docs: int = 2,
+) -> DataFrame:
+    """The APPLYING form of substring-level dedup — where
+    :func:`chunk_dup_stats` only *accounts* for duplicated spans, this
+    REBUILDS each document's text with every cross-document duplicate
+    chunk removed: the kept ``window``-char chunks concatenated in
+    original order, followed by the un-chunked tail remainder (chars past
+    ``(len DIV window) * window``).  Documents shorter than ``window``
+    pass through whole.
+    -> (id_col, stripped_md5, kept_chars, n_kept_chunks) for EVERY input
+    document; the md5 is of the reconstructed text so an oracle can
+    value-compare the strip without shipping full texts through the
+    compare.
+
+    Scale: the shared-chunk detection is the same one chunk-hash shuffle
+    as the stats form, and — the load-bearing choice — only the kept
+    chunk INDEXES (ints) flow through the per-doc rollup; the text itself
+    never leaves its document row.  Reconstruction is a row-local
+    ``aggregate`` over the sorted index array re-reading substrings from
+    the doc's own text column, so the heavy string bytes are touched
+    exactly once, map-side, after all shuffles."""
+    chunks = text_chunks(df, text_col, id_col, window)
+    shared = repeated_chunks(chunks, id_col, min_docs).select(
+        "chunk_hash", F.lit(1).alias("_dup")
+    )
+    kept = (
+        chunks.join(shared, "chunk_hash", "left")
+        .filter(F.col("_dup").isNull())
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("_kept_idxs"))
+    )
+    j = df.select(id_col, F.col(text_col).alias("_txt")).join(kept, id_col, "left")
+    stripped = F.expr(
+        f"concat(aggregate(coalesce(_kept_idxs, cast(array() as array<int>)), '', (acc, i) ->"
+        f" concat(acc, substring(_txt, (i - 1) * {window} + 1, {window}))),"
+        f" substring(_txt, (length(_txt) DIV {window}) * {window} + 1))"
+    )
+    return j.select(
+        id_col,
+        F.md5(stripped).alias("stripped_md5"),
+        F.length(stripped).cast("long").alias("kept_chars"),
+        F.coalesce(F.size("_kept_idxs"), F.lit(0)).cast("long").alias("n_kept_chunks"),
+    )
+
+
 def cross_corpus_ngram_overlap(
     train: DataFrame, bench: DataFrame, text_col: str = "text",
     id_col: str = "doc_id", n: int = 5, carry_cols: tuple[str, ...] = (),

@@ -324,6 +324,55 @@ def corpus_strip_repeated_chunks(spark: SparkSession, sf: str):
 
 # ---------------------------------------------------------------------------
 @register(
+    "corpus_stripped_text",
+    f"""
+    WITH {_CHUNKS_CTE},
+    shared AS (
+      SELECT chunk_hash FROM chunks
+      GROUP BY chunk_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    keptagg AS (
+      SELECT c.doc_id,
+             string_agg(substr(d.text, (c.chunk_idx - 1) * 16 + 1, 16),
+                        '' ORDER BY c.chunk_idx) AS kept_txt,
+             COUNT(*) AS n_kept
+      FROM chunks c
+      JOIN documents d ON d.doc_id = c.doc_id
+      LEFT JOIN shared s ON s.chunk_hash = c.chunk_hash
+      WHERE s.chunk_hash IS NULL
+      GROUP BY c.doc_id
+    ),
+    rebuilt AS (
+      SELECT d.doc_id,
+             COALESCE(k.kept_txt, '')
+               || substr(d.text, (LENGTH(d.text) // 16) * 16 + 1) AS stripped,
+             COALESCE(k.n_kept, 0) AS n_kept
+      FROM documents d LEFT JOIN keptagg k ON k.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           md5(stripped) AS stripped_md5,
+           CAST(LENGTH(stripped) AS BIGINT) AS kept_chars,
+           CAST(n_kept AS BIGINT) AS n_kept_chunks
+    FROM rebuilt
+    """,
+)
+def corpus_stripped_text(spark: SparkSession, sf: str):
+    """The APPLYING form of substring-level dedup (round-7 lead #4):
+    where ``corpus_strip_repeated_chunks`` only accounts for duplicated
+    spans, this emits the md5 of each document's REBUILT text with every
+    cross-document duplicate 16-char chunk removed (kept chunks in
+    original order + the un-chunked tail) — value-compared against a
+    DuckDB ``string_agg`` reconstruction, so the strip itself is under
+    the oracle gate, not just its bookkeeping.  Scale: only kept chunk
+    INDEXES (ints) cross the per-doc shuffle; the reconstruction re-reads
+    substrings row-locally from the doc's own text (operators/dedup.py
+    strip_repeated_chunks)."""
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    return D.strip_repeated_chunks(docs, "text", "doc_id", window=16, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+@register(
     "multimodal_image_meta",
     f"""
     WITH m AS (SELECT doc_id, md5(text) AS h,

@@ -671,3 +671,34 @@ def test_simhash_near_dup_raises_on_wrong_width_signature(spark):
     )
     with _pytest.raises(Exception, match="signature width"):
         simhash_near_dup(df, bits=16, n_bands=4).collect()
+
+
+# ---------------------------------------------------------------------------
+# strip_repeated_chunks — the applying form of substring-level dedup
+# ---------------------------------------------------------------------------
+def test_strip_repeated_chunks_rebuilds_text(spark):
+    """Hand-built corpus, window=4: the shared 'AAAABBBB' boilerplate
+    prefix is stripped from both carriers, unique chunks and the
+    un-chunked tail survive, a short doc passes through whole, and an
+    all-boilerplate doc strips to just its tail."""
+    import hashlib
+
+    from byte_convert_avro_spark.operators.dedup import strip_repeated_chunks
+
+    rows = [
+        (1, "AAAABBBBwxyzt"),   # chunks AAAA,BBBB,wxyz + tail 't'
+        (2, "AAAABBBBqrstu"),   # chunks AAAA,BBBB,qrst + tail 'u'
+        (3, "AAAABBBB"),        # all chunks shared -> only empty tail
+        (4, "xy"),              # shorter than window -> passes whole
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.stripped_md5, r.kept_chars, r.n_kept_chunks)
+        for r in strip_repeated_chunks(df, "text", "doc_id", window=4).collect()
+    }
+    want_text = {1: "wxyzt", 2: "qrstu", 3: "", 4: "xy"}
+    want_kept = {1: 1, 2: 1, 3: 0, 4: 0}
+    assert set(got) == {1, 2, 3, 4}
+    for doc_id, txt in want_text.items():
+        md5 = hashlib.md5(txt.encode()).hexdigest()
+        assert got[doc_id] == (md5, len(txt), want_kept[doc_id]), doc_id
