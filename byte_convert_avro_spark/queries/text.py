@@ -618,6 +618,50 @@ def winnowing_shared_fingerprints(spark: SparkSession, sf: str):
 
 # ---------------------------------------------------------------------------
 @register(
+    "winnowing_pairs_capped",
+    f"""
+    {_WINNOW_FPS_CTE.rstrip()}, fpok AS (
+      SELECT fp_hash FROM fps GROUP BY fp_hash HAVING COUNT(*) <= 8
+    ), okfps AS (
+      SELECT f.doc_id, f.fp_hash FROM fps f JOIN fpok k ON k.fp_hash = f.fp_hash
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM okfps GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared,
+           za.n_fp AS n_a, zb.n_fp AS n_b,
+           CAST(COUNT(*) AS DOUBLE) / LEAST(za.n_fp, zb.n_fp) AS containment
+    FROM okfps a
+    JOIN okfps b ON b.fp_hash = a.fp_hash AND a.doc_id < b.doc_id
+    JOIN sizes za ON za.doc_id = a.doc_id
+    JOIN sizes zb ON zb.doc_id = b.doc_id
+    GROUP BY 1, 2, za.n_fp, zb.n_fp
+    HAVING COUNT(*) >= 3
+    """,
+)
+def winnowing_pairs_capped(spark: SparkSession, sf: str):
+    """The BOUNDED winnowing pair stage (round-7 lead #3): document pairs
+    sharing >= 3 winnowing fingerprints, counting only fingerprints
+    carried by <= 8 documents — a fingerprint in hundreds of docs is
+    near-universal boilerplate contributing D² join rows and zero
+    pair-discriminative signal (the 10x-verbatim-replica stress regime),
+    so the cap bounds join output at cap² rows per fingerprint BY
+    CONSTRUCTION, the same discipline as minhash-LSH's
+    ``max_pairs_per_doc``.  Adds the containment score
+    ``n_shared / min(n_a, n_b)`` over capped fingerprint sets (exact-int
+    division, bit-identical).  Scale: the doc-frequency filter reuses the
+    pair join's own shuffle key (operators/text.py
+    shared_fingerprint_pairs)."""
+    from byte_convert_avro_spark.operators.text import shared_fingerprint_pairs
+
+    return shared_fingerprint_pairs(
+        _winnow_fps(spark, sf), "doc_id", "fp_hash",
+        min_shared=3, max_docs_per_fp=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
     "langid_confusion_matrix",
     f"""
     {_LANGID_CTE}

@@ -702,3 +702,39 @@ def test_strip_repeated_chunks_rebuilds_text(spark):
     for doc_id, txt in want_text.items():
         md5 = hashlib.md5(txt.encode()).hexdigest()
         assert got[doc_id] == (md5, len(txt), want_kept[doc_id]), doc_id
+
+
+# ---------------------------------------------------------------------------
+# shared_fingerprint_pairs — the capped winnowing pair stage
+# ---------------------------------------------------------------------------
+def test_shared_fingerprint_pairs_cap_drops_universal_fps(spark):
+    """f_common sits in ALL 4 docs (> cap=3) so it pairs nothing; docs
+    1/2 still pair through their 2 rare shared fps; containment uses
+    capped sizes."""
+    from byte_convert_avro_spark.operators.text import shared_fingerprint_pairs
+
+    rows = [
+        (1, "f_common"), (2, "f_common"), (3, "f_common"), (4, "f_common"),
+        (1, "f_rare1"), (2, "f_rare1"),
+        (1, "f_rare2"), (2, "f_rare2"),
+        (3, "f_only3"),
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, fp_hash string")
+    got = shared_fingerprint_pairs(
+        fps, "doc_id", "fp_hash", min_shared=2, max_docs_per_fp=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # capped sizes: doc1 -> {rare1, rare2} = 2, doc2 -> 2 (f_common dropped)
+    assert (r.doc_a, r.doc_b, r.n_shared, r.n_a, r.n_b) == (1, 2, 2, 2, 2)
+    assert r.containment == 1.0
+
+
+def test_shared_fingerprint_pairs_rejects_cap_below_two(spark):
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.text import shared_fingerprint_pairs
+
+    fps = spark.createDataFrame([(1, "x")], "doc_id long, fp_hash string")
+    with _pytest.raises(ValueError, match="max_docs_per_fp"):
+        shared_fingerprint_pairs(fps, max_docs_per_fp=1)
