@@ -204,6 +204,90 @@ def kmeans_lloyd(
     )
 
 
+def kmeans_minibatch(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 3,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Deterministic MINI-BATCH k-means — the 100 TB-regime variant of
+    :func:`kmeans_lloyd`: each round assigns and averages only the
+    ``1/sample_mod`` hash-sampled slice of the corpus, so a round's cost
+    is ``|corpus| / sample_mod`` regardless of scale while centroids
+    still converge on the full distribution (every row is eligible every
+    round under a fresh salt).  -> (cell, ``vec_col`` array<double>).
+
+    Differences from full Lloyd, both deliberate:
+
+    - the round-``r`` batch is the rows where
+      ``md5(id || ':mb' || r)``'s first 8 hex digits mod ``sample_mod``
+      == 0 — content-stable sampling (the ``hash_bucket`` discipline), NO
+      RNG, so both engines and every rerun draw identical batches;
+    - a cell with no sampled member this round KEEPS its previous
+      centroid (full Lloyd drops empty cells) — under sampling an empty
+      batch-cell is routine, not a degenerate cluster.
+
+    Update rule is the plain batch mean (not Sculley's running-rate
+    blend): id-ordered IEEE fold / count, bit-identical cross-engine.
+    Scale: identical plan shape to kmeans_lloyd — literal-broadcast
+    centroids, narrow row-local argmin, one (cell, dim) shuffle per
+    round over the SAMPLED slice only."""
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    seed_rows = e.orderBy("id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (int(r.id), [float(x) for x in r.e]) for r in seed_rows
+    ]
+
+    from byte_convert_avro_spark.functions import ordered_fold
+    from byte_convert_avro_spark.queries.base import hash_bucket
+
+    for r_i in range(n_iter):
+        salt = F.concat(F.col("id").cast("string"), F.lit(f":mb{r_i}"))
+        batch = e.filter(hash_bucket(salt, sample_mod) == 0)
+        d2s = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(v) for v in vec]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                for _, vec in cents
+            ]
+        )
+        cells = F.array(*[F.lit(c) for c, _ in cents]).cast("array<bigint>")
+        assigned = batch.withColumn(
+            "cell",
+            F.element_at(cells, F.array_position(d2s, F.array_min(d2s)).cast("int")),
+        )
+        dims = assigned.select(
+            "cell", "id", F.posexplode("e").alias("dim0", "x")
+        ).select("cell", (F.col("dim0") + 1).alias("dim"), "id", "x")
+        newc = dims.groupBy("cell", "dim").agg(
+            (ordered_fold("id", "x") / F.count("*")).alias("c")
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in newc.collect():  # <= k×dim rows — small by construction
+            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)
+        cents = [
+            (cell, [by_cell[cell][i] for i in sorted(by_cell[cell])]
+             if cell in by_cell else vec)
+            for cell, vec in cents
+        ]
+    return corpus.sparkSession.createDataFrame(
+        cents, schema=f"cell long, {vec_col} array<double>"
+    )
+
+
 def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8) -> DataFrame:
     """Deterministic sign-LSH bucket key: the sign pattern of the first
     ``n_bits`` dimensions (a fixed-hyperplane family — no RNG, so the

@@ -495,6 +495,82 @@ def _kmeans_sql_cte(k: int = 8, n_iter: int = 3) -> str:
     return ",\n    ".join(parts)
 
 
+def _kmeans_minibatch_sql_cte(k: int = 8, n_iter: int = 3, mod: int = 4) -> str:
+    """DuckDB twin of operators/similarity.kmeans_minibatch: same seeds
+    and unrolled rounds as :func:`_kmeans_sql_cte`, but each round's
+    assignment sees only the hash-sampled ``1/mod`` slice (the
+    ``hash_bucket`` md5 discipline, salt ``':mb<r>'``) and a cell with no
+    sampled member keeps its previous centroid via a COALESCE left join.
+    Ends with ``cent{n_iter}`` (cell, ce LIST)."""
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for r in range(n_iter):
+        samp = (
+            f"('0x' || substr(md5(CAST(v.vec_id AS VARCHAR) || ':mb{r}'), 1, 8))"
+            f"::BIGINT % {mod} = 0"
+        )
+        parts.append(
+            f"""dist{r} AS (
+      SELECT v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS d2
+      FROM v CROSS JOIN cent{r} c WHERE {samp})"""
+        )
+        parts.append(
+            f"""assign{r} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM dist{r})
+      WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cdim{r} AS (
+      SELECT a.cell, dd.dim,
+             list_reduce(list(v.e[dd.dim] ORDER BY v.vec_id),
+                         (a2, b2) -> a2 + b2) / COUNT(*) AS c
+      FROM assign{r} a JOIN v ON v.vec_id = a.vec_id
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
+      GROUP BY a.cell, dd.dim)"""
+        )
+        parts.append(
+            f"""cent{r + 1} AS (
+      SELECT p.cell, COALESCE(n.ce, p.ce) AS ce
+      FROM cent{r} p LEFT JOIN (
+        SELECT cell, list(c ORDER BY dim) AS ce FROM cdim{r} GROUP BY cell
+      ) n ON n.cell = p.cell)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kmeans_minibatch_k8",
+    f"""
+    WITH {_kmeans_minibatch_sql_cte(8, 3, 4)}
+    SELECT cell, CAST(dd.dim AS INT) AS dim, ce[dd.dim] AS c
+    FROM cent3 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
+    """,
+)
+def kmeans_minibatch_k8(spark: SparkSession, sf: str):
+    """Deterministic MINI-BATCH k-means (k=8, 3 rounds, 1/4 hash-sampled
+    batch per round) — the 100 TB-regime IVF trainer: per-round cost is
+    ``|corpus| / sample_mod`` instead of the full corpus, with
+    content-stable md5 sampling (no RNG — both engines draw identical
+    batches) and empty batch-cells keeping their previous centroid.
+    Oracle-checked value-for-value against a DuckDB unroll of the same
+    rounds (same fixed-order IEEE folds), so the sampled trainer is under
+    the gate exactly like the full-Lloyd ``kmeans_centroids_k8``
+    (operators/similarity.kmeans_minibatch)."""
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    cents = S.kmeans_minibatch(emb, "embedding", "vec_id", k=8, n_iter=3, sample_mod=4)
+    return cents.select(
+        "cell", F.posexplode("embedding").alias("dim0", "c")
+    ).select("cell", (F.col("dim0") + 1).cast("int").alias("dim"), "c")
+
+
 @register(
     "kmeans_centroids_k8",
     f"""

@@ -738,3 +738,42 @@ def test_shared_fingerprint_pairs_rejects_cap_below_two(spark):
     fps = spark.createDataFrame([(1, "x")], "doc_id long, fp_hash string")
     with _pytest.raises(ValueError, match="max_docs_per_fp"):
         shared_fingerprint_pairs(fps, max_docs_per_fp=1)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_minibatch — the hash-sampled trainer
+# ---------------------------------------------------------------------------
+def test_kmeans_minibatch_full_sample_equals_lloyd(spark):
+    """sample_mod=1 samples every row every round, so mini-batch must
+    reproduce full Lloyd exactly (same seeds, same folds) on a corpus
+    where no cell ever empties."""
+    from byte_convert_avro_spark.operators.similarity import (
+        kmeans_lloyd,
+        kmeans_minibatch,
+    )
+
+    rows = [
+        (i, [float(i % 3) * 10 + 0.1 * i, float(i % 3) * -5.0]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        r.cell: r.embedding
+        for r in kmeans_lloyd(df, "embedding", "vec_id", k=3, n_iter=2).collect()
+    }
+    mb = {
+        r.cell: r.embedding
+        for r in kmeans_minibatch(
+            df, "embedding", "vec_id", k=3, n_iter=2, sample_mod=1
+        ).collect()
+    }
+    assert full == mb
+
+
+def test_kmeans_minibatch_rejects_bad_mod(spark):
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.similarity import kmeans_minibatch
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="sample_mod"):
+        kmeans_minibatch(df, sample_mod=0)
