@@ -1,0 +1,204 @@
+"""Avro Object Container File (OCF) framing — the at-rest counterpart of
+the Confluent wire format the engine decodes (SURVEY.md §1; the reference
+SMT consumes wire-framed records off Kafka, but the SAME Avro records live
+on disk as OCF, so a complete replacement engine needs both framings).
+
+Spec (avro.apache.org/docs/current/specification/#object-container-files):
+
+- header: magic ``Obj\\x01`` + file-metadata map (``avro.schema`` = the
+  writer schema JSON, ``avro.codec``) + a 16-byte sync marker;
+- each block: object count (zigzag long), byte size (zigzag long), the
+  serialized objects (optionally compressed), then the sync marker again.
+
+Pure Python on top of :mod:`byte_convert_avro_spark.avro.binary` — no
+external Avro library.  Codecs: ``null`` and ``deflate`` (raw DEFLATE,
+stdlib zlib with ``wbits=-15``); anything else raises.
+
+Determinism: the sync marker defaults to ``md5('ocf:' + schema_json)`` —
+content-derived, no RNG — so byte-identical inputs produce byte-identical
+files on every engine and rerun (pass ``sync=`` to override, e.g. when
+appending to an existing file requires matching its marker).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import zlib
+from typing import Any, Iterable, Iterator
+
+from byte_convert_avro_spark.avro.binary import (
+    _UnionValue,
+    _read_long,
+    _write_long,
+    compile_reader,
+    compile_writer,
+)
+from byte_convert_avro_spark.avro.schema import parse_schema
+
+MAGIC = b"Obj\x01"
+_CODECS = ("null", "deflate")
+
+
+def _schema_json(schema: str | dict) -> str:
+    return schema if isinstance(schema, str) else json.dumps(schema)
+
+
+def default_sync(schema_json: str) -> bytes:
+    """Content-derived 16-byte sync marker (no RNG — reproducible files)."""
+    return hashlib.md5(b"ocf:" + schema_json.encode()).digest()
+
+
+def _write_string(out: bytearray, s: bytes) -> None:
+    _write_long(out, len(s))
+    out += s
+
+
+def encode_ocf(
+    rows: Iterable[Any],
+    schema: str | dict,
+    codec: str = "null",
+    block_rows: int = 1000,
+    sync: bytes | None = None,
+) -> bytes:
+    """Serialize ``rows`` (python values matching ``schema``) into one OCF
+    byte string: header + ceil(n / block_rows) blocks.  ``block_rows``
+    bounds per-block memory on both ends (a reader decompresses one block
+    at a time) — at scale, one OCF file per Spark partition and ~1k-row
+    blocks keep peak memory flat regardless of file size."""
+    if codec not in _CODECS:
+        raise ValueError(f"unsupported OCF codec {codec!r}; supported: {_CODECS}")
+    if block_rows < 1:
+        raise ValueError(f"block_rows must be >= 1, got {block_rows}")
+    sj = _schema_json(schema)
+    write = compile_writer(parse_schema(sj))
+    marker = default_sync(sj) if sync is None else sync
+    if len(marker) != 16:
+        raise ValueError(f"sync marker must be 16 bytes, got {len(marker)}")
+
+    out = bytearray(MAGIC)
+    # file-metadata map: one block of 2 entries, then the 0 terminator
+    _write_long(out, 2)
+    _write_string(out, b"avro.schema")
+    _write_string(out, sj.encode())
+    _write_string(out, b"avro.codec")
+    _write_string(out, codec.encode())
+    _write_long(out, 0)
+    out += marker
+
+    buf = bytearray()
+    n_in_block = 0
+
+    def flush() -> None:
+        nonlocal buf, n_in_block
+        if not n_in_block:
+            return
+        data = bytes(buf)
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)
+            data = co.compress(data) + co.flush()
+        _write_long(out, n_in_block)
+        _write_long(out, len(data))
+        out.extend(data)
+        out.extend(marker)
+        buf = bytearray()
+        n_in_block = 0
+
+    for row in rows:
+        write(buf, row)
+        n_in_block += 1
+        if n_in_block >= block_rows:
+            flush()
+    flush()
+    return bytes(out)
+
+
+def _read_meta(buf: memoryview, pos: int) -> tuple[dict[str, bytes], int]:
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            return meta, pos
+        if n < 0:  # spec: negative count is followed by the block byte size
+            n = -n
+            _, pos = _read_long(buf, pos)
+        for _ in range(n):
+            kl, pos = _read_long(buf, pos)
+            key = bytes(buf[pos : pos + kl]).decode()
+            pos += kl
+            vl, pos = _read_long(buf, pos)
+            meta[key] = bytes(buf[pos : pos + vl])
+            pos += vl
+
+
+def decode_ocf_header(data: bytes | memoryview) -> tuple[str, str, bytes, int]:
+    """-> (schema_json, codec, sync_marker, first_block_offset)."""
+    buf = memoryview(data)
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta, pos = _read_meta(buf, 4)
+    if "avro.schema" not in meta:
+        raise ValueError("OCF header missing avro.schema")
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in _CODECS:
+        raise ValueError(f"unsupported OCF codec {codec!r}; supported: {_CODECS}")
+    marker = bytes(buf[pos : pos + 16])
+    if len(marker) != 16:
+        raise ValueError("truncated OCF header (missing sync marker)")
+    return meta["avro.schema"].decode(), codec, marker, pos + 16
+
+
+def _plain(v: Any) -> Any:
+    """Strip the decoder's ``_UnionValue`` branch wrappers (they exist for
+    Avro-JSON's ``{"branch": value}`` form; OCF consumers want plain
+    python values) — recursively, since unions nest in records/arrays/maps."""
+    if isinstance(v, _UnionValue):
+        return _plain(v.value)
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    return v
+
+
+def iter_ocf_blocks(data: bytes | memoryview) -> Iterator[list[Any]]:
+    """Yield each block's decoded rows — the unit of parallel decode (a
+    block is self-contained after the header, so a splitter seeking sync
+    markers can hand blocks to different tasks)."""
+    buf = memoryview(data)
+    schema_json, codec, marker, pos = decode_ocf_header(buf)
+    read = compile_reader(parse_schema(schema_json))
+    total = len(buf)
+    while pos < total:
+        n, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        block = buf[pos : pos + size]
+        if len(block) != size:
+            raise ValueError("truncated OCF block")
+        pos += size
+        if bytes(buf[pos : pos + 16]) != marker:
+            raise ValueError("OCF sync marker mismatch (corrupt block boundary)")
+        pos += 16
+        if codec == "deflate":
+            block = memoryview(zlib.decompress(bytes(block), wbits=-15))
+        rows: list[Any] = []
+        bpos = 0
+        for _ in range(n):
+            v, bpos = read(block, bpos)
+            rows.append(_plain(v))
+        if bpos != len(block):
+            raise ValueError(
+                f"OCF block decoded {bpos} of {len(block)} bytes — row-count "
+                f"header and payload disagree"
+            )
+        yield rows
+
+
+def decode_ocf(data: bytes | memoryview) -> tuple[str, list[Any]]:
+    """-> (schema_json, all rows).  Convenience single-blob form of
+    :func:`iter_ocf_blocks`."""
+    schema_json, _, _, _ = decode_ocf_header(data)
+    rows: list[Any] = []
+    for block in iter_ocf_blocks(data):
+        rows.extend(block)
+    return schema_json, rows

@@ -191,3 +191,33 @@ def decode_error_rates(spark: SparkSession, sf: str):
         F.sum(F.when(F.col("_error").isNull(), 1).otherwise(0)).cast("long").alias("n_decoded"),
         F.count("*").alias("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "avro_ocf_roundtrip_customers",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def avro_ocf_roundtrip_customers(spark: SparkSession, sf: str):
+    """The FILE-FORMAT pipeline under the oracle gate: the full customer
+    table written as Avro Object Container Files (one deflate-compressed
+    file per partition, spec-exact framing from avro/ocf.py — magic,
+    metadata map, sync-marked blocks) and read back distributed (one
+    binaryFile task per file, schema INFERRED from the embedded writer
+    schema), identity-compared against the parquet original.  Together
+    with ``avro_roundtrip_customers`` (wire framing) this covers both
+    Avro framings the reference's records live in: in-flight on Kafka
+    and at-rest on disk.  Scale: sources/avro_ocf.py — per-partition
+    files, bounded ~1000-row blocks, zero driver involvement."""
+    import os
+    import tempfile
+    import uuid
+
+    from byte_convert_avro_spark.sources.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), f"ocf_{uuid.uuid4().hex[:10]}")
+    write_avro_ocf(spread(t(spark, sf, "customer"), "c_custkey"), d, codec="deflate")
+    return read_avro_ocf(spark, d + "/*.avro")

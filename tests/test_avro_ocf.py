@@ -1,0 +1,146 @@
+"""Avro Object Container File framing + distributed source/sink.
+
+Framing is pinned against the public spec
+(avro.apache.org/docs/current/specification/#object-container-files):
+magic, metadata map, sync-marked blocks, null + deflate codecs.  The
+Spark layer is pinned on a real write -> binaryFile read roundtrip with
+schema inference from the embedded writer schema.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from byte_convert_avro_spark.avro.ocf import (
+    MAGIC,
+    decode_ocf,
+    decode_ocf_header,
+    default_sync,
+    encode_ocf,
+    iter_ocf_blocks,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "R",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "double"]},
+    ],
+}
+ROWS = [
+    {"a": i, "b": f"s{i}", "c": None if i % 3 == 0 else i * 1.5} for i in range(2500)
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_multi_block(codec):
+    blob = encode_ocf(ROWS, SCHEMA, codec=codec, block_rows=1000)
+    schema_json, back = decode_ocf(blob)
+    assert json.loads(schema_json) == SCHEMA
+    assert back == ROWS
+    assert [len(b) for b in iter_ocf_blocks(blob)] == [1000, 1000, 500]
+
+
+def test_header_fields():
+    blob = encode_ocf(ROWS[:5], SCHEMA, codec="deflate")
+    assert blob[:4] == MAGIC
+    schema_json, codec, marker, off = decode_ocf_header(blob)
+    assert codec == "deflate"
+    assert marker == default_sync(json.dumps(SCHEMA))
+    assert len(marker) == 16
+
+
+def test_deterministic_bytes():
+    one = encode_ocf(ROWS, SCHEMA, codec="deflate")
+    two = encode_ocf(ROWS, SCHEMA, codec="deflate")
+    assert one == two
+
+
+def test_error_paths():
+    blob = encode_ocf(ROWS[:10], SCHEMA)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_ocf(b"NOPE" + blob[4:])
+    with pytest.raises(ValueError, match="sync marker"):
+        decode_ocf(blob[:-1])
+    with pytest.raises(ValueError, match="codec"):
+        encode_ocf(ROWS[:1], SCHEMA, codec="snappy")
+    with pytest.raises(ValueError, match="block_rows"):
+        encode_ocf(ROWS[:1], SCHEMA, block_rows=0)
+    with pytest.raises(ValueError, match="sync marker must be 16"):
+        encode_ocf(ROWS[:1], SCHEMA, sync=b"short")
+
+
+def test_empty_input_has_header_only():
+    blob = encode_ocf([], SCHEMA)
+    schema_json, back = decode_ocf(blob)
+    assert back == []
+
+
+# ---------------------------------------------------------------------------
+# Spark schema mapping
+# ---------------------------------------------------------------------------
+def test_schema_mapping_nested():
+    from pyspark.sql import types as T
+
+    from byte_convert_avro_spark.sources.avro_ocf import avro_schema_of, spark_type_of
+
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType(), False), True),
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("w", T.IntegerType(), True)]),
+                False,
+            ),
+            T.StructField("kv", T.MapType(T.StringType(), T.DoubleType(), False), False),
+        ]
+    )
+    avro = avro_schema_of(st, name="row")
+    back, _ = spark_type_of(avro)
+    assert back == st
+
+
+def test_schema_mapping_rejects_unsupported():
+    from pyspark.sql import types as T
+
+    from byte_convert_avro_spark.sources.avro_ocf import avro_schema_of
+
+    with pytest.raises(TypeError, match="no Avro mapping"):
+        avro_schema_of(T.StructType([T.StructField("d", T.DecimalType(10, 2))]))
+    with pytest.raises(TypeError, match="string keys"):
+        avro_schema_of(T.MapType(T.LongType(), T.StringType()))
+
+
+# ---------------------------------------------------------------------------
+# distributed write -> read
+# ---------------------------------------------------------------------------
+def test_spark_roundtrip_with_inferred_schema(spark, tmp_path):
+    from byte_convert_avro_spark.sources.avro_ocf import read_avro_ocf, write_avro_ocf
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", None if i % 4 == 0 else i / 8.0) for i in range(200)],
+        "id long, name string, score double",
+    ).repartition(3)
+    d = str(tmp_path / "ocf")
+    paths = write_avro_ocf(df, d, codec="deflate", block_rows=32)
+    assert len(paths) == 3
+
+    back = read_avro_ocf(spark, d + "/*.avro")
+    assert back.schema == df.schema  # inferred from embedded writer schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    ddl = read_avro_ocf(spark, d + "/*.avro", "id long, name string, score double")
+    assert ddl.count() == 200
+
+
+def test_spark_write_skips_empty_partitions(spark, tmp_path):
+    from byte_convert_avro_spark.sources.avro_ocf import write_avro_ocf
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string").repartition(8)
+    paths = write_avro_ocf(df, str(tmp_path / "e"))
+    assert len(paths) == 1  # 7 empty partitions wrote nothing
