@@ -59,6 +59,12 @@ HEADLINE = [
     "corpus_strip_repeated_chunks",
     "ivf_search_top3",
     "winnowing_shared_fingerprints",
+    # round-7: applying-form strip, sampled k-means trainer, OCF file
+    # format, degree-oriented triangles
+    "corpus_stripped_text",
+    "kmeans_minibatch_k8",
+    "avro_ocf_roundtrip_customers",
+    "supplier_triangle_count",
 ]
 
 

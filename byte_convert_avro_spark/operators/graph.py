@@ -1,10 +1,9 @@
-"""Graph algorithms beyond connected components (``dedup.py``): a
-deterministic fixed-round PageRank.
+"""Graph analytics operators.
 
-The iterative-job discipline matches ``connected_components`` and
-``kmeans_lloyd``: one shuffle-join + one grouped fold per round, lineage
-truncated every round, rounds a FIXED budget (so the job count is exact
-and the oracle can unroll the same rounds as a CTE chain).
+Completes the graph trio next to connected components
+(``operators/dedup.py connected_components``) and PageRank
+(``queries/pipeline_ops.py``): exactly-once triangle counting with the
+DEGREE-ORIENTATION scheme that makes the enumeration scale-safe.
 """
 
 from __future__ import annotations
@@ -13,74 +12,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-from byte_convert_avro_spark.functions import ordered_fold as _ordered_fold
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Count triangles in an undirected graph, each exactly once.
+    Input is an edge list in any orientation (duplicates and self-loops
+    tolerated: edges are canonicalized to ``min < max`` and de-duped).
+    -> one row ``(n_nodes, n_edges, n_triangles)``.
 
+    Scale design — DEGREE ORIENTATION (the standard trick that bounds
+    enumeration by graph arboricity instead of max degree): orient every
+    edge from the endpoint with the smaller ``(degree, id)`` rank to the
+    larger, so each node's OUT-degree is at most O(sqrt(2m)) regardless
+    of how skewed the raw degree distribution is; a hub with a million
+    neighbors contributes no million²-wedge explosion because almost all
+    of its edges point INTO it.  A triangle {x, y, z} with rank
+    x < y < z is then counted exactly once: as the wedge (x→y, x→z)
+    closed by the oriented edge y→z.
 
-def pagerank_fixed_rounds(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    n_rounds: int = 3,
-    damping: float = 0.85,
-    deterministic: bool = True,
-) -> DataFrame:
-    """PageRank after exactly ``n_rounds`` power iterations over a
-    directed edge list (pass both directions for an undirected graph —
-    that also removes dangling-node rank leakage when every node has an
-    out-edge).  -> (v, rank).
-
-    Deterministic and engine-portable: uniform init 1/N, per-round rank
-    ``(1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u)`` with the neighbor sum
-    folded in SOURCE-ID ORDER (bit-identical across engines; the damping
-    constants are computed with the same IEEE ops on both sides).  The
-    bit-parity contract requires a DUPLICATE-FREE edge list (call
-    ``.distinct()`` first, as ``pagerank_trade_graph`` does): duplicate
-    (src, dst) rows double-count correctly, but their equal-src
-    contributions have no defined fold order, so cross-engine agreement
-    degrades to accumulation-order tolerance.
-
-    Scale: the static ``edges ⋈ outdeg`` frame is built once; each round
-    is ONE shuffle join (ranks onto edges by src) + one grouped ordered
-    fold on dst + a left join back onto the node set for in-degree-0
-    nodes; ``localCheckpoint`` truncates lineage so plans don't grow with
-    rounds.
-
-    ``deterministic=False`` swaps the ordered fold for a plain ``SUM``
-    (map-side partial aggregation, ~3-4x faster on high-in-degree graphs
-    — measured at local sf1) at the cost of last-ulp reproducibility
-    across partitionings/engines; ranks differ only by float accumulation
-    order.  Use it at deployment when bit-parity is not required."""
-    if n_rounds < 1:
-        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
-    nodes = (
-        edges.select(F.col(src).alias("v"))
-        .union(edges.select(F.col(dst).alias("v")))
+    Plan shape: one degree aggregation (node-keyed), the wedge self-join
+    on the shared LOW endpoint, and the closing semi-join on the (v, w)
+    edge pair — every shuffle keyed on uniform node/edge ids; no stage
+    is all-pairs.  Deterministic: rank ties broken by node id."""
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
-    n = nodes.count()
-    outdeg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
-    e = edges.join(outdeg, src).localCheckpoint()
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_rounds):
-        contrib = e.join(
-            ranks.select(F.col("v").alias(src), "rank"), src
-        ).select(
-            F.col(dst).alias("v"),
-            F.col(src).alias("_s"),
-            (F.col("rank") / F.col("_deg")).alias("_c"),
-        )
-        agg_fn = _ordered_fold("_s", "_c") if deterministic else F.sum("_c")
-        sums = contrib.groupBy("v").agg(agg_fn.alias("_sum"))
-        ranks = (
-            nodes.join(sums, "v", "left")
-            .select(
-                "v",
-                (
-                    F.lit(base) + F.lit(damping) * F.coalesce("_sum", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-    return ranks
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    # orient low-rank -> high-rank; rank = (degree, id) lexicographic
+    lo_first = F.struct("da", "a") < F.struct("db", "b")
+    oriented = ranked.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    w2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = w1.join(w2, "u").filter(
+        F.struct("dx", "x") < F.struct("dy", "y")
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    counts = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -1173,3 +1173,79 @@ def events_first_touch_attribution(spark: SparkSession, sf: str):
         F.col("_ft.event_type").alias("first_touch_type"),
         F.col("_ft.ts_us").alias("first_touch_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_scd2_value_band",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN value < 5 THEN 'low'
+                  WHEN value < 15 THEN 'mid' ELSE 'high' END AS band
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN band = LAG(band)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     THEN 0 ELSE 1 END AS chg
+      FROM e
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), hist AS (
+      SELECT user_id, run_id, MIN(band) AS band,
+             MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS version, band, valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to_us,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN LEAD(valid_from_us)
+                       OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM hist
+    """,
+)
+def events_scd2_value_band(spark: SparkSession, sf: str):
+    """SCD TYPE-2 HISTORY RECONSTRUCTION from a changelog — the
+    warehouse-standard shape: each user's value-band attribute compressed
+    into change runs (consecutive same-band events collapse), each run a
+    versioned validity interval ``[valid_from, valid_to)`` with the open
+    current row flagged.  Gaps-and-islands via the change-flag prefix sum,
+    then LEAD for the interval close.  Scale: every window and the run
+    rollup partitions by user_id — ONE shuffle key end to end, frames are
+    row-bounded; no self-join reconstruction (the naive SCD2 build joins
+    the changelog to itself per attribute flip)."""
+    ev = _ev(spark, sf).select(
+        "user_id", "event_id", "ts_us",
+        F.when(F.col("value") < 5, "low")
+        .when(F.col("value") < 15, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(F.col("band") == F.lag("band").over(wo), F.lit(0)).otherwise(F.lit(1)),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("band").alias("band"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("valid_from_us").over(wv)
+    return hist.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("version"),
+        "band",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

@@ -777,3 +777,36 @@ def test_kmeans_minibatch_rejects_bad_mod(spark):
     df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="sample_mod"):
         kmeans_minibatch(df, sample_mod=0)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count — degree-oriented exactly-once enumeration
+# ---------------------------------------------------------------------------
+def test_triangle_count_hand_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles) + a pendant node + noise the
+    canonicalizer must handle: duplicate edges, reversed orientation,
+    a self-loop."""
+    from byte_convert_avro_spark.operators.graph import triangle_count
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),            # pendant — no new triangle
+        (2, 1), (3, 1),    # reversed duplicates
+        (1, 2),            # exact duplicate
+        (5, 5),            # self-loop
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df, "src", "dst").collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+
+def test_triangle_count_star_has_none(spark):
+    """A hub star (the degree-skew regime the orientation exists for):
+    0 triangles, and the hub's edges all orient INTO it."""
+    from byte_convert_avro_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src long, dst long"
+    )
+    r = triangle_count(df, "src", "dst").collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (30, 29, 0)
