@@ -1249,3 +1249,47 @@ def events_scd2_value_band(spark: SparkSession, sf: str):
         F.col("n_events").cast("long").alias("n_events"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_changelog_compaction",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+           event_type AS last_type, value AS last_value,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_changelog_compaction(spark: SparkSession, sf: str):
+    """CDC CHANGELOG COMPACTION — the upsert-materialization primitive
+    (Kafka log compaction / MERGE latest-wins): each key's newest record
+    wins, ties broken by event_id.  The Spark plan is the scale form: a
+    single groupBy with a struct-ARGMAX (max of (ts, event_id, payload)
+    structs) — partial-aggregates map-side and never sorts whole
+    partitions, where the window ROW_NUMBER form the oracle spells (and
+    naive implementations run) must sort every key group.  ONE shuffle
+    on the key, no window state."""
+    ev = _ev(spark, sf)
+    top = F.max(
+        F.struct("ts_us", "event_id", "event_type", "value")
+    ).alias("_last")
+    return (
+        ev.groupBy("user_id")
+        .agg(top, F.count("*").cast("long").alias("n_versions"))
+        .select(
+            "user_id",
+            F.col("_last.event_id").alias("last_event_id"),
+            F.col("_last.ts_us").alias("last_ts_us"),
+            F.col("_last.event_type").alias("last_type"),
+            F.col("_last.value").alias("last_value"),
+            "n_versions",
+        )
+    )

@@ -1393,3 +1393,67 @@ def orders_weekly_totals(spark: SparkSession, sf: str):
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_corr_qty_discount",
+    """
+    WITH u AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT flag, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM u GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS r
+    FROM s
+    """,
+)
+def lineitem_corr_qty_discount(spark: SparkSession, sf: str):
+    """PEARSON CORRELATION under the exact-integer discipline: quantity
+    vs discount (percent units) per return flag, from six exact int64
+    sums with ONE final float conversion — every intermediate here stays
+    below 2^53 at the oracle SFs (x <= 50, y <= 10), so the doubles are
+    exact and sqrt/divide are IEEE-correctly-rounded: bit-identical
+    cross-engine where the built-in ``corr()`` (running float moments,
+    accumulation-order-dependent) could never hash-match.  Zero-variance
+    groups yield NULL, not NaN.  Scale: one map-side-combined groupBy on
+    the 3-value flag; at sf10+ row counts the n*sxx products approach
+    2^53 — swap to decimal sums at deployment if exactness past that is
+    required."""
+    u = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+    )
+    s = u.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        # separate zero tests — the vx*vy product form overflows int64
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            cov.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        .alias("r"),
+    )
