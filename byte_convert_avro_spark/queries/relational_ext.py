@@ -1457,3 +1457,195 @@ def lineitem_corr_qty_discount(spark: SparkSession, sf: str):
         )
         .alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_histogram_quantiles",
+    """
+    WITH stats AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+             COUNT(*) AS n,
+             (MAX(l_extendedprice) - MIN(l_extendedprice)) / 128 AS w
+      FROM lineitem
+    ), bins AS (
+      SELECT LEAST(127, CAST(FLOOR((l_extendedprice - s.mn) / s.w) AS BIGINT)) AS bin,
+             COUNT(*) AS cnt
+      FROM lineitem CROSS JOIN stats s
+      GROUP BY 1
+    ), cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bins
+    ), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    SELECT q,
+           s.mn + (t.bin + (q * s.n - (t.cum - t.cnt)) / t.cnt) * s.w AS est
+    FROM qs CROSS JOIN stats s
+    CROSS JOIN LATERAL (
+      SELECT bin, cnt, cum FROM cum
+      WHERE cum >= q * s.n ORDER BY bin LIMIT 1
+    ) t
+    """,
+)
+def lineitem_histogram_quantiles(spark: SparkSession, sf: str):
+    """APPROXIMATE QUANTILES from a fixed 128-bin equal-width histogram —
+    the mergeable fixed-state sketch shape (the scale path where exact
+    percentile sorts are unaffordable): two scans (min/max/count, then
+    bin counts), 128 rows of state regardless of input size, map-side
+    partial counts, and the estimate interpolates inside the covering
+    bin.  DETERMINISTIC unlike t-digest/approx_percentile: bin indexes
+    are floor() of IEEE arithmetic and the interpolation is the same
+    expression both engines run, so the oracle hash-matches the
+    estimates bit-for-bit (the built-in approx_percentile could never
+    gate this way).  Sketch error is bounded by bin width; the exact
+    median/box-plot queries are the slow-exact counterparts."""
+    li = t(spark, sf, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count("*").alias("n"),
+        ((F.max("l_extendedprice") - F.min("l_extendedprice")) / 128).alias("w"),
+    )
+    bins = (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.lit(127),
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("w")),
+            ).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = bins.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    # covering bin per quantile: smallest bin with cum >= q*n (the 128-row
+    # cum frame broadcasts; the per-q argmin is a tiny struct-min)
+    j = qs.crossJoin(F.broadcast(stats)).join(
+        F.broadcast(cum), F.col("cum") >= F.col("q") * F.col("n")
+    )
+    best = j.groupBy("q", "mn", "n", "w").agg(
+        F.min(F.struct("bin", "cnt", "cum")).alias("t")
+    )
+    return best.select(
+        "q",
+        (
+            F.col("mn")
+            + (
+                F.col("t.bin")
+                + (F.col("q") * F.col("n") - (F.col("t.cum") - F.col("t.cnt")))
+                / F.col("t.cnt")
+            )
+            * F.col("w")
+        ).alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_fuzzy_match_pairs",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer)
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM c a JOIN c b
+      ON b.c_nationkey = a.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def customer_fuzzy_match_pairs(spark: SparkSession, sf: str):
+    """RECORD LINKAGE / entity resolution: near-identical customer names
+    found by BLOCKING + exact edit distance — the fuzzy-match primitive
+    every dedup-adjacent pipeline needs for keys that hash differently
+    but mean the same entity (typos, OCR noise).  Levenshtein is an
+    exact integer metric, identical in both engines, so fuzzy matching
+    sits under the hash gate like any join.  Scale: the quadratic
+    comparison runs only INSIDE nation blocks (the standard blocking
+    discipline — never corpus × corpus); at deployment, block on
+    cheap canonical keys (sorted name tokens, phonetic codes, LSH over
+    character n-grams) sized so |block|² stays bounded, exactly like the
+    LSH bucket bound in the minhash family."""
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select("key_a", "key_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_column_profile",
+    """
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf: str):
+    """DATA PROFILING: per-column null/distinct/min/max summary — the
+    first thing run against any new 100 TB table.  ONE pass over the
+    table computes every column's profile simultaneously (one aggregate
+    with per-column expression sets — column stats stringified so one
+    schema fits all types), where the oracle spells the naive N-scan
+    UNION.  The multi-distinct aggregate rewrites to an expand + single
+    shuffle; for wide tables at deployment swap COUNT(DISTINCT) for
+    approx_count_distinct and keep the one-pass shape."""
+    o = t(spark, sf, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nonnull").alias("n_nonnull"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(profile).alias("p")).select("p.*")
