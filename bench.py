@@ -64,7 +64,7 @@ HEADLINE = [
     "corpus_stripped_text",
     "kmeans_minibatch_k8",
     "avro_ocf_roundtrip_customers",
-    "supplier_triangle_count",
+    "copurchase_triangle_count",
 ]
 
 

@@ -1601,12 +1601,12 @@ def embedding_dim_stats(spark: SparkSession, sf: str):
 
 # ---------------------------------------------------------------------------
 @register(
-    "supplier_triangle_count",
+    "copurchase_triangle_count",
     """
-    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
     edges AS (
-      SELECT DISTINCT a.s AS a, b.s AS b
-      FROM os a JOIN os b ON b.ok = a.ok AND a.s < b.s
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p
     ),
     tri AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
@@ -1614,31 +1614,36 @@ def embedding_dim_stats(spark: SparkSession, sf: str):
       JOIN edges e2 ON e2.a = e1.b
       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
     )
-    SELECT (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM os) AS n_nodes,
+    SELECT (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM os) AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
            (SELECT n_triangles FROM tri) AS n_triangles
     """,
 )
-def supplier_triangle_count(spark: SparkSession, sf: str):
-    """TRIANGLE COUNTING on the supplier co-occurrence graph (suppliers
-    sharing an order are adjacent) — completes the graph trio next to
-    connected components and PageRank.  The Spark side runs the
-    DEGREE-ORIENTED algorithm (operators/graph.py triangle_count: orient
-    edges toward the higher (degree, id) rank so out-degree is bounded by
-    O(sqrt(2m)) and hub nodes cannot explode the wedge join — enumeration
-    bounded by arboricity, the 100 TB-safe form); the oracle counts the
-    same triangles via the naive ordered triple join.  Same number both
-    ways, different algorithms — exactly what the gate is for."""
+def copurchase_triangle_count(spark: SparkSession, sf: str):
+    """TRIANGLE COUNTING on the part co-purchase graph (parts sharing an
+    order are adjacent — the "bought together" graph: sparse and
+    heavy-tailed, the regime triangle counting is actually used in) —
+    completes the graph trio next to connected components and PageRank.
+    The Spark side runs the DEGREE-ORIENTED algorithm
+    (operators/graph.py triangle_count: orient edges toward the higher
+    (degree, id) rank so out-degree is bounded by O(sqrt(2m)) and hub
+    parts cannot explode the wedge join — enumeration bounded by
+    arboricity, the 100 TB-safe form); the oracle counts the same
+    triangles via the naive ordered triple join.  Same number both ways,
+    different algorithms — exactly what the gate is for.  (The supplier
+    co-occurrence graph was rejected for this query: with ~4 lineitems
+    per order over few suppliers it saturates to a COMPLETE graph, where
+    triangle counting is O(n^3) by definition and says nothing.)"""
     from byte_convert_avro_spark.operators.graph import triangle_count
 
     li = t(spark, sf, "lineitem")
     os_ = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     ).distinct()
-    b = os_.select(F.col("ok"), F.col("s").alias("s2"))
+    b = os_.select(F.col("ok"), F.col("p").alias("p2"))
     edges = (
         os_.join(b, "ok")
-        .filter(F.col("s") < F.col("s2"))
-        .select(F.col("s").alias("src"), F.col("s2").alias("dst"))
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
     )
     return triangle_count(edges, "src", "dst")
