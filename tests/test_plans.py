@@ -20,7 +20,7 @@ from byte_convert_avro_spark.plans import (
     pushed_filters,
     read_schemas,
 )
-from byte_convert_avro_spark.plans.inspect import codegen_span_count
+from byte_convert_avro_spark.plans.inspect import codegen_span_count, explain_str
 from byte_convert_avro_spark.queries import queries
 from byte_convert_avro_spark.schema_store import LocalSchemaStore
 from byte_convert_avro_spark.wire import encode_wire
@@ -307,3 +307,46 @@ def test_partitioned_cache_joins_shuffle_free_on_cached_side(spark):
         assert "Exchange" not in above_scan and "Sort" not in above_scan, plan
     finally:
         cached.unpersist()
+
+
+def test_changelog_compaction_no_window_sort(spark, sf_dir):
+    """CDC compaction must plan as ONE hash aggregate (struct-argmax),
+    never the per-key window sort the oracle spells: no Window node, a
+    single exchange, and partial aggregation map-side."""
+    df = Q["events_changelog_compaction"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "Window" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_triangle_count_no_wedge_join(spark, sf_dir):
+    """Triangle counting must close via row-local array_intersect over
+    out-adjacency arrays — the wedge-materializing 3-way self-join
+    (sum-outdeg² intermediate rows) is the scale regression this pins
+    out.  array_intersect present; join count bounded to the two
+    adjacency joins + the orientation degree joins."""
+    df = Q["copurchase_triangle_count"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "array_intersect" in plan
+    # wedge form needs >= 5 binary joins (2 deg + wedge pair + closing
+    # + final); adjacency form stays at 4 SortMerge/Hash joins before
+    # the tiny crossJoins of the scalar counts
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) <= 6
+
+
+def test_stripped_text_ships_indexes_not_text(spark, sf_dir):
+    """corpus_stripped_text: the per-doc rollup must aggregate kept
+    chunk INDEXES (ints); the doc text itself must never enter the
+    chunk-hash shuffle (only doc_id + hash + idx flow through the
+    chunk side)."""
+    df = Q["corpus_stripped_text"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "sort_array" in plan and "collect_list" in plan
+    # the aggregate that gathers indexes must not carry the text column
+    import re
+
+    m = re.search(r"ObjectHashAggregate.*collect_list", plan)
+    agg_lines = [l for l in plan.splitlines() if "collect_list" in l]
+    assert agg_lines and all("text" not in l for l in agg_lines)
