@@ -221,3 +221,48 @@ def avro_ocf_roundtrip_customers(spark: SparkSession, sf: str):
     d = os.path.join(tempfile.gettempdir(), f"ocf_{uuid.uuid4().hex[:10]}")
     write_avro_ocf(spread(t(spark, sf, "customer"), "c_custkey"), d, codec="deflate")
     return read_avro_ocf(spark, d + "/*.avro")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "avro_ocf_logical_roundtrip_orders",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate_str
+    FROM orders
+    """,
+)
+def avro_ocf_logical_roundtrip_orders(spark: SparkSession, sf: str):
+    """Avro LOGICAL TYPES through the OCF boundary, under the oracle
+    gate: orders written as OCF with a ``decimal(12,2)`` price (bytes +
+    decimal logical type, minimal two's-complement unscaled ints) and a
+    ``date`` order date (int days), read back distributed with the
+    logical conversions applied from the file's embedded writer schema,
+    then stringified for the cross-engine compare (timestamps/decimals
+    stringify per FIXTURES.md discipline).  Any error in the
+    decimal-bytes codec, the epoch-day arithmetic, or the schema
+    mapping breaks the hash.  sources/avro_ocf.py
+    _spark_encoder/_avro_decoder."""
+    import os
+    import tempfile
+    import uuid
+
+    from byte_convert_avro_spark.sources.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    sel = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    d = os.path.join(tempfile.gettempdir(), f"ocf_lt_{uuid.uuid4().hex[:10]}")
+    write_avro_ocf(spread(sel, "o_orderkey"), d, codec="deflate")
+    back = read_avro_ocf(spark, d + "/*.avro")
+    return back.select(
+        "o_orderkey",
+        F.col("price").cast("string").alias("price_str"),
+        F.date_format("odate", "yyyy-MM-dd").alias("odate_str"),
+    )

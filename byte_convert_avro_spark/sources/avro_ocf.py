@@ -65,9 +65,22 @@ _AVRO_TO_SPARK: dict[str, T.DataType] = {
 
 
 def avro_schema_of(dt: T.DataType, name: str = "row", nullable: bool = False) -> Any:
-    """Spark type -> Avro schema fragment (nullable -> ``[null, T]``)."""
-    if type(dt) in _SPARK_TO_AVRO:
-        base: Any = _SPARK_TO_AVRO[type(dt)]
+    """Spark type -> Avro schema fragment (nullable -> ``[null, T]``).
+    Logical types per the Avro spec: DecimalType -> bytes/decimal,
+    DateType -> int/date, TimestampType -> long/timestamp-micros."""
+    if isinstance(dt, T.DecimalType):
+        base: Any = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    elif isinstance(dt, T.DateType):
+        base = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.TimestampType):
+        base = {"type": "long", "logicalType": "timestamp-micros"}
+    elif type(dt) in _SPARK_TO_AVRO:
+        base = _SPARK_TO_AVRO[type(dt)]
     elif isinstance(dt, T.StructType):
         base = {
             "type": "record",
@@ -112,6 +125,13 @@ def spark_type_of(avro: Any) -> tuple[T.DataType, bool]:
         dt, _ = spark_type_of(branches[0])
         return dt, True
     kind = avro["type"]
+    lt = avro.get("logicalType")
+    if lt == "decimal" and kind in ("bytes", "fixed"):
+        return T.DecimalType(avro.get("precision", 38), avro.get("scale", 0)), False
+    if lt == "date" and kind == "int":
+        return T.DateType(), False
+    if lt in ("timestamp-micros", "timestamp-millis") and kind == "long":
+        return T.TimestampType(), False
     if kind == "record":
         return (
             T.StructType(
@@ -148,6 +168,105 @@ def _row_to_plain(v: Any) -> Any:
     return v
 
 
+# -- logical-type value conversion (Avro spec representations) --------------
+_EPOCH_DATE = __import__("datetime").date(1970, 1, 1)
+_EPOCH_DT = __import__("datetime").datetime(1970, 1, 1)
+
+
+def _dec_to_bytes(d: Any, scale: int) -> bytes:
+    """decimal.Decimal -> minimal two's-complement big-endian unscaled int
+    (the Avro ``decimal`` wire form)."""
+    import decimal as _d
+
+    unscaled = int(_d.Decimal(d).scaleb(scale).to_integral_value())
+    n = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(n, "big", signed=True)
+
+
+def _bytes_to_dec(b: bytes, scale: int) -> Any:
+    import decimal as _d
+
+    return _d.Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-scale)
+
+
+def _spark_encoder(dt: T.DataType):
+    """Per-type python-value encoder for the write path: Spark-collected
+    values -> Avro base representations.  Timestamps are treated as
+    UTC-naive (the engine pins the session TZ to UTC — session.py);
+    datetime arithmetic is integer-exact, no float seconds."""
+    import datetime as _dt
+
+    if isinstance(dt, T.DecimalType):
+        scale = dt.scale
+        return lambda v: None if v is None else _dec_to_bytes(v, scale)
+    if isinstance(dt, T.DateType):
+        return lambda v: None if v is None else (v - _EPOCH_DATE).days
+    if isinstance(dt, T.TimestampType):
+        def enc_ts(v):
+            if v is None:
+                return None
+            td = v.replace(tzinfo=None) - _EPOCH_DT
+            return (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+        return enc_ts
+    if isinstance(dt, T.StructType):
+        encs = {f.name: _spark_encoder(f.dataType) for f in dt.fields}
+        return lambda v: None if v is None else {
+            k: encs[k](x) for k, x in _row_to_plain(v).items()
+        }
+    if isinstance(dt, T.ArrayType):
+        inner = _spark_encoder(dt.elementType)
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if isinstance(dt, T.MapType):
+        inner = _spark_encoder(dt.valueType)
+        return lambda v: None if v is None else {k: inner(x) for k, x in v.items()}
+    return _row_to_plain
+
+
+def _avro_decoder(avro: Any):
+    """Per-fragment value decoder for the read path: Avro base
+    representations -> python values matching the Spark schema.  Returns
+    None when the subtree needs no conversion (identity fast path)."""
+    import datetime as _dt
+
+    if isinstance(avro, str):
+        return None
+    if isinstance(avro, list):
+        branches = [b for b in avro if b != "null"]
+        inner = _avro_decoder(branches[0]) if len(branches) == 1 else None
+        if inner is None:
+            return None
+        return lambda v: None if v is None else inner(v)
+    kind = avro["type"]
+    lt = avro.get("logicalType")
+    if lt == "decimal" and kind in ("bytes", "fixed"):
+        scale = avro.get("scale", 0)
+        return lambda v: None if v is None else _bytes_to_dec(v, scale)
+    if lt == "date" and kind == "int":
+        return lambda v: None if v is None else _EPOCH_DATE + _dt.timedelta(days=v)
+    if lt == "timestamp-micros" and kind == "long":
+        return lambda v: None if v is None else _EPOCH_DT + _dt.timedelta(microseconds=v)
+    if lt == "timestamp-millis" and kind == "long":
+        return lambda v: None if v is None else _EPOCH_DT + _dt.timedelta(milliseconds=v)
+    if kind == "record":
+        decs = {f["name"]: _avro_decoder(f["type"]) for f in avro["fields"]}
+        if all(d is None for d in decs.values()):
+            return None
+        return lambda v: None if v is None else {
+            k: (decs[k](x) if decs[k] else x) for k, x in v.items()
+        }
+    if kind == "array":
+        inner = _avro_decoder(avro["items"])
+        if inner is None:
+            return None
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if kind == "map":
+        inner = _avro_decoder(avro["values"])
+        if inner is None:
+            return None
+        return lambda v: None if v is None else {k: inner(x) for k, x in v.items()}
+    return None
+
+
 def write_avro_ocf(
     df: DataFrame, directory: str, codec: str = "deflate", block_rows: int = 1000,
 ) -> list[str]:
@@ -159,6 +278,7 @@ def write_avro_ocf(
     schema_json = json.dumps(schema)
     os.makedirs(directory, exist_ok=True)
     cols = df.columns
+    encs = {f.name: _spark_encoder(f.dataType) for f in df.schema.fields}
 
     def write_part(idx: int, rows: Iterator[Any]) -> Iterator[str]:
         it = iter(rows)
@@ -170,7 +290,7 @@ def write_avro_ocf(
 
         path = os.path.join(directory, f"part-{idx:05d}.avro")
         plain = (
-            {c: _row_to_plain(r[c]) for c in cols}
+            {c: encs[c](r[c]) for c in cols}
             for r in itertools.chain([first], it)
         )
         blob = encode_ocf(plain, schema_json, codec=codec, block_rows=block_rows)
@@ -208,9 +328,25 @@ def read_avro_ocf(
 
         for pdf in batches:
             for blob in pdf["content"]:
-                for block in iter_ocf_blocks(bytes(blob)):
+                data = bytes(blob)
+                # converters come from each FILE's embedded writer schema
+                # (so e.g. a timestamp-millis file still reads correctly
+                # into a TimestampType column)
+                sj, _, _, _ = decode_ocf_header(data)
+                fdecs = {
+                    f["name"]: _avro_decoder(f["type"])
+                    for f in json.loads(sj).get("fields", [])
+                }
+                decs = [fdecs.get(c) for c in field_names]
+                for block in iter_ocf_blocks(data):
                     yield pd.DataFrame(
-                        [[row.get(c) for c in field_names] for row in block],
+                        [
+                            [
+                                (d(row.get(c)) if d else row.get(c))
+                                for c, d in zip(field_names, decs)
+                            ]
+                            for row in block
+                        ],
                         columns=field_names,
                     )
 

@@ -111,7 +111,7 @@ def test_schema_mapping_rejects_unsupported():
     from byte_convert_avro_spark.sources.avro_ocf import avro_schema_of
 
     with pytest.raises(TypeError, match="no Avro mapping"):
-        avro_schema_of(T.StructType([T.StructField("d", T.DecimalType(10, 2))]))
+        avro_schema_of(T.StructType([T.StructField("d", T.ShortType())]))
     with pytest.raises(TypeError, match="string keys"):
         avro_schema_of(T.MapType(T.LongType(), T.StringType()))
 
@@ -144,3 +144,66 @@ def test_spark_write_skips_empty_partitions(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "id long, name string").repartition(8)
     paths = write_avro_ocf(df, str(tmp_path / "e"))
     assert len(paths) == 1  # 7 empty partitions wrote nothing
+
+
+# ---------------------------------------------------------------------------
+# logical types: decimal / date / timestamp
+# ---------------------------------------------------------------------------
+def test_logical_type_schema_mapping():
+    from pyspark.sql import types as T
+
+    from byte_convert_avro_spark.sources.avro_ocf import avro_schema_of, spark_type_of
+
+    st = T.StructType(
+        [
+            T.StructField("amt", T.DecimalType(12, 2), True),
+            T.StructField("d", T.DateType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    avro = avro_schema_of(st, name="row")
+    fields = {f["name"]: f["type"] for f in avro["fields"]}
+    assert fields["amt"][1]["logicalType"] == "decimal"
+    assert fields["amt"][1]["scale"] == 2
+    assert fields["d"]["logicalType"] == "date"
+    assert fields["ts"][1]["logicalType"] == "timestamp-micros"
+    back, _ = spark_type_of(avro)
+    assert back == st
+
+
+def test_decimal_bytes_roundtrip():
+    import decimal
+
+    from byte_convert_avro_spark.sources.avro_ocf import _bytes_to_dec, _dec_to_bytes
+
+    for s in ("0.00", "123.45", "-0.01", "-99999999.99", "42.00"):
+        d = decimal.Decimal(s)
+        assert _bytes_to_dec(_dec_to_bytes(d, 2), 2) == d
+    # negative numbers use minimal two's complement
+    assert _dec_to_bytes(decimal.Decimal("-0.01"), 2) == b"\xff"
+
+
+def test_spark_roundtrip_logical_types(spark, tmp_path):
+    import datetime
+    import decimal
+
+    from byte_convert_avro_spark.sources.avro_ocf import read_avro_ocf, write_avro_ocf
+
+    rows = [
+        (
+            1,
+            decimal.Decimal("123.45"),
+            datetime.date(2024, 2, 29),
+            datetime.datetime(2024, 1, 2, 3, 4, 5, 678901),
+        ),
+        (2, None, datetime.date(1969, 12, 31), None),
+        (3, decimal.Decimal("-0.01"), datetime.date(1970, 1, 1), datetime.datetime(1970, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, amt decimal(12,2), d date, ts timestamp"
+    )
+    d = str(tmp_path / "lt")
+    write_avro_ocf(df, d)
+    back = read_avro_ocf(spark, d + "/*.avro")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
