@@ -161,13 +161,23 @@ def _plain(v: Any) -> Any:
     return v
 
 
-def iter_ocf_blocks(data: bytes | memoryview) -> Iterator[list[Any]]:
+def iter_ocf_blocks(
+    data: bytes | memoryview, reader_schema: str | dict | None = None
+) -> Iterator[list[Any]]:
     """Yield each block's decoded rows — the unit of parallel decode (a
     block is self-contained after the header, so a splitter seeking sync
-    markers can hand blocks to different tasks)."""
+    markers can hand blocks to different tasks).  With ``reader_schema``,
+    rows are decoded through spec schema RESOLUTION against the file's
+    embedded writer schema (:mod:`byte_convert_avro_spark.avro.resolve`)
+    — the schema-evolution read path."""
     buf = memoryview(data)
     schema_json, codec, marker, pos = decode_ocf_header(buf)
-    read = compile_reader(parse_schema(schema_json))
+    if reader_schema is None:
+        read = compile_reader(parse_schema(schema_json))
+    else:
+        from byte_convert_avro_spark.avro.resolve import compile_resolving_reader
+
+        read = compile_resolving_reader(schema_json, reader_schema)
     total = len(buf)
     while pos < total:
         n, pos = _read_long(buf, pos)

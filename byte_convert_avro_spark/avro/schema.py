@@ -181,6 +181,11 @@ def _parse(obj: Any, namespace: str | None, names: dict[str, AvroSchema]) -> Avr
     if t in ("record", "error", "enum", "fixed"):
         name = obj["name"]
         ns = obj.get("namespace", namespace if "." not in name else None)
+        if t == "enum" and "default" in obj:
+            # enum-level default is semantic (schema-resolution fallback
+            # symbol) and part of Schema.toString() — keep it, unlike
+            # field-level defaults which live on Field
+            extras = {**extras, "default": obj["default"]}
         node = AvroSchema(
             "record" if t == "error" else t,
             name=name, namespace=ns,

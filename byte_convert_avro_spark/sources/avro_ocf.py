@@ -302,18 +302,36 @@ def write_avro_ocf(
 
 
 def read_avro_ocf(
-    spark: SparkSession, path: str, spark_schema: T.StructType | str | None = None,
+    spark: SparkSession,
+    path: str,
+    spark_schema: T.StructType | str | None = None,
+    reader_schema: str | dict | None = None,
 ) -> DataFrame:
     """Read OCF files distributed (one task per file via ``binaryFile``).
     If ``spark_schema`` is omitted it is inferred from the FIRST file's
-    embedded writer schema — a driver-side peek at one file, not a scan."""
+    embedded writer schema — a driver-side peek at one file, not a scan.
+
+    ``reader_schema`` enables SCHEMA EVOLUTION (the 100 TB-lake read
+    path): every file is decoded through spec schema resolution against
+    its own embedded writer schema — added fields filled from defaults,
+    dropped fields skipped, renames matched via reader aliases, numerics
+    promoted — so files written over years under different schemas land
+    in ONE DataFrame shape (avro/resolve.py).  The Spark schema then
+    derives from the reader schema."""
     files = spark.read.format("binaryFile").load(path)
     if spark_schema is None:
-        head = files.select("content").head()
-        if head is None:
-            raise ValueError(f"no OCF files under {path!r}")
-        schema_json, _, _, _ = decode_ocf_header(head["content"])
-        avro = json.loads(schema_json)
+        if reader_schema is not None:
+            avro = (
+                json.loads(reader_schema)
+                if isinstance(reader_schema, str)
+                else reader_schema
+            )
+        else:
+            head = files.select("content").head()
+            if head is None:
+                raise ValueError(f"no OCF files under {path!r}")
+            schema_json, _, _, _ = decode_ocf_header(head["content"])
+            avro = json.loads(schema_json)
         dt, _ = spark_type_of(avro)
         if not isinstance(dt, T.StructType):
             raise TypeError(f"top-level OCF schema must be a record, got {dt}")
@@ -329,16 +347,26 @@ def read_avro_ocf(
         for pdf in batches:
             for blob in pdf["content"]:
                 data = bytes(blob)
-                # converters come from each FILE's embedded writer schema
-                # (so e.g. a timestamp-millis file still reads correctly
-                # into a TimestampType column)
-                sj, _, _, _ = decode_ocf_header(data)
+                if reader_schema is not None:
+                    # resolution normalizes every file to the READER
+                    # schema, so logical converters derive from it
+                    sj_obj = (
+                        json.loads(reader_schema)
+                        if isinstance(reader_schema, str)
+                        else reader_schema
+                    )
+                else:
+                    # converters come from each FILE's embedded writer
+                    # schema (so e.g. a timestamp-millis file still reads
+                    # correctly into a TimestampType column)
+                    sj, _, _, _ = decode_ocf_header(data)
+                    sj_obj = json.loads(sj)
                 fdecs = {
                     f["name"]: _avro_decoder(f["type"])
-                    for f in json.loads(sj).get("fields", [])
+                    for f in sj_obj.get("fields", [])
                 }
                 decs = [fdecs.get(c) for c in field_names]
-                for block in iter_ocf_blocks(data):
+                for block in iter_ocf_blocks(data, reader_schema=reader_schema):
                     yield pd.DataFrame(
                         [
                             [
