@@ -1,0 +1,88 @@
+"""Deterministic Bloom filter as a DataFrame sketch.
+
+The shuffle-thinning primitive: build a bit array over a (small-ish) key
+set, broadcast its ~m/64 words, and pre-filter a huge probe side BEFORE
+the expensive join/shuffle — the classic runtime-filter pattern Spark
+applies internally (`spark.sql.optimizer.runtimeFilter.bloomFilter`),
+exposed here as an explicit, ENGINE-PORTABLE operator: all hashing is
+md5 substring arithmetic and all bit math is integer shift/or, so a SQL
+twin computes the byte-identical filter and the false-positive set is
+deterministic — a Bloom filter that can sit under a value-hash oracle
+gate (the built-in bloom_filter_agg never could: its hash seed and
+serialized form are engine-private).
+
+Scale: the build is one explode(k) + one 64-words groupBy (map-side
+partial OR); the words table is m/64 rows — broadcast by construction.
+Probing is a narrow per-row k-bit check after a broadcast join; nothing
+shuffles on the probe side.  False-positive rate ~ (1 - e^(-kn/m))^k:
+size m to the build side (m >= ~10 bits/key for ~1% at k=3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bloom_pos(col: Column, i: int, m_bits: int) -> Column:
+    """Hash i of the key -> bit position in [0, m_bits): first 8 md5 hex
+    digits of ``key || ':bf' || i`` (the ``hash_bucket`` discipline —
+    content-stable, engine-portable)."""
+    salted = F.concat(col.cast("string"), F.lit(f":bf{i}"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % m_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame, key: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Build the filter over ``df[key]`` -> (word_idx, word),
+    ``ceil(m_bits/63)`` rows: word ``w`` holds bits ``[63w, 63w+63)`` in
+    the LOW 63 bits of a BIGINT.  63-bit words, not 64, deliberately:
+    the sign bit stays clear so no engine ever evaluates ``1 << 63``
+    (DuckDB raises on the signed overflow) and every word compares as a
+    plain positive integer cross-engine."""
+    if m_bits <= 0:
+        raise ValueError(f"m_bits must be positive, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = F.col(key)
+    pos = F.explode(F.array(*[_bloom_pos(c, i, m_bits) for i in range(k)]))
+    bits = df.select(pos.alias("p")).select(
+        (F.col("p") / 63).cast("long").alias("word_idx"),
+        # shiftleft by a COLUMN needs the SQL form (the python helper
+        # only takes a literal shift amount)
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))").alias("b"),
+    )
+    return bits.groupBy("word_idx").agg(F.bit_or("b").alias("word"))
+
+
+def bloom_probe(
+    probe: DataFrame, words: DataFrame, key: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Append boolean ``bloom_maybe`` to ``probe``: True iff all ``k``
+    bit positions of ``probe[key]`` are set (definitely-absent keys get
+    False — the rows a pre-filter drops before the real join)."""
+    c = F.col(key)
+    pos = F.posexplode(F.array(*[_bloom_pos(c, i, m_bits) for i in range(k)]))
+    exploded = probe.select(key, pos.alias("_i", "_p")).select(
+        key,
+        (F.col("_p") / 63).cast("long").alias("word_idx"),
+        (F.col("_p") % 63).cast("int").alias("_bit"),
+    )
+    hit = (
+        exploded.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            key,
+            # & 1, not % 2: arithmetic shift keeps the sign for bit-63
+            # words and Spark's % returns negative remainders
+            F.expr(
+                "cast((shiftright(coalesce(word, cast(0 as bigint)), _bit) & 1)"
+                " = 1 as int)"
+            ).alias("_ok"),
+        )
+        .groupBy(key)
+        .agg((F.sum("_ok") == k).alias("bloom_maybe"))
+    )
+    return probe.join(hit, key, "left")

@@ -1647,3 +1647,90 @@ def copurchase_triangle_count(spark: SparkSession, sf: str):
         .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
     )
     return triangle_count(edges, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+_BLOOM_POS = (
+    "(('0x' || substr(md5(CAST(u AS VARCHAR) || ':bf{i}'), 1, 8))::BIGINT % 4096)"
+)
+
+
+@register(
+    "bloom_prefilter_purchasers",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT user_id AS u FROM events WHERE event_type = 'purchase'
+    ), allu AS (SELECT DISTINCT user_id AS u FROM events),
+    bits AS (
+      SELECT u, unnest([{_BLOOM_POS.format(i=0)},
+                        {_BLOOM_POS.format(i=1)},
+                        {_BLOOM_POS.format(i=2)}]) AS p
+      FROM members
+    ), words AS (
+      SELECT p // 63 AS word_idx, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS word
+      FROM bits GROUP BY 1
+    ), probe_bits AS (
+      SELECT u, unnest([{_BLOOM_POS.format(i=0)},
+                        {_BLOOM_POS.format(i=1)},
+                        {_BLOOM_POS.format(i=2)}]) AS p
+      FROM allu
+    ), probed AS (
+      SELECT pb.u,
+             SUM(CASE WHEN ((w.word >> CAST(pb.p % 63 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS n_ok
+      FROM probe_bits pb LEFT JOIN words w ON w.word_idx = pb.p // 63
+      GROUP BY pb.u
+    ), verdicts AS (
+      SELECT p.u, (p.n_ok = 3) AS maybe, (m.u IS NOT NULL) AS actual
+      FROM probed p LEFT JOIN members m ON m.u = p.u
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives,
+           CAST(SUM(CASE WHEN actual AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negatives
+    FROM verdicts
+    """,
+)
+def bloom_prefilter_purchasers(spark: SparkSession, sf: str):
+    """DETERMINISTIC BLOOM FILTER under the oracle gate — the
+    shuffle-thinning runtime-filter primitive as an explicit operator:
+    build a 4096-bit / 3-hash filter over purchasing users (the small
+    build side), broadcast its 66 words (63-bit words — the sign bit stays clear so neither engine hits the 1<<63 signed overflow), pre-filter the full user set,
+    and account exactly for candidates / false positives / (provably
+    zero) false negatives.  Every bit position is md5-substring
+    arithmetic and every word a bit_or fold, so BOTH engines compute the
+    byte-identical filter — a Bloom filter the value-hash compare can
+    gate, unlike the engine-private bloom_filter_agg.  At deployment the
+    probe side never shuffles: the words broadcast and definitely-absent
+    rows drop before the real join (operators/sketch.py)."""
+    from byte_convert_avro_spark.operators.sketch import bloom_build, bloom_probe
+
+    ev = t(spark, sf, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("u"))
+        .distinct()
+    )
+    allu = ev.select(F.col("user_id").alias("u")).distinct()
+    words = bloom_build(members, "u", m_bits=4096, k=3)
+    probed = bloom_probe(allu, words, "u", m_bits=4096, k=3)
+    verdicts = probed.join(
+        members.withColumn("_m", F.lit(1)), "u", "left"
+    ).select(
+        F.coalesce("bloom_maybe", F.lit(False)).alias("maybe"),
+        F.col("_m").isNotNull().alias("actual"),
+    )
+    return verdicts.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("actual").cast("int")).cast("long").alias("n_members"),
+        F.sum(F.col("maybe").cast("int")).cast("long").alias("n_candidates"),
+        F.sum((F.col("maybe") & ~F.col("actual")).cast("int"))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum((F.col("actual") & ~F.col("maybe")).cast("int"))
+        .cast("long")
+        .alias("n_false_negatives"),
+    )

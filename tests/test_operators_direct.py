@@ -810,3 +810,39 @@ def test_triangle_count_star_has_none(spark):
     )
     r = triangle_count(df, "src", "dst").collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (30, 29, 0)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter — deterministic sketch pre-filter
+# ---------------------------------------------------------------------------
+def test_bloom_filter_no_false_negatives(spark):
+    """Every member must pass the filter (the Bloom guarantee); absent
+    keys mostly fail at this sizing; results are deterministic."""
+    from byte_convert_avro_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(100)], "u long")
+    probe = spark.createDataFrame([(i,) for i in range(300)], "u long")
+    words = bloom_build(members, "u", m_bits=2016, k=3)
+    got = {
+        r.u: bool(r.bloom_maybe)
+        for r in bloom_probe(probe, words, "u", m_bits=2016, k=3).collect()
+    }
+    assert all(got[i] for i in range(100)), "false negative!"
+    fp = sum(1 for i in range(100, 300) if got[i])
+    assert fp < 60  # ~2000 bits / 100 keys / k=3 -> low fp rate
+    # deterministic: rebuild gives the identical word table
+    w1 = sorted(map(tuple, words.collect()))
+    w2 = sorted(map(tuple, bloom_build(members, "u", m_bits=2016, k=3).collect()))
+    assert w1 == w2
+
+
+def test_bloom_build_validates_args(spark):
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.sketch import bloom_build
+
+    df = spark.createDataFrame([(1,)], "u long")
+    with _pytest.raises(ValueError, match="m_bits"):
+        bloom_build(df, "u", m_bits=0)
+    with _pytest.raises(ValueError, match="k must"):
+        bloom_build(df, "u", k=0)
