@@ -1293,3 +1293,56 @@ def events_changelog_compaction(spark: SparkSession, sf: str):
             "n_versions",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_incremental_agg_merge",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_value_e2,
+           MIN(epoch_us(ts)) AS first_ts_us,
+           MAX(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def events_incremental_agg_merge(spark: SparkSession, sf: str):
+    """INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view update
+    discipline a 100 TB warehouse runs nightly: per-user state
+    (count / exact-cent sum / min / max) is computed SEPARATELY over the
+    historical partition and the new-arrivals partition, then MERGED
+    state-to-state (counts add, sums add, mins min, maxes max) without
+    ever rescanning history.  The oracle computes the same aggregate
+    from scratch over everything — equality IS the proof that the merge
+    functions are the aggregate's associative halves (the property that
+    makes map-side partials, AQE re-partitioning, and incremental view
+    maintenance all correct).  Cutoff: first 20 integer days; both
+    slices and the merge share the user_id shuffle key."""
+    ev = _ev(spark, sf).select(
+        "user_id",
+        "ts_us",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v2"),
+        (F.col("ts_us") < 20 * 24 * US_PER_HOUR + F.lit(1704067200000000)).alias(
+            "_is_hist"
+        ),
+    )
+
+    def state(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("v2").alias("total_value_e2"),
+            F.min("ts_us").alias("first_ts_us"),
+            F.max("ts_us").alias("last_ts_us"),
+        )
+
+    hist = state(ev.filter(F.col("_is_hist")))
+    delta = state(ev.filter(~F.col("_is_hist")))
+    merged = hist.unionAll(delta).groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("total_value_e2").cast("long").alias("total_value_e2"),
+        F.min("first_ts_us").alias("first_ts_us"),
+        F.max("last_ts_us").alias("last_ts_us"),
+    )
+    return merged
