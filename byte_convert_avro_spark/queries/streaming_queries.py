@@ -552,3 +552,83 @@ def streaming_stateful_user_totals(spark: SparkSession, sf: str):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_ocf_sink_daily_totals",
+    """
+    SELECT (epoch_us(ts) // 86400000000) AS day_idx,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_value_e2
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_ocf_sink_daily_totals(spark: SparkSession, sf: str):
+    """STREAMING -> AVRO OCF SINK, end to end under the oracle gate: the
+    events stream aggregates per (day, type) in update mode, and
+    ``foreachBatch`` upserts each micro-batch's changed rows into
+    per-batch OCF files keyed by group (latest batch wins per key — the
+    idempotent-upsert discipline a transactional sink needs, realized
+    here as read-back + changelog compaction over the batch id).  After
+    the drain, ALL written OCF files are read back distributed and
+    compacted to the final totals — equal to the batch aggregation.
+    Exercises streaming update-mode output + the OCF writer + the
+    latest-wins compaction in one pipeline.  Scale: each micro-batch
+    writes only its CHANGED groups (update mode), files are
+    per-partition, compaction is one struct-argmax groupBy."""
+    import os
+    import tempfile
+
+    from byte_convert_avro_spark.sources.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.groupBy(
+            F.expr("(ts DIV 1000) DIV 86400000000").alias("day_idx"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "total_value_e2"
+            ),
+        )
+    )
+    out_dir = os.path.join(tempfile.gettempdir(), f"ocf_stream_{uuid.uuid4().hex[:10]}")
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_avro_ocf(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id))),
+            os.path.join(out_dir, f"batch={batch_id:06d}"),
+            codec="deflate",
+        )
+
+    q = agg.writeStream.outputMode("update").foreachBatch(sink_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    allb = read_avro_ocf(spark, out_dir + "/*/*.avro")
+    latest = F.max(
+        F.struct("batch_id", "n_events", "total_value_e2")
+    ).alias("_last")
+    return (
+        allb.groupBy("day_idx", "event_type")
+        .agg(latest)
+        .select(
+            "day_idx",
+            "event_type",
+            F.col("_last.n_events").alias("n_events"),
+            F.col("_last.total_value_e2").alias("total_value_e2"),
+        )
+    )
