@@ -1649,3 +1649,56 @@ def orders_column_profile(spark: SparkSession, sf: str):
         ]
     )
     return wide.select(F.explode(profile).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_entity_clusters",
+    """
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_nationkey, c_name FROM customer
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+      FROM c a JOIN c b
+        ON b.c_nationkey = a.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT key_a AS src, key_b AS dst FROM pairs
+      UNION
+      SELECT key_b AS src, key_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS v, src AS label FROM edges
+      UNION
+      SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (SELECT v, MIN(label) AS entity_id FROM reach GROUP BY v)
+    SELECT v AS c_custkey, entity_id,
+           COUNT(*) OVER (PARTITION BY entity_id) AS entity_size
+    FROM comp
+    """,
+)
+def customer_entity_clusters(spark: SparkSession, sf: str):
+    """ENTITY RESOLUTION end to end: the fuzzy-match pairs
+    (``customer_fuzzy_match_pairs`` — blocking + exact Levenshtein)
+    collapsed into entity groups by connected components, because "A~B,
+    B~C" must yield ONE entity {A,B,C} that no single join can express —
+    the same composition the dedup ladder runs for near-dup documents,
+    applied to the record-linkage graph.  Entity id = smallest reachable
+    custkey (deterministic canonical record); the oracle computes the
+    identical fixpoint as a recursive CTE.  Scale inherits both parts:
+    blocked quadratic compare + diameter-bounded min-label rounds."""
+    from byte_convert_avro_spark.operators.dedup import connected_components
+
+    pairs = customer_fuzzy_match_pairs(spark, sf).select(
+        F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    w = W.partitionBy("entity_id")
+    return comp.select(
+        F.col("v").alias("c_custkey"), F.col("component").alias("entity_id")
+    ).select(
+        "c_custkey", "entity_id", F.count("*").over(w).alias("entity_size")
+    )
