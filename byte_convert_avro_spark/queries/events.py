@@ -1346,3 +1346,73 @@ def events_incremental_agg_merge(spark: SparkSession, sf: str):
         F.max("last_ts_us").alias("last_ts_us"),
     )
     return merged
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_pointintime_band_join",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN value < 5 THEN 'low'
+                  WHEN value < 15 THEN 'mid' ELSE 'high' END AS band
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN band = LAG(band)
+                       OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     THEN 0 ELSE 1 END AS chg
+      FROM e
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), hist AS (
+      SELECT user_id, CAST(run_id AS BIGINT) AS version, MIN(band) AS band,
+             MIN(ts_us) AS valid_from_us
+      FROM runs GROUP BY user_id, run_id
+    ), purch AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ), pick AS (
+      SELECT p.user_id, p.event_id, p.ts_us, h.version, h.band,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY h.valid_from_us DESC, h.version DESC)
+               AS rn
+      FROM purch p
+      JOIN hist h ON h.user_id = p.user_id AND h.valid_from_us <= p.ts_us
+    )
+    SELECT user_id, event_id AS purchase_id, ts_us,
+           version AS band_version, band AS band_at_purchase
+    FROM pick WHERE rn = 1
+    """,
+)
+def events_pointintime_band_join(spark: SparkSession, sf: str):
+    """POINT-IN-TIME-CORRECT FEATURE JOIN — the ML-training leakage
+    guard: each purchase is joined to the value-band VERSION that was
+    valid AT THAT MOMENT (the SCD2 history from
+    ``events_scd2_value_band``), never a later one — the lookup a
+    feature store must get right or training sees the future.  The
+    Spark plan is the as-of union-sort form (operators/asof.py): ONE
+    user_id shuffle, no interval join — where the oracle spells the
+    quadratic validity-range join + rank.  Every purchase matches (its
+    own event opens or extends a version at ts)."""
+    versions = events_scd2_value_band(spark, sf).select(
+        "user_id",
+        F.col("valid_from_us").alias("ts_us"),
+        "version",
+        "band",
+    )
+    purch = _ev(spark, sf).filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts_us"
+    )
+    from byte_convert_avro_spark.operators.asof import asof_join
+
+    j = asof_join(purch, versions, on="ts_us", by="user_id",
+                  right_cols=["version", "band"])
+    return j.select(
+        "user_id",
+        "purchase_id",
+        "ts_us",
+        F.col("version_asof").alias("band_version"),
+        F.col("band_asof").alias("band_at_purchase"),
+    )
