@@ -21,6 +21,7 @@ from byte_convert_avro_spark.queries.base import (
     SQL_REVENUE,
     cents,
     dsum,
+    hash_bucket,
     register,
     revenue_sum,
     t,
@@ -1701,4 +1702,64 @@ def customer_entity_clusters(spark: SparkSession, sf: str):
         F.col("v").alias("c_custkey"), F.col("component").alias("entity_id")
     ).select(
         "c_custkey", "entity_id", F.count("*").over(w).alias("entity_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "user_deletion_audit",
+    """
+    WITH del AS (
+      SELECT c_custkey FROM customer
+      WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM customer c JOIN del d
+                   ON d.c_custkey = c.c_custkey) AS BIGINT) AS n_purged
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o JOIN del d
+                   ON d.c_custkey = o.o_custkey) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey
+                 JOIN del d ON d.c_custkey = o.o_custkey) AS BIGINT)
+    """,
+)
+def user_deletion_audit(spark: SparkSession, sf: str):
+    """DELETION PROPAGATION AUDIT (the right-to-be-forgotten primitive):
+    given a deletion set (here a deterministic 5% hash sample of
+    customers), count exactly which rows each table would purge —
+    customers directly, orders through o_custkey, lineitems through the
+    order graph.  The apply form is the same plan with the counts
+    replaced by anti-join writes.  Scale: the deletion set broadcasts
+    (it is small by nature), every check is a broadcast LEFT-SEMI join
+    — no table shuffles; the lineitem hop reuses the orders semi-join
+    output as its (still-small) broadcast side."""
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    del_keys = cust.filter(hash_bucket("c_custkey", 20) == 0).select("c_custkey")
+    purged_orders = orders.join(
+        F.broadcast(del_keys), orders.o_custkey == del_keys.c_custkey, "left_semi"
+    )
+
+    def audit(name, full, purged):
+        return full.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
+            purged.agg(F.count("*").cast("long").alias("n_purged"))
+        ).select(F.lit(name).alias("table_name"), "n_rows", "n_purged")
+
+    purged_li = li.join(
+        F.broadcast(purged_orders.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return (
+        audit("customer", cust, cust.join(F.broadcast(del_keys), "c_custkey", "left_semi"))
+        .unionAll(audit("orders", orders, purged_orders))
+        .unionAll(audit("lineitem", li, purged_li))
     )
