@@ -63,26 +63,38 @@ def bloom_probe(
 ) -> DataFrame:
     """Append boolean ``bloom_maybe`` to ``probe``: True iff all ``k``
     bit positions of ``probe[key]`` are set (definitely-absent keys get
-    False — the rows a pre-filter drops before the real join)."""
+    False — the rows a pre-filter drops before the real join).
+
+    TRULY shuffle-free on the probe side: each of the ``k`` hash checks
+    is a narrow column pair (word index, bit) resolved by a BROADCAST
+    join against the tiny words table — no explode, no per-key
+    re-aggregation; the probe relation passes through ``k`` broadcast
+    hash joins and one AND.  (The explode + groupBy(key) formulation
+    re-shuffles the whole probe side on the key — the exact cost the
+    filter exists to avoid.)"""
     c = F.col(key)
-    pos = F.posexplode(F.array(*[_bloom_pos(c, i, m_bits) for i in range(k)]))
-    exploded = probe.select(key, pos.alias("_i", "_p")).select(
-        key,
-        (F.col("_p") / 63).cast("long").alias("word_idx"),
-        (F.col("_p") % 63).cast("int").alias("_bit"),
-    )
-    hit = (
-        exploded.join(F.broadcast(words), "word_idx", "left")
-        .select(
-            key,
-            # & 1, not % 2: arithmetic shift keeps the sign for bit-63
-            # words and Spark's % returns negative remainders
-            F.expr(
-                "cast((shiftright(coalesce(word, cast(0 as bigint)), _bit) & 1)"
-                " = 1 as int)"
-            ).alias("_ok"),
+    out = probe
+    checks = []
+    for i in range(k):
+        p = _bloom_pos(c, i, m_bits)
+        wi = f"_bf_w{i}"
+        out = out.withColumn(wi, (p / 63).cast("long")).withColumn(
+            f"_bf_b{i}", (p % 63).cast("int")
         )
-        .groupBy(key)
-        .agg((F.sum("_ok") == k).alias("bloom_maybe"))
-    )
-    return probe.join(hit, key, "left")
+        wtab = words.select(
+            F.col("word_idx").alias(wi), F.col("word").alias(f"_bf_word{i}")
+        )
+        out = out.join(F.broadcast(wtab), wi, "left")
+        # & 1, not % 2: arithmetic shift keeps the sign for high bits and
+        # Spark's % returns negative remainders
+        checks.append(
+            F.expr(
+                f"(shiftright(coalesce(_bf_word{i}, cast(0 as bigint)), _bf_b{i})"
+                f" & 1) = 1"
+            )
+        )
+    maybe = checks[0]
+    for ch in checks[1:]:
+        maybe = maybe & ch
+    keep = [col for col in out.columns if not col.startswith("_bf_")]
+    return out.select(*keep, maybe.alias("bloom_maybe"))

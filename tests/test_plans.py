@@ -350,3 +350,18 @@ def test_stripped_text_ships_indexes_not_text(spark, sf_dir):
     m = re.search(r"ObjectHashAggregate.*collect_list", plan)
     agg_lines = [l for l in plan.splitlines() if "collect_list" in l]
     assert agg_lines and all("text" not in l for l in agg_lines)
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    """The probe side of the Bloom pre-filter must pass through ONLY
+    broadcast hash joins — zero shuffle exchanges (the explode +
+    groupBy(key) formulation this pins out re-shuffles the entire probe
+    relation on the key)."""
+    from byte_convert_avro_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "u long")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "u long")
+    words = bloom_build(members, "u").localCheckpoint()  # freeze the build
+    probed = bloom_probe(probe, words, "u")
+    assert count_exchanges(probed) == 0
+    assert plan_facts(probed).broadcast_joins >= 3
