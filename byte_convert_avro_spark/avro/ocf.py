@@ -54,18 +54,18 @@ def _write_string(out: bytearray, s: bytes) -> None:
     out += s
 
 
-def encode_ocf(
+def iter_encode_ocf(
     rows: Iterable[Any],
     schema: str | dict,
     codec: str = "null",
     block_rows: int = 1000,
     sync: bytes | None = None,
-) -> bytes:
-    """Serialize ``rows`` (python values matching ``schema``) into one OCF
-    byte string: header + ceil(n / block_rows) blocks.  ``block_rows``
-    bounds per-block memory on both ends (a reader decompresses one block
-    at a time) — at scale, one OCF file per Spark partition and ~1k-row
-    blocks keep peak memory flat regardless of file size."""
+) -> Iterator[bytes]:
+    """STREAMING encoder: yield the header, then one bytes chunk per
+    ~``block_rows`` block — peak memory is ONE block (rows + its
+    serialized/compressed bytes), never the whole file.  This is the
+    form the per-partition Spark sink streams to disk;
+    :func:`encode_ocf` is its join-everything convenience wrapper."""
     if codec not in _CODECS:
         raise ValueError(f"unsupported OCF codec {codec!r}; supported: {_CODECS}")
     if block_rows < 1:
@@ -76,41 +76,54 @@ def encode_ocf(
     if len(marker) != 16:
         raise ValueError(f"sync marker must be 16 bytes, got {len(marker)}")
 
-    out = bytearray(MAGIC)
+    head = bytearray(MAGIC)
     # file-metadata map: one block of 2 entries, then the 0 terminator
-    _write_long(out, 2)
-    _write_string(out, b"avro.schema")
-    _write_string(out, sj.encode())
-    _write_string(out, b"avro.codec")
-    _write_string(out, codec.encode())
-    _write_long(out, 0)
-    out += marker
+    _write_long(head, 2)
+    _write_string(head, b"avro.schema")
+    _write_string(head, sj.encode())
+    _write_string(head, b"avro.codec")
+    _write_string(head, codec.encode())
+    _write_long(head, 0)
+    head += marker
+    yield bytes(head)
 
     buf = bytearray()
     n_in_block = 0
 
-    def flush() -> None:
+    def flush() -> bytes:
         nonlocal buf, n_in_block
-        if not n_in_block:
-            return
         data = bytes(buf)
         if codec == "deflate":
             co = zlib.compressobj(wbits=-15)
             data = co.compress(data) + co.flush()
+        out = bytearray()
         _write_long(out, n_in_block)
         _write_long(out, len(data))
         out.extend(data)
         out.extend(marker)
         buf = bytearray()
         n_in_block = 0
+        return bytes(out)
 
     for row in rows:
         write(buf, row)
         n_in_block += 1
         if n_in_block >= block_rows:
-            flush()
-    flush()
-    return bytes(out)
+            yield flush()
+    if n_in_block:
+        yield flush()
+
+
+def encode_ocf(
+    rows: Iterable[Any],
+    schema: str | dict,
+    codec: str = "null",
+    block_rows: int = 1000,
+    sync: bytes | None = None,
+) -> bytes:
+    """One-shot form of :func:`iter_encode_ocf` (whole file as bytes —
+    fine for tests and small blobs; the Spark sink streams chunks)."""
+    return b"".join(iter_encode_ocf(rows, schema, codec, block_rows, sync))
 
 
 def _read_meta(buf: memoryview, pos: int) -> tuple[dict[str, bytes], int]:
@@ -124,9 +137,13 @@ def _read_meta(buf: memoryview, pos: int) -> tuple[dict[str, bytes], int]:
             _, pos = _read_long(buf, pos)
         for _ in range(n):
             kl, pos = _read_long(buf, pos)
+            if kl < 0 or pos + kl > len(buf):
+                raise ValueError("truncated OCF header (metadata key)")
             key = bytes(buf[pos : pos + kl]).decode()
             pos += kl
             vl, pos = _read_long(buf, pos)
+            if vl < 0 or pos + vl > len(buf):
+                raise ValueError("truncated OCF header (metadata value)")
             meta[key] = bytes(buf[pos : pos + vl])
             pos += vl
 

@@ -43,6 +43,7 @@ from byte_convert_avro_spark.avro.binary import (
     Reader,
     _UnionValue,
     _compile,
+    _need,
     _read_long,
 )
 from byte_convert_avro_spark.avro.schema import AvroSchema, parse_schema
@@ -84,19 +85,37 @@ def _names_match(w: AvroSchema, r: AvroSchema) -> bool:
 
 
 def _default_value(r: AvroSchema, default: Any) -> Any:
-    """Reader-field default (JSON form) -> runtime python value.  Per
+    """Reader-field default (JSON form) -> runtime python value,
+    RECURSIVELY: nested bytes/fixed stay latin-1-decoded strings in the
+    JSON form and nested numerics keep their JSON int-ness, so a record/
+    array/map default must convert every leaf or the filled rows carry
+    different python types than rows decoded from newer files.  Per
     spec, bytes/fixed defaults are unicode strings mapping codepoints
     0-255 to bytes (latin-1); union defaults conform to the FIRST branch.
     Emitted PLAIN (no ``_UnionValue`` wrapper) — the file-format
     consumers unwrap anyway."""
+    if default is None:
+        return None
     if r.kind == "union":
         return _default_value((r.fields or [])[0], default)
-    if r.kind == "primitive" and r.name == "bytes":
-        return default.encode("latin-1") if isinstance(default, str) else default
-    if r.kind == "fixed":
+    if r.kind == "record":
+        out = {}
+        for f in r.fields or []:
+            if f.name in default:
+                out[f.name] = _default_value(f.type, default[f.name])
+            elif f.has_default:
+                out[f.name] = _default_value(f.type, f.default)
+            else:
+                out[f.name] = None
+        return out
+    if r.kind == "array":
+        return [_default_value(r.items, x) for x in default]
+    if r.kind == "map":
+        return {k: _default_value(r.values, v) for k, v in default.items()}
+    if (r.kind == "primitive" and r.name == "bytes") or r.kind == "fixed":
         return default.encode("latin-1") if isinstance(default, str) else default
     if r.kind == "primitive" and r.name in ("float", "double"):
-        return float(default) if default is not None else None
+        return float(default)
     return default
 
 
@@ -229,6 +248,7 @@ def _resolve(w: AvroSchema, r: AvroSchema, memo: dict[tuple[int, int], Reader]) 
                     _, pos = _read_long(buf, pos)
                 for _ in range(n):
                     ln, pos = _read_long(buf, pos)
+                    _need(buf, pos, ln)  # binary.py's truncation invariant
                     key_ = bytes(buf[pos : pos + ln]).decode("utf-8")
                     pos += ln
                     out[key_], pos = val(buf, pos)
@@ -291,28 +311,36 @@ def _resolve(w: AvroSchema, r: AvroSchema, memo: dict[tuple[int, int], Reader]) 
 
         memo[key] = read_record
 
-        rfields = {f.name: f for f in (r.fields or [])}
-        # reader aliases: alias -> reader field
-        for f in r.fields or []:
-            for al in f.aliases or []:
-                rfields.setdefault(al, f)
-        matched: set[str] = set()
-        for wf in w.fields or []:
-            rf = rfields.get(wf.name)
-            if rf is None:
-                steps.append((None, _compile(wf.type, {})))  # skip-and-discard
-            else:
-                steps.append((rf.name, _resolve(wf.type, rf.type, memo)))
-                matched.add(rf.name)
-        for rf in r.fields or []:
-            if rf.name in matched:
-                continue
-            if not rf.has_default:
-                raise SchemaResolutionError(
-                    f"reader field {r.fullname}.{rf.name} missing from writer "
-                    f"and has no default"
-                )
-            defaults.append((rf.name, _default_value(rf.type, rf.default)))
+        try:
+            rfields = {f.name: f for f in (r.fields or [])}
+            # reader aliases: alias -> reader field
+            for f in r.fields or []:
+                for al in f.aliases or []:
+                    rfields.setdefault(al, f)
+            matched: set[str] = set()
+            for wf in w.fields or []:
+                rf = rfields.get(wf.name)
+                if rf is None:
+                    steps.append((None, _compile(wf.type, {})))  # skip-and-discard
+                else:
+                    steps.append((rf.name, _resolve(wf.type, rf.type, memo)))
+                    matched.add(rf.name)
+            for rf in r.fields or []:
+                if rf.name in matched:
+                    continue
+                if not rf.has_default:
+                    raise SchemaResolutionError(
+                        f"reader field {r.fullname}.{rf.name} missing from writer "
+                        f"and has no default"
+                    )
+                defaults.append((rf.name, _default_value(rf.type, rf.default)))
+        except Exception:
+            # failed mid-compile: the memo slot holds a PARTIAL reader —
+            # a later lookup of the same (writer, reader) pair (e.g. a
+            # union's _first_match probed and rejected this record) must
+            # re-raise, not silently mis-decode with incomplete steps
+            del memo[key]
+            raise
         return read_record
 
     raise SchemaResolutionError(

@@ -97,4 +97,6 @@ def bloom_probe(
     for ch in checks[1:]:
         maybe = maybe & ch
     keep = [col for col in out.columns if not col.startswith("_bf_")]
-    return out.select(*keep, maybe.alias("bloom_maybe"))
+    # NULL keys hash to NULL positions -> NULL checks; the contract is
+    # BOOLEAN (a NULL key is definitely not a member)
+    return out.select(*keep, F.coalesce(maybe, F.lit(False)).alias("bloom_maybe"))

@@ -1614,7 +1614,9 @@ def embedding_dim_stats(spark: SparkSession, sf: str):
       JOIN edges e2 ON e2.a = e1.b
       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
     )
-    SELECT (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) FROM os) AS n_nodes,
+    SELECT (SELECT CAST(COUNT(DISTINCT n) AS BIGINT)
+            FROM (SELECT a AS n FROM edges UNION SELECT b FROM edges))
+             AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
            (SELECT n_triangles FROM tri) AS n_triangles
     """,

@@ -1470,7 +1470,9 @@ def lineitem_corr_qty_discount(spark: SparkSession, sf: str):
              (MAX(l_extendedprice) - MIN(l_extendedprice)) / 128 AS w
       FROM lineitem
     ), bins AS (
-      SELECT LEAST(127, CAST(FLOOR((l_extendedprice - s.mn) / s.w) AS BIGINT)) AS bin,
+      SELECT CASE WHEN s.w = 0 THEN 0
+                  ELSE LEAST(127, CAST(FLOOR((l_extendedprice - s.mn) / s.w)
+                                       AS BIGINT)) END AS bin,
              COUNT(*) AS cnt
       FROM lineitem CROSS JOIN stats s
       GROUP BY 1
@@ -1480,7 +1482,9 @@ def lineitem_corr_qty_discount(spark: SparkSession, sf: str):
       FROM bins
     ), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
     SELECT q,
-           s.mn + (t.bin + (q * s.n - (t.cum - t.cnt)) / t.cnt) * s.w AS est
+           CASE WHEN s.w = 0 THEN s.mn
+                ELSE s.mn + (t.bin + (q * s.n - (t.cum - t.cnt)) / t.cnt) * s.w
+           END AS est
     FROM qs CROSS JOIN stats s
     CROSS JOIN LATERAL (
       SELECT bin, cnt, cum FROM cum
@@ -1510,10 +1514,17 @@ def lineitem_histogram_quantiles(spark: SparkSession, sf: str):
     bins = (
         li.crossJoin(F.broadcast(stats))
         .select(
-            F.least(
-                F.lit(127),
-                F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("w")),
-            ).cast("long").alias("bin")
+            # w == 0 (all values equal) would divide by zero with
+            # engine-divergent NULL/inf semantics — pin bin 0 explicitly
+            F.when(F.col("w") == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(127),
+                    F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("w")),
+                )
+            )
+            .cast("long")
+            .alias("bin")
         )
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))
@@ -1535,7 +1546,8 @@ def lineitem_histogram_quantiles(spark: SparkSession, sf: str):
     )
     return best.select(
         "q",
-        (
+        F.when(F.col("w") == 0, F.col("mn"))
+        .otherwise(
             F.col("mn")
             + (
                 F.col("t.bin")
@@ -1543,7 +1555,8 @@ def lineitem_histogram_quantiles(spark: SparkSession, sf: str):
                 / F.col("t.cnt")
             )
             * F.col("w")
-        ).alias("est"),
+        )
+        .alias("est"),
     )
 
 

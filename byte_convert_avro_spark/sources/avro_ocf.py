@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 
 from byte_convert_avro_spark.avro.ocf import (
     decode_ocf_header,
-    encode_ocf,
+    iter_encode_ocf,
     iter_ocf_blocks,
 )
 
@@ -293,9 +293,13 @@ def write_avro_ocf(
             {c: encs[c](r[c]) for c in cols}
             for r in itertools.chain([first], it)
         )
-        blob = encode_ocf(plain, schema_json, codec=codec, block_rows=block_rows)
+        # stream chunk-by-chunk: peak memory is one ~block_rows block,
+        # never the whole partition's file (avro/ocf.iter_encode_ocf)
         with open(path, "wb") as fh:
-            fh.write(blob)
+            for chunk in iter_encode_ocf(
+                plain, schema_json, codec=codec, block_rows=block_rows
+            ):
+                fh.write(chunk)
         yield path
 
     return sorted(df.rdd.mapPartitionsWithIndex(write_part).collect())
@@ -341,31 +345,34 @@ def read_avro_ocf(
 
     field_names = [f.name for f in spark_schema.fields]
 
+    # with a reader schema, resolution normalizes EVERY file to it, so
+    # the logical converters are invariant — build them once, not per file
+    fixed_decs = None
+    if reader_schema is not None:
+        rs_obj = (
+            json.loads(reader_schema) if isinstance(reader_schema, str) else reader_schema
+        )
+        fdecs = {f["name"]: _avro_decoder(f["type"]) for f in rs_obj.get("fields", [])}
+        fixed_decs = [fdecs.get(c) for c in field_names]
+
     def decode_files(batches: Iterator[Any]) -> Iterator[Any]:
         import pandas as pd
 
         for pdf in batches:
             for blob in pdf["content"]:
                 data = bytes(blob)
-                if reader_schema is not None:
-                    # resolution normalizes every file to the READER
-                    # schema, so logical converters derive from it
-                    sj_obj = (
-                        json.loads(reader_schema)
-                        if isinstance(reader_schema, str)
-                        else reader_schema
-                    )
+                if fixed_decs is not None:
+                    decs = fixed_decs
                 else:
                     # converters come from each FILE's embedded writer
                     # schema (so e.g. a timestamp-millis file still reads
                     # correctly into a TimestampType column)
                     sj, _, _, _ = decode_ocf_header(data)
-                    sj_obj = json.loads(sj)
-                fdecs = {
-                    f["name"]: _avro_decoder(f["type"])
-                    for f in sj_obj.get("fields", [])
-                }
-                decs = [fdecs.get(c) for c in field_names]
+                    fdecs = {
+                        f["name"]: _avro_decoder(f["type"])
+                        for f in json.loads(sj).get("fields", [])
+                    }
+                    decs = [fdecs.get(c) for c in field_names]
                 for block in iter_ocf_blocks(data, reader_schema=reader_schema):
                     yield pd.DataFrame(
                         [

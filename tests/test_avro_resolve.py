@@ -175,3 +175,68 @@ def test_spark_reads_mixed_generations_under_reader_schema(spark, tmp_path):
     assert len(rows) == 8
     assert rows[0] == ("u0", None, "zz")       # v1 file: renamed + default
     assert rows[102] == ("v2", 2.0, "n")       # v2 file: native
+
+
+def test_failed_branch_probe_does_not_poison_memo():
+    """A union branch probe that REJECTS a (writer, reader) record pair
+    must not leave a partial resolver in the memo: resolving the same
+    pair again (e.g. for a direct field) must still RAISE, not silently
+    mis-decode with incomplete steps."""
+    inner_w = {"type": "record", "name": "Inner", "fields": [{"name": "a", "type": "int"}]}
+    # incompatible: reader field 'zz' missing from writer, no default
+    inner_r = {"type": "record", "name": "Inner", "fields": [{"name": "zz", "type": "int"}]}
+    w = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "x", "type": [inner_w, "int"]},
+            {"name": "y", "type": "Inner"},
+        ],
+    }
+    r = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "x", "type": [inner_r, "int"]},
+            {"name": "y", "type": "Inner"},
+        ],
+    }
+    # field x's union probe tries (Inner_w -> Inner_r) and rejects it;
+    # field y then needs the SAME pair directly -> whole compile raises
+    with pytest.raises(SchemaResolutionError):
+        compile_resolving_reader(w, r)
+
+
+def test_nested_default_values_convert_recursively():
+    """bytes/float leaves inside a record-typed reader default must
+    convert (latin-1 / float), matching rows decoded from newer files."""
+    w = {"type": "record", "name": "R", "fields": [{"name": "id", "type": "int"}]}
+    r = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "M",
+                    "fields": [
+                        {"name": "sig", "type": "bytes"},
+                        {"name": "w", "type": "float"},
+                    ],
+                },
+                "default": {"sig": "\u00ff\u0001", "w": 1},
+            },
+            {
+                "name": "tags",
+                "type": {"type": "array", "items": "bytes"},
+                "default": ["\u0000"],
+            },
+        ],
+    }
+    rd = compile_resolving_reader(w, r)
+    got = _decode(rd, schemaless_encode({"id": 1}, w))
+    assert got["meta"] == {"sig": b"\xff\x01", "w": 1.0}
+    assert isinstance(got["meta"]["w"], float)
+    assert got["tags"] == [b"\x00"]

@@ -846,3 +846,16 @@ def test_bloom_build_validates_args(spark):
         bloom_build(df, "u", m_bits=0)
     with _pytest.raises(ValueError, match="k must"):
         bloom_build(df, "u", k=0)
+
+
+def test_bloom_probe_null_key_is_false(spark):
+    """NULL probe keys must yield boolean False (documented contract),
+    not NULL - a NULL verdict escapes both filter(col) and filter(~col)."""
+    from byte_convert_avro_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(1,), (2,)], "u long")
+    probe = spark.createDataFrame([(1,), (None,)], "u long")
+    words = bloom_build(members, "u")
+    got = {r.u: r.bloom_maybe for r in bloom_probe(probe, words, "u").collect()}
+    assert got[1] is True
+    assert got[None] is False
