@@ -1416,3 +1416,104 @@ def events_pointintime_band_join(spark: SparkSession, sf: str):
         F.col("version_asof").alias("band_version"),
         F.col("band_asof").alias("band_at_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v2
+      FROM events
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v2, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), med AS (
+      SELECT event_type, CAST(SUM(v2) AS BIGINT) AS med2, MAX(n) AS n
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+    ), dev AS (
+      SELECT v.event_id, v.event_type, ABS(2 * v.v2 - m.med2) AS d2
+      FROM v JOIN med m ON m.event_type = v.event_type
+    ), dranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d2, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, CAST(SUM(d2) AS BIGINT) AS mad2
+      FROM dranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           m.med2 / 200.0 AS median_value,
+           a.mad2 / 400.0 AS mad_value,
+           CAST(SUM(CASE WHEN 2 * d.d2 > 3 * a.mad2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM med m
+    JOIN mad a ON a.event_type = m.event_type
+    JOIN dev d ON d.event_type = m.event_type
+    GROUP BY m.event_type, m.n, m.med2, a.mad2
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf: str):
+    """ROBUST OUTLIER DETECTION (median / MAD — the robust z-score):
+    per event type, the exact median and median-absolute-deviation via
+    the two-middle-rows selection, then the count of values farther than
+    3 MADs — the outlier rule that, unlike mean/sigma, cannot be dragged
+    by the outliers themselves.  ALL comparisons are integer (doubled
+    cent units: 2·d2 > 3·mad2), both halves exact-selection rather than
+    any engine quantile function, so every number hash-matches.  Scale:
+    three shuffles, all on the low-cardinality event_type key, windows
+    row-ranked; the deviation join broadcasts the tiny per-type medians."""
+    v = _ev(spark, sf).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v2"),
+    )
+    wt = W.partitionBy("event_type")
+
+    def two_middle(df, col, out):
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(wt.orderBy(col, "event_id")).alias("rn"),
+            F.count("*").over(wt).alias("n"),
+        )
+        return (
+            ranked.filter(
+                (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+            )
+            .groupBy("event_type")
+            .agg(F.sum(col).cast("long").alias(out), F.max("n").alias("n"))
+        )
+
+    med = two_middle(v, "v2", "med2")
+    dev = v.join(F.broadcast(med.select("event_type", "med2")), "event_type").select(
+        "event_id",
+        "event_type",
+        F.abs(2 * F.col("v2") - F.col("med2")).alias("d2"),
+    )
+    mad = two_middle(dev, "d2", "mad2").select("event_type", "mad2")
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med2", "mad2")
+        .agg(
+            F.sum((2 * F.col("d2") > 3 * F.col("mad2")).cast("int"))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("med2") / 200.0).alias("median_value"),
+            (F.col("mad2") / 400.0).alias("mad_value"),
+            "n_outliers",
+        )
+    )
