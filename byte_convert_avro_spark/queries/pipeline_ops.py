@@ -1736,3 +1736,94 @@ def bloom_prefilter_purchasers(spark: SparkSession, sf: str):
         .cast("long")
         .alias("n_false_negatives"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_weekly_merge",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT (epoch_us(ts) // 86400000000) AS day_idx,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), daily AS (
+      SELECT day_idx, h,
+             ROW_NUMBER() OVER (PARTITION BY day_idx ORDER BY h) AS rn
+      FROM hashed
+    ), state AS (SELECT day_idx, h FROM daily WHERE rn <= 32),
+    days AS (SELECT DISTINCT day_idx FROM hashed),
+    merged AS (
+      SELECT d.day_idx, s.h
+      FROM days d JOIN state s
+        ON s.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+      GROUP BY d.day_idx, s.h
+    ), rank2 AS (
+      SELECT day_idx, h,
+             ROW_NUMBER() OVER (PARTITION BY day_idx ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY day_idx) AS nm
+      FROM merged
+    )
+    SELECT day_idx,
+           CAST(MAX(nm) AS BIGINT) AS n_merged_hashes,
+           CAST(MAX(CASE WHEN rn = 32 THEN h END) AS BIGINT) AS kth_hash,
+           CASE WHEN MAX(nm) < 32 THEN CAST(MAX(nm) AS DOUBLE)
+                ELSE CAST(31.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE)
+                     / MAX(CASE WHEN rn = 32 THEN h END)
+           END AS weekly_distinct_estimate
+    FROM rank2 GROUP BY day_idx
+    """,
+)
+def kmv_weekly_merge(spark: SparkSession, sf: str):
+    """KMV SKETCH MERGEABILITY as a query — the pattern that makes
+    distinct-counting affordable at 100 TB: keep a tiny per-DAY state
+    (the 32 smallest distinct user hashes, <= 32 longs/day), then answer
+    "distinct users in ANY trailing 7-day window" by MERGING the daily
+    states — union the hash sets, re-take the 32 smallest, same
+    (k-1)·2^32 / kth estimator as ``kmv_distinct_users_estimate`` — and
+    never rescan raw events.  Everything deterministic (md5-bucket
+    hashes, integer ranks, one exact-int division), so the merged
+    estimates hash-match the oracle bit-for-bit.  Scale: raw events are
+    touched once to build daily states; each window estimate reads at
+    most 7 × 32 longs."""
+    ev = t(spark, sf, "events")
+    hashed = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            F.expr("(ts DIV 1000) DIV 86400000000").alias("day_idx"),
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    wd = W.partitionBy("day_idx").orderBy("h")
+    state = (
+        hashed.select("day_idx", "h", F.row_number().over(wd).alias("rn"))
+        .filter(F.col("rn") <= 32)
+        .select("day_idx", "h")
+    )
+    days = hashed.select("day_idx").distinct()
+    s2 = state.select(F.col("day_idx").alias("sday"), "h")
+    merged = (
+        days.join(
+            s2,
+            (F.col("sday") >= F.col("day_idx") - 6) & (F.col("sday") <= F.col("day_idx")),
+        )
+        .select("day_idx", "h")
+        .distinct()
+    )
+    wm = W.partitionBy("day_idx")
+    r = merged.select(
+        "day_idx",
+        "h",
+        F.row_number().over(wm.orderBy("h")).alias("rn"),
+        F.count("*").over(wm).alias("nm"),
+    )
+    kth = F.max(F.when(F.col("rn") == 32, F.col("h")))
+    return r.groupBy("day_idx").agg(
+        F.max("nm").cast("long").alias("n_merged_hashes"),
+        kth.cast("long").alias("kth_hash"),
+        F.when(F.max("nm") < 32, F.max("nm").cast("double"))
+        .otherwise(F.lit(31.0 * 4294967296.0) / kth)
+        .alias("weekly_distinct_estimate"),
+    )
