@@ -266,3 +266,54 @@ def avro_ocf_logical_roundtrip_orders(spark: SparkSession, sf: str):
         F.col("price").cast("string").alias("price_str"),
         F.date_format("odate", "yyyy-MM-dd").alias("odate_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "federated_three_format_union",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS balance_e2
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def federated_three_format_union(spark: SparkSession, sf: str):
+    """FEDERATION across storage formats — the lake reality where one
+    logical table lives in parquet, Avro OCF, and JSON at once: the
+    customer table is hash-split three ways, each slice written in a
+    DIFFERENT format (parquet native, OCF via the package sink, Spark
+    JSON), read back through the respective sources, unioned, and
+    aggregated — equal to aggregating the original table, proving no
+    format boundary loses or distorts a row.  Scale: each source keeps
+    its own pushdown/pruning; the union is plan-level (no
+    materialization); the aggregate runs once over all three."""
+    import os
+    import tempfile
+    import uuid
+
+    from byte_convert_avro_spark.queries.base import hash_bucket
+    from byte_convert_avro_spark.sources.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    cust = t(spark, sf, "customer")
+    b = hash_bucket("c_custkey", 3)
+    root = os.path.join(tempfile.gettempdir(), f"fed_{uuid.uuid4().hex[:10]}")
+    p_parq, p_json, p_ocf = f"{root}/pq", f"{root}/js", f"{root}/ocf"
+    cust.filter(b == 0).write.mode("overwrite").parquet(p_parq)
+    cust.filter(b == 1).write.mode("overwrite").json(p_json)
+    write_avro_ocf(spread(cust.filter(b == 2), "c_custkey"), p_ocf)
+
+    slice_pq = spark.read.schema(cust.schema).parquet(p_parq)
+    slice_js = spark.read.schema(cust.schema).json(p_json)
+    slice_ocf = read_avro_ocf(spark, p_ocf + "/*.avro")
+    allc = slice_pq.unionByName(slice_js).unionByName(slice_ocf)
+    return allc.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("balance_e2"),
+    )
