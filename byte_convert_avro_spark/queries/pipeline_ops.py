@@ -1827,3 +1827,109 @@ def kmv_weekly_merge(spark: SparkSession, sf: str):
         .otherwise(F.lit(31.0 * 4294967296.0) / kth)
         .alias("weekly_distinct_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: bit-interleave of two 8-bit bucket coords -> 16-bit Morton (Z) value;
+#: ONE expression string shared verbatim by the Spark plan and the oracle
+_ZVAL_EXPR = "(((((cb >> 0) & 1) << 0) + (((db >> 0) & 1) << 1)) + ((((cb >> 1) & 1) << 2) + (((db >> 1) & 1) << 3)) + ((((cb >> 2) & 1) << 4) + (((db >> 2) & 1) << 5)) + ((((cb >> 3) & 1) << 6) + (((db >> 3) & 1) << 7)) + ((((cb >> 4) & 1) << 8) + (((db >> 4) & 1) << 9)) + ((((cb >> 5) & 1) << 10) + (((db >> 5) & 1) << 11)) + ((((cb >> 6) & 1) << 12) + (((db >> 6) & 1) << 13)) + ((((cb >> 7) & 1) << 14) + (((db >> 7) & 1) << 15)))"
+
+
+@register(
+    "zorder_layout_effectiveness",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             (epoch_us(o_orderdate) // 86400000000) AS day_idx
+      FROM orders
+    ), stats AS (
+      SELECT MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc,
+             MIN(day_idx) AS mnd, MAX(day_idx) AS mxd
+      FROM o
+    ), bucketed AS (
+      SELECT o_orderkey,
+             CAST(((o.o_custkey - s.mnc) * 256) // (s.mxc - s.mnc + 1) AS BIGINT) AS cb,
+             CAST(((o.day_idx - s.mnd) * 256) // (s.mxd - s.mnd + 1) AS BIGINT) AS db
+      FROM o CROSS JOIN stats s
+    ), z AS (
+      SELECT *, {_ZVAL_EXPR} AS zval FROM bucketed
+    ), assigned AS (
+      SELECT 'zorder' AS layout, zval // 256 AS file_id, cb, db FROM z
+      UNION ALL
+      SELECT 'linear', db, cb, db FROM z
+    ), perfile AS (
+      SELECT layout, file_id,
+             MAX(cb) - MIN(cb) + 1 AS cb_span,
+             MAX(db) - MIN(db) + 1 AS db_span
+      FROM assigned GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(cb_span) AS DOUBLE) / COUNT(*) AS avg_cb_span,
+           CAST(SUM(db_span) AS DOUBLE) / COUNT(*) AS avg_db_span,
+           CAST(SUM(cb_span * db_span) AS DOUBLE) / COUNT(*) AS avg_volume
+    FROM perfile GROUP BY layout
+    """,
+)
+def zorder_layout_effectiveness(spark: SparkSession, sf: str):
+    """DATA-LAYOUT ENGINEERING: Z-ORDER (Morton) multi-dimensional
+    clustering vs a single-dimension (date-major) layout, measured by
+    the statistic that decides scan pruning — each file's (custkey ×
+    day) bounding-box volume, which is proportional to the chance a
+    point/range predicate must touch the file.  Bucket both dims to
+    8 bits from broadcast min/max stats (row-local, no global sort),
+    bit-interleave into a 16-bit Z-value (ONE expression string shared
+    verbatim with the oracle), and partition the value space into 256
+    "files" per layout.  Z-order files bound BOTH dims (~16×16 boxes);
+    date-major files bound only the date (256-wide custkey span) — the
+    measured avg_volume gap IS the multi-dim pruning win.  At
+    deployment the same zval feeds ``repartitionByRange(zval)`` +
+    sorted parquet writes so min/max row-group stats realize the
+    pruning; no stage here uses a single-partition window."""
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ: go through DATE, which is
+        # timezone-FREE (a cast to ltz timestamp would read the session
+        # TZ and shift days on a non-UTC driver host)
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).cast("long").alias("day_idx"),
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("mnc"),
+        F.max("o_custkey").alias("mxc"),
+        F.min("day_idx").alias("mnd"),
+        F.max("day_idx").alias("mxd"),
+    )
+    bucketed = o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.expr("((o_custkey - mnc) * 256) DIV (mxc - mnc + 1)").alias("cb"),
+        F.expr("((day_idx - mnd) * 256) DIV (mxd - mnd + 1)").alias("db"),
+    )
+    z = bucketed.withColumn("zval", F.expr(_ZVAL_EXPR))
+    zfiles = z.select(
+        F.lit("zorder").alias("layout"),
+        F.expr("zval DIV 256").alias("file_id"),
+        "cb",
+        "db",
+    )
+    lfiles = z.select(
+        F.lit("linear").alias("layout"), F.col("db").alias("file_id"), "cb", "db"
+    )
+    perfile = (
+        zfiles.unionAll(lfiles)
+        .groupBy("layout", "file_id")
+        .agg(
+            (F.max("cb") - F.min("cb") + 1).alias("cb_span"),
+            (F.max("db") - F.min("db") + 1).alias("db_span"),
+        )
+    )
+    return perfile.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        (F.sum("cb_span").cast("double") / F.count("*")).alias("avg_cb_span"),
+        (F.sum("db_span").cast("double") / F.count("*")).alias("avg_db_span"),
+        (
+            F.sum(F.col("cb_span") * F.col("db_span")).cast("double") / F.count("*")
+        ).alias("avg_volume"),
+    )
