@@ -816,3 +816,60 @@ def vocab_growth_heaps(spark: SparkSession, sf: str):
         F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
         F.sum("n_words").over(w).cast("long").alias("corpus_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_first_merge_candidates",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE LENGTH(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM (SELECT w, freq, unnest(generate_series(1, LENGTH(w) - 1)) AS i
+            FROM wf)
+    ), counts AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, rank FROM (
+      SELECT pair, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank
+      FROM counts)
+    WHERE rank <= 10
+    """,
+)
+def bpe_first_merge_candidates(spark: SparkSession, sf: str):
+    """BPE TOKENIZER TRAINING, step one: the corpus-wide adjacent
+    character-pair frequencies whose argmax is byte-pair encoding's
+    first merge — computed the way a distributed tokenizer trainer
+    must: collapse the corpus to the WORD-FREQUENCY table first (the
+    classic BPE optimization — identical words share one count), then
+    explode each distinct word's adjacent pairs once, weighted by its
+    frequency.  Top-10 merge candidates, ties broken lexically.
+    Scale: the heavy explode runs over DISTINCT words (vocabulary-sized,
+    sublinear in corpus), pair counts partial-aggregate map-side, and
+    the top-10 is a TakeOrdered — no global sort.  Iterating
+    merge-apply-recount yields the full BPE vocab; each round is this
+    same plan over the rewritten word table."""
+    words = (
+        spread(t(spark, sf, "documents"), "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = wf.select(
+        F.posexplode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("_i", "pair"),
+        "freq",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+    return (
+        counts.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("n"), "pair"))
+        )
+        .filter(F.col("rank") <= 10)
+        .select("pair", "n", "rank")
+    )
