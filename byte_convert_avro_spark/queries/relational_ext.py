@@ -1776,3 +1776,88 @@ def user_deletion_audit(spark: SparkSession, sf: str):
         .unionAll(audit("orders", orders, purged_orders))
         .unionAll(audit("lineitem", li, purged_li))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_e2,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 17 AS b
+      FROM orders
+    ), v2 AS (
+      -- simulated next snapshot: bucket 0 deleted, bucket 1 repriced
+      -- +1.00, bucket 2 additionally re-inserted under offset keys
+      SELECT k, st, CASE WHEN b = 1 THEN price_e2 + 100 ELSE price_e2 END AS price_e2
+      FROM v1 WHERE b <> 0
+      UNION ALL
+      SELECT k + 1000000000, st, price_e2 FROM v1 WHERE b = 2
+    ), d AS (
+      SELECT COALESCE(a.k, z.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN z.k IS NULL THEN 'removed'
+                  WHEN a.st <> z.st OR a.price_e2 <> z.price_e2 THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(ABS(z.price_e2 - a.price_e2), 0) AS price_delta_e2
+      FROM v1 a FULL OUTER JOIN v2 z ON z.k = a.k
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_delta_e2) AS BIGINT) AS total_price_delta_e2
+    FROM d GROUP BY change_type
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf: str):
+    """SNAPSHOT DIFF — the data-regression primitive run between every
+    two versions of a managed table: FULL OUTER join on the key,
+    classify each row added / removed / changed / unchanged, and account
+    the exact value drift (integer cents).  The second snapshot is
+    simulated deterministically (one hash bucket deleted, one repriced,
+    one re-inserted under offset keys) so both engines diff identical
+    inputs.  Scale: one co-partitioned full-outer join on the uniform
+    key + one tiny rollup; the diff never materializes unchanged rows'
+    payloads beyond the compared columns."""
+    v1 = t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_e2"),
+        hash_bucket("o_orderkey", 17).alias("b"),
+    )
+    v2 = (
+        v1.filter(F.col("b") != 0)
+        .select(
+            "k",
+            "st",
+            F.when(F.col("b") == 1, F.col("price_e2") + 100)
+            .otherwise(F.col("price_e2"))
+            .alias("price_e2"),
+        )
+        .unionAll(
+            v1.filter(F.col("b") == 2).select(
+                (F.col("k") + 1_000_000_000).alias("k"), "st", "price_e2"
+            )
+        )
+    )
+    a = v1.select("k", "st", "price_e2")
+    z = v2.select(
+        F.col("k").alias("k2"), F.col("st").alias("st2"), F.col("price_e2").alias("p2")
+    )
+    d = a.join(z, a.k == z.k2, "full_outer").select(
+        F.when(F.col("k").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(
+            (F.col("st") != F.col("st2")) | (F.col("price_e2") != F.col("p2")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.abs(F.col("p2") - F.col("price_e2")), F.lit(0)).alias(
+            "price_delta_e2"
+        ),
+    )
+    return d.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("price_delta_e2").cast("long").alias("total_price_delta_e2"),
+    )
