@@ -1517,3 +1517,64 @@ def events_value_mad_outliers(spark: SparkSession, sf: str):
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_time_weighted_value",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v2
+      FROM events
+    ), gaps AS (
+      SELECT user_id, v2,
+             (LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+              - ts_us) // 1000000 AS gap_s
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_intervals,
+           CAST(SUM(gap_s) AS BIGINT) AS observed_s,
+           CASE WHEN SUM(gap_s) > 0
+                THEN CAST(SUM(v2 * gap_s) AS DOUBLE) / SUM(gap_s) / 100.0
+                ELSE NULL END AS twap_value
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf: str):
+    """TIME-WEIGHTED AVERAGE (TWAP) — the metric/financial primitive a
+    plain AVG gets wrong when observations are irregular: each value is
+    weighted by how LONG it was in effect (gap to the next event,
+    step-function semantics; the open last interval is excluded).
+    Exact-integer discipline end to end: cent values × whole-second
+    durations keep every product far inside int64 (µs durations would
+    flirt with overflow at month-long gaps), ONE final division.
+    Scale: a LEAD window and the rollup share one user_id shuffle."""
+    ev = _ev(spark, sf).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v2"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "v2",
+        ((F.lead("ts_us").over(wo) - F.col("ts_us")) / 1_000_000)
+        .cast("long")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_intervals"),
+        F.sum("gap_s").cast("long").alias("observed_s"),
+        F.when(
+            F.sum("gap_s") > 0,
+            F.sum(F.col("v2") * F.col("gap_s")).cast("double")
+            / F.sum("gap_s")
+            / 100.0,
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("twap_value"),
+    )

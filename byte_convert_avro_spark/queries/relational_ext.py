@@ -1861,3 +1861,72 @@ def orders_snapshot_diff(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n_rows"),
         F.sum("price_delta_e2").cast("long").alias("total_price_delta_e2"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "functional_dependency_scan",
+    """
+    SELECT 'c_nationkey->region' AS candidate,
+           CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer) AS BIGINT)
+             AS n_lhs,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT DISTINCT c.c_nationkey, n.n_regionkey
+               FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey))
+             AS BIGINT) AS n_pairs
+    UNION ALL
+    SELECT 'o_orderkey->o_custkey',
+           CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM (
+               SELECT DISTINCT o_orderkey, o_custkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority',
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM (
+               SELECT DISTINCT o_custkey, o_orderpriority FROM orders)) AS BIGINT)
+    """,
+)
+def functional_dependency_scan(spark: SparkSession, sf: str):
+    """FUNCTIONAL-DEPENDENCY DETECTION — schema-inference profiling: a
+    candidate ``L -> R`` holds exactly when |distinct(L, R)| equals
+    |distinct L|.  Three candidates scanned: a true FD through a join
+    (nation determines region), a key-based FD (orderkey determines
+    custkey), and a NON-dependency (custkey does not determine
+    priority) whose pair count exceeds its LHS count — the gap
+    quantifies how far from functional the pair is.  Scale: each
+    candidate is one distinct aggregation on uniform keys; at
+    deployment, candidates for all column pairs batch through one
+    pass with approx sketches, keeping this exact form for
+    confirmation."""
+    cust = t(spark, sf, "customer")
+    nat = t(spark, sf, "nation")
+    orders = t(spark, sf, "orders")
+
+    def row(name, lhs_cnt, pair_cnt):
+        return lhs_cnt.crossJoin(pair_cnt).select(
+            F.lit(name).alias("candidate"), "n_lhs", "n_pairs"
+        )
+
+    cn = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    r1 = row(
+        "c_nationkey->region",
+        cust.agg(F.count_distinct("c_nationkey").cast("long").alias("n_lhs")),
+        cn.select("c_nationkey", "n_regionkey")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_pairs")),
+    )
+    r2 = row(
+        "o_orderkey->o_custkey",
+        orders.agg(F.count_distinct("o_orderkey").cast("long").alias("n_lhs")),
+        orders.select("o_orderkey", "o_custkey")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_pairs")),
+    )
+    r3 = row(
+        "o_custkey->o_orderpriority",
+        orders.agg(F.count_distinct("o_custkey").cast("long").alias("n_lhs")),
+        orders.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_pairs")),
+    )
+    return r1.unionAll(r2).unionAll(r3)
