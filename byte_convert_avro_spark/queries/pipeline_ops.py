@@ -1933,3 +1933,86 @@ def zorder_layout_effectiveness(spark: SparkSession, sf: str):
             F.sum(F.col("cb_span") * F.col("db_span")).cast("double") / F.count("*")
         ).alias("avg_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "basket_association_lift",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM os),
+    item AS (SELECT p, COUNT(*) AS n_item FROM os GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, COUNT(*) AS n_ab
+      FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ), scored AS (
+      SELECT pa, pb, n_ab,
+             ia.n_item AS n_a, ib.n_item AS n_b,
+             CAST(n_ab * n.n_orders AS DOUBLE) / (ia.n_item * ib.n_item) AS lift,
+             CAST(n_ab AS DOUBLE) / ia.n_item AS confidence_a_to_b
+      FROM pairs
+      JOIN item ia ON ia.p = pairs.pa
+      JOIN item ib ON ib.p = pairs.pb
+      CROSS JOIN n
+    )
+    SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           lift, confidence_a_to_b, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, pa, pb) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def basket_association_lift(spark: SparkSession, sf: str):
+    """MARKET-BASKET ASSOCIATION RULES: support / confidence / LIFT for
+    part pairs co-occurring in >= 3 orders, top-10 by lift — the
+    recommender-adjacent statistic over the same co-purchase structure
+    the triangle query mines.  Lift = n_ab·N / (n_a·n_b): exact int64
+    products, one division, bit-identical ranks (ties broken by pair).
+    Scale: per-order pair fanout is bounded by basket size; support
+    pruning (HAVING) happens in the same aggregation that counts, so
+    rare pairs never reach the scoring join; item counts broadcast."""
+    li = t(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = os_.agg(F.count_distinct("ok").alias("n_orders"))
+    item = os_.groupBy("p").agg(F.count("*").alias("n_item"))
+    b = os_.select("ok", F.col("p").alias("p2"))
+    pairs = (
+        os_.join(b, "ok")
+        .filter(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("pa"), F.col("p2").alias("pb"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa", "pb", "n_ab", "n_a", "n_b",
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence_a_to_b"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("lift"), "pa", "pb"))
+        )
+        .filter(F.col("rank") <= 10)
+        .select(
+            "pa", "pb",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "lift", "confidence_a_to_b", "rank",
+        )
+    )
