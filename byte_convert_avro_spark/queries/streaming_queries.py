@@ -632,3 +632,76 @@ def streaming_ocf_sink_daily_totals(spark: SparkSession, sf: str):
             F.col("_last.total_value_e2").alias("total_value_e2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_ocf_evolution_read",
+    """
+    WITH b AS (
+      SELECT c_mktsegment, c_acctbal,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2
+               AS bucket
+      FROM customer
+    )
+    SELECT CASE WHEN bucket = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS balance_e2
+    FROM b GROUP BY 1
+    """,
+)
+def streaming_ocf_evolution_read(spark: SparkSession, sf: str):
+    """STREAMING + FILE FORMAT + SCHEMA EVOLUTION in one pipeline: two
+    generations of OCF files — an old v1 schema (no segment column) and
+    the current v2 (with it) — land in a watched directory; the STREAM
+    reads each arriving file through spec schema resolution under the v2
+    reader schema (v1 rows take the declared ``'UNKNOWN'`` default), and
+    a complete-mode aggregation equals the batch truth.  This is the
+    lake-ingestion reality: late-arriving files written by old producers
+    must land in the current shape without a backfill rewrite.
+    Scale: one binaryFile task per arriving file; resolution compiles
+    once per file, schema-sized."""
+    import json
+    import os
+    import tempfile
+
+    from byte_convert_avro_spark.sources.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    cust = t(spark, sf, "customer")
+    b = hash_bucket("c_custkey", 2)
+    root = os.path.join(tempfile.gettempdir(), f"ocf_evo_{uuid.uuid4().hex[:10]}")
+    # generation 1: old producer, no segment column
+    write_avro_ocf(
+        cust.filter(b == 0).select("c_custkey", "c_acctbal"),
+        os.path.join(root, "gen1"),
+    )
+    # generation 2: current producer
+    write_avro_ocf(
+        cust.filter(b == 1).select("c_custkey", "c_acctbal", "c_mktsegment"),
+        os.path.join(root, "gen2"),
+    )
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "c_custkey", "type": ["null", "long"]},
+            {"name": "c_acctbal", "type": ["null", "double"]},
+            {"name": "c_mktsegment", "type": ["null", "string"], "default": None},
+        ],
+    }
+    stream = read_avro_ocf(
+        spark, root + "/*/*.avro", reader_schema=json.dumps(reader), streaming=True
+    )
+    agg = stream.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("balance_e2"),
+    )
+    return _run_complete(agg)

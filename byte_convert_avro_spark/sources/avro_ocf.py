@@ -305,11 +305,24 @@ def write_avro_ocf(
     return sorted(df.rdd.mapPartitionsWithIndex(write_part).collect())
 
 
+#: binaryFile's fixed schema — needed explicitly for the STREAMING reader
+#: (file-source streams require a declared schema)
+_BINARYFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), True),
+        T.StructField("modificationTime", T.TimestampType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
 def read_avro_ocf(
     spark: SparkSession,
     path: str,
     spark_schema: T.StructType | str | None = None,
     reader_schema: str | dict | None = None,
+    streaming: bool = False,
 ) -> DataFrame:
     """Read OCF files distributed (one task per file via ``binaryFile``).
     If ``spark_schema`` is omitted it is inferred from the FIRST file's
@@ -321,8 +334,27 @@ def read_avro_ocf(
     dropped fields skipped, renames matched via reader aliases, numerics
     promoted — so files written over years under different schemas land
     in ONE DataFrame shape (avro/resolve.py).  The Spark schema then
-    derives from the reader schema."""
-    files = spark.read.format("binaryFile").load(path)
+    derives from the reader schema.
+
+    ``streaming=True`` returns a STREAMING DataFrame (file-source over
+    ``binaryFile``): each newly-arrived OCF file becomes one task's
+    micro-batch work — pair with ``reader_schema`` so late-arriving
+    old-generation files still land in the current shape.  Schema
+    inference from a first file is unavailable in streaming (no file
+    need exist yet); pass ``spark_schema`` or ``reader_schema``."""
+    if streaming:
+        files = (
+            spark.readStream.format("binaryFile")
+            .schema(_BINARYFILE_SCHEMA)
+            .load(path)
+        )
+        if spark_schema is None and reader_schema is None:
+            raise ValueError(
+                "streaming OCF read needs spark_schema or reader_schema "
+                "(no file is guaranteed to exist for inference)"
+            )
+    else:
+        files = spark.read.format("binaryFile").load(path)
     if spark_schema is None:
         if reader_schema is not None:
             avro = (
