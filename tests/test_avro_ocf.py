@@ -207,3 +207,27 @@ def test_spark_roundtrip_logical_types(spark, tmp_path):
     back = read_avro_ocf(spark, d + "/*.avro")
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_streaming_read_requires_declared_schema(spark, tmp_path):
+    """Streaming OCF reads cannot infer from a first file (none need
+    exist yet) — the guard must raise, and with a reader schema the
+    returned frame must be a streaming one."""
+    import json
+
+    from byte_convert_avro_spark.sources.avro_ocf import read_avro_ocf
+
+    with pytest.raises(ValueError, match="streaming OCF read needs"):
+        read_avro_ocf(spark, str(tmp_path / "*.avro"), streaming=True)
+
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": ["null", "long"]}],
+    }
+    df = read_avro_ocf(
+        spark, str(tmp_path / "*.avro"),
+        reader_schema=json.dumps(reader), streaming=True,
+    )
+    assert df.isStreaming
+    assert df.schema.simpleString() == "struct<id:bigint>"
