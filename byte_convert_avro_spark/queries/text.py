@@ -873,3 +873,151 @@ def bpe_first_merge_candidates(spark: SparkSession, sf: str):
         .filter(F.col("rank") <= 10)
         .select("pair", "n", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+#: shared BPE merge-fold pieces — ONE expression grammar both engines run.
+#: acc encoding during the fold: "out<MK>pend" where out = SEP-joined
+#: committed symbols and pend = the last uncommitted symbol (no MK in acc
+#: means the whole acc is pend — the fold's initial state).
+_BPE_SEP = "\x1f"  # joins symbols inside a word
+_BPE_MK = "\x1e"   # separates committed output from the pending symbol
+
+
+def _bpe_exprs() -> dict[str, str]:
+    s, m = _BPE_SEP, _BPE_MK
+    pend = f"(CASE WHEN instr(acc, '{m}') = 0 THEN acc ELSE split_part(acc, '{m}', 2) END)"
+    out = f"(CASE WHEN instr(acc, '{m}') = 0 THEN '' ELSE split_part(acc, '{m}', 1) END)"
+    commit = (
+        f"(CASE WHEN instr(acc, '{m}') = 0 THEN acc"
+        f" WHEN split_part(acc, '{m}', 2) = '' THEN split_part(acc, '{m}', 1)"
+        f" ELSE split_part(acc, '{m}', 1) ||"
+        f" (CASE WHEN split_part(acc, '{m}', 1) = '' THEN '' ELSE '{s}' END) ||"
+        f" split_part(acc, '{m}', 2) END)"
+    )
+    step = (
+        f"CASE WHEN {pend} = ml AND x = mr THEN"
+        f" {out} || (CASE WHEN {out} = '' THEN '' ELSE '{s}' END) || ml || mr || '{m}'"
+        f" ELSE {commit} || '{m}' || x END"
+    )
+    return {"step": step, "commit": commit}
+
+
+def _bpe_oracle_sql(n_rounds: int = 3) -> str:
+    """DuckDB twin: word-frequency table -> unrolled merge rounds, each
+    round = count adjacent pairs -> argmax -> exact greedy left-to-right
+    fold applying the merge (reduce with the shared expression grammar;
+    DuckDB's reduce seeds from the first element, matching the Spark
+    fold's explicit init)."""
+    s = _BPE_SEP
+    e = _bpe_exprs()
+    step_sql = e["step"].replace("ml", "b.l").replace("mr", "b.r2")
+    commit_sql = e["commit"]
+    parts = [
+        f"""wf AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE LENGTH(w) >= 2 AND instr(w, '{s}') = 0 AND instr(w, '{_BPE_MK}') = 0
+      GROUP BY w)""",
+        f"""j0 AS (
+      SELECT array_to_string(list_transform(generate_series(1, length(w)),
+                             i -> substr(w, i, 1)), '{s}') AS sj, freq
+      FROM wf)""",
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f"""p{r} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r2, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT string_split(sj, '{s}') AS syms, freq,
+                   unnest(generate_series(1, len(string_split(sj, '{s}')) - 1)) AS i
+            FROM j{r})
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"best{r} AS (SELECT l, r2, n FROM p{r} ORDER BY n DESC, l, r2 LIMIT 1)"
+        )
+        if r + 1 < n_rounds:
+            parts.append(
+                f"""j{r + 1} AS (
+      SELECT CASE WHEN instr(folded, '{_BPE_MK}') = 0 THEN folded ELSE {commit_sql.replace("acc", "folded")} END AS sj, freq
+      FROM (SELECT reduce(string_split(sj, '{s}'), (acc, x) -> {step_sql}) AS folded, freq
+            FROM j{r} CROSS JOIN best{r} b))"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, l AS left_sym, r2 AS right_sym, l || r2 AS merged, n FROM best{r}"
+        for r in range(n_rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@register("bpe_train_3_merges", _bpe_oracle_sql(3))
+def bpe_train_3_merges(spark: SparkSession, sf: str):
+    """ITERATED BPE TOKENIZER TRAINING — three full merge rounds, each:
+    count adjacent symbol pairs over the word-frequency table (weighted
+    by word count, the classic vocabulary-sized optimization), pick the
+    argmax pair (ties lexical), and APPLY the merge corpus-wide with an
+    EXACT greedy left-to-right fold (chains merge correctly: 'aaaa'
+    under (a,a) becomes (aa)(aa)) — the fold's accumulator is a
+    marker-encoded string so the SAME expression grammar runs as a
+    Spark ``aggregate`` and a DuckDB ``reduce``, and every round's merge
+    rule + count hash-matches the unrolled oracle.  -> (round, left_sym,
+    right_sym, merged, n).  Scale: each round is one vocabulary-sized
+    pair count (map-side partial) + a broadcast 1-row merge rule + a
+    row-local fold; corpus text is never re-scanned after round 0."""
+    s, m = _BPE_SEP, _BPE_MK
+    e = _bpe_exprs()
+    words = (
+        spread(t(spark, sf, "documents"), "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(
+            (F.length("w") >= 2)
+            & (F.instr("w", s) == 0)
+            & (F.instr("w", m) == 0)
+        )
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    j = wf.select(
+        F.expr(
+            f"concat_ws('{s}', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+        ).alias("sj"),
+        "freq",
+    )
+    results = []
+    for r in range(3):
+        pairs = j.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(sj, '{s}')) - 1),"
+                    f" i -> named_struct('l', element_at(split(sj, '{s}'), i),"
+                    f" 'r2', element_at(split(sj, '{s}'), i + 1)))"
+                )
+            ).alias("p"),
+            "freq",
+        ).select("p.l", "p.r2", "freq")
+        counts = pairs.groupBy("l", "r2").agg(F.sum("freq").cast("long").alias("n"))
+        best = counts.orderBy(F.desc("n"), "l", "r2").limit(1)
+        results.append(
+            best.select(
+                F.lit(r + 1).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r2").alias("right_sym"),
+                F.concat("l", "r2").alias("merged"),
+                "n",
+            )
+        )
+        if r < 2:
+            b = best.select(F.col("l").alias("ml"), F.col("r2").alias("mr"))
+            folded = j.crossJoin(F.broadcast(b)).select(
+                F.expr(
+                    f"aggregate(slice(split(sj, '{s}'), 2, size(split(sj, '{s}')) - 1),"
+                    f" element_at(split(sj, '{s}'), 1),"
+                    f" (acc, x) -> {e['step']},"
+                    f" acc -> {e['commit']})"
+                ).alias("sj"),
+                "freq",
+            )
+            j = folded
+    out = results[0]
+    for df in results[1:]:
+        out = out.unionAll(df)
+    return out

@@ -859,3 +859,33 @@ def test_bloom_probe_null_key_is_false(spark):
     got = {r.u: r.bloom_maybe for r in bloom_probe(probe, words, "u").collect()}
     assert got[1] is True
     assert got[None] is False
+
+
+def test_bpe_merge_fold_handles_chains(spark):
+    """The greedy left-to-right merge fold must merge runs correctly:
+    'aaaa' under pair (a,a) -> (aa)(aa), and non-matching words pass
+    through unchanged (the string-replace shortcut gets runs wrong —
+    this pins the exact fold)."""
+    from byte_convert_avro_spark.queries.text import _BPE_SEP, _bpe_exprs
+    from pyspark.sql import functions as F
+
+    e = _bpe_exprs()
+    s = _BPE_SEP
+    df = spark.createDataFrame(
+        [("a:a:a:a".replace(":", s),), ("a:b:a:b:c".replace(":", s),), ("x",)],
+        "sj string",
+    ).crossJoin(
+        spark.createDataFrame([("a", "a")], "ml string, mr string")
+    )
+    got = [
+        r.out
+        for r in df.select(
+            F.expr(
+                f"aggregate(slice(split(sj, '{s}'), 2, size(split(sj, '{s}')) - 1),"
+                f" element_at(split(sj, '{s}'), 1),"
+                f" (acc, x) -> {e['step']},"
+                f" acc -> {e['commit']})"
+            ).alias("out")
+        ).collect()
+    ]
+    assert got == [f"aa{s}aa", f"a{s}b{s}a{s}b{s}c", "x"]
