@@ -11,8 +11,11 @@ Spec (avro.apache.org/docs/current/specification/#object-container-files):
   serialized objects (optionally compressed), then the sync marker again.
 
 Pure Python on top of :mod:`byte_convert_avro_spark.avro.binary` — no
-external Avro library.  Codecs: ``null`` and ``deflate`` (raw DEFLATE,
-stdlib zlib with ``wbits=-15``); anything else raises.
+external Avro library.  Codecs: every spec codec the standard library
+covers — ``null``, ``deflate`` (raw DEFLATE, zlib ``wbits=-15``),
+``bzip2``, ``xz``; ``snappy``/``zstandard`` raise (their libs are not
+in this environment — plug them into ``_COMPRESS``/``_DECOMPRESS`` when
+available).
 
 Determinism: the sync marker defaults to ``md5('ocf:' + schema_json)`` —
 content-derived, no RNG — so byte-identical inputs produce byte-identical
@@ -22,8 +25,10 @@ appending to an existing file requires matching its marker).
 
 from __future__ import annotations
 
+import bz2
 import hashlib
 import json
+import lzma
 import zlib
 from typing import Any, Iterable, Iterator
 
@@ -37,7 +42,24 @@ from byte_convert_avro_spark.avro.binary import (
 from byte_convert_avro_spark.avro.schema import parse_schema
 
 MAGIC = b"Obj\x01"
-_CODECS = ("null", "deflate")
+
+
+def _deflate_c(data: bytes) -> bytes:
+    co = zlib.compressobj(wbits=-15)
+    return co.compress(data) + co.flush()
+
+
+_COMPRESS = {
+    "deflate": _deflate_c,
+    "bzip2": bz2.compress,
+    "xz": lambda d: lzma.compress(d, format=lzma.FORMAT_XZ),
+}
+_DECOMPRESS = {
+    "deflate": lambda d: zlib.decompress(d, wbits=-15),
+    "bzip2": bz2.decompress,
+    "xz": lzma.decompress,
+}
+_CODECS = ("null",) + tuple(_COMPRESS)
 
 
 def _schema_json(schema: str | dict) -> str:
@@ -93,9 +115,8 @@ def iter_encode_ocf(
     def flush() -> bytes:
         nonlocal buf, n_in_block
         data = bytes(buf)
-        if codec == "deflate":
-            co = zlib.compressobj(wbits=-15)
-            data = co.compress(data) + co.flush()
+        if codec != "null":
+            data = _COMPRESS[codec](data)
         out = bytearray()
         _write_long(out, n_in_block)
         _write_long(out, len(data))
@@ -206,8 +227,8 @@ def iter_ocf_blocks(
         if bytes(buf[pos : pos + 16]) != marker:
             raise ValueError("OCF sync marker mismatch (corrupt block boundary)")
         pos += 16
-        if codec == "deflate":
-            block = memoryview(zlib.decompress(bytes(block), wbits=-15))
+        if codec != "null":
+            block = memoryview(_DECOMPRESS[codec](bytes(block)))
         rows: list[Any] = []
         bpos = 0
         for _ in range(n):

@@ -36,7 +36,7 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
 def test_roundtrip_multi_block(codec):
     blob = encode_ocf(ROWS, SCHEMA, codec=codec, block_rows=1000)
     schema_json, back = decode_ocf(blob)
