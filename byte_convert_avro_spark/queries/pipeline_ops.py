@@ -2016,3 +2016,50 @@ def basket_association_lift(spark: SparkSession, sf: str):
             "lift", "confidence_a_to_b", "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "audio_fingerprint_dup_groups",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0
+    )
+    SELECT substr(md5(md5(text) || '|fp'), 1, 16) AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM corpus
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+)
+def audio_fingerprint_dup_groups(spark: SparkSession, sf: str):
+    """AUDIO DEDUP over acoustic fingerprints — the media-modality rung
+    of the dedup ladder: blobs whose fingerprint collides are the same
+    recording (chromaprint at deployment; the content-derived fake here,
+    reproduced by the oracle in SQL); keeper = smallest doc_id, same
+    policy as text exact-dedup.  Runs the REAL Arrow-batched fingerprint
+    operator (operators/multimodal.audio_fingerprint), then one uniform
+    hash-keyed groupBy — fingerprints are the shuffle key, never blob
+    bytes."""
+    base = t(spark, sf, "documents").select("doc_id", "text")
+    # re-uploaded copies: a 20% hash slice re-ingested under new ids —
+    # the duplicate regime the fingerprint key must collapse
+    dupes = base.filter(hash_bucket("doc_id", 5) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = spread(base.unionAll(dupes), "doc_id").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    fp = M.audio_fingerprint(docs, "blob", "doc_id", deterministic_fake=True)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
