@@ -1930,3 +1930,86 @@ def functional_dependency_scan(spark: SparkSession, sf: str):
         .agg(F.count("*").cast("long").alias("n_pairs")),
     )
     return r1.unionAll(r2).unionAll(r3)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dq_rule_violations",
+    """
+    SELECT 'lineitem.quantity_in_1_50' AS rule,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem.extendedprice_positive',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.discount_in_0_0p1',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.orderkey_references_orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.custkey_references_customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf: str):
+    """DATA-QUALITY RULE ENGINE sample (the expectations/DBT-test shape):
+    per-rule checked/violation counts over range constraints and
+    REFERENTIAL INTEGRITY (orphan lineitems / orders via anti joins).
+    Scale: all range rules for one table fuse into ONE scan (conditional
+    sums); each integrity rule is a single anti join on the uniform key
+    (broadcast when the parent side is small, shuffle otherwise — the
+    planner's call, not hard-coded).  A violation budget gate (fail the
+    pipeline when n_violations > 0) is a filter on this output."""
+    li = t(spark, sf, "lineitem")
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+
+    li_scan = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int"))
+        .cast("long")
+        .alias("v_qty"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("int")).cast("long").alias("v_px"),
+        F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("int"))
+        .cast("long")
+        .alias("v_disc"),
+    )
+    orphan_li = li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+    orphan_ord = orders.join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_anti")
+
+    def rule(name, n_col, v_col):
+        return li_scan.select(
+            F.lit(name).alias("rule"),
+            F.col(n_col).alias("n_checked"),
+            F.col(v_col).alias("n_violations"),
+        )
+
+    r_ref_li = (
+        li.agg(F.count("*").cast("long").alias("n_checked"))
+        .crossJoin(orphan_li.agg(F.count("*").cast("long").alias("n_violations")))
+        .select(F.lit("lineitem.orderkey_references_orders").alias("rule"), "n_checked", "n_violations")
+    )
+    r_ref_ord = (
+        orders.agg(F.count("*").cast("long").alias("n_checked"))
+        .crossJoin(orphan_ord.agg(F.count("*").cast("long").alias("n_violations")))
+        .select(F.lit("orders.custkey_references_customer").alias("rule"), "n_checked", "n_violations")
+    )
+    return (
+        rule("lineitem.quantity_in_1_50", "n", "v_qty")
+        .unionAll(rule("lineitem.extendedprice_positive", "n", "v_px"))
+        .unionAll(rule("lineitem.discount_in_0_0p1", "n", "v_disc"))
+        .unionAll(r_ref_li)
+        .unionAll(r_ref_ord)
+    )
