@@ -1578,3 +1578,74 @@ def events_time_weighted_value(spark: SparkSession, sf: str):
         .otherwise(F.lit(None).cast("double"))
         .alias("twap_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_bounce_rate",
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800000000
+                    OR LAG(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_idx,
+             MIN(ts_us) // 86400000000 AS start_day,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT start_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS bounce_rate
+    FROM sessions GROUP BY start_day
+    """,
+)
+def events_session_bounce_rate(spark: SparkSession, sf: str):
+    """BOUNCE RATE per day — the engagement KPI over sessionized events:
+    share of 30-min-gap sessions containing exactly one event, keyed by
+    the session's start day.  Composes the gaps-and-islands session
+    build (one user_id shuffle, the same shape the streaming
+    session_window query equals) with a day rollup; the rate is one
+    exact-int division."""
+    ev = _ev(spark, sf)
+    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts_us",
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(wo) > 1_800_000_000)
+            | F.lag("ts_us").over(wo).isNull()
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts_us").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_idx").agg(
+        F.expr("min(ts_us) DIV 86400000000").alias("start_day"),
+        F.count("*").alias("n_events"),
+    )
+    return sessions.groupBy("start_day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).cast("long").alias("n_bounces"),
+        (
+            F.sum((F.col("n_events") == 1).cast("int")).cast("double") / F.count("*")
+        ).alias("bounce_rate"),
+    )

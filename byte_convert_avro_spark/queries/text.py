@@ -1021,3 +1021,54 @@ def bpe_train_3_merges(spark: SparkSession, sf: str):
     for df in results[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "source_share_top3_others",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, n, ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rn
+      FROM counts
+    )
+    SELECT CASE WHEN rn <= 3 THEN source ELSE 'OTHERS' END AS bucket,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS share
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def source_share_top3_others(spark: SparkSession, sf: str):
+    """TOP-K + OTHERS — the reporting idiom every dashboard needs: the
+    three largest sources named, the tail collapsed into one OTHERS
+    bucket carrying its combined count, source count, and exact share.
+    Scale: one groupBy on the source key, a rank over the TINY
+    source-count table (never the rows), one broadcast scalar total."""
+    d = t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    ranked = counts.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("n"), "source"))
+    )
+    total = d.agg(F.count("*").alias("total"))
+    return (
+        ranked.select(
+            F.when(F.col("rn") <= 3, F.col("source")).otherwise("OTHERS").alias("bucket"),
+            "n",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_sources"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_sources",
+            (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+        )
+    )
