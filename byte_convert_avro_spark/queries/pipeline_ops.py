@@ -2063,3 +2063,96 @@ def audio_fingerprint_dup_groups(spark: SparkSession, sf: str):
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_link_prediction",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p
+    ), und AS (
+      SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges
+    ), adj AS (
+      SELECT u, list_sort(list(v)) AS nbrs, COUNT(*) AS deg FROM und GROUP BY u
+    ), scored AS (
+      SELECT e.a, e.b,
+             len(list_intersect(ia.nbrs, ib.nbrs)) AS n_common,
+             ia.deg AS da, ib.deg AS db,
+             CAST(len(list_intersect(ia.nbrs, ib.nbrs)) AS DOUBLE)
+               / (ia.deg + ib.deg - len(list_intersect(ia.nbrs, ib.nbrs)))
+               AS jaccard
+      FROM edges e
+      JOIN adj ia ON ia.u = e.a
+      JOIN adj ib ON ib.u = e.b
+    )
+    SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db, jaccard, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def copurchase_link_prediction(spark: SparkSession, sf: str):
+    """LINK-PREDICTION SCORING: neighborhood Jaccard
+    ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` for each co-purchase edge, top-10
+    — the classic common-neighbors recommender signal, computed with the
+    SAME adjacency-array discipline as triangle counting: each node's
+    sorted neighbor list is built ONCE (one groupBy), the per-edge score
+    is a row-local ``array_intersect`` after two node-keyed joins, and
+    the denominator is exact-int arithmetic (da + db - i), so ranks are
+    bit-stable.  No stage is pairs-of-pairs; cost is O(edges · avg-deg)
+    partition-local."""
+    li = t(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b2 = os_.select("ok", F.col("p").alias("p2"))
+    edges = (
+        os_.join(b2, "ok")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    adj = und.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs"), F.count("*").alias("deg")
+    )
+    ia = adj.select(F.col("u").alias("a"), F.col("nbrs").alias("na"), F.col("deg").alias("da"))
+    ib = adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nb"), F.col("deg").alias("db"))
+    scored = (
+        edges.join(ia, "a")
+        .join(ib, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("na", "nb")).alias("n_common"),
+            "da",
+            "db",
+        )
+        .select(
+            "a", "b", "n_common", "da", "db",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.desc("jaccard"), "a", "b"))
+        )
+        .filter(F.col("rank") <= 10)
+        .select(
+            "a", "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("da").cast("long").alias("da"),
+            F.col("db").cast("long").alias("db"),
+            "jaccard", "rank",
+        )
+    )

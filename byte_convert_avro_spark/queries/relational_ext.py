@@ -2013,3 +2013,61 @@ def dq_rule_violations(spark: SparkSession, sf: str):
         .unionAll(r_ref_li)
         .unionAll(r_ref_ord)
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_median_price_by_flag",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS px,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), agg AS (
+      SELECT flag, px, SUM(wt) AS wt FROM w GROUP BY flag, px
+    ), cum AS (
+      SELECT flag, px, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY px
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY flag) AS tw
+      FROM agg
+    )
+    SELECT flag,
+           CAST(MIN(px) AS DOUBLE) / 100.0 AS weighted_median_price,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY flag
+    """,
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf: str):
+    """WEIGHTED MEDIAN (lower): the price at which half the QUANTITY
+    (not half the rows) sits at or below — the inventory-weighted
+    central price a row median misstates when cheap items ship in bulk.
+    Pure integer machinery: per-(flag, price) weight pre-aggregation,
+    one cumulative-weight window, the crossing-point test ``2·cw >= tw``
+    in exact ints, and the discrete LOWER median (no averaging) so both
+    engines pick the identical element.  Scale: the pre-aggregation
+    collapses the window's input to distinct prices per flag; all keys
+    co-partition on the 3-value flag."""
+    w = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("px"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    agg = w.groupBy("flag", "px").agg(F.sum("wt").alias("wt"))
+    wf = W.partitionBy("flag")
+    cum = agg.select(
+        "flag",
+        "px",
+        F.sum("wt").over(wf.orderBy("px").rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("wt").over(wf).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            (F.min("px").cast("double") / 100.0).alias("weighted_median_price"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )
