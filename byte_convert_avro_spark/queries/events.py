@@ -21,7 +21,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import cents, dsum, register, t
+from byte_convert_avro_spark.queries.base import cents, dsum, hash_bucket, register, t
 
 US_PER_HOUR = 3_600_000_000
 US_PER_15MIN = 900_000_000
@@ -1648,4 +1648,104 @@ def events_session_bounce_rate(spark: SparkSession, sf: str):
         (
             F.sum((F.col("n_events") == 1).cast("int")).cast("double") / F.count("*")
         ).alias("bounce_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "ab_test_purchase_rates",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), arms AS (
+      SELECT a.arm,
+             COUNT(*) AS n_users,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY a.arm
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN n_converted END) AS xa,
+        MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN n_converted END) AS xb
+      FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS x_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS x_b,
+           CAST(xa AS DOUBLE) / na AS rate_a,
+           CAST(xb AS DOUBLE) / nb AS rate_b,
+           CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN NULL
+                ELSE (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                     / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
+           END AS z_stat
+    FROM wide
+    """,
+)
+def ab_test_purchase_rates(spark: SparkSession, sf: str):
+    """A/B-TEST READOUT: users hash-split into two arms (the
+    content-stable assignment an experimentation platform uses), per-arm
+    purchase conversion, and the two-proportion pooled z statistic —
+    every count exact, the z formula one chain of IEEE-correctly-rounded
+    ops on exact-int-derived doubles, so even the test statistic
+    hash-matches.  Scale: one distinct per side co-keyed on user_id,
+    a 2-row pivot, scalar math."""
+    ev = t(spark, sf, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(hash_bucket("user_id", 2) == 0, "A").otherwise("B").alias("arm"),
+        )
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("_c", F.lit(0))).alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("xb"),
+    )
+    pa = F.col("xa").cast("double") / F.col("na")
+    pb = F.col("xb").cast("double") / F.col("nb")
+    pool = (F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb"))
+    # pool in {0, 1} (nobody / everybody converted) makes the pooled
+    # variance 0 — the z statistic is undefined, not infinite
+    z = F.when(
+        (F.col("xa") + F.col("xb") == 0)
+        | (F.col("xa") + F.col("xb") == F.col("na") + F.col("nb")),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        (pa - pb)
+        / F.sqrt(
+            pool * (1 - pool)
+            * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        )
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("xa").cast("long").alias("x_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("xb").cast("long").alias("x_b"),
+        pa.alias("rate_a"),
+        pb.alias("rate_b"),
+        z.alias("z_stat"),
     )
