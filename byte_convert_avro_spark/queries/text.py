@@ -1072,3 +1072,63 @@ def source_share_top3_others(spark: SparkSession, sf: str):
             (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_aware_sampling_weights",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS v, src AS label FROM edges
+      UNION
+      SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v),
+    sized AS (
+      SELECT doc_id, component,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM comp
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           1.0 / COALESCE(s.cluster_size, 1) AS sample_weight
+    FROM documents d LEFT JOIN sized s ON s.doc_id = d.doc_id
+    """,
+)
+def dedup_aware_sampling_weights(spark: SparkSession, sf: str):
+    """DEDUP-AWARE TRAINING WEIGHTS — the soft alternative to dropping
+    near-duplicates: every document keeps weight ``1 / cluster_size``
+    (singletons weigh 1), so a 40-copy boilerplate cluster contributes
+    ONE document's worth of gradient instead of 40 — the standard
+    down-weighting fix for duplication-driven memorization.  Composes
+    the full ladder: minhash-LSH candidates -> connected components ->
+    per-component size -> broadcast-joined back onto the corpus; the
+    weight is an exact unit fraction, bit-identical.  Scale: inherits
+    every bound already proven for the pieces (LSH bucket join, CC
+    diameter rounds); the final join ships (doc_id, size) ints only."""
+    from byte_convert_avro_spark.operators.dedup import connected_components
+
+    pairs = minhash_dup_candidates(spark, sf).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sized = comp.select(
+        F.col("v").alias("doc_id"),
+        F.count("*").over(W.partitionBy("component")).alias("cluster_size"),
+    )
+    docs = t(spark, sf, "documents").select("doc_id")
+    return docs.join(sized, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        (F.lit(1.0) / F.coalesce("cluster_size", F.lit(1))).alias("sample_weight"),
+    )
