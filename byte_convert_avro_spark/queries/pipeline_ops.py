@@ -2156,3 +2156,99 @@ def copurchase_link_prediction(spark: SparkSession, sf: str):
             "jaccard", "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_recall_at_3",
+    f"""
+    WITH {_kmeans_sql_cte(8, 3)},
+    dist AS (
+      SELECT v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS d2
+      FROM v CROSS JOIN cent3 c
+    ), ranked AS (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM dist
+    ), assigned AS (
+      SELECT vec_id, cell FROM ranked WHERE rn = 1 AND vec_id >= 5
+    ), probes AS (
+      SELECT vec_id AS qid, cell FROM ranked WHERE rn <= 2 AND vec_id < 5
+    ), vn AS (
+      SELECT vec_id, e, sqrt({_IVF_DOT_SQL.format(a='e', b='e')}) AS nrm FROM v
+    ), cand AS (
+      SELECT p.qid, a.vec_id FROM probes p JOIN assigned a ON p.cell = a.cell
+    ), ivf3 AS (
+      SELECT qid, vec_id FROM (
+        SELECT cand.qid, cand.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+                 ROUND({_IVF_DOT_SQL.format(a='cv.e', b='qv.e')}
+                       / (cv.nrm * qv.nrm), 4) DESC, cand.vec_id) AS rank
+        FROM cand
+        JOIN vn cv ON cv.vec_id = cand.vec_id
+        JOIN vn qv ON qv.vec_id = cand.qid)
+      WHERE rank <= 3
+    ), exact3 AS (
+      SELECT qid, vec_id FROM (
+        SELECT qv.vec_id AS qid, cv.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+                 ROUND({_IVF_DOT_SQL.format(a='cv.e', b='qv.e')}
+                       / (cv.nrm * qv.nrm), 4) DESC, cv.vec_id) AS rank
+        FROM vn cv CROSS JOIN vn qv
+        WHERE qv.vec_id < 5 AND cv.vec_id >= 5)
+      WHERE rank <= 3
+    )
+    SELECT e.qid,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overlap,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / 3 AS recall_at_3
+    FROM exact3 e
+    LEFT JOIN ivf3 i ON i.qid = e.qid AND i.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+)
+def ivf_recall_at_3(spark: SparkSession, sf: str):
+    """ANN QUALITY MEASURED UNDER THE GATE: recall@3 of the trained-IVF
+    search against the exact brute-force top-3, per query — the number
+    that justifies (or indicts) an approximate index, computed
+    deterministically on both engines so even the EVALUATION
+    hash-matches.  IVF side = the full kmeans -> ivf_build -> ivf_search
+    pipeline (2-cell probes); exact side = broadcast brute force; the
+    overlap join ships only (qid, vec_id) ints.  At deployment this is
+    the regression test an index rebuild must pass before serving."""
+    from byte_convert_avro_spark.queries.vectors import _DOT, _emb
+
+    ivf3 = ivf_search_top3(spark, sf).select("qid", "vec_id")
+    e = _emb(spark, sf).withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="e", b="e"))))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.expr(_DOT.format(a="e", b="qe")) / (F.col("nrm") * F.col("qn")), 4
+        ).alias("sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    exact3 = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "vec_id")
+    )
+    hit = ivf3.withColumn("_hit", F.lit(1))
+    return (
+        exact3.join(hit, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_overlap"),
+            (F.sum(F.coalesce("_hit", F.lit(0))).cast("double") / 3).alias(
+                "recall_at_3"
+            ),
+        )
+    )
