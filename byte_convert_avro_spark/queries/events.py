@@ -1749,3 +1749,52 @@ def ab_test_purchase_rates(spark: SparkSession, sf: str):
         pb.alias("rate_b"),
         z.alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_max_drawdown_per_user",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v2
+      FROM events
+    ), run AS (
+      SELECT user_id, event_id, v2,
+             MAX(v2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS peak2
+      FROM e
+    )
+    SELECT user_id,
+           CAST(MAX(peak2 - v2) AS BIGINT) AS max_drawdown_e2,
+           CAST(MAX(peak2) AS BIGINT) AS peak_e2,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM run GROUP BY user_id
+    """,
+)
+def events_max_drawdown_per_user(spark: SparkSession, sf: str):
+    """MAX DRAWDOWN — the peak-to-trough analytic (finance/SLO burn):
+    per user, the largest drop of the value series below its running
+    peak.  One running-max window + one rollup, both on the user_id
+    key; everything exact integer cents, no float accumulation.  The
+    naive formulation joins each row against all its predecessors —
+    O(n²) per user; the running-max frame is the linear form."""
+    ev = _ev(spark, sf).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v2"),
+    )
+    wo = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = ev.select(
+        "user_id", "v2", F.max("v2").over(wo).alias("peak2")
+    )
+    return run.groupBy("user_id").agg(
+        F.max(F.col("peak2") - F.col("v2")).cast("long").alias("max_drawdown_e2"),
+        F.max("peak2").cast("long").alias("peak_e2"),
+        F.count("*").cast("long").alias("n_events"),
+    )
