@@ -1798,3 +1798,61 @@ def events_max_drawdown_per_user(spark: SparkSession, sf: str):
         F.max("peak2").cast("long").alias("peak_e2"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_groupwise_scaled_pandas",
+    """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v2
+      FROM events
+    ), stats AS (
+      SELECT event_type, MIN(v2) AS mn, MAX(v2) AS mx FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN s.mx = s.mn THEN 0.0
+                ELSE CAST(e.v2 - s.mn AS DOUBLE) / (s.mx - s.mn) END AS scaled
+    FROM e JOIN stats s ON s.event_type = e.event_type
+    """,
+)
+def events_groupwise_scaled_pandas(spark: SparkSession, sf: str):
+    """GROUPED applyInPandas under the oracle gate — the cogroup/pandas
+    API surface exercised by a real feature transform: per event type,
+    min-max scale the (exact-cent) values inside an Arrow-batched pandas
+    function, where the whole group is visible at once (the shape
+    sklearn-style per-group fitting needs; a pure-column rewrite exists
+    for THIS transform — the oracle spells it — but group-local fitting
+    in general does not).  Integer cents in, one IEEE division out, so
+    pandas/numpy and the SQL engines agree bitwise.  Scale: one shuffle
+    on the group key; each group must fit a worker's memory — for
+    heavy-tailed groups prefer the broadcast-stats column form the
+    oracle shows."""
+    import pandas as pd
+
+    ev = _ev(spark, sf).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v2"),
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn = int(pdf["v2"].min())
+        mx = int(pdf["v2"].max())
+        if mx == mn:
+            scaled = [0.0] * len(pdf)
+        else:
+            rng = float(mx - mn)
+            scaled = [float(int(v) - mn) / rng for v in pdf["v2"]]
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "scaled": scaled,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        scale, schema="event_id long, event_type string, scaled double"
+    )
