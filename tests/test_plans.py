@@ -365,3 +365,13 @@ def test_bloom_probe_is_shuffle_free(spark):
     probed = bloom_probe(probe, words, "u")
     assert count_exchanges(probed) == 0
     assert plan_facts(probed).broadcast_joins >= 3
+
+
+def test_link_prediction_uses_adjacency_intersection(spark, sf_dir):
+    """Link-prediction scoring must close via row-local array_intersect
+    over sorted neighbor arrays (the triangle-count discipline) — never
+    a pairs-of-pairs wedge join."""
+    df = Q["copurchase_link_prediction"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "array_intersect" in plan
+    assert "sort_array" in plan
