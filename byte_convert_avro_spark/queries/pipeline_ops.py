@@ -2252,3 +2252,80 @@ def ivf_recall_at_3(spark: SparkSession, sf: str):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_source_merge_identity",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ), per_source AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed)
+      WHERE rn <= 32
+    ), merged AS (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM per_source))
+      WHERE rn <= 32
+    ), direct AS (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM hashed))
+      WHERE rn <= 32
+    )
+    SELECT CAST((SELECT COUNT(*) FROM merged) AS BIGINT) AS k_merged,
+           CAST((SELECT MAX(h) FROM merged) AS BIGINT) AS kth_merged,
+           CAST((SELECT MAX(h) FROM direct) AS BIGINT) AS kth_direct,
+           CAST((SELECT COUNT(*) FROM merged m JOIN direct d ON d.h = m.h)
+                AS BIGINT) AS n_identical
+    """,
+)
+def kmv_source_merge_identity(spark: SparkSession, sf: str):
+    """KMV MERGE IDENTITY — the sketch algebra stated as a theorem and
+    checked as data: the k smallest hashes of a UNION equal the k
+    smallest of the per-partition k-smallest states (min-k is a
+    semilattice morphism), so per-SOURCE sketches merged after the fact
+    are not an approximation of the global sketch — they ARE it,
+    element for element (``n_identical`` = k).  This is the property
+    that lets 1000 executors sketch independently and a coordinator
+    merge 32-long states instead of reshuffling anything.  All ranks
+    deterministic (distinct hashes, total order)."""
+    d = t(spark, sf, "documents")
+    hashed = d.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    ws = W.partitionBy("source").orderBy("h")
+    per_source = (
+        hashed.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 32)
+        .select("h")
+    )
+
+    def topk(df):
+        return (
+            df.distinct()
+            .withColumn("rn", F.row_number().over(W.orderBy("h")))
+            .filter(F.col("rn") <= 32)
+            .select("h")
+        )
+
+    merged = topk(per_source)
+    direct = topk(hashed.select("h"))
+    overlap = merged.join(direct.select(F.col("h").alias("h2")), merged.h == F.col("h2"))
+    return (
+        merged.agg(
+            F.count("*").cast("long").alias("k_merged"),
+            F.max("h").cast("long").alias("kth_merged"),
+        )
+        .crossJoin(direct.agg(F.max("h").cast("long").alias("kth_direct")))
+        .crossJoin(overlap.agg(F.count("*").cast("long").alias("n_identical")))
+    )
