@@ -1856,3 +1856,48 @@ def events_groupwise_scaled_pandas(spark: SparkSession, sf: str):
     return ev.groupBy("event_type").applyInPandas(
         scale, schema="event_id long, event_type string, scaled double"
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_survival_curve",
+    """
+    WITH life AS (
+      SELECT user_id,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS lifespan_d
+      FROM events GROUP BY user_id
+    ), n AS (SELECT COUNT(*) AS n_users FROM life),
+    days AS (SELECT unnest(generate_series(0, 30)) AS d)
+    SELECT days.d AS day_offset,
+           CAST(SUM(CASE WHEN life.lifespan_d >= days.d THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving,
+           CAST(SUM(CASE WHEN life.lifespan_d >= days.d THEN 1 ELSE 0 END)
+                AS DOUBLE) / MAX(n.n_users) AS survival
+    FROM days CROSS JOIN life CROSS JOIN n
+    GROUP BY days.d
+    """,
+)
+def events_user_survival_curve(spark: SparkSession, sf: str):
+    """SURVIVAL CURVE (the retention analyst's Kaplan-Meier shape for
+    fully-observed lifespans): S(d) = fraction of users whose observed
+    activity span reaches at least d days, for d in 0..30.  Lifespans
+    reduce each user to ONE integer first; the curve is a 31-row
+    broadcast cross join over that tiny table — never a per-event scan
+    per offset; the share is one exact-int division.  Censoring-aware
+    KM estimation drops in by replacing the numerator rule."""
+    ev = _ev(spark, sf)
+    life = ev.groupBy("user_id").agg(
+        F.expr("(max(ts_us) - min(ts_us)) DIV 86400000000").alias("lifespan_d")
+    )
+    n = life.agg(F.count("*").alias("n_users"))
+    days = spark.range(0, 31).select(F.col("id").alias("d"))
+    joined = days.crossJoin(life).crossJoin(F.broadcast(n))
+    return joined.groupBy("d").agg(
+        F.sum((F.col("lifespan_d") >= F.col("d")).cast("int"))
+        .cast("long")
+        .alias("n_surviving"),
+        (
+            F.sum((F.col("lifespan_d") >= F.col("d")).cast("int")).cast("double")
+            / F.max("n_users")
+        ).alias("survival"),
+    ).select(F.col("d").alias("day_offset"), "n_surviving", "survival")
