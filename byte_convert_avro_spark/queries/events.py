@@ -1901,3 +1901,49 @@ def events_user_survival_curve(spark: SparkSession, sf: str):
             / F.max("n_users")
         ).alias("survival"),
     ).select(F.col("d").alias("day_offset"), "n_surviving", "survival")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_growth_accounting_daily",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+      FROM events
+    ), first_day AS (
+      SELECT user_id, MIN(day_idx) AS d0 FROM e GROUP BY user_id
+    )
+    SELECT e.day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN e.day_idx = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN e.day_idx > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM e JOIN first_day f ON f.user_id = e.user_id
+    GROUP BY e.day_idx
+    """,
+)
+def events_growth_accounting_daily(spark: SparkSession, sf: str):
+    """GROWTH ACCOUNTING: each day's active users split into NEW (first
+    day ever) vs RETURNING — the decomposition every growth dashboard
+    leads with.  Distinct (user, day) pairs first (the heavy reduction),
+    then first-day per user, then one co-keyed join + day rollup — all
+    three shuffles on user_id/day keys, no window needed."""
+    ev = _ev(spark, sf)
+    e = ev.select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day_idx")
+    ).distinct()
+    first_day = e.groupBy("user_id").agg(F.min("day_idx").alias("d0"))
+    return (
+        e.join(first_day, "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum((F.col("day_idx") == F.col("d0")).cast("int"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("day_idx") > F.col("d0")).cast("int"))
+            .cast("long")
+            .alias("n_returning"),
+        )
+    )
