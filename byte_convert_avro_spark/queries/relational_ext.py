@@ -2071,3 +2071,90 @@ def weighted_median_price_by_flag(spark: SparkSession, sf: str):
             F.max("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_bridge_monthly",
+    """
+    WITH m AS (
+      SELECT o_custkey AS cust,
+             (EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate) - 1) AS mon,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2
+    ), paired AS (
+      SELECT COALESCE(a.mon + 1, b.mon) AS mon,
+             COALESCE(a.rev, 0) AS prev_rev,
+             COALESCE(b.rev, 0) AS cur_rev
+      FROM m a FULL OUTER JOIN m b
+        ON b.cust = a.cust AND b.mon = a.mon + 1
+    )
+    SELECT mon,
+           CAST(SUM(CASE WHEN prev_rev = 0 THEN cur_rev ELSE 0 END) AS BIGINT)
+             AS new_e2,
+           CAST(SUM(CASE WHEN cur_rev = 0 THEN -prev_rev ELSE 0 END) AS BIGINT)
+             AS churned_e2,
+           CAST(SUM(CASE WHEN prev_rev > 0 AND cur_rev > prev_rev
+                         THEN cur_rev - prev_rev ELSE 0 END) AS BIGINT)
+             AS expansion_e2,
+           CAST(SUM(CASE WHEN cur_rev > 0 AND prev_rev > cur_rev
+                         THEN cur_rev - prev_rev ELSE 0 END) AS BIGINT)
+             AS contraction_e2,
+           CAST(SUM(cur_rev - prev_rev) AS BIGINT) AS net_change_e2
+    FROM paired
+    GROUP BY mon
+    """,
+)
+def revenue_bridge_monthly(spark: SparkSession, sf: str):
+    """REVENUE BRIDGE (waterfall): each month's net revenue change
+    decomposed into new + expansion + contraction + churned — the
+    finance-review decomposition, with the invariant ``net = new +
+    expansion + contraction + churned`` holding by construction (the
+    oracle equality certifies all four buckets at once).  Customer-month
+    revenue first (the big reduction), then ONE co-keyed full-outer
+    self-join shifted by a month; exact integer cents throughout.
+    Month = linear year*12+month index (no date truncation semantics to
+    disagree on)."""
+    o = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mon"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("rev2"),
+    )
+    m = o.groupBy("cust", "mon").agg(F.sum("rev2").alias("rev"))
+    a = m.select("cust", F.col("mon").alias("mon_a"), F.col("rev").alias("prev_rev"))
+    b = m.select(
+        F.col("cust").alias("cust_b"), F.col("mon").alias("mon_b"), F.col("rev").alias("cur_rev")
+    )
+    paired = a.join(
+        b, (a.cust == b.cust_b) & (b.mon_b == a.mon_a + 1), "full_outer"
+    ).select(
+        F.coalesce(F.col("mon_a") + 1, F.col("mon_b")).alias("mon"),
+        F.coalesce("prev_rev", F.lit(0)).alias("prev_rev"),
+        F.coalesce("cur_rev", F.lit(0)).alias("cur_rev"),
+    )
+    return paired.groupBy("mon").agg(
+        F.sum(F.when(F.col("prev_rev") == 0, F.col("cur_rev")).otherwise(0))
+        .cast("long")
+        .alias("new_e2"),
+        F.sum(F.when(F.col("cur_rev") == 0, -F.col("prev_rev")).otherwise(0))
+        .cast("long")
+        .alias("churned_e2"),
+        F.sum(
+            F.when(
+                (F.col("prev_rev") > 0) & (F.col("cur_rev") > F.col("prev_rev")),
+                F.col("cur_rev") - F.col("prev_rev"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("expansion_e2"),
+        F.sum(
+            F.when(
+                (F.col("cur_rev") > 0) & (F.col("prev_rev") > F.col("cur_rev")),
+                F.col("cur_rev") - F.col("prev_rev"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("contraction_e2"),
+        F.sum(F.col("cur_rev") - F.col("prev_rev")).cast("long").alias("net_change_e2"),
+    )
