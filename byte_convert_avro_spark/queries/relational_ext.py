@@ -2158,3 +2158,56 @@ def revenue_bridge_monthly(spark: SparkSession, sf: str):
         .alias("contraction_e2"),
         F.sum(F.col("cur_rev") - F.col("prev_rev")).cast("long").alias("net_change_e2"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_share_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS rev2
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(rev2 AS BIGINT) AS rev_e2,
+           CAST(rev2 AS DOUBLE)
+             / SUM(rev2) OVER (PARTITION BY region) AS share_of_region,
+           CAST(SUM(rev2) OVER (PARTITION BY region) AS DOUBLE)
+             / SUM(rev2) OVER () AS region_share_of_total
+    FROM rev
+    """,
+)
+def revenue_share_of_parent(spark: SparkSession, sf: str):
+    """HIERARCHICAL SHARE-OF-PARENT: each nation's share of its region
+    AND each region's share of the total in one result — the two-level
+    drill-down every rollup report renders.  One fact aggregation to the
+    (region, nation) grain (25 rows), then two windows over that TINY
+    table — the grand-total window touches 25 rows, never the fact
+    table.  Exact-cent sums; shares are single divisions."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("rev2"))
+    )
+    wr = W.partitionBy("region")
+    wall = W.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev2").cast("long").alias("rev_e2"),
+        (F.col("rev2").cast("double") / F.sum("rev2").over(wr)).alias("share_of_region"),
+        (
+            F.sum("rev2").over(wr).cast("double") / F.sum("rev2").over(wall)
+        ).alias("region_share_of_total"),
+    )
