@@ -1947,3 +1947,37 @@ def events_growth_accounting_daily(spark: SparkSession, sf: str):
             .alias("n_returning"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_freshness_lag",
+    """
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS global_max FROM events)
+    SELECT event_type,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS latest_ts_us,
+           CAST(mx.global_max - MAX(epoch_us(ts)) AS BIGINT) AS lag_us,
+           CAST((mx.global_max - MAX(epoch_us(ts))) // 1000000 AS BIGINT)
+             AS lag_s
+    FROM events CROSS JOIN mx
+    GROUP BY event_type, mx.global_max
+    """,
+)
+def events_freshness_lag(spark: SparkSession, sf: str):
+    """DATA-FRESHNESS MONITORING: how far each event type's newest
+    record trails the newest record overall — the lag metric a pipeline
+    SLO alert fires on (a type whose lag grows is a stuck producer).
+    One scan: per-type max and the broadcast global max; integer µs."""
+    ev = _ev(spark, sf)
+    mx = ev.agg(F.max("ts_us").alias("global_max"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("ts_us").alias("latest_ts_us"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.col("latest_ts_us").cast("long").alias("latest_ts_us"),
+            (F.col("global_max") - F.col("latest_ts_us")).cast("long").alias("lag_us"),
+            F.expr("(global_max - latest_ts_us) DIV 1000000").alias("lag_s"),
+        )
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import spread, register, t
+from byte_convert_avro_spark.queries.base import hash_bucket, spread, register, t
 
 N_BANDS = 8
 
@@ -1131,4 +1131,56 @@ def dedup_aware_sampling_weights(spark: SparkSession, sf: str):
         "doc_id",
         F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
         (F.lit(1.0) / F.coalesce("cluster_size", F.lit(1))).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "crosslingual_dup_leakage",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      -- mislabeled re-crawls: a 10% hash slice re-ingested under a
+      -- different language tag and new ids
+      SELECT doc_id + 1000000, 'xx', text FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+    ), fp AS (
+      SELECT doc_id, lang,
+             md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+      FROM corpus
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(lang) AS min_lang, MAX(lang) AS max_lang
+    FROM fp
+    GROUP BY fingerprint
+    HAVING COUNT(DISTINCT lang) >= 2
+    """,
+)
+def crosslingual_dup_leakage(spark: SparkSession, sf: str):
+    """CROSS-LANGUAGE DUPLICATE LEAKAGE — the split-contamination a
+    per-language dedup pass misses: identical normalized content filed
+    under DIFFERENT language labels (mislabeled langid, copied docs),
+    which silently leaks across language-partitioned train/eval splits.
+    One fingerprint groupBy with a distinct-lang count; empty result =
+    clean corpus (and an empty hash-match is still a match both engines
+    must agree on)."""
+    d = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    relabeled = d.filter(hash_bucket("doc_id", 10) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.lit("xx").alias("lang"), "text"
+    )
+    corpus = d.unionAll(relabeled)
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return (
+        corpus.select("doc_id", "lang", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.min("lang").alias("min_lang"),
+            F.max("lang").alias("max_lang"),
+        )
+        .filter(F.col("n_langs") >= 2)
     )
