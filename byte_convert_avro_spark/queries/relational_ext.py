@@ -2211,3 +2211,53 @@ def revenue_share_of_parent(spark: SparkSession, sf: str):
             F.sum("rev2").over(wr).cast("double") / F.sum("rev2").over(wall)
         ).alias("region_share_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "order_value_gini",
+    """
+    WITH x AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             o_orderkey
+      FROM orders
+    ), ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM x
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(SUM(v) AS BIGINT) AS total_e2,
+           CAST(2 * SUM(i * v) - (MAX(n) + 1) * SUM(v) AS DOUBLE)
+             / (MAX(n) * SUM(v)) AS gini
+    FROM ranked
+    """,
+)
+def order_value_gini(spark: SparkSession, sf: str):
+    """GINI COEFFICIENT of order values — the inequality measure next to
+    HHI/Pareto in the concentration family, from the exact rank formula
+    ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` over values sorted ascending
+    (ties broken by key, so both engines rank identically).  Every sum
+    is exact int64 (rank·cents stays far below overflow at these SFs);
+    ONE final division.  Scale note: the global rank is the one
+    all-to-one window in this query — at 100 TB swap it for the
+    range-partitioned two-pass rank (per-partition counts -> offset
+    broadcast), same numbers."""
+    x = t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        "o_orderkey",
+    )
+    ranked = x.select(
+        "v",
+        F.row_number().over(W.orderBy("v", "o_orderkey")).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.sum("v").cast("long").alias("total_e2"),
+        (
+            (2 * F.sum(F.col("i") * F.col("v")) - (F.max("n") + 1) * F.sum("v"))
+            .cast("double")
+            / (F.max("n") * F.sum("v")).cast("double")
+        ).alias("gini"),
+    )
