@@ -705,3 +705,47 @@ def streaming_ocf_evolution_read(spark: SparkSession, sf: str):
         .alias("balance_e2"),
     )
     return _run_complete(agg)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_append_closed_windows",
+    f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+    SELECT (epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR} AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN mx
+    GROUP BY 1, 2, mx.m
+    HAVING MAX((epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR}) + {US_PER_HOUR}
+           <= mx.m - 600000000
+    """,
+)
+def streaming_append_closed_windows(spark: SparkSession, sf: str):
+    """APPEND-MODE + WATERMARK semantics under the oracle gate: a
+    tumbling 1h aggregation with a 10-minute watermark emits a window
+    ONLY once the watermark passes its end — after draining the finite
+    stream, exactly the windows whose end <= max-event-time − 10min have
+    been finalized; the trailing open window is withheld (the
+    at-most-once-per-window append contract downstream sinks rely on).
+    The oracle derives the same closed-window set relationally.  The
+    complete-mode twins emit everything; THIS pins what append mode
+    holds back."""
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.withWatermark("ts_ts", "10 minutes")
+        .groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            (F.col("w.start").cast("long") * 1_000_000).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
