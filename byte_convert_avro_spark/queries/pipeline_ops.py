@@ -2329,3 +2329,57 @@ def kmv_source_merge_identity(spark: SparkSession, sf: str):
         .crossJoin(direct.agg(F.max("h").cast("long").alias("kth_direct")))
         .crossJoin(overlap.agg(F.count("*").cast("long").alias("n_identical")))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_degree_histogram",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY n
+    )
+    SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS degree_log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def copurchase_degree_histogram(spark: SparkSession, sf: str):
+    """DEGREE DISTRIBUTION of the co-purchase graph in log2 buckets —
+    the structural profile that tells you whether degree orientation
+    and skew handling are even needed (a heavy tail says yes) and the
+    first thing to inspect before sizing any graph job.  LOG2 of an
+    integer is exact for the bucketing compare (both engines compute
+    floor(log2(d)) identically on exact powers and between them).
+    One degree aggregation + one tiny bucket rollup."""
+    li = t(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = os_.select("ok", F.col("p").alias("p2"))
+    edges = (
+        os_.join(b, "ok")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("degree_log2_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
