@@ -1981,3 +1981,80 @@ def events_freshness_lag(spark: SparkSession, sf: str):
             F.expr("(global_max - latest_ts_us) DIV 1000000").alias("lag_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_seasonal_residual_anomalies",
+    """
+    WITH e AS (
+      SELECT event_id,
+             ((epoch_us(ts) // 3600000000) % 168) AS how,
+             (epoch_us(ts) // 3600000000) AS hour_idx
+      FROM events
+    ), hourly AS (
+      SELECT hour_idx, MAX(how) AS how, COUNT(*) AS n
+      FROM e GROUP BY hour_idx
+    ), ranked AS (
+      SELECT how, n,
+             ROW_NUMBER() OVER (PARTITION BY how ORDER BY n, hour_idx) AS rn,
+             COUNT(*) OVER (PARTITION BY how) AS cnt
+      FROM hourly
+    ), baseline AS (
+      SELECT how, CAST(SUM(n) AS BIGINT) AS med2
+      FROM ranked
+      WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY how
+    )
+    SELECT h.hour_idx, h.how,
+           CAST(h.n AS BIGINT) AS n_events,
+           b.med2 / 2.0 AS baseline_median,
+           CAST(CASE WHEN 2 * h.n > 3 * b.med2 OR 2 * h.n * 3 < b.med2
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM hourly h JOIN baseline b ON b.how = h.how
+    """,
+)
+def events_seasonal_residual_anomalies(spark: SparkSession, sf: str):
+    """SEASONAL-BASELINE ANOMALIES: each hour's event volume compared to
+    the exact MEDIAN of the SAME hour-of-week across the history — the
+    deseasonalized check that flags a quiet 3am spike a global threshold
+    misses.  Flag = outside [baseline/3, 1.5x baseline], tested as pure
+    integer cross-products of exact counts against the two-middle-rows
+    median (no float thresholds anywhere).  Scale: hourly rollup first
+    (the big reduction), then windows over the tiny (168-slot, weeks)
+    table."""
+    ev = _ev(spark, sf)
+    e = ev.select(
+        F.expr("(ts_us DIV 3600000000) % 168").alias("how"),
+        F.expr("ts_us DIV 3600000000").alias("hour_idx"),
+    )
+    hourly = e.groupBy("hour_idx").agg(
+        F.max("how").alias("how"), F.count("*").alias("n")
+    )
+    wh = W.partitionBy("how")
+    ranked = hourly.select(
+        "how",
+        "n",
+        F.row_number().over(wh.orderBy("n", "hour_idx")).alias("rn"),
+        F.count("*").over(wh).alias("cnt"),
+    )
+    baseline = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+        )
+        .groupBy("how")
+        .agg(F.sum("n").cast("long").alias("med2"))
+    )
+    return hourly.join(F.broadcast(baseline), "how").select(
+        "hour_idx",
+        "how",
+        F.col("n").cast("long").alias("n_events"),
+        (F.col("med2") / 2.0).alias("baseline_median"),
+        (
+            (2 * F.col("n") > 3 * F.col("med2"))
+            | (2 * F.col("n") * 3 < F.col("med2"))
+        )
+        .cast("int")
+        .alias("is_anomaly"),
+    )
