@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from byte_convert_avro_spark.operators.dedup import cross_corpus_ngram_overlap
@@ -307,4 +307,88 @@ def incremental_dedup_new_batch(spark: SparkSession, sf: str):
             .alias("status"),
             F.coalesce("m_exact", "m_near").alias("matched_corpus_doc"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "training_manifest_final",
+    r"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.text,
+             LEN(regexp_extract_all(d.text, '\w+|[^\w\s]')) AS n_tokens
+      FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+    ), med AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS med2 FROM (
+        SELECT n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM kept)
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    ), selected AS (
+      SELECT k.doc_id, k.lang, k.n_tokens,
+             CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 100 < 95 THEN 'train' ELSE 'val' END AS split
+      FROM kept k CROSS JOIN med m
+      WHERE 2 * k.n_tokens >= m.med2
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM selected GROUP BY split, lang
+    """,
+)
+def training_manifest_final(spark: SparkSession, sf: str):
+    """THE TRAINING MANIFEST — the pipeline's final artifact, composing
+    the ladder end to end in one oracle-gated result: exact-dedup
+    keepers -> regex token counts (the BPE-budget proxy) -> keep docs at
+    or above the exact median token count (two-middle-rows, integer
+    compare) -> deterministic 95/5 hash split -> per-(split, lang)
+    document and token totals, i.e. exactly the numbers a training run
+    is launched with.  Every stage is an already-proven primitive; this
+    query certifies their COMPOSITION.  Scale: hash-keyed dedup, one
+    global median over per-doc ints, map-side split tagging, one final
+    rollup."""
+    d = t(spark, sf, "documents")
+    keepers = d.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = (
+        d.join(keepers.select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
+                "n_tokens"
+            ),
+        )
+    )
+    ranked = kept.select(
+        "n_tokens",
+        F.row_number().over(W.orderBy("n_tokens", "doc_id")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .agg(F.sum("n_tokens").cast("long").alias("med2"))
+    )
+    selected = (
+        kept.crossJoin(F.broadcast(med))
+        .filter(2 * F.col("n_tokens") >= F.col("med2"))
+        .select(
+            "lang",
+            "n_tokens",
+            F.when(hash_bucket("doc_id", 100) < 95, "train")
+            .otherwise("val")
+            .alias("split"),
+        )
+    )
+    return selected.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
