@@ -2058,3 +2058,55 @@ def events_seasonal_residual_anomalies(spark: SparkSession, sf: str):
         .cast("int")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_last_touch_attribution",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+             e.event_id AS touch_id, e.event_type AS touch_type,
+             e.ts_us AS touch_ts_us,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+      FROM p JOIN e
+        ON e.user_id = p.user_id
+       AND e.ts_us >= p.ts_us - {24 * US_PER_HOUR}
+       AND e.ts_us < p.ts_us
+    )
+    SELECT purchase_id, user_id, purchase_ts_us,
+           touch_id AS last_touch_id,
+           touch_type AS last_touch_type,
+           touch_ts_us AS last_touch_ts_us
+    FROM cand WHERE rn = 1
+    """,
+)
+def events_last_touch_attribution(spark: SparkSession, sf: str):
+    """LAST-TOUCH ATTRIBUTION — the other canonical credit model: each
+    purchase credited to the LATEST preceding event in the 24h window
+    (first-touch's mirror; running both and diffing the credit tables
+    is how attribution-model sensitivity is measured).  Same scale form:
+    one RANGE-framed window carrying a struct-ARGMAX, one user_id
+    shuffle, vs the oracle's quadratic range join + rank."""
+    ev = _ev(spark, sf)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-24 * US_PER_HOUR, -1)
+    )
+    last = F.max(F.struct("ts_us", "event_id", "event_type")).over(w)
+    attributed = ev.withColumn("_lt", last).filter(
+        (F.col("event_type") == "purchase") & F.col("_lt").isNotNull()
+    )
+    return attributed.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        F.col("_lt.event_id").alias("last_touch_id"),
+        F.col("_lt.event_type").alias("last_touch_type"),
+        F.col("_lt.ts_us").alias("last_touch_ts_us"),
+    )
