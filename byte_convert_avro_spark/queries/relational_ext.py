@@ -2261,3 +2261,47 @@ def order_value_gini(spark: SparkSession, sf: str):
             / (F.max("n") * F.sum("v")).cast("double")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "sla_ship_compliance_by_priority",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CASE WHEN (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                              // 86400000000 <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+           CAST(SUM(CASE WHEN (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                              // 86400000000 <= 30
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS sla_attainment
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sla_ship_compliance_by_priority(spark: SparkSession, sf: str):
+    """SLA ATTAINMENT: share of lineitems shipped within 30 days of the
+    order, by priority class — the compliance number an ops review
+    tracks per tier.  Integer-day latency (µs difference DIV day — the
+    same TZ-free discipline as the lead-time stats), exact counts, one
+    division.  One co-keyed fact join + a 5-row rollup."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.expr(
+                "(unix_micros(cast(l_shipdate as timestamp))"
+                " - unix_micros(cast(o_orderdate as timestamp))) DIV 86400000000"
+            )
+            <= 30
+        )
+        .cast("int")
+        .alias("ok"),
+    )
+    return j.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum("ok").cast("long").alias("n_within_30d"),
+        (F.sum("ok").cast("double") / F.count("*")).alias("sla_attainment"),
+    )
