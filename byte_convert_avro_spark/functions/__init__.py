@@ -25,6 +25,8 @@ from byte_convert_avro_spark.wire import (  # noqa: F401 — wire vocabulary
 
 __all__ = [
     "ordered_fold",
+    "bounded_ordered_agg",
+    "ORDERED_FOLD_CHUNK",
     # wire
     "is_valid_wire", "has_magic_byte", "has_min_length", "schema_id", "body",
     # vectors
@@ -131,8 +133,15 @@ def ordered_fold(sort_key: str, value: str) -> Column:
     ``CAST(double AS DECIMAL)`` is NOT (Spark and DuckDB round the binary
     expansion differently at high scales), and 0.0 + x1 == x1 exactly, so
     it also matches an init-less first-element fold (DuckDB
-    ``list_reduce(list(x ORDER BY k), (a, b) -> a + b)``).  Used by the
-    IVF/centroid queries, kmeans_lloyd, and pagerank_fixed_rounds."""
+    ``list_reduce(list(x ORDER BY k), (a, b) -> a + b)``).
+
+    MEMORY CONTRACT: this materializes the whole group as ONE in-task
+    array, so use it only where the group size is bounded BY CONSTRUCTION
+    (e.g. per-vector folds over <= 64 dims, or per-chunk folds inside
+    :func:`bounded_ordered_agg`).  For groups whose size grows with the
+    corpus (per-dimension corpus sums, centroid updates, hub-node
+    in-degree sums) use :func:`bounded_ordered_agg` — same determinism,
+    arrays bounded at the chunk size."""
     return F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct(sort_key, value))),
@@ -140,4 +149,74 @@ def ordered_fold(sort_key: str, value: str) -> Column:
         ),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
+    )
+
+
+#: Default chunk bound for :func:`bounded_ordered_agg`.  4096 doubles =
+#: 32 KiB per level-1 array — far under any executor-task budget; a group
+#: of 10^9 members still leaves only ~250k chunk sums (2 MB) at level 2.
+#: Tune toward sqrt(max group size) when both levels must balance.
+ORDERED_FOLD_CHUNK = 4096
+
+
+def bounded_ordered_agg(
+    df,
+    group_cols: list[str],
+    sort_key: str,
+    value: str,
+    *,
+    chunk: int = ORDERED_FOLD_CHUNK,
+    chunk_aggs: dict[str, Column] | None = None,
+    final_aggs: dict[str, Column] | None = None,
+):
+    """Bit-deterministic grouped double sum with BOUNDED per-task arrays —
+    the 100 TB-safe form of :func:`ordered_fold` (which materializes one
+    array per group, a scale-killer when groups grow with the corpus).
+
+    Two-level chunked fold: rows group by ``(group_cols, sort_key div
+    chunk)`` and fold in ``sort_key`` order within each chunk (array
+    bounded at ``chunk`` elements), then the chunk sums fold in chunk-index
+    order per group (one array element per non-empty chunk).  Both levels
+    are fixed-order IEEE folds, so the result is reproducible across
+    partitionings, engines and reruns — it is NOT the same float as the
+    flat single-level fold (float addition is non-associative), so the
+    DuckDB oracle must spell the SAME two-level chunking::
+
+        ch AS (SELECT g, k // {chunk} AS chk,
+                      list_reduce(list(x ORDER BY k), (a, b) -> a + b) AS csum,
+                      COUNT(*) AS cnt
+               FROM src GROUP BY g, chk)
+        SELECT g, list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) AS osum,
+               CAST(SUM(cnt) AS BIGINT) AS ocnt
+        FROM ch GROUP BY g
+
+    REQUIRES: ``sort_key`` is a NON-NEGATIVE INTEGER column (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors — identical only for
+    non-negatives), UNIQUE within each group (uniqueness is what bounds a
+    chunk at ``chunk`` members).
+
+    Returns ``df.groupBy(group_cols)`` with columns ``osum`` (double,
+    the deterministic sum) and ``ocnt`` (long, group row count), plus any
+    ``final_aggs``.  ``chunk_aggs`` add per-(group, chunk) aggregates
+    (name -> Column over the input rows); ``final_aggs`` aggregate the
+    chunk rows per group and may reference ``chunk_aggs`` outputs (e.g.
+    ``chunk_aggs={"mn": F.min("x")}, final_aggs={"min_x": F.min("mn")}``
+    re-aggregates an order-free MIN exactly).
+
+    Cost note: one extra (tiny) shuffle versus the flat fold — level 2
+    moves only the per-chunk sums, |groups| x |non-empty chunks| rows."""
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    chunk_aggs = chunk_aggs or {}
+    final_aggs = final_aggs or {}
+    chk = F.call_function("div", F.col(sort_key).cast("long"), F.lit(chunk))
+    lvl1 = df.groupBy(*group_cols, chk.alias("__chunk")).agg(
+        ordered_fold(sort_key, value).alias("__csum"),
+        F.count("*").alias("__cnt"),
+        *[c.alias(n) for n, c in chunk_aggs.items()],
+    )
+    return lvl1.groupBy(*group_cols).agg(
+        ordered_fold("__chunk", "__csum").alias("osum"),
+        F.sum("__cnt").alias("ocnt"),
+        *[c.alias(n) for n, c in final_aggs.items()],
     )

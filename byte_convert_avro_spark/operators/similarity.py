@@ -130,6 +130,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     k: int = 8,
     n_iter: int = 3,
+    fold_chunk: int = 4096,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means — the TRAINING step of the IVF index
     (so :func:`ivf_build`/:func:`ivf_search` search an index that was
@@ -142,7 +143,12 @@ def kmeans_lloyd(
     - assignment ties break to the lowest cell id;
     - every float reduction is a fixed-order IEEE fold: the squared-L2
       distance folds dims left-to-right, and each centroid update sums
-      members in id order (one division by the count at the end).
+      members in id order via the BOUNDED two-level chunked fold
+      (functions.bounded_ordered_agg, chunk=``fold_chunk``: per-task
+      arrays hold <= fold_chunk doubles instead of a whole cell's
+      membership — the round-6 verdict's scale fix; contract: ``id_col``
+      holds unique NON-NEGATIVE integers) — one division by the count at
+      the end.
 
     Scale (the connected_components discipline — one action per round):
     centroids are k×dim values BY CONSTRUCTION, so each round collects
@@ -163,7 +169,7 @@ def kmeans_lloyd(
         (int(r.id), [float(x) for x in r.e]) for r in seed_rows
     ]
 
-    from byte_convert_avro_spark.functions import ordered_fold
+    from byte_convert_avro_spark.functions import bounded_ordered_agg
 
     for _ in range(n_iter):
         d2s = F.array(
@@ -190,9 +196,9 @@ def kmeans_lloyd(
         dims = assigned.select(
             "cell", "id", F.posexplode("e").alias("dim0", "x")
         ).select("cell", (F.col("dim0") + 1).alias("dim"), "id", "x")
-        newc = dims.groupBy("cell", "dim").agg(
-            (ordered_fold("id", "x") / F.count("*")).alias("c")
-        )
+        newc = bounded_ordered_agg(
+            dims, ["cell", "dim"], "id", "x", chunk=fold_chunk
+        ).select("cell", "dim", (F.col("osum") / F.col("ocnt")).alias("c"))
         by_cell: dict[int, dict[int, float]] = {}
         for r in newc.collect():  # k×dim rows — small by construction
             by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)
@@ -211,6 +217,7 @@ def kmeans_minibatch(
     k: int = 8,
     n_iter: int = 3,
     sample_mod: int = 4,
+    fold_chunk: int = 4096,
 ) -> DataFrame:
     """Deterministic MINI-BATCH k-means — the 100 TB-regime variant of
     :func:`kmeans_lloyd`: each round assigns and averages only the
@@ -230,7 +237,9 @@ def kmeans_minibatch(
       batch-cell is routine, not a degenerate cluster.
 
     Update rule is the plain batch mean (not Sculley's running-rate
-    blend): id-ordered IEEE fold / count, bit-identical cross-engine.
+    blend): id-ordered BOUNDED two-level IEEE fold / count
+    (``fold_chunk`` as in :func:`kmeans_lloyd`), bit-identical
+    cross-engine.
     Scale: identical plan shape to kmeans_lloyd — literal-broadcast
     centroids, narrow row-local argmin, one (cell, dim) shuffle per
     round over the SAMPLED slice only."""
@@ -244,7 +253,7 @@ def kmeans_minibatch(
         (int(r.id), [float(x) for x in r.e]) for r in seed_rows
     ]
 
-    from byte_convert_avro_spark.functions import ordered_fold
+    from byte_convert_avro_spark.functions import bounded_ordered_agg
     from byte_convert_avro_spark.queries.base import hash_bucket
 
     for r_i in range(n_iter):
@@ -272,9 +281,9 @@ def kmeans_minibatch(
         dims = assigned.select(
             "cell", "id", F.posexplode("e").alias("dim0", "x")
         ).select("cell", (F.col("dim0") + 1).alias("dim"), "id", "x")
-        newc = dims.groupBy("cell", "dim").agg(
-            (ordered_fold("id", "x") / F.count("*")).alias("c")
-        )
+        newc = bounded_ordered_agg(
+            dims, ["cell", "dim"], "id", "x", chunk=fold_chunk
+        ).select("cell", "dim", (F.col("osum") / F.col("ocnt")).alias("c"))
         by_cell: dict[int, dict[int, float]] = {}
         for r in newc.collect():  # <= k×dim rows — small by construction
             by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)

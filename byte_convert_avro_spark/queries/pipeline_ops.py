@@ -452,13 +452,16 @@ _IVF_DOT_SQL = (
 )
 
 
-def _kmeans_sql_cte(k: int = 8, n_iter: int = 3) -> str:
+def _kmeans_sql_cte(k: int = 8, n_iter: int = 3, chunk: int = 128) -> str:
     """The DuckDB twin of operators/similarity.kmeans_lloyd as a CTE
     chain: seeds = the ``k`` smallest vec_ids, then ``n_iter`` unrolled
     Lloyd rounds.  Ends with ``cent{n_iter}`` (cell, ce LIST) and
     ``cdim{n_iter - 1}`` (cell, dim, c) — the same fixed-order folds as
-    the operator (distance dims left-to-right, member sums in vec_id
-    order), so every centroid value is bit-identical across engines."""
+    the operator (distance dims left-to-right, member sums via the SAME
+    bounded two-level vec_id-ordered chunk fold as
+    functions.bounded_ordered_agg — ``chunk`` must equal the operator's
+    ``fold_chunk``), so every centroid value is bit-identical across
+    engines."""
     parts = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT {k})",
@@ -481,13 +484,20 @@ def _kmeans_sql_cte(k: int = 8, n_iter: int = 3) -> str:
       WHERE rn = 1)"""
         )
         parts.append(
-            f"""cdim{r} AS (
-      SELECT a.cell, dd.dim,
+            f"""cch{r} AS (
+      SELECT a.cell, dd.dim, v.vec_id // {chunk} AS chk,
              list_reduce(list(v.e[dd.dim] ORDER BY v.vec_id),
-                         (a2, b2) -> a2 + b2) / COUNT(*) AS c
+                         (a2, b2) -> a2 + b2) AS csum,
+             COUNT(*) AS cnt
       FROM assign{r} a JOIN v ON v.vec_id = a.vec_id
       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
-      GROUP BY a.cell, dd.dim)"""
+      GROUP BY a.cell, dd.dim, chk)"""
+        )
+        parts.append(
+            f"""cdim{r} AS (
+      SELECT cell, dim,
+             list_reduce(list(csum ORDER BY chk), (x, y) -> x + y) / SUM(cnt) AS c
+      FROM cch{r} GROUP BY cell, dim)"""
         )
         parts.append(
             f"cent{r + 1} AS (SELECT cell, list(c ORDER BY dim) AS ce FROM cdim{r} GROUP BY cell)"
@@ -495,13 +505,17 @@ def _kmeans_sql_cte(k: int = 8, n_iter: int = 3) -> str:
     return ",\n    ".join(parts)
 
 
-def _kmeans_minibatch_sql_cte(k: int = 8, n_iter: int = 3, mod: int = 4) -> str:
+def _kmeans_minibatch_sql_cte(
+    k: int = 8, n_iter: int = 3, mod: int = 4, chunk: int = 128
+) -> str:
     """DuckDB twin of operators/similarity.kmeans_minibatch: same seeds
     and unrolled rounds as :func:`_kmeans_sql_cte`, but each round's
     assignment sees only the hash-sampled ``1/mod`` slice (the
     ``hash_bucket`` md5 discipline, salt ``':mb<r>'``) and a cell with no
-    sampled member keeps its previous centroid via a COALESCE left join.
-    Ends with ``cent{n_iter}`` (cell, ce LIST)."""
+    sampled member keeps its previous centroid via a COALESCE left join;
+    member sums use the same bounded two-level chunk fold (``chunk`` =
+    the operator's ``fold_chunk``).  Ends with ``cent{n_iter}``
+    (cell, ce LIST)."""
     parts = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT {k})",
@@ -528,13 +542,20 @@ def _kmeans_minibatch_sql_cte(k: int = 8, n_iter: int = 3, mod: int = 4) -> str:
       WHERE rn = 1)"""
         )
         parts.append(
-            f"""cdim{r} AS (
-      SELECT a.cell, dd.dim,
+            f"""cch{r} AS (
+      SELECT a.cell, dd.dim, v.vec_id // {chunk} AS chk,
              list_reduce(list(v.e[dd.dim] ORDER BY v.vec_id),
-                         (a2, b2) -> a2 + b2) / COUNT(*) AS c
+                         (a2, b2) -> a2 + b2) AS csum,
+             COUNT(*) AS cnt
       FROM assign{r} a JOIN v ON v.vec_id = a.vec_id
       CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
-      GROUP BY a.cell, dd.dim)"""
+      GROUP BY a.cell, dd.dim, chk)"""
+        )
+        parts.append(
+            f"""cdim{r} AS (
+      SELECT cell, dim,
+             list_reduce(list(csum ORDER BY chk), (x, y) -> x + y) / SUM(cnt) AS c
+      FROM cch{r} GROUP BY cell, dim)"""
         )
         parts.append(
             f"""cent{r + 1} AS (
@@ -565,7 +586,9 @@ def kmeans_minibatch_k8(spark: SparkSession, sf: str):
     the gate exactly like the full-Lloyd ``kmeans_centroids_k8``
     (operators/similarity.kmeans_minibatch)."""
     emb = spread(t(spark, sf, "embeddings"), "vec_id")
-    cents = S.kmeans_minibatch(emb, "embedding", "vec_id", k=8, n_iter=3, sample_mod=4)
+    cents = S.kmeans_minibatch(
+        emb, "embedding", "vec_id", k=8, n_iter=3, sample_mod=4, fold_chunk=128
+    )
     return cents.select(
         "cell", F.posexplode("embedding").alias("dim0", "c")
     ).select("cell", (F.col("dim0") + 1).cast("int").alias("dim"), "c")
@@ -587,7 +610,7 @@ def kmeans_centroids_k8(spark: SparkSession, sf: str):
     shuffle + one k×dim driver collect per round
     (operators/similarity.kmeans_lloyd)."""
     emb = spread(t(spark, sf, "embeddings"), "vec_id")
-    cents = S.kmeans_lloyd(emb, "embedding", "vec_id", k=8, n_iter=3)
+    cents = S.kmeans_lloyd(emb, "embedding", "vec_id", k=8, n_iter=3, fold_chunk=128)
     return cents.select(
         "cell", F.posexplode("embedding").alias("dim0", "c")
     ).select("cell", (F.col("dim0") + 1).cast("int").alias("dim"), "c")
@@ -639,7 +662,7 @@ def ivf_search_top3(spark: SparkSession, sf: str):
     touches ~nprobe/K of the vectors (cells are the shuffle/partition
     key); centroids stay broadcast at any corpus size."""
     emb = spread(t(spark, sf, "embeddings"), "vec_id")
-    cents = S.kmeans_lloyd(emb, "embedding", "vec_id", k=8, n_iter=3)
+    cents = S.kmeans_lloyd(emb, "embedding", "vec_id", k=8, n_iter=3, fold_chunk=128)
     corpus = emb.filter(F.col("vec_id") >= 5)
     qs = emb.filter(F.col("vec_id") < 5)
     indexed = S.ivf_build(corpus, cents, "embedding", "vec_id", cent_id="cell")
@@ -1291,15 +1314,18 @@ def kmv_distinct_users_estimate(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-def _pagerank_sql(n_rounds: int = 3) -> str:
+def _pagerank_sql(n_rounds: int = 3, chunk: int = 256) -> str:
     """DuckDB twin of operators/graph.pagerank_fixed_rounds over the
-    customer<->supplier trade graph, unrolled round by round.  The
-    damping constants are spelled as the SAME IEEE expressions the
-    operator computes ((1.0 - 0.85), 1.0/N) so every float matches
-    bit-for-bit; neighbor sums fold in source-id order."""
+    customer<->supplier trade graph, unrolled round by round.  Nodes are
+    INTEGER-encoded (customer k -> 2k, supplier k -> 2k+1) so the
+    neighbor sum can use the same bounded two-level source-id-ordered
+    chunk fold as the operator's ``fold_chunk`` mode (``chunk`` must
+    match).  The damping constants are spelled as the SAME IEEE
+    expressions the operator computes ((1.0 - 0.85), 1.0/N) so every
+    float matches bit-for-bit."""
     parts = [
         """edges0 AS (
-      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
         "edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)",
         "nodes AS (SELECT DISTINCT src AS v FROM edges)",
@@ -1316,9 +1342,15 @@ def _pagerank_sql(n_rounds: int = 3) -> str:
       FROM edges e JOIN r{t} r ON r.v = e.src JOIN outdeg d ON d.src = e.src)"""
         )
         parts.append(
+            f"""sc{t} AS (
+      SELECT v, s // {chunk} AS chk,
+             list_reduce(list(c ORDER BY s), (a, b) -> a + b) AS csum
+      FROM c{t} GROUP BY v, chk)"""
+        )
+        parts.append(
             f"""s{t} AS (
-      SELECT v, list_reduce(list(c ORDER BY s), (a, b) -> a + b) AS s
-      FROM c{t} GROUP BY v)"""
+      SELECT v, list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) AS s
+      FROM sc{t} GROUP BY v)"""
         )
         parts.append(
             f"""r{t + 1} AS (
@@ -1333,8 +1365,11 @@ def _pagerank_sql(n_rounds: int = 3) -> str:
 @register(
     "pagerank_trade_graph",
     f"""
-    WITH {_pagerank_sql(3)}
-    SELECT v, rank FROM r3
+    WITH {_pagerank_sql(3, chunk=256)}
+    SELECT CASE WHEN v % 2 = 0 THEN 'c' || CAST(v // 2 AS VARCHAR)
+                ELSE 's' || CAST(v // 2 AS VARCHAR) END AS v,
+           rank
+    FROM r3
     """,
 )
 def pagerank_trade_graph(spark: SparkSession, sf: str):
@@ -1344,9 +1379,14 @@ def pagerank_trade_graph(spark: SparkSession, sf: str):
     GRAPH-CENTRALITY member of the algorithm family next to
     connected_components and kmeans_lloyd, oracle-checked value-for-value
     against an unrolled DuckDB CTE chain: every rank is bit-identical
-    because neighbor sums fold in source-id order and the damping
-    constants are computed with the same IEEE ops on both sides.  Scale
-    notes in operators/graph.py (one shuffle join + one grouped fold per
+    because neighbor sums fold in source-id order with the SAME bounded
+    two-level chunk fold on both sides (fold_chunk=256 — a hub node's
+    in-degree array is bounded at 256 doubles per task, the round-6
+    verdict's scale fix) and the damping constants are computed with the
+    same IEEE ops.  Nodes are integer-encoded (customer k -> 2k,
+    supplier k -> 2k+1) to give the chunk fold its non-negative-integer
+    sort key; labels are reconstructed for output.  Scale notes in
+    operators/graph.py (one shuffle join + one bounded grouped fold per
     round, lineage truncated)."""
     from byte_convert_avro_spark.operators.graph import pagerank_fixed_rounds
 
@@ -1355,13 +1395,22 @@ def pagerank_trade_graph(spark: SparkSession, sf: str):
     e0 = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank_fixed_rounds(edges, "src", "dst", n_rounds=3, damping=0.85)
+    ranks = pagerank_fixed_rounds(
+        edges, "src", "dst", n_rounds=3, damping=0.85, fold_chunk=256
+    )
+    half = F.call_function("div", F.col("v"), F.lit(2)).cast("string")
+    return ranks.select(
+        F.when(F.col("v") % 2 == 0, F.concat(F.lit("c"), half))
+        .otherwise(F.concat(F.lit("s"), half))
+        .alias("v"),
+        "rank",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1567,23 +1616,32 @@ def corpus_chunking_64w(spark: SparkSession, sf: str):
     WITH dims AS (
       SELECT vec_id, dim, (embedding::DOUBLE[])[dim] AS x
       FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
+    ), ch AS (
+      SELECT dim, vec_id // 128 AS chk,
+             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS csum,
+             COUNT(*) AS cnt, MIN(x) AS mn, MAX(x) AS mx
+      FROM dims GROUP BY dim, chk
     )
     SELECT CAST(dim AS INT) AS dim,
-           COUNT(*) AS n,
-           list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS mean,
-           MIN(x) AS min_x,
-           MAX(x) AS max_x
-    FROM dims GROUP BY dim
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) / SUM(cnt) AS mean,
+           MIN(mn) AS min_x,
+           MAX(mx) AS max_x
+    FROM ch GROUP BY dim
     """,
 )
 def embedding_dim_stats(spark: SparkSession, sf: str):
     """FEATURE-NORMALIZATION statistics: per-dimension mean / min / max
     over the embedding corpus — the standardization-prep pass before any
-    learned index or quantizer.  The mean is an ordered fold over vec_id
-    (bit-exact cross-engine; min/max are order-free).  Scale: one
-    explode to |corpus| x 64 rows, one (dim)-keyed shuffle with map-side
-    partials for min/max."""
-    from byte_convert_avro_spark.functions import ordered_fold
+    learned index or quantizer.  The mean is a BOUNDED two-level ordered
+    fold over vec_id (functions.bounded_ordered_agg: per-dim tasks hold
+    <= chunk doubles instead of the whole corpus — the 100 TB fix for the
+    round-6 verdict's unbounded-array finding; min/max are order-free and
+    re-aggregate exactly).  chunk=128 so the sf0.01 gate (500 vectors)
+    exercises 4 real chunks per dim, not a degenerate single chunk.
+    Scale: one explode to |corpus| x 64 rows, one (dim, chunk)-keyed
+    shuffle, then a tiny (dim)-keyed shuffle of chunk sums."""
+    from byte_convert_avro_spark.functions import bounded_ordered_agg
 
     e = spread(t(spark, sf, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
@@ -1591,11 +1649,17 @@ def embedding_dim_stats(spark: SparkSession, sf: str):
     dims = e.select(
         "vec_id", F.posexplode("e").alias("dim0", "x")
     ).select("vec_id", (F.col("dim0") + 1).cast("int").alias("dim"), "x")
-    return dims.groupBy("dim").agg(
-        F.count("*").alias("n"),
-        (ordered_fold("vec_id", "x") / F.count("*")).alias("mean"),
-        F.min("x").alias("min_x"),
-        F.max("x").alias("max_x"),
+    agg = bounded_ordered_agg(
+        dims, ["dim"], "vec_id", "x", chunk=128,
+        chunk_aggs={"mn": F.min("x"), "mx": F.max("x")},
+        final_aggs={"min_x": F.min("mn"), "max_x": F.max("mx")},
+    )
+    return agg.select(
+        "dim",
+        F.col("ocnt").alias("n"),
+        (F.col("osum") / F.col("ocnt")).alias("mean"),
+        "min_x",
+        "max_x",
     )
 
 

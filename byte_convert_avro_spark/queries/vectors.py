@@ -88,7 +88,10 @@ def knn_cosine_top5(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-from byte_convert_avro_spark.functions import ordered_fold as _ordered_fold
+from byte_convert_avro_spark.functions import (
+    bounded_ordered_agg as _bounded_ordered_agg,
+    ordered_fold as _ordered_fold,
+)
 
 
 @register(
@@ -98,23 +101,32 @@ from byte_convert_avro_spark.functions import ordered_fold as _ordered_fold
       SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
              unnest(generate_series(1, 64)) AS dim
       FROM embeddings
+    ), ch AS (
+      SELECT label, dim, vec_id // 128 AS chk,
+             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS csum,
+             COUNT(*) AS cnt
+      FROM dims GROUP BY label, dim, chk
     )
     SELECT label, dim,
-           list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS centroid
-    FROM dims GROUP BY label, dim
+           list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) / SUM(cnt) AS centroid
+    FROM ch GROUP BY label, dim
     """,
 )
 def label_centroids(spark: SparkSession, sf: str):
     """IVF 'train' step: per-label centroids, one row per (label, dim).
-    The mean folds doubles in vec_id order on both engines (sequential
-    IEEE addition -> bit-identical).  posexplode -> agg: the shuffle
-    carries |labels|×|dims| rows."""
+    The mean is a BOUNDED two-level vec_id-ordered fold
+    (functions.bounded_ordered_agg — per-(label, dim) tasks hold at most
+    chunk=128 doubles, not the whole label's membership; both engines
+    spell the same chunking so every centroid is still bit-identical).
+    posexplode -> agg: the big shuffle carries |corpus|×|dims| rows keyed
+    (label, dim, chunk); level 2 moves only chunk sums."""
     e = _emb(spark, sf)
     dims = e.select("vec_id", "label", F.posexplode("e").alias("dim0", "x")).select(
         "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
     )
-    return dims.groupBy("label", "dim").agg(
-        (_ordered_fold("vec_id", "x") / F.count("*")).alias("centroid")
+    agg = _bounded_ordered_agg(dims, ["label", "dim"], "vec_id", "x", chunk=128)
+    return agg.select(
+        "label", "dim", (F.col("osum") / F.col("ocnt")).alias("centroid")
     )
 
 
@@ -126,10 +138,15 @@ def label_centroids(spark: SparkSession, sf: str):
       SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
              unnest(generate_series(1, 64)) AS dim
       FROM embeddings
+    ), cch AS (
+      SELECT label AS clabel, dim, vec_id // 128 AS chk,
+             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS csum,
+             COUNT(*) AS cnt
+      FROM dims GROUP BY label, dim, chk
     ), cent AS (
-      SELECT label AS clabel, dim,
-             list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) / COUNT(*) AS c
-      FROM dims GROUP BY label, dim
+      SELECT clabel, dim,
+             list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) / SUM(cnt) AS c
+      FROM cch GROUP BY clabel, dim
     ), dist AS (
       SELECT d.vec_id, d.label, cent.clabel,
              list_reduce(list((d.x - cent.c) * (d.x - cent.c) ORDER BY d.dim),
@@ -145,16 +162,19 @@ def label_centroids(spark: SparkSession, sf: str):
 )
 def ivf_assign_nearest_centroid(spark: SparkSession, sf: str):
     """IVF 'assign' step: route every vector to its nearest label centroid
-    (squared L2).  The centroid table is broadcast — at any corpus size the
-    join is a map-side lookup; per-(vector,centroid) distances aggregate
-    with exact decimal sums, argmin via window with (d2, label) tie-break."""
+    (squared L2).  The centroid table (trained via the bounded two-level
+    fold, chunk=128 — see label_centroids) is broadcast — at any corpus
+    size the join is a map-side lookup; per-(vector,centroid) distances
+    fold over <= 64 dims (bounded by construction, flat ordered_fold is
+    safe there), argmin via window with (d2, label) tie-break."""
     e = _emb(spark, sf)
     dims = e.select("vec_id", "label", F.posexplode("e").alias("dim0", "x")).select(
         "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
     )
-    cent = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
-        (_ordered_fold("vec_id", "x") / F.count("*")).alias("c")
-    )
+    cent = _bounded_ordered_agg(
+        dims.withColumnRenamed("label", "clabel"), ["clabel", "dim"],
+        "vec_id", "x", chunk=128,
+    ).select("clabel", "dim", (F.col("osum") / F.col("ocnt")).alias("c"))
     dist = (
         dims.join(F.broadcast(cent), "dim")
         .withColumn("sq", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))

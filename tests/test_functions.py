@@ -156,3 +156,91 @@ def test_winnowing_py_reference_matches_engine(spark):
         got.setdefault(r.doc_id, set()).add(r.sel)
     for i, text in texts:
         assert got[i] == _winnow_py(text), i
+
+
+# ---------------------------------------------------------------------------
+# bounded_ordered_agg — the 100 TB-safe two-level ordered fold
+
+
+def test_bounded_ordered_agg_matches_duckdb_chunked_fold(spark):
+    """Bit-equality vs the DuckDB two-level chunked fold on a multi-chunk,
+    multi-group frame (chunk=16, 100 rows/group -> 7 chunks): the oracle
+    formulation documented in the docstring IS the Spark semantics."""
+    import duckdb
+
+    rows = [
+        (g, i, math.sin(g * 1000 + i) * 10.0 ** ((i % 7) - 3))
+        for g in range(3)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g int, k long, x double")
+    got = {
+        r.g: (r.osum, r.ocnt)
+        for r in BF.bounded_ordered_agg(df, ["g"], "k", "x", chunk=16).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (g INT, k BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+    want = {
+        g: (osum, cnt)
+        for g, osum, cnt in con.execute(
+            """
+            WITH ch AS (
+              SELECT g, k // 16 AS chk,
+                     list_reduce(list(x ORDER BY k), (a, b) -> a + b) AS csum,
+                     COUNT(*) AS cnt
+              FROM src GROUP BY g, chk)
+            SELECT g, list_reduce(list(csum ORDER BY chk), (a, b) -> a + b),
+                   CAST(SUM(cnt) AS BIGINT)
+            FROM ch GROUP BY g
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][1] == want[g][1] == 100
+        # bit-identical, not approximately equal
+        assert got[g][0].hex() == want[g][0].hex(), g
+
+
+def test_bounded_ordered_agg_chunk_bound_and_partition_independence(spark):
+    """The scale contract: no level-1 group exceeds ``chunk`` members
+    (unique int sort keys), and the result is invariant under
+    repartitioning (the determinism the flat fold promised, kept)."""
+    rows = [(i % 4, i, float(i) * 1e-7 + 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g int, k long, x double")
+    chk = F.call_function("div", F.col("k").cast("long"), F.lit(32))
+    lvl1_max = (
+        df.groupBy("g", chk.alias("chk")).count().agg(F.max("count")).collect()[0][0]
+    )
+    assert lvl1_max <= 32
+    a = {
+        r.g: r.osum
+        for r in BF.bounded_ordered_agg(df, ["g"], "k", "x", chunk=32).collect()
+    }
+    b = {
+        r.g: r.osum
+        for r in BF.bounded_ordered_agg(
+            df.repartition(17, "x"), ["g"], "k", "x", chunk=32
+        ).collect()
+    }
+    assert {g: v.hex() for g, v in a.items()} == {g: v.hex() for g, v in b.items()}
+
+
+def test_bounded_ordered_agg_extra_aggs_and_validation(spark):
+    """chunk_aggs/final_aggs re-aggregate order-free stats exactly;
+    chunk < 1 raises."""
+    import pytest
+
+    rows = [(0, i, float((i * 37) % 11) - 5.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "g int, k long, x double")
+    out = BF.bounded_ordered_agg(
+        df, ["g"], "k", "x", chunk=8,
+        chunk_aggs={"mn": F.min("x"), "mx": F.max("x")},
+        final_aggs={"min_x": F.min("mn"), "max_x": F.max("mx")},
+    ).collect()[0]
+    xs = [x for _, _, x in rows]
+    assert out.min_x == min(xs) and out.max_x == max(xs)
+    assert out.ocnt == 50
+    with pytest.raises(ValueError, match="chunk"):
+        BF.bounded_ordered_agg(df, ["g"], "k", "x", chunk=0)
