@@ -73,15 +73,22 @@ def compile_resolving_reader(
 
 
 def _names_match(w: AvroSchema, r: AvroSchema) -> bool:
+    """Spec named-type matching: reader and writer FULLNAMES equal, or the
+    writer's fullname appears in the reader's aliases (an unqualified
+    alias is qualified with the reader's namespace per the spec's alias
+    rules).  Bare short-name equality across DIFFERENT namespaces is NOT
+    a match — two unrelated ``a.Point`` / ``b.Point`` records must fail
+    resolution, not silently zip together."""
     if w.name is None or r.name is None:
         return True
-    aliases = r.aliases or []
-    return (
-        w.fullname == r.fullname
-        or w.name == r.name
-        or w.fullname in aliases
-        or w.name in aliases
-    )
+    if w.fullname == r.fullname:
+        return True
+    for al in r.aliases or []:
+        if "." not in al and r.namespace:
+            al = f"{r.namespace}.{al}"
+        if w.fullname == al:
+            return True
+    return False
 
 
 def _default_value(r: AvroSchema, default: Any) -> Any:
@@ -122,7 +129,19 @@ def _default_value(r: AvroSchema, default: Any) -> Any:
 def _resolve(w: AvroSchema, r: AvroSchema, memo: dict[tuple[int, int], Reader]) -> Reader:
     key = (id(w), id(r))
     if key in memo:
-        return lambda buf, pos: memo[key](buf, pos)  # late-bound for recursion
+        # late-bound for recursion; .get so a reference dangling after a
+        # failed compile (entry evicted below) raises a typed error at
+        # decode time instead of a raw KeyError
+        def _late(buf: memoryview, pos: int, _k=key, _m=memo):
+            rd = _m.get(_k)
+            if rd is None:
+                raise SchemaResolutionError(
+                    "dangling recursive reference: enclosing record failed "
+                    "to resolve"
+                )
+            return rd(buf, pos)
+
+        return _late
 
     # -- unions first: either side being a union drives the matching -------
     if w.kind == "union" and r.kind == "union":
@@ -310,6 +329,7 @@ def _resolve(w: AvroSchema, r: AvroSchema, memo: dict[tuple[int, int], Reader]) 
             return out, pos
 
         memo[key] = read_record
+        keys_before = set(memo)
 
         try:
             rfields = {f.name: f for f in (r.fields or [])}
@@ -338,7 +358,13 @@ def _resolve(w: AvroSchema, r: AvroSchema, memo: dict[tuple[int, int], Reader]) 
             # failed mid-compile: the memo slot holds a PARTIAL reader —
             # a later lookup of the same (writer, reader) pair (e.g. a
             # union's _first_match probed and rejected this record) must
-            # re-raise, not silently mis-decode with incomplete steps
+            # re-raise, not silently mis-decode with incomplete steps.
+            # Also evict every entry memoized DURING this attempt
+            # (mutually recursive sub-records probed through a union):
+            # they may hold late-bound references into the failed subtree
+            # and must not satisfy a later lookup.
+            for k in set(memo) - keys_before:
+                del memo[k]
             del memo[key]
             raise
         return read_record

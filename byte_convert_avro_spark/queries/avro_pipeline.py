@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from byte_convert_avro_spark.engine import Engine, EngineConfig
-from byte_convert_avro_spark.queries.base import register, spread, t
+from byte_convert_avro_spark.queries.base import register, scratch_dir, spread, t
 from byte_convert_avro_spark.schema_store import LocalSchemaStore
 
 CUSTOMER_SCHEMA = (
@@ -105,9 +105,6 @@ def streaming_decode_customers(spark: SparkSession, sf: str):
     Engine.transform (same narrow plan as batch) -> envelope JSON parsed
     back -> aggregate, hash-checked against the raw customer table.  Any
     corruption anywhere in encode/stream/decode/envelope breaks the hash."""
-    import os
-    import tempfile
-    import uuid
 
     from byte_convert_avro_spark.streaming import (
         decode_stream,
@@ -118,9 +115,7 @@ def streaming_decode_customers(spark: SparkSession, sf: str):
     store = _store()
     eng = Engine(EngineConfig(avro_topics="t:true"), store=store)
     records = _wire_records(spark, sf, "t")
-    src = os.path.join(
-        tempfile.gettempdir(), f"stream_decode_{uuid.uuid4().hex[:10]}"
-    )
+    src = scratch_dir("stream_decode_")
     records.write.mode("overwrite").parquet(src)
 
     decoded = decode_stream(
@@ -209,16 +204,13 @@ def avro_ocf_roundtrip_customers(spark: SparkSession, sf: str):
     Avro framings the reference's records live in: in-flight on Kafka
     and at-rest on disk.  Scale: sources/avro_ocf.py — per-partition
     files, bounded ~1000-row blocks, zero driver involvement."""
-    import os
-    import tempfile
-    import uuid
 
     from byte_convert_avro_spark.sources.avro_ocf import (
         read_avro_ocf,
         write_avro_ocf,
     )
 
-    d = os.path.join(tempfile.gettempdir(), f"ocf_{uuid.uuid4().hex[:10]}")
+    d = scratch_dir("ocf_")
     write_avro_ocf(spread(t(spark, sf, "customer"), "c_custkey"), d, codec="deflate")
     return read_avro_ocf(spark, d + "/*.avro")
 
@@ -244,9 +236,6 @@ def avro_ocf_logical_roundtrip_orders(spark: SparkSession, sf: str):
     decimal-bytes codec, the epoch-day arithmetic, or the schema
     mapping breaks the hash.  sources/avro_ocf.py
     _spark_encoder/_avro_decoder."""
-    import os
-    import tempfile
-    import uuid
 
     from byte_convert_avro_spark.sources.avro_ocf import (
         read_avro_ocf,
@@ -258,7 +247,7 @@ def avro_ocf_logical_roundtrip_orders(spark: SparkSession, sf: str):
         F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
         F.to_date("o_orderdate").alias("odate"),
     )
-    d = os.path.join(tempfile.gettempdir(), f"ocf_lt_{uuid.uuid4().hex[:10]}")
+    d = scratch_dir("ocf_lt_")
     write_avro_ocf(spread(sel, "o_orderkey"), d, codec="deflate")
     back = read_avro_ocf(spark, d + "/*.avro")
     return back.select(
@@ -289,9 +278,6 @@ def federated_three_format_union(spark: SparkSession, sf: str):
     format boundary loses or distorts a row.  Scale: each source keeps
     its own pushdown/pruning; the union is plan-level (no
     materialization); the aggregate runs once over all three."""
-    import os
-    import tempfile
-    import uuid
 
     from byte_convert_avro_spark.queries.base import hash_bucket
     from byte_convert_avro_spark.sources.avro_ocf import (
@@ -301,7 +287,7 @@ def federated_three_format_union(spark: SparkSession, sf: str):
 
     cust = t(spark, sf, "customer")
     b = hash_bucket("c_custkey", 3)
-    root = os.path.join(tempfile.gettempdir(), f"fed_{uuid.uuid4().hex[:10]}")
+    root = scratch_dir("fed_")
     p_parq, p_json, p_ocf = f"{root}/pq", f"{root}/js", f"{root}/ocf"
     cust.filter(b == 0).write.mode("overwrite").parquet(p_parq)
     cust.filter(b == 1).write.mode("overwrite").json(p_json)

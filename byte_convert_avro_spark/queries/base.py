@@ -139,6 +139,36 @@ def raw_events_schema(spark: SparkSession, sf_dir: str):
     return raws[sf_dir]
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _purge_scratch_dirs() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
+def scratch_dir(prefix: str) -> str:
+    """Process-scoped scratch directory for queries that materialize an
+    intermediate at-rest copy (OCF round-trips, federated three-format
+    union, stream sources).  The returned DataFrames re-read the files
+    LAZILY, so cleanup can't be a ``finally`` around the query — every
+    directory is instead registered once for ``atexit`` removal (the
+    round-6 ADVICE leak fix).  Deterministic-free: the uuid name only
+    prevents collisions, nothing reads it back."""
+    import atexit
+    import tempfile
+    import uuid
+
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}{uuid.uuid4().hex[:10]}")
+    os.makedirs(d, exist_ok=True)
+    if not _SCRATCH_DIRS:
+        atexit.register(_purge_scratch_dirs)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 def hash_bucket(col, mod: int):
     """Content-stable uniform bucket in [0, mod): first 8 md5 hex digits
     of CAST(col AS STRING).  THE reproducible-sampling primitive — split

@@ -2018,9 +2018,10 @@ def events_seasonal_residual_anomalies(spark: SparkSession, sf: str):
     """SEASONAL-BASELINE ANOMALIES: each hour's event volume compared to
     the exact MEDIAN of the SAME hour-of-week across the history — the
     deseasonalized check that flags a quiet 3am spike a global threshold
-    misses.  Flag = outside [baseline/3, 1.5x baseline], tested as pure
-    integer cross-products of exact counts against the two-middle-rows
-    median (no float thresholds anywhere).  Scale: hourly rollup first
+    misses.  Flag = outside the symmetric 3x band [baseline/3,
+    3x baseline] (with med2 = 2*median: anomalous iff 2n > 3*med2 or
+    6n < med2), tested as pure integer cross-products of exact counts
+    against the two-middle-rows median (no float thresholds anywhere).  Scale: hourly rollup first
     (the big reduction), then windows over the tiny (168-slot, weeks)
     table."""
     ev = _ev(spark, sf)

@@ -30,6 +30,7 @@ from byte_convert_avro_spark.queries.base import (
     hash_bucket,
     raw_events_schema,
     register,
+    scratch_dir,
     t,
 )
 
@@ -601,7 +602,7 @@ def streaming_ocf_sink_daily_totals(spark: SparkSession, sf: str):
             ),
         )
     )
-    out_dir = os.path.join(tempfile.gettempdir(), f"ocf_stream_{uuid.uuid4().hex[:10]}")
+    out_dir = scratch_dir("ocf_stream_")
 
     def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -673,7 +674,7 @@ def streaming_ocf_evolution_read(spark: SparkSession, sf: str):
 
     cust = t(spark, sf, "customer")
     b = hash_bucket("c_custkey", 2)
-    root = os.path.join(tempfile.gettempdir(), f"ocf_evo_{uuid.uuid4().hex[:10]}")
+    root = scratch_dir("ocf_evo_")
     # generation 1: old producer, no segment column
     write_avro_ocf(
         cust.filter(b == 0).select("c_custkey", "c_acctbal"),

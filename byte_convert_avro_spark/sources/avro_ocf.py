@@ -14,7 +14,11 @@ Scale model:
   blocks — peak executor memory is one block, not one file.  The write
   runs inside ``mapPartitionsWithIndex`` (per-partition imperative file
   IO is the one legitimate RDD use), so 1000 executors write 1000 files
-  concurrently with zero driver involvement beyond the final path list.
+  concurrently with zero driver involvement beyond the final path list —
+  PROVIDED the target directory is a shared filesystem (see
+  :func:`write_avro_ocf`'s distribution contract; executors write with
+  plain ``open()``, so on a multi-node cluster without a shared mount the
+  files would land on executor-local disks).
 - **read**: Spark's ``binaryFile`` source lists and distributes files
   (one task per file — matching the write granularity), and each task
   decodes its file block-by-block via :func:`iter_ocf_blocks`.  Within a
@@ -273,7 +277,17 @@ def write_avro_ocf(
     """Write ``df`` as ``directory/part-NNNNN.avro`` (one OCF file per
     partition; empty partitions write nothing).  Returns the written file
     paths.  The schema is derived from ``df.schema`` — unsupported types
-    raise HERE, at plan time, not per-row in executors."""
+    raise HERE, at plan time, not per-row in executors.
+
+    Distribution contract: executors write with plain ``open()``, so
+    ``directory`` must be a SHARED filesystem (NFS/FUSE-mounted object
+    store) for the collected paths to be readable from the driver on a
+    multi-node cluster — on local mode any path works.  For native object
+    stores, swap the ``open()`` in ``write_part`` for the store's client;
+    the encode stream (avro/ocf.iter_encode_ocf) is already chunked for
+    multipart puts.  Each executor makedirs its own target so the write
+    doesn't depend on the driver's mkdir having raced ahead on a shared
+    mount."""
     schema = avro_schema_of(df.schema, name="row")
     schema_json = json.dumps(schema)
     os.makedirs(directory, exist_ok=True)
@@ -288,6 +302,7 @@ def write_avro_ocf(
             return
         import itertools
 
+        os.makedirs(directory, exist_ok=True)  # per-executor, see docstring
         path = os.path.join(directory, f"part-{idx:05d}.avro")
         plain = (
             {c: encs[c](r[c]) for c in cols}

@@ -240,3 +240,96 @@ def test_nested_default_values_convert_recursively():
     assert got["meta"] == {"sig": b"\xff\x01", "w": 1.0}
     assert isinstance(got["meta"]["w"], float)
     assert got["tags"] == [b"\x00"]
+
+
+def test_failed_record_evicts_sub_records_memoized_during_attempt():
+    """ADVICE round-6 regression: when record A's resolution fails AFTER
+    a mutually-recursive sub-record B was memoized (probed through a
+    union), B's memo entry holds a late-bound reference to A's evicted
+    key.  The entry must be evicted too: a later writer-B/reader-B match
+    in the same compile must recompile cleanly and decode, not return a
+    reader that dies at decode time with a raw KeyError."""
+    # writer: union [A, B]; A and B mutually recursive via B.a: [null, A]
+    w = [
+        {
+            "type": "record",
+            "name": "A",
+            "fields": [
+                {
+                    "name": "b",
+                    "type": {
+                        "type": "record",
+                        "name": "B",
+                        "fields": [{"name": "a", "type": ["null", "A"]}],
+                    },
+                },
+                {"name": "x", "type": "int"},
+            ],
+        },
+        "B",
+    ]
+    # reader: A drops x WITHOUT default -> A's resolution fails after B
+    # was memoized; branch B itself is fine
+    r = [
+        {
+            "type": "record",
+            "name": "A",
+            "fields": [
+                {
+                    "name": "b",
+                    "type": {
+                        "type": "record",
+                        "name": "B",
+                        "fields": [{"name": "a", "type": ["null", "A"]}],
+                    },
+                },
+                {"name": "x2", "type": "int"},
+            ],
+        },
+        "B",
+    ]
+    rd = compile_resolving_reader(w, r)
+    # encode writer-union branch 1 (B) with a = null
+    payload = schemaless_encode({"a": None}, {
+        "type": "record",
+        "name": "B",
+        "fields": [{"name": "a", "type": ["null", {
+            "type": "record",
+            "name": "A",
+            "fields": [
+                {"name": "b", "type": "B"},
+                {"name": "x", "type": "int"},
+            ],
+        }]}],
+    })
+    from byte_convert_avro_spark.avro.binary import _write_long
+
+    prefix = bytearray()
+    _write_long(prefix, 1)  # union index 1 = branch B
+    buf = bytes(prefix) + payload
+    v = _decode(rd, buf)
+    assert v == {"a": None}
+
+
+def test_names_match_requires_fullname_or_alias():
+    """Spec matching: same short name in DIFFERENT namespaces must NOT
+    resolve; an unqualified reader alias qualifies against the reader's
+    namespace and matches the writer's fullname."""
+    w = {
+        "type": "record", "name": "Point", "namespace": "a",
+        "fields": [{"name": "x", "type": "int"}],
+    }
+    r_other_ns = {
+        "type": "record", "name": "Point", "namespace": "b",
+        "fields": [{"name": "x", "type": "int"}],
+    }
+    with pytest.raises(SchemaResolutionError, match="names do not match"):
+        compile_resolving_reader(w, r_other_ns)
+    # unqualified alias 'Point' in reader namespace 'a' -> matches a.Point
+    r_aliased = {
+        "type": "record", "name": "Pt", "namespace": "a",
+        "aliases": ["Point"],
+        "fields": [{"name": "x", "type": "int"}],
+    }
+    rd = compile_resolving_reader(w, r_aliased)
+    assert _decode(rd, schemaless_encode({"x": 7}, w)) == {"x": 7}
