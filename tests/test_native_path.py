@@ -173,3 +173,66 @@ def test_native_envelope_byte_parity_with_udf_path(spark):
     a = decode_records_auto(df, store, {"t": False}, {"t": 1}, _available=True).collect()
     b = decode_records_auto(df, store, {"t": False}, _available=False).collect()
     assert bytes(a[0].value) == bytes(b[0].value)
+
+
+def test_probe_consulted_when_available_not_forced(spark, monkeypatch):
+    """decode_records_auto with _available=None must consult the classpath
+    probe — both directions: probe True + qualifying topics selects the
+    native branch (envelope stubbed; no jar here), probe False selects
+    the UDF path."""
+    monkeypatch.setattr(
+        native, "native_value_envelope", lambda *a, **k: F.lit('{"stub":1}')
+    )
+    monkeypatch.setattr(native, "native_avro_available", lambda s: True)
+    df = decode_records_auto(_df(spark), _store(), {"t": False}, {"t": 1})
+    assert not _has_python_stage(df)
+    monkeypatch.setattr(native, "native_avro_available", lambda s: False)
+    df = decode_records_auto(_df(spark), _store(), {"t": False}, {"t": 1})
+    assert _has_python_stage(df)
+
+
+def _lit_of(value, schema):
+    """Literal Column tree for a decoded datum — the simulated from_avro
+    output: same struct shape Spark's reader would produce."""
+    if schema.kind == "record":
+        return F.struct(
+            *[_lit_of(value[f.name], f.type).alias(f.name) for f in schema.fields]
+        )
+    if schema.kind == "array":
+        return F.array(*[_lit_of(x, schema.items) for x in value])
+    if schema.kind == "primitive" and schema.name == "long":
+        return F.lit(value).cast("long")
+    return F.lit(value)  # int/boolean/string/enum symbol
+
+
+def test_simulated_from_avro_envelope_byte_parity_with_udf_path(spark, monkeypatch):
+    """The tightened jar simulation (round-6 verdict lead #2): stub ONLY
+    the from_avro LEAF with a literal struct of the pure-Python-decoded
+    datum, run the REAL native_value_envelope plan around it JVM-side
+    (inner to_json, outer envelope struct, null routing), and require the
+    produced envelope bytes to equal the UDF path's envelope byte-for-
+    byte.  This pins everything the native cut adds except from_avro's
+    own decode — the one piece only a jar-present cluster can prove
+    (test_native_envelope_byte_parity_with_udf_path)."""
+    import pyspark.sql.avro.functions as avro_fns
+
+    from byte_convert_avro_spark.avro import parse_schema, schemaless_decode
+
+    record = {"id": 7, "who": "zoë", "ok": True, "tags": ["x", "y"]}
+    payload = encode_wire(1, schemaless_encode(record, SAFE_SCHEMA))
+    parsed = parse_schema(SAFE_SCHEMA)
+
+    def fake_from_avro(col, schema_text, options=None):
+        assert parse_schema(schema_text).canonical_str() == parsed.canonical_str()
+        body = payload[5:]
+        return _lit_of(schemaless_decode(body, parsed), parsed)
+
+    monkeypatch.setattr(avro_fns, "from_avro", fake_from_avro)
+    df = spark.createDataFrame([("t", None, payload)], REC)
+    nat = decode_records_auto(df, _store(), {"t": False}, {"t": 1}, _available=True)
+    assert not _has_python_stage(nat)
+    udf = decode_records_auto(df, _store(), {"t": False}, _available=False)
+    [nrow] = nat.collect()
+    [urow] = udf.collect()
+    assert urow._error is None and nrow._error is None
+    assert bytes(nrow.value) == bytes(urow.value)
