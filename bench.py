@@ -55,10 +55,15 @@ HEADLINE = [
     "corpus_after_dedup",
     "lsh_banded_near_dup",
     # round-6: the new capability families — substring-level dedup,
-    # trained-IVF ANN, winnowing pair matching
+    # trained-IVF ANN, winnowing pair matching.  The tracked winnowing
+    # form is the CAPPED one (round-6 verdict lead #4): the hub-bounded
+    # cap²-per-fingerprint join is the 100 TB path, so that's the number
+    # to watch; the uncapped winnowing_shared_fingerprints stays in the
+    # registry as the correctness baseline (its cost tracks true
+    # duplication — output-bound, not a plan property worth benching)
     "corpus_strip_repeated_chunks",
     "ivf_search_top3",
-    "winnowing_shared_fingerprints",
+    "winnowing_pairs_capped",
     # round-7: applying-form strip, sampled k-means trainer, OCF file
     # format, degree-oriented triangles
     "corpus_stripped_text",
