@@ -903,12 +903,13 @@ def _bpe_exprs() -> dict[str, str]:
     return {"step": step, "commit": commit}
 
 
-def _bpe_oracle_sql(n_rounds: int = 3) -> str:
-    """DuckDB twin: word-frequency table -> unrolled merge rounds, each
-    round = count adjacent pairs -> argmax -> exact greedy left-to-right
-    fold applying the merge (reduce with the shared expression grammar;
-    DuckDB's reduce seeds from the first element, matching the Spark
-    fold's explicit init)."""
+def _bpe_train_parts(n_rounds: int = 3) -> list[str]:
+    """Shared training CTE chain for the BPE oracles: word-frequency
+    table -> unrolled merge rounds, each round = count adjacent pairs ->
+    argmax (``best{r}``) -> exact greedy left-to-right fold applying the
+    merge (reduce with the shared expression grammar; DuckDB's reduce
+    seeds from the first element, matching the Spark fold's explicit
+    init)."""
     s = _BPE_SEP
     e = _bpe_exprs()
     step_sql = e["step"].replace("ml", "b.l").replace("mr", "b.r2")
@@ -943,6 +944,13 @@ def _bpe_oracle_sql(n_rounds: int = 3) -> str:
       FROM (SELECT reduce(string_split(sj, '{s}'), (acc, x) -> {step_sql}) AS folded, freq
             FROM j{r} CROSS JOIN best{r} b))"""
             )
+    return parts
+
+
+def _bpe_oracle_sql(n_rounds: int = 3) -> str:
+    """DuckDB twin of bpe_train_3_merges: the training chain, reporting
+    each round's merge rule and count."""
+    parts = _bpe_train_parts(n_rounds)
     selects = " UNION ALL ".join(
         f"SELECT {r + 1} AS round, l AS left_sym, r2 AS right_sym, l || r2 AS merged, n FROM best{r}"
         for r in range(n_rounds)
@@ -950,22 +958,73 @@ def _bpe_oracle_sql(n_rounds: int = 3) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + selects
 
 
-@register("bpe_train_3_merges", _bpe_oracle_sql(3))
-def bpe_train_3_merges(spark: SparkSession, sf: str):
-    """ITERATED BPE TOKENIZER TRAINING — three full merge rounds, each:
-    count adjacent symbol pairs over the word-frequency table (weighted
-    by word count, the classic vocabulary-sized optimization), pick the
-    argmax pair (ties lexical), and APPLY the merge corpus-wide with an
-    EXACT greedy left-to-right fold (chains merge correctly: 'aaaa'
-    under (a,a) becomes (aa)(aa)) — the fold's accumulator is a
-    marker-encoded string so the SAME expression grammar runs as a
-    Spark ``aggregate`` and a DuckDB ``reduce``, and every round's merge
-    rule + count hash-matches the unrolled oracle.  -> (round, left_sym,
-    right_sym, merged, n).  Scale: each round is one vocabulary-sized
-    pair count (map-side partial) + a broadcast 1-row merge rule + a
-    row-local fold; corpus text is never re-scanned after round 0."""
+def _bpe_tokenize_oracle_sql(n_rounds: int = 3) -> str:
+    """DuckDB twin of corpus_bpe_tokenized: train ``n_rounds`` merges,
+    then fold every DISTINCT word through them in sequence (wt0..wt{n}),
+    and roll token counts up per document through a word join (words the
+    vocabulary excludes — shorter than 2 chars — fall back to their
+    character count)."""
     s, m = _BPE_SEP, _BPE_MK
     e = _bpe_exprs()
+    step_sql = e["step"].replace("ml", "b.l").replace("mr", "b.r2")
+    commit_sql = e["commit"].replace("acc", "folded")
+    parts = _bpe_train_parts(n_rounds)
+    parts.append(
+        f"""wt0 AS (
+      SELECT w, array_to_string(list_transform(generate_series(1, length(w)),
+                                i -> substr(w, i, 1)), '{s}') AS sj
+      FROM wf)"""
+    )
+    for r in range(n_rounds):
+        parts.append(
+            f"""wt{r + 1} AS (
+      SELECT w, CASE WHEN instr(folded, '{m}') = 0 THEN folded ELSE {commit_sql} END AS sj
+      FROM (SELECT w, reduce(string_split(sj, '{s}'), (acc, x) -> {step_sql}) AS folded
+            FROM wt{r} CROSS JOIN best{r} b))"""
+        )
+    parts.append(
+        f"""vocab AS (
+      SELECT w, len(string_split(sj, '{s}')) AS n_tok FROM wt{n_rounds})"""
+    )
+    parts.append(
+        "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(LENGTH(d.w)) AS BIGINT) AS n_base_symbols,
+           CAST(SUM(COALESCE(v.n_tok, LENGTH(d.w))) AS BIGINT) AS n_tokens
+    FROM dw d LEFT JOIN vocab v ON v.w = d.w
+    GROUP BY d.doc_id"""
+    )
+
+
+def _bpe_fold_expr(src_col: str = "sj") -> str:
+    """The Spark merge-apply fold over a SEP-joined symbol string: seed
+    from the first symbol, step through the rest with the shared grammar,
+    commit the pending symbol in the finisher."""
+    s = _BPE_SEP
+    e = _bpe_exprs()
+    return (
+        f"aggregate(slice(split({src_col}, '{s}'), 2, size(split({src_col}, '{s}')) - 1),"
+        f" element_at(split({src_col}, '{s}'), 1),"
+        f" (acc, x) -> {e['step']},"
+        f" acc -> {e['commit']})"
+    )
+
+
+def _bpe_train_spark(spark: SparkSession, sf: str, n_rounds: int = 3):
+    """Spark BPE trainer shared by the training-report and tokenizer
+    queries: word-frequency table -> ``n_rounds`` greedy merge rounds.
+    Returns ``(wf, bests)`` where ``wf`` = (w, freq) distinct words and
+    ``bests`` = one 1-row DataFrame (l, r2, n) per round, in order.  Each
+    round is one vocabulary-sized pair count (map-side partial) + a
+    broadcast 1-row merge rule + a row-local fold; corpus text is never
+    re-scanned after round 0."""
+    s, m = _BPE_SEP, _BPE_MK
     words = (
         spread(t(spark, sf, "documents"), "doc_id")
         .select(F.explode(F.split("text", " ")).alias("w"))
@@ -982,8 +1041,8 @@ def bpe_train_3_merges(spark: SparkSession, sf: str):
         ).alias("sj"),
         "freq",
     )
-    results = []
-    for r in range(3):
+    bests = []
+    for r in range(n_rounds):
         pairs = j.select(
             F.explode(
                 F.expr(
@@ -996,31 +1055,85 @@ def bpe_train_3_merges(spark: SparkSession, sf: str):
         ).select("p.l", "p.r2", "freq")
         counts = pairs.groupBy("l", "r2").agg(F.sum("freq").cast("long").alias("n"))
         best = counts.orderBy(F.desc("n"), "l", "r2").limit(1)
-        results.append(
-            best.select(
-                F.lit(r + 1).alias("round"),
-                F.col("l").alias("left_sym"),
-                F.col("r2").alias("right_sym"),
-                F.concat("l", "r2").alias("merged"),
-                "n",
-            )
-        )
-        if r < 2:
+        bests.append(best)
+        if r + 1 < n_rounds:
             b = best.select(F.col("l").alias("ml"), F.col("r2").alias("mr"))
-            folded = j.crossJoin(F.broadcast(b)).select(
-                F.expr(
-                    f"aggregate(slice(split(sj, '{s}'), 2, size(split(sj, '{s}')) - 1),"
-                    f" element_at(split(sj, '{s}'), 1),"
-                    f" (acc, x) -> {e['step']},"
-                    f" acc -> {e['commit']})"
-                ).alias("sj"),
-                "freq",
+            j = j.crossJoin(F.broadcast(b)).select(
+                F.expr(_bpe_fold_expr("sj")).alias("sj"), "freq"
             )
-            j = folded
+    return wf, bests
+
+
+@register("bpe_train_3_merges", _bpe_oracle_sql(3))
+def bpe_train_3_merges(spark: SparkSession, sf: str):
+    """ITERATED BPE TOKENIZER TRAINING — three full merge rounds, each:
+    count adjacent symbol pairs over the word-frequency table (weighted
+    by word count, the classic vocabulary-sized optimization), pick the
+    argmax pair (ties lexical), and APPLY the merge corpus-wide with an
+    EXACT greedy left-to-right fold (chains merge correctly: 'aaaa'
+    under (a,a) becomes (aa)(aa)) — the fold's accumulator is a
+    marker-encoded string so the SAME expression grammar runs as a
+    Spark ``aggregate`` and a DuckDB ``reduce``, and every round's merge
+    rule + count hash-matches the unrolled oracle.  -> (round, left_sym,
+    right_sym, merged, n).  Scale notes in :func:`_bpe_train_spark`."""
+    _, bests = _bpe_train_spark(spark, sf, 3)
+    results = [
+        best.select(
+            F.lit(r + 1).alias("round"),
+            F.col("l").alias("left_sym"),
+            F.col("r2").alias("right_sym"),
+            F.concat("l", "r2").alias("merged"),
+            "n",
+        )
+        for r, best in enumerate(bests)
+    ]
     out = results[0]
     for df in results[1:]:
         out = out.unionAll(df)
     return out
+
+
+@register("corpus_bpe_tokenized", _bpe_tokenize_oracle_sql(3))
+def corpus_bpe_tokenized(spark: SparkSession, sf: str):
+    """APPLY the trained BPE tokenizer (round-6 verdict lead #5): the
+    three learned merges tokenize the corpus and every document reports
+    its word count, base symbol (character) count, and post-merge token
+    count — the tokenize-with-learned-merges step every training
+    pipeline actually runs after ``bpe_train_3_merges``, oracle-checked
+    token-for-token against a DuckDB unroll of the same merges.
+
+    Scale: the merge folds run once per DISTINCT WORD (vocabulary-sized,
+    sublinear in corpus — the same optimization as training), each merge
+    a broadcast 1-row rule; the corpus is then a word-keyed join of the
+    exploded documents against the (w -> n_tokens) vocabulary and one
+    per-doc sum.  Words outside the trained vocabulary (shorter than 2
+    chars) fall back to their character count on both engines."""
+    wf, bests = _bpe_train_spark(spark, sf, 3)
+    s = _BPE_SEP
+    wt = wf.select(
+        "w",
+        F.expr(
+            f"concat_ws('{s}', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+        ).alias("sj"),
+    )
+    for best in bests:
+        b = best.select(F.col("l").alias("ml"), F.col("r2").alias("mr"))
+        wt = wt.crossJoin(F.broadcast(b)).select(
+            "w", F.expr(_bpe_fold_expr("sj")).alias("sj")
+        )
+    vocab = wt.select("w", F.size(F.split("sj", s)).alias("n_tok"))
+    dw = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        dw.join(vocab, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_base_symbols"),
+            F.sum(F.coalesce("n_tok", F.length("w"))).cast("long").alias("n_tokens"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
