@@ -1213,41 +1213,26 @@ def events_scd2_value_band(spark: SparkSession, sf: str):
     warehouse-standard shape: each user's value-band attribute compressed
     into change runs (consecutive same-band events collapse), each run a
     versioned validity interval ``[valid_from, valid_to)`` with the open
-    current row flagged.  Gaps-and-islands via the change-flag prefix sum,
-    then LEAD for the interval close.  Scale: every window and the run
-    rollup partitions by user_id — ONE shuffle key end to end, frames are
-    row-bounded; no self-join reconstruction (the naive SCD2 build joins
-    the changelog to itself per attribute flip)."""
+    current row flagged.  Now delegates to the parameterized operators
+    (operators/scd.py): ``band_label`` with the original (5, 15)
+    thresholds as defaults — deployments tune the band edges without
+    touching the history logic — and ``scd2_history`` for the
+    gaps-and-islands compression (scale notes there: ONE shuffle key end
+    to end, no self-join reconstruction)."""
+    from byte_convert_avro_spark.operators.scd import band_label, scd2_history
+
     ev = _ev(spark, sf).select(
-        "user_id", "event_id", "ts_us",
-        F.when(F.col("value") < 5, "low")
-        .when(F.col("value") < 15, "mid")
-        .otherwise("high")
-        .alias("band"),
+        "user_id", "event_id", "ts_us", band_label("value").alias("band")
     )
-    wo = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = ev.withColumn(
-        "chg",
-        F.when(F.col("band") == F.lag("band").over(wo), F.lit(0)).otherwise(F.lit(1)),
-    )
-    runs = flagged.withColumn(
-        "run_id", F.sum("chg").over(wo.rowsBetween(W.unboundedPreceding, 0))
-    )
-    hist = runs.groupBy("user_id", "run_id").agg(
-        F.min("band").alias("band"),
-        F.min("ts_us").alias("valid_from_us"),
-        F.count("*").alias("n_events"),
-    )
-    wv = W.partitionBy("user_id").orderBy("run_id")
-    nxt = F.lead("valid_from_us").over(wv)
+    hist = scd2_history(ev, "user_id", "band", "ts_us", "event_id")
     return hist.select(
         "user_id",
-        F.col("run_id").cast("long").alias("version"),
+        "version",
         "band",
-        "valid_from_us",
-        nxt.alias("valid_to_us"),
-        F.col("n_events").cast("long").alias("n_events"),
-        nxt.isNull().cast("int").alias("is_current"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "n_events",
+        "is_current",
     )
 
 

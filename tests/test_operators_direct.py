@@ -889,3 +889,48 @@ def test_bpe_merge_fold_handles_chains(spark):
         ).collect()
     ]
     assert got == [f"aa{s}aa", f"a{s}b{s}a{s}b{s}c", "x"]
+
+
+# ---------------------------------------------------------------------------
+# operators/scd.py — parameterized band + SCD2 history
+
+
+def test_band_label_thresholds_parameterized(spark):
+    """Custom thresholds/labels produce the right piecewise bands;
+    mismatched lengths and non-ascending thresholds raise at plan time."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.scd import band_label
+
+    df = spark.createDataFrame([(v,) for v in [1.0, 9.0, 99.0, 1000.0]], "v double")
+    got = [r.b for r in df.select(band_label("v", (10, 100), ("s", "m", "l")).alias("b")).collect()]
+    assert got == ["s", "s", "m", "l"]
+    # default thresholds are the registry query's original values
+    got = [r.b for r in df.select(band_label("v").alias("b")).collect()]
+    assert got == ["low", "mid", "high", "high"]
+    with pytest.raises(ValueError, match="labels"):
+        band_label("v", (10,), ("a", "b", "c"))
+    with pytest.raises(ValueError, match="ascend"):
+        band_label("v", (100, 10), ("a", "b", "c"))
+
+
+def test_scd2_history_compresses_runs(spark):
+    """Consecutive equal attribute values collapse into one versioned
+    interval; valid_to chains to the next version's valid_from; the open
+    row is flagged current."""
+    from byte_convert_avro_spark.operators.scd import scd2_history
+
+    rows = [
+        ("u", 1, 10, "a"), ("u", 2, 20, "a"), ("u", 3, 30, "b"),
+        ("u", 4, 40, "b"), ("u", 5, 50, "a"),
+        ("v", 6, 15, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, ts long, attr string")
+    hist = {
+        (r.k, r.version): (r.attr, r.valid_from, r.valid_to, r.n_events, r.is_current)
+        for r in scd2_history(df, "k", "attr", "ts", "eid").collect()
+    }
+    assert hist[("u", 1)] == ("a", 10, 30, 2, 0)
+    assert hist[("u", 2)] == ("b", 30, 50, 2, 0)
+    assert hist[("u", 3)] == ("a", 50, None, 1, 1)
+    assert hist[("v", 1)] == ("x", 15, None, 1, 1)
