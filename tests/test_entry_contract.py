@@ -13,6 +13,7 @@ re-running all 92 here would double CI time for no new information).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
@@ -66,3 +67,22 @@ def test_driver_unsampled_queries_run_cold(spark, entry, name):
     df = qs[name](spark, SF_DIR)
     n = df.count()
     assert n >= 0 and len(df.columns) > 0
+
+
+def test_doc_counts_match_registry():
+    """SURVEY.md / README.md registry-count figures must match the live
+    registry (tools/sync_counts.py --check wired into the suite — the
+    counts drifted twice mid-round-6 before manual syncs).  Fix a failure
+    with: python tools/sync_counts.py"""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "sync_counts.py"), "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, (
+        f"doc counts stale — run `python tools/sync_counts.py`\n{proc.stdout}"
+    )
