@@ -1016,14 +1016,31 @@ def _bpe_fold_expr(src_col: str = "sj") -> str:
     )
 
 
+def _rule_df(spark: SparkSession, rule: tuple[str, str, int]):
+    """1-row (ml, mr) merge-rule frame from a collected rule — built via
+    createDataFrame rather than string-spliced literals so arbitrary
+    symbol text (quotes, backslashes) never needs SQL escaping."""
+    return spark.createDataFrame([(rule[0], rule[1])], "ml string, mr string")
+
+
 def _bpe_train_spark(spark: SparkSession, sf: str, n_rounds: int = 3):
     """Spark BPE trainer shared by the training-report and tokenizer
     queries: word-frequency table -> ``n_rounds`` greedy merge rounds.
-    Returns ``(wf, bests)`` where ``wf`` = (w, freq) distinct words and
-    ``bests`` = one 1-row DataFrame (l, r2, n) per round, in order.  Each
-    round is one vocabulary-sized pair count (map-side partial) + a
-    broadcast 1-row merge rule + a row-local fold; corpus text is never
-    re-scanned after round 0."""
+    Returns ``(wf, rules)`` where ``wf`` = (w, freq) distinct words
+    (localCheckpoint'd) and ``rules`` = one collected ``(l, r2, n)``
+    tuple per round, in order.
+
+    Iterative-job discipline (the kmeans/connected-components shape —
+    one small driver collect per round): the word-frequency table is
+    localCheckpoint'd ONCE so the corpus scan leaves the lineage, and
+    each round's single merge rule is collected (3 values) and re-enters
+    the plan as a broadcast 1-row frame.  Without this the lazy tree
+    replicates the whole upstream per branch — measured 8 full document
+    re-scans across the train+tokenize pipeline, and the old "never
+    re-scanned after round 0" claim was only true per ACTION, not per
+    plan branch.  Each round is one vocabulary-sized pair count
+    (map-side partial) + a row-local fold; the per-round checkpoint
+    keeps the symbol table vocab-sized."""
     s, m = _BPE_SEP, _BPE_MK
     words = (
         spread(t(spark, sf, "documents"), "doc_id")
@@ -1034,14 +1051,14 @@ def _bpe_train_spark(spark: SparkSession, sf: str, n_rounds: int = 3):
             & (F.instr("w", m) == 0)
         )
     )
-    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    wf = words.groupBy("w").agg(F.count("*").alias("freq")).localCheckpoint()
     j = wf.select(
         F.expr(
             f"concat_ws('{s}', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
         ).alias("sj"),
         "freq",
     )
-    bests = []
+    rules: list[tuple[str, str, int]] = []
     for r in range(n_rounds):
         pairs = j.select(
             F.explode(
@@ -1054,14 +1071,15 @@ def _bpe_train_spark(spark: SparkSession, sf: str, n_rounds: int = 3):
             "freq",
         ).select("p.l", "p.r2", "freq")
         counts = pairs.groupBy("l", "r2").agg(F.sum("freq").cast("long").alias("n"))
-        best = counts.orderBy(F.desc("n"), "l", "r2").limit(1)
-        bests.append(best)
+        row = counts.orderBy(F.desc("n"), "l", "r2").limit(1).collect()[0]
+        rules.append((row.l, row.r2, int(row.n)))
         if r + 1 < n_rounds:
-            b = best.select(F.col("l").alias("ml"), F.col("r2").alias("mr"))
-            j = j.crossJoin(F.broadcast(b)).select(
-                F.expr(_bpe_fold_expr("sj")).alias("sj"), "freq"
+            j = (
+                j.crossJoin(F.broadcast(_rule_df(spark, rules[-1])))
+                .select(F.expr(_bpe_fold_expr("sj")).alias("sj"), "freq")
+                .localCheckpoint()
             )
-    return wf, bests
+    return wf, rules
 
 
 @register("bpe_train_3_merges", _bpe_oracle_sql(3))
@@ -1076,21 +1094,14 @@ def bpe_train_3_merges(spark: SparkSession, sf: str):
     Spark ``aggregate`` and a DuckDB ``reduce``, and every round's merge
     rule + count hash-matches the unrolled oracle.  -> (round, left_sym,
     right_sym, merged, n).  Scale notes in :func:`_bpe_train_spark`."""
-    _, bests = _bpe_train_spark(spark, sf, 3)
-    results = [
-        best.select(
-            F.lit(r + 1).alias("round"),
-            F.col("l").alias("left_sym"),
-            F.col("r2").alias("right_sym"),
-            F.concat("l", "r2").alias("merged"),
-            "n",
-        )
-        for r, best in enumerate(bests)
-    ]
-    out = results[0]
-    for df in results[1:]:
-        out = out.unionAll(df)
-    return out
+    _, rules = _bpe_train_spark(spark, sf, 3)
+    return spark.createDataFrame(
+        [
+            (r + 1, l, r2, l + r2, n)
+            for r, (l, r2, n) in enumerate(rules)
+        ],
+        "round int, left_sym string, right_sym string, merged string, n long",
+    )
 
 
 @register("corpus_bpe_tokenized", _bpe_tokenize_oracle_sql(3))
@@ -1108,7 +1119,7 @@ def corpus_bpe_tokenized(spark: SparkSession, sf: str):
     exploded documents against the (w -> n_tokens) vocabulary and one
     per-doc sum.  Words outside the trained vocabulary (shorter than 2
     chars) fall back to their character count on both engines."""
-    wf, bests = _bpe_train_spark(spark, sf, 3)
+    wf, rules = _bpe_train_spark(spark, sf, 3)
     s = _BPE_SEP
     wt = wf.select(
         "w",
@@ -1116,9 +1127,8 @@ def corpus_bpe_tokenized(spark: SparkSession, sf: str):
             f"concat_ws('{s}', transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
         ).alias("sj"),
     )
-    for best in bests:
-        b = best.select(F.col("l").alias("ml"), F.col("r2").alias("mr"))
-        wt = wt.crossJoin(F.broadcast(b)).select(
+    for rule in rules:
+        wt = wt.crossJoin(F.broadcast(_rule_df(spark, rule))).select(
             "w", F.expr(_bpe_fold_expr("sj")).alias("sj")
         )
     vocab = wt.select("w", F.size(F.split("sj", s)).alias("n_tok"))

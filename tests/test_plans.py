@@ -375,3 +375,53 @@ def test_link_prediction_uses_adjacency_intersection(spark, sf_dir):
     plan = explain_str(df)
     assert "array_intersect" in plan
     assert "sort_array" in plan
+
+
+def test_bounded_ordered_agg_two_level_fold_shape(spark, sf_dir):
+    """The round-7 scale fix must actually plan as TWO bounded
+    aggregation levels: a (dim, chunk)-keyed exchange whose collect_list
+    arrays are chunk-bounded, then a (dim)-keyed exchange of chunk sums —
+    plus only the spread() repartition.  A regression to the flat
+    one-level fold (unbounded per-group arrays) loses the __chunk
+    grouping and an exchange."""
+    df = Q["embedding_dim_stats"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "__chunk" in plan, "chunked two-level fold disappeared from the plan"
+    assert 2 <= count_exchanges(df) <= 3
+
+
+def test_interval_overlap_self_join_is_equi_keyed(spark, sf_dir):
+    """The order-interval overlap self-join must ride its non-equi
+    overlap predicates as residuals on a customer-keyed EQUI join (shuffle
+    key uniform, per-task work bounded by a customer's order count) —
+    never a nested-loop or cartesian plan."""
+    df = Q["customer_order_interval_overlaps"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in joins and "CartesianProduct" not in joins
+    assert any(j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for j in joins)
+
+
+def test_qualify_and_lateral_stay_on_aggregated_rows(spark, sf_dir):
+    """QUALIFY-style and LATERAL-style top-k must window over
+    PRE-AGGREGATED / dimension-joined rows with broadcast dims: bounded
+    exchanges (spend agg + window / window only), no shuffled dim join."""
+    q = Q["qualify_top_spender_per_nation"](spark, sf_dir)
+    assert join_strategies(q).count("BroadcastHashJoin") >= 2
+    assert count_exchanges(q) <= 2
+    lat = Q["lateral_top3_suppliers_per_region"](spark, sf_dir)
+    assert join_strategies(lat).count("BroadcastHashJoin") >= 2
+    assert count_exchanges(lat) <= 1
+
+
+def test_bpe_pipeline_bounded_exchanges_after_checkpoint(spark, sf_dir):
+    """The BPE train+tokenize pipeline collects each round's 1-row merge
+    rule and localCheckpoints the vocab (iterative-job discipline), so
+    the FINAL tokenize plan must not replicate the corpus scan per lazy
+    branch: bounded exchanges (vocab join + doc rollup + spread), merge
+    rules applied as broadcast cross joins."""
+    df = Q["corpus_bpe_tokenized"](spark, sf_dir)
+    assert count_exchanges(df) <= 4
+    joins = join_strategies(df)
+    # 3 broadcast 1-row rule applications + the word-keyed vocab join
+    assert joins.count("BroadcastNestedLoopJoin") == 3
+    assert any(j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for j in joins)
