@@ -86,3 +86,38 @@ def salted_collect_set(
     return stage1.groupBy(*keys).agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("_part")))).alias(out)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Manual skew-join mitigation: salt the BIG side with a uniform
+    ``[0, n_salts)`` value and REPLICATE every small-side row once per
+    salt, then equi-join on ``(key, salt)`` — a hot key's rows spread
+    across ``n_salts`` reducers instead of melting one task.  Result is
+    row-for-row identical to ``big.join(small, key)`` (inner).
+
+    When to use: AQE's skew-join splitting (on by default in
+    session.py) handles most cases at runtime by splitting oversized
+    partitions — use THIS form when AQE can't see the skew (skew appears
+    after a preceding stage's filters), when the join must avoid AQE
+    (deterministic stage boundaries), or when one reducer's key is so
+    hot that even a split partition's fetch saturates.  Cost: the small
+    side shuffles ``n_salts``x its size — keep it dimension-sized, or
+    pre-split so only the HOT KEYS take this path and the cold majority
+    joins normally.
+
+    The salt derives from xxhash64 of the big side's full row (content-
+    stable, no RNG) — reruns produce identical partition assignment."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return b.join(s, [key, "_salt"]).drop("_salt")

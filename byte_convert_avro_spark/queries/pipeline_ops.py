@@ -13,7 +13,7 @@ from byte_convert_avro_spark.operators import dedup as D
 from byte_convert_avro_spark.operators import multimodal as M
 from byte_convert_avro_spark.operators import similarity as S
 from byte_convert_avro_spark.operators import text as X
-from byte_convert_avro_spark.queries.base import hash_bucket, register, spread, t
+from byte_convert_avro_spark.queries.base import cents, hash_bucket, register, spread, t
 
 _HEXPOS = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
@@ -2446,4 +2446,40 @@ def copurchase_degree_histogram(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n_nodes"),
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "skew_salted_join_brand_revenue",
+    """
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY p_brand
+    """,
+)
+def skew_salted_join_brand_revenue(spark: SparkSession, sf: str):
+    """SALTED JOIN under the oracle gate: lineitem joins part through
+    operators/skew.salted_join (big side salted by content hash, small
+    side replicated per salt, equi-join on (key, salt)) and the brand
+    revenue rollup must equal the ORACLE'S PLAIN JOIN exactly — proving
+    the mitigation is a pure physical rewrite with zero semantic drift,
+    the companion to skew_salted_user_totals' salted aggregation.  Use
+    when a hot key melts one reducer and AQE can't see or split it
+    (docstring in operators/skew.py).  Scale: the shuffle key becomes
+    (partkey, salt) — a hot part spreads across n_salts reducers; the
+    replicated side stays dimension-sized x n_salts."""
+    from byte_convert_avro_spark.operators.skew import salted_join
+
+    l = t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("k"), cents("l_extendedprice").alias("price_c")
+    )
+    p = t(spark, sf, "part").select(F.col("p_partkey").alias("k"), "p_brand")
+    joined = salted_join(l, p, "k", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("price_c").cast("long").alias("revenue_c"),
     )

@@ -295,3 +295,239 @@ def customer_order_interval_overlaps(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n_overlapping_pairs"),
         F.max(overlap).cast("long").alias("max_overlap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "order_price_percentile_cont",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS price_c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(ROUND(o_totalprice*100,0) AS BIGINT),
+                                         o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ), picks AS (
+      SELECT o_orderpriority, n,
+             MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN price_c END) AS p50_lo,
+             MAX(CASE WHEN rn = (n - 1) // 2 + 1 + (CASE WHEN (n - 1) % 2 = 1 THEN 1 ELSE 0 END)
+                      THEN price_c END) AS p50_hi,
+             MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN price_c END) AS p90_lo,
+             MAX(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 + (CASE WHEN ((n - 1) * 9) % 10 > 0 THEN 1 ELSE 0 END)
+                      THEN price_c END) AS p90_hi
+      FROM c GROUP BY o_orderpriority, n
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(p50_lo * 2 + (p50_hi - p50_lo) * ((n - 1) % 2) AS DOUBLE) / 200.0
+             AS p50_price,
+           CAST(p90_lo * 10 + (p90_hi - p90_lo) * (((n - 1) * 9) % 10) AS DOUBLE) / 1000.0
+             AS p90_price
+    FROM picks
+    """,
+)
+def order_price_percentile_cont(spark: SparkSession, sf: str):
+    """INTERPOLATED percentiles (percentile_cont semantics) computed with
+    EXACT integer arithmetic on both engines: p50/p90 of order price per
+    priority as ``lo + (hi - lo) * frac`` where the rank positions and the
+    fractional part are integer-derived (halves for p50, tenths for p90)
+    — so the one float division at the end is bit-identical cross-engine,
+    where each engine's native percentile_cont would round differently.
+    Scale: one window rank per priority partition + a rank-selection
+    aggregation; no full sort beyond the per-partition window."""
+    o = t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(cents("o_totalprice"), "o_orderkey")
+    wn = W.partitionBy("o_orderpriority")
+    c = o.select(
+        "o_orderpriority",
+        cents("o_totalprice").alias("price_c"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    n1 = F.col("n") - 1
+    p50_lo_rn = F.floor(n1 / 2) + 1
+    p50_has_hi = (n1 % 2 == 1).cast("long")
+    p90_lo_rn = F.floor(n1 * 9 / 10) + 1
+    p90_has_hi = ((n1 * 9) % 10 > 0).cast("long")
+    picks = c.groupBy("o_orderpriority", "n").agg(
+        F.max(F.when(F.col("rn") == p50_lo_rn, F.col("price_c"))).alias("p50_lo"),
+        F.max(
+            F.when(F.col("rn") == p50_lo_rn + p50_has_hi, F.col("price_c"))
+        ).alias("p50_hi"),
+        F.max(F.when(F.col("rn") == p90_lo_rn, F.col("price_c"))).alias("p90_lo"),
+        F.max(
+            F.when(F.col("rn") == p90_lo_rn + p90_has_hi, F.col("price_c"))
+        ).alias("p90_hi"),
+    )
+    n1p = F.col("n") - 1
+    return picks.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        (
+            (
+                F.col("p50_lo") * 2
+                + (F.col("p50_hi") - F.col("p50_lo")) * (n1p % 2)
+            ).cast("double")
+            / 200.0
+        ).alias("p50_price"),
+        (
+            (
+                F.col("p90_lo") * 10
+                + (F.col("p90_hi") - F.col("p90_lo")) * ((n1p * 9) % 10)
+            ).cast("double")
+            / 1000.0
+        ).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "brand_top_parts_with_ties",
+    """
+    SELECT p_brand, p_partkey, p_name, p_retailprice, price_rank
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC) AS price_rank
+      FROM part)
+    WHERE price_rank <= 2
+    """,
+)
+def brand_top_parts_with_ties(spark: SparkSession, sf: str):
+    """TOP-K WITH TIES — RANK() semantics instead of row_number: every
+    part tied at the 2 highest retail prices of its brand is kept, so the
+    result is a deterministic SET (no arbitrary tie-break needed — the
+    shape row_number cannot express without dropping tied rows).  Scale:
+    one window over the part table partitioned by brand; no join."""
+    p = t(spark, sf, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.withColumn("price_rank", F.rank().over(w))
+        .filter(F.col("price_rank") <= 2)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "price_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_burst_sessions",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    ), flagged AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CASE WHEN prev_d IS NULL
+                       OR date_diff('day', prev_d, o_orderdate) > 30
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM seq
+    ), runs AS (
+      SELECT o_custkey, o_orderdate,
+             SUM(new_burst) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM flagged
+    ), bursts AS (
+      SELECT o_custkey, burst_id, COUNT(*) AS n_orders,
+             date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS span_days
+      FROM runs GROUP BY o_custkey, burst_id
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_bursts,
+           CAST(MAX(n_orders) AS BIGINT) AS max_burst_orders,
+           CAST(MAX(span_days) AS BIGINT) AS max_burst_span_days
+    FROM bursts GROUP BY o_custkey
+    """,
+)
+def orders_burst_sessions(spark: SparkSession, sf: str):
+    """ORDER-BURST SESSIONIZATION on the relational side: consecutive
+    orders of a customer within 30 days chain into one burst
+    (gaps-and-islands — the events_sessionization idiom applied to
+    transactional data), reported per customer as burst count, biggest
+    burst, and longest burst span.  Integer-day gap test, so the burst
+    boundaries are exact on both engines.  Scale: both windows and both
+    rollups share the o_custkey shuffle key — ONE exchange end to end."""
+    o = t(spark, sf, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.lag("o_orderdate").over(wo).alias("prev_d"),
+    )
+    flagged = seq.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.when(
+            F.col("prev_d").isNull()
+            | (F.datediff("o_orderdate", "prev_d") > 30),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_burst"),
+    )
+    runs = flagged.withColumn(
+        "burst_id",
+        F.sum("new_burst").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    bursts = runs.groupBy("o_custkey", "burst_id").agg(
+        F.count("*").alias("n_orders"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span_days"),
+    )
+    return bursts.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").cast("long").alias("n_bursts"),
+        F.max("n_orders").cast("long").alias("max_burst_orders"),
+        F.max("span_days").cast("long").alias("max_burst_span_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "suppliers_covering_all_small_sizes",
+    """
+    WITH small AS (
+      SELECT p_partkey, p_size FROM part WHERE p_size <= 5
+    ), want AS (
+      SELECT COUNT(DISTINCT p_size) AS n_sizes FROM small
+    ), supplied AS (
+      SELECT DISTINCT l_suppkey, p_size
+      FROM lineitem JOIN small ON p_partkey = l_partkey
+    ), cover AS (
+      SELECT l_suppkey, COUNT(*) AS n_covered
+      FROM supplied GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(n_covered AS BIGINT) AS n_sizes_covered
+    FROM cover JOIN supplier ON s_suppkey = l_suppkey
+    CROSS JOIN want
+    WHERE n_covered = n_sizes
+    """,
+)
+def suppliers_covering_all_small_sizes(spark: SparkSession, sf: str):
+    """RELATIONAL DIVISION ("for all"): suppliers that have shipped
+    small parts (size <= 5) in EVERY size that exists in that range —
+    the classic division-as-count-equality rewrite (distinct covered
+    sizes == total distinct sizes) instead of the naive
+    double-NOT-EXISTS, which plans as nested correlated anti-joins.
+    Scale: the small-part dim filters then broadcasts into lineitem, the
+    distinct and count both key on the supplier, and the universe size
+    is ONE broadcast scalar."""
+    p = t(spark, sf, "part")
+    small = p.filter(F.col("p_size") <= 5).select("p_partkey", "p_size")
+    want = small.agg(F.count_distinct("p_size").alias("n_sizes"))
+    l = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    supplied = (
+        l.join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_suppkey", "p_size")
+        .distinct()
+    )
+    cover = supplied.groupBy("l_suppkey").agg(F.count("*").alias("n_covered"))
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        cover.crossJoin(F.broadcast(want))
+        .filter(F.col("n_covered") == F.col("n_sizes"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("n_covered").cast("long").alias("n_sizes_covered")
+        )
+    )

@@ -243,3 +243,30 @@ def test_jsonl_record_source_roundtrip_and_decode(spark, tmp_path):
         q.stop()
     got = sorted(bytes(r.value).decode() for r in spark.table("jsonl_src_test").collect())
     assert got == out_orig
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is a pure physical rewrite: inner-join rows identical
+    to the plain join under any n_salts (incl. the degenerate 1); bad
+    n_salts raises."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 5, f"v{i}") for i in range(200)], "k int, payload string"
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(4)], "k int, label string"
+    )
+    want = sorted(
+        (r.k, r.payload, r.label) for r in big.join(small, "k").collect()
+    )
+    for n in (1, 8):
+        got = sorted(
+            (r.k, r.payload, r.label)
+            for r in salted_join(big, small, "k", n_salts=n).collect()
+        )
+        assert got == want, n
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(big, small, "k", n_salts=0)
