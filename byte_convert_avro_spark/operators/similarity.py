@@ -21,6 +21,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -355,4 +357,83 @@ def sign_lsh_banded_candidates(
         )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def pca_power_top_component(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 3,
+    fold_chunk: int = 128,
+) -> DataFrame:
+    """Deterministic MATRIX-FREE power iteration for the TOP PRINCIPAL
+    COMPONENT of the (mean-centered) embedding corpus — the dimension-
+    reduction / index-rotation primitive next to the kmeans trainers.
+    -> (dim 1..64, loading): the unit-norm direction after exactly
+    ``n_iter`` iterations from the fixed start ``v0 = 1/8`` (unit norm
+    over 64 dims).
+
+    Never materializes the 64x64 covariance: each round computes
+    ``s_n = (x_n - mu) . v`` row-locally (a 64-element fold, bounded by
+    construction) and then ``y_j = sum_n (x_nj - mu_j) * s_n`` with the
+    BOUNDED two-level ordered fold (functions.bounded_ordered_agg,
+    chunk=``fold_chunk``) — so per-round cost is one |corpus| x 64
+    explode + one (dim, chunk)-keyed shuffle, the same shape at any
+    corpus size.  The centering means come from the same bounded fold.
+
+    Iterative-job discipline (kmeans/CC/BPE): one 64-value driver
+    collect per round; the normalization (sum of squares in dim order,
+    correctly-rounded sqrt, one IEEE division per dim) runs driver-side
+    with the exact float semantics the DuckDB oracle spells, so every
+    loading is bit-identical cross-engine.  Convergence after 3 rounds
+    is approximate BY DESIGN (fixed budget, exact job count) — callers
+    wanting tighter convergence raise ``n_iter``; determinism is
+    unaffected."""
+    from byte_convert_avro_spark.functions import bounded_ordered_agg
+
+    dim_n = len(corpus.select(vec_col).first()[0])
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    dims0 = e.select("id", F.posexplode("e").alias("dim0", "x")).select(
+        "id", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    mu_rows = (
+        bounded_ordered_agg(dims0, ["dim"], "id", "x", chunk=fold_chunk)
+        .select("dim", (F.col("osum") / F.col("ocnt")).alias("m"))
+        .collect()
+    )
+    mu = [m for _, m in sorted((int(r.dim), float(r.m)) for r in mu_rows)]
+    v = [1.0 / 8.0] * dim_n
+
+    for _ in range(n_iter):
+        mulit = F.array(*[F.lit(x) for x in mu])
+        vlit = F.array(*[F.lit(x) for x in v])
+        centered = F.zip_with("e", mulit, lambda x, m: x - m)
+        s = F.aggregate(
+            F.zip_with(centered, vlit, lambda x, w: x * w),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        rows = e.select("id", centered.alias("c"), s.alias("s"))
+        prods = rows.select(
+            "id", F.posexplode("c").alias("dim0", "xc"), "s"
+        ).select(
+            (F.col("dim0") + 1).alias("dim"), "id", (F.col("xc") * F.col("s")).alias("p")
+        )
+        y_rows = (
+            bounded_ordered_agg(prods, ["dim"], "id", "p", chunk=fold_chunk)
+            .select("dim", "osum")
+            .collect()
+        )
+        y = [val for _, val in sorted((int(r.dim), float(r.osum)) for r in y_rows)]
+        total = 0.0
+        for yj in y:  # dim order — matches list_reduce(list(y*y ORDER BY dim))
+            total += yj * yj
+        nrm = math.sqrt(total)
+        v = [yj / nrm for yj in y]
+
+    return corpus.sparkSession.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim_n)], "dim int, loading double"
     )

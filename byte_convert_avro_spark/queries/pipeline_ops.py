@@ -2483,3 +2483,80 @@ def skew_salted_join_brand_revenue(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n_lines"),
         F.sum("price_c").cast("long").alias("revenue_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+def _pca_sql(n_iter: int = 3, chunk: int = 128) -> str:
+    """DuckDB twin of operators/similarity.pca_power_top_component,
+    unrolled round by round: chunked two-level mean, then per round a
+    row-local centered dot with the current direction, a chunked
+    two-level fold of per-dim products, and a dim-ordered normalization
+    — the same fixed-order IEEE arithmetic the operator runs (its driver-
+    side norm/divide included), so every loading is bit-identical."""
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "dd AS (SELECT unnest(generate_series(1, 64)) AS dim)",
+        f"""mch AS (
+      SELECT dd.dim, v.vec_id // {chunk} AS chk,
+             list_reduce(list(v.e[dd.dim] ORDER BY v.vec_id), (a, b) -> a + b) AS csum,
+             COUNT(*) AS cnt
+      FROM v CROSS JOIN dd GROUP BY dd.dim, chk)""",
+        """mud AS (
+      SELECT dim, list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) / SUM(cnt) AS m
+      FROM mch GROUP BY dim)""",
+        "muv AS (SELECT list(m ORDER BY dim) AS mu FROM mud)",
+        """vr0 AS (SELECT list_transform(generate_series(1, 64),
+                          i -> CAST(1.0 AS DOUBLE) / 8) AS vr)""",
+    ]
+    for r in range(n_iter):
+        parts.append(
+            f"""s{r} AS (
+      SELECT v.vec_id, v.e,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - muv.mu[i]) * vr{r}.vr[i]),
+                         (a, b) -> a + b) AS s
+      FROM v CROSS JOIN muv CROSS JOIN vr{r})"""
+        )
+        parts.append(
+            f"""ych{r} AS (
+      SELECT dd.dim, s.vec_id // {chunk} AS chk,
+             list_reduce(list((s.e[dd.dim] - muv.mu[dd.dim]) * s.s
+                              ORDER BY s.vec_id), (a, b) -> a + b) AS csum
+      FROM s{r} s CROSS JOIN dd CROSS JOIN muv
+      GROUP BY dd.dim, chk)"""
+        )
+        parts.append(
+            f"""y{r} AS (
+      SELECT dim, list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) AS y
+      FROM ych{r} GROUP BY dim)"""
+        )
+        parts.append(
+            f"n{r} AS (SELECT sqrt(list_reduce(list(y * y ORDER BY dim), (a, b) -> a + b)) AS nrm FROM y{r})"
+        )
+        parts.append(
+            f"vr{r + 1} AS (SELECT list(y / n{r}.nrm ORDER BY dim) AS vr FROM y{r} CROSS JOIN n{r})"
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "pca_power_top_component",
+    f"""
+    WITH {_pca_sql(3, 128)}
+    SELECT CAST(dd.dim AS INT) AS dim, vr3.vr[dd.dim] AS loading
+    FROM vr3 CROSS JOIN dd
+    """,
+)
+def pca_power_top_component(spark: SparkSession, sf: str):
+    """TOP PRINCIPAL COMPONENT of the embedding corpus by deterministic
+    matrix-free power iteration (3 fixed rounds from v0 = 1/8) — the
+    dimension-reduction primitive completing the learned-index family
+    (kmeans trainers, IVF, sign-LSH), oracle-checked BIT-FOR-BIT against
+    a DuckDB unroll of the same rounds.  Never materializes the 64x64
+    covariance: per round one row-local centered dot + one
+    (dim, chunk)-keyed bounded two-level fold (the round-7
+    bounded_ordered_agg primitive doing real work), one 64-value driver
+    collect — |corpus| x 64 shuffled rows per round at ANY corpus size.
+    operators/similarity.pca_power_top_component."""
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    return S.pca_power_top_component(emb, "embedding", "vec_id", n_iter=3, fold_chunk=128)

@@ -934,3 +934,37 @@ def test_scd2_history_compresses_runs(spark):
     assert hist[("u", 2)] == ("b", 30, 50, 2, 0)
     assert hist[("u", 3)] == ("a", 50, None, 1, 1)
     assert hist[("v", 1)] == ("x", 15, None, 1, 1)
+
+
+def test_pca_power_recovers_dominant_direction(spark):
+    """On an anisotropic synthetic corpus (variance concentrated along a
+    known axis pair), 5 power-iteration rounds align the learned loading
+    with the true direction (|cos| > 0.99), and two runs are
+    bit-identical (no RNG anywhere)."""
+    import math
+
+    from byte_convert_avro_spark.operators.similarity import pca_power_top_component
+
+    # dominant direction ∝ (3, 4)/5 in dims 1-2, noise in dims 3-4
+    rows = []
+    for i in range(60):
+        a = (i % 7) - 3.0  # strong signal coordinate
+        n1 = ((i * 13) % 5 - 2) * 0.01
+        n2 = ((i * 29) % 5 - 2) * 0.01
+        rows.append((i, [a * 3.0 / 5.0, a * 4.0 / 5.0, n1, n2]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    runs = []
+    for _ in range(2):
+        got = {
+            r.dim: r.loading
+            for r in pca_power_top_component(
+                df, "embedding", "vec_id", n_iter=5, fold_chunk=16
+            ).collect()
+        }
+        runs.append(got)
+    assert runs[0] == runs[1]
+    v = [runs[0][d] for d in sorted(runs[0])]
+    true_dir = [3.0 / 5.0, 4.0 / 5.0, 0.0, 0.0]
+    cos = sum(a * b for a, b in zip(v, true_dir))
+    nrm = math.sqrt(sum(x * x for x in v))
+    assert abs(cos / nrm) > 0.99, v
