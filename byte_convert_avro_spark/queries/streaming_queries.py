@@ -750,3 +750,132 @@ def streaming_append_closed_windows(spark: SparkSession, sf: str):
     finally:
         q.stop()
     return agg.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_left_outer_view_purchase",
+    """
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_ts_us
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user,
+             epoch_us(ts) AS purchase_ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.view_id, v.user_id, v.view_ts_us,
+           p.purchase_id, p.purchase_ts_us,
+           p.purchase_ts_us - v.view_ts_us AS gap_us
+    FROM v LEFT JOIN p
+      ON p.p_user = v.user_id
+     AND p.purchase_ts_us >= v.view_ts_us
+     AND p.purchase_ts_us - v.view_ts_us <= 1800000000
+    """,
+)
+def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
+    """LEFT OUTER stream-stream join — the semantics the inner join
+    (streaming_view_purchase_join) cannot express: every view emits,
+    matched views with their <=30min purchases, UNMATCHED views with
+    nulls — but an outer row may only emit once the watermark PROVES no
+    match can still arrive, so this query exercises the state-eviction
+    contract itself.  Harness: each side streams as 3 ordered files
+    (real data, then two far-future flush sentinels on user -1) with a
+    1-minute watermark delay, so the sentinels drive the watermark past
+    every real view's match window and the buffered unmatched views
+    flush before the drain ends; sentinels filter out post-join.  The
+    finite-input result must equal the batch LEFT JOIN exactly.
+
+    Scale notes: equality key (user_id) is the shuffle/state key; the
+    event-time range bounds both sides' buffered state to the window +
+    delay, and outer emission is precisely the eviction moment — state
+    cannot grow past watermark horizon BY CONSTRUCTION."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = events_ts_to_ns(t(spark, sf, "events"))
+    shaped = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_type",
+    )
+    max_us = shaped.agg(F.max("ts_us")).collect()[0][0]
+    day_us = 86_400_000_000
+    # three flush batches: watermark updates from batch N's max event time
+    # apply to batch N+1, and outer-row eviction lags one more batch — the
+    # third sentinel guarantees a batch that RUNS with the watermark
+    # already past every real view's match window
+    sent = [
+        (-1, -1, max_us + 60 * day_us),
+        (-2, -1, max_us + 120 * day_us),
+        (-3, -1, max_us + 180 * day_us),
+    ]
+
+    def write_side(etype: str) -> str:
+        d = tempfile.mkdtemp(prefix=f"lo_{etype}_")
+        side = shaped.filter(F.col("event_type") == etype).select(
+            "event_id", "user_id", "ts_us"
+        )
+        frames = [side] + [
+            spark.createDataFrame([s], "event_id long, user_id long, ts_us long")
+            for s in sent
+        ]
+        for i, fr in enumerate(frames):
+            tmp = os.path.join(d, "_w")
+            fr.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        return d
+
+    dv = write_side("view")
+    dp = write_side("purchase")
+    try:
+        def read_side(d: str, prefix: str):
+            return (
+                spark.readStream.schema("event_id long, user_id long, ts_us long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts_us").alias(f"{prefix}_ts_us"),
+                    F.timestamp_micros("ts_us").alias(f"{prefix}_time"),
+                )
+                .withWatermark(f"{prefix}_time", "1 minute")
+            )
+
+        views = read_side(dv, "v")
+        purch = read_side(dp, "p")
+        j = views.join(
+            purch,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_time") >= F.col("v_time"))
+            & (F.col("p_time") <= F.col("v_time") + F.expr("INTERVAL 30 MINUTES")),
+            "leftOuter",
+        ).select(
+            F.col("v_id").alias("view_id"),
+            F.col("v_user").alias("user_id"),
+            F.col("v_ts_us").alias("view_ts_us"),
+            F.col("p_id").alias("purchase_id"),
+            F.col("p_ts_us").alias("purchase_ts_us"),
+            (F.col("p_ts_us") - F.col("v_ts_us")).alias("gap_us"),
+        )
+        # sentinels filter out AFTER the drain, on the BATCH table: a
+        # left-column filter inside the streaming plan gets pushed below
+        # the views-side EventTimeWatermark, which would drop the flush
+        # sentinels before they can advance the watermark — leaving the
+        # final match-window's unmatched views buffered forever
+        from byte_convert_avro_spark.streaming import run_stream_to_memory
+
+        q, name = run_stream_to_memory(j, output_mode="append")
+        q.stop()
+        return spark.table(name).filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(dv, ignore_errors=True)
+        shutil.rmtree(dp, ignore_errors=True)
