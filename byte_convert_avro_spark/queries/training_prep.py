@@ -392,3 +392,115 @@ def training_manifest_final(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_bigram_familiarity",
+    """
+    WITH words AS (
+      SELECT doc_id, i, w[i] AS a, w[i + 1] AS b
+      FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                   unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+            FROM documents)
+    ), bg AS (
+      SELECT doc_id, a || ' ' || b AS bigram FROM words
+    ), corpus AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c.n) AS BIGINT) AS familiarity_sum,
+           CAST(SUM(c.n) AS DOUBLE) / COUNT(*) AS familiarity_avg
+    FROM bg JOIN corpus c ON c.bigram = bg.bigram
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_bigram_familiarity(spark: SparkSession, sf: str):
+    """LANGUAGE-MODEL-PROXY scoring with EXACT integer arithmetic: each
+    document's bigram occurrences scored by their corpus-wide frequency
+    (familiarity_sum / n_bigrams) — the quality-filter signal behind
+    "is this text formulaic boilerplate or novel prose" that real
+    pipelines compute with an n-gram LM; integer corpus counts replace
+    log-probs so the score is bit-identical cross-engine (libm log is
+    not).  High avg = near-duplicate/templated text, low = rare
+    constructions.  Scale: one explode to |corpus bigram occurrences|,
+    corpus counts partial-aggregate map-side on the bigram (the same
+    shuffle key the scoring join reuses), per-doc rollup on doc_id."""
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    words = d.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ).alias("bgs"),
+    )
+    bg = words.select("doc_id", F.explode("bgs").alias("bigram"))
+    corpus = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("n"))
+    return (
+        bg.join(corpus, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("n").cast("long").alias("familiarity_sum"),
+            (F.sum("n").cast("double") / F.count("*")).alias("familiarity_avg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "leakage_safe_split_by_content",
+    """
+    WITH assigned AS (
+      SELECT doc_id, md5(text) AS ch,
+             CASE ('0x' || substr(md5(md5(text) || ':split'), 1, 8))::BIGINT % 10
+                  WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    ), leaks AS (
+      SELECT ch FROM assigned GROUP BY ch HAVING COUNT(DISTINCT split) > 1
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_unique_contents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM leaks) AS n_leaky_contents
+    FROM assigned
+    GROUP BY split
+    """,
+)
+def leakage_safe_split_by_content(spark: SparkSession, sf: str):
+    """LEAKAGE-SAFE train/val/test split: the split key is the md5 of the
+    CONTENT (hash_bucket over content_hash, salt ':split'), not the doc
+    id — exact duplicates can therefore never straddle splits, and the
+    query PROVES it: n_leaky_contents (contents seen in more than one
+    split) is computed and must be 0 by construction, an assertion the
+    oracle hash-checks rather than a comment promises.  80/10/10 via
+    bucket 10.  Scale: one content-hash shuffle for the leak check, one
+    tiny split rollup; assignment itself is map-side arithmetic."""
+    from byte_convert_avro_spark.functions import content_hash
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", content_hash("text").alias("ch")
+    )
+    b = hash_bucket(F.concat(F.col("ch"), F.lit(":split")), 10)
+    assigned = d.select(
+        "doc_id",
+        "ch",
+        F.when(b == 0, "test").when(b == 1, "val").otherwise("train").alias("split"),
+    )
+    leaks = (
+        assigned.groupBy("ch")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("n_leaky_contents"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("ch").cast("long").alias("n_unique_contents"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )
