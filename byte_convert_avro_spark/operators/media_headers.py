@@ -1,0 +1,110 @@
+"""REAL media header parsing — pure stdlib ``struct``, no imaging/audio
+library, so it runs in this container and on any executor.
+
+This is the non-stubbed half of the multimodal story: container HEADERS
+(dimensions, channels, sample rate, duration) are plain binary structs
+that need no codec — only pixel/sample DECODING (resize, resample,
+fingerprints, features) requires Pillow/soundfile and stays behind the
+documented hooks in :mod:`byte_convert_avro_spark.operators.multimodal`.
+
+Formats: PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen
+descriptor), BMP (BITMAPINFOHEADER), WAV (RIFF chunk scan).  Parsers are
+defensive: anything malformed or unrecognized returns ``None`` rather
+than raising — the Arrow-batched callers emit a PERMISSIVE
+``format='unknown'`` row, mirroring the decode engine's error channel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: JPEG start-of-frame markers that carry dimensions (C0-CF minus the
+#: non-SOF C4/C8/CC: DHT, JPG-extension, DAC)
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+#: PNG color type -> sample channels
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(data: bytes) -> dict | None:
+    """-> ``{width, height, channels, format}`` or ``None``."""
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", data[16:24])
+            color_type = data[25]
+            return {
+                "width": w,
+                "height": h,
+                "channels": _PNG_CHANNELS.get(color_type, 0),
+                "format": "png",
+            }
+        if data[:2] == b"\xff\xd8":
+            pos = 2
+            n = len(data)
+            while pos + 4 <= n:
+                if data[pos] != 0xFF:
+                    return None  # marker desync — corrupt stream
+                marker = data[pos + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    pos += 2  # standalone markers carry no length
+                    continue
+                (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                    return {
+                        "width": w,
+                        "height": h,
+                        "channels": data[pos + 9],
+                        "format": "jpeg",
+                    }
+                pos += 2 + seg_len
+            return None
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return {"width": w, "height": h, "channels": 3, "format": "gif"}
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack("<ii", data[18:26])
+            return {"width": w, "height": abs(h), "channels": 3, "format": "bmp"}
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def parse_wav_header(data: bytes) -> dict | None:
+    """-> ``{duration_ms, sample_rate, channels, codec}`` or ``None``.
+    Scans RIFF chunks (fmt may not be first); duration from the data
+    chunk size over the byte rate, integer math."""
+    try:
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            return None
+        pos = 12
+        n = len(data)
+        fmt = None
+        data_size = None
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if cid == b"fmt " and pos + 24 <= n:
+                channels, sample_rate, byte_rate = struct.unpack(
+                    "<HII", data[pos + 10 : pos + 20]
+                )
+                fmt = (channels, sample_rate, byte_rate)
+            elif cid == b"data":
+                data_size = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data_size is None:
+            return None
+        channels, sample_rate, byte_rate = fmt
+        if byte_rate == 0:
+            return None
+        return {
+            "duration_ms": data_size * 1000 // byte_rate,
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "codec": "wav",
+        }
+    except (struct.error, IndexError):
+        return None

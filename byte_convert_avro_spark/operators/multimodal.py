@@ -57,20 +57,37 @@ def decode_image_metadata(
 ) -> DataFrame:
     """Decode image headers into typed metadata columns.
 
-    Production hook: replace ``_decode`` with a Pillow header read.  The
-    distributed shape (Arrow batches in, metadata columns out) is final.
+    The REAL path needs no imaging library: PNG/JPEG/GIF/BMP dimensions
+    live in plain header structs, parsed pure-Python by
+    :mod:`operators.media_headers` — unrecognized or malformed bytes
+    yield a PERMISSIVE ``format='unknown'`` row with NULL dimensions
+    (the decode engine's error-channel discipline), never a task
+    failure.  ``deterministic_fake=True`` keeps the hash-derived
+    metadata for the oracle queries over the synthetic corpus (whose
+    blobs are not real images).  Only pixel DECODING (resize, features)
+    still requires Pillow — see :func:`resize_images`.
     -> (id_col, width, height, channels, format, n_bytes, content_md5)
     """
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from byte_convert_avro_spark.operators.media_headers import (
+            parse_image_header,
+        )
+
         def _decode(data: bytes) -> dict:
             if deterministic_fake:
                 return _fake_image_meta(data)
-            raise NotImplementedError(
-                "real image decoding needs an imaging library (e.g. Pillow); "
-                "this container ships none — pass deterministic_fake=True "
-                "to exercise the pipeline"
-            )
+            meta = parse_image_header(data)
+            if meta is None:
+                meta = {
+                    "width": None, "height": None, "channels": None,
+                    "format": "unknown",
+                }
+            meta["n_bytes"] = len(data)
+            meta["content_md5"] = hashlib.md5(data).hexdigest()
+            return meta
 
         for pdf in it:
             metas = [_decode(bytes(b)) for b in pdf[blob_col]]
@@ -202,20 +219,36 @@ def decode_audio_metadata(
     """Decode audio container headers into typed metadata columns — the
     audio twin of :func:`decode_image_metadata`.
 
-    Production hook: replace ``_decode`` with a soundfile/mutagen header
-    read.  The distributed shape (Arrow batches in, metadata columns out)
-    is final.  -> (id_col, duration_ms, sample_rate, channels, codec,
-    n_bytes, content_md5)"""
+    The REAL path parses WAV/RIFF headers pure-Python
+    (:mod:`operators.media_headers` — channels, sample rate, duration
+    from the fmt/data chunks, no audio library); unrecognized containers
+    (mp3/flac/opus need a codec library) yield a PERMISSIVE
+    ``codec='unknown'`` row with NULL fields.  ``deterministic_fake=True``
+    keeps the hash-derived metadata for the oracle queries over the
+    synthetic corpus.  Only sample DECODING (resample, fingerprint)
+    still requires soundfile — see :func:`resample_audio`.
+    -> (id_col, duration_ms, sample_rate, channels, codec, n_bytes,
+    content_md5)"""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from byte_convert_avro_spark.operators.media_headers import (
+            parse_wav_header,
+        )
+
         def _decode(data: bytes) -> dict:
             if deterministic_fake:
                 return _fake_audio_meta(data)
-            raise NotImplementedError(
-                "real audio decoding needs an audio library (e.g. "
-                "soundfile/mutagen); this container ships none — pass "
-                "deterministic_fake=True to exercise the pipeline"
-            )
+            meta = parse_wav_header(data)
+            if meta is None:
+                meta = {
+                    "duration_ms": None, "sample_rate": None,
+                    "channels": None, "codec": "unknown",
+                }
+            meta["n_bytes"] = len(data)
+            meta["content_md5"] = hashlib.md5(data).hexdigest()
+            return meta
 
         for pdf in it:
             metas = [_decode(bytes(b)) for b in pdf[blob_col]]

@@ -2560,3 +2560,144 @@ def pca_power_top_component(spark: SparkSession, sf: str):
     operators/similarity.pca_power_top_component."""
     emb = spread(t(spark, sf, "embeddings"), "vec_id")
     return S.pca_power_top_component(emb, "embedding", "vec_id", n_iter=3, fold_chunk=128)
+
+
+# ---------------------------------------------------------------------------
+def _be4(col):
+    """4-byte big-endian binary of a non-negative int (native unhex)."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def _le4(col):
+    h = F.lpad(F.hex(col), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+    )
+
+
+def _le2(col):
+    h = F.lpad(F.hex(col), 4, "0")
+    return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+
+def _byte1(col):
+    return F.unhex(F.lpad(F.hex(col), 2, "0"))
+
+
+_MD5_SLICE = "('0x' || substr(md5(text), {a}, {b}))::BIGINT"
+
+
+@register(
+    "multimodal_real_png_headers",
+    f"""
+    SELECT doc_id,
+           CAST({_MD5_SLICE.format(a=1, b=4)} % 1920 + 1 AS INT) AS width,
+           CAST({_MD5_SLICE.format(a=5, b=4)} % 1080 + 1 AS INT) AS height,
+           CAST(CASE {_MD5_SLICE.format(a=9, b=1)} % 4
+                WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END AS INT)
+             AS channels,
+           'png' AS format
+    FROM documents
+    """,
+)
+def multimodal_real_png_headers(spark: SparkSession, sf: str):
+    """The REAL image-header parser under the oracle gate: valid PNG
+    IHDR blobs are BUILT natively (magic + length + 4-byte BE dims +
+    bit-depth/color-type bytes, all unhex/lpad expressions) with
+    hash-derived dimensions, then decoded by the pure-Python parser
+    (operators/media_headers.parse_image_header — real struct parsing,
+    no imaging library) through the Arrow-batched metadata operator; the
+    oracle re-derives the expected dimensions from the SAME md5
+    arithmetic, so a parser bug in offsets, endianness, or the
+    color-type channel map hash-mismatches.  Scale: blob construction
+    and decode are narrow map-side work; no shuffle at all."""
+    from byte_convert_avro_spark.operators.multimodal import decode_image_metadata
+
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    md5 = F.md5("text")
+    w = (F.conv(F.substring(md5, 1, 4), 16, 10).cast("long") % 1920 + 1).cast("int")
+    h = (F.conv(F.substring(md5, 5, 4), 16, 10).cast("long") % 1080 + 1).cast("int")
+    ct_idx = F.conv(F.substring(md5, 9, 1), 16, 10).cast("long") % 4
+    color_type = (ct_idx * 2).cast("int")  # 0, 2, 4, 6
+    blob = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        _be4(w),
+        _be4(h),
+        F.lit(b"\x08"),
+        _byte1(color_type),
+        F.lit(b"\x00\x00\x00"),
+    )
+    src = d.select("doc_id", blob.alias("blob"))
+    meta = decode_image_metadata(src)
+    return meta.select("doc_id", "width", "height", "channels", "format")
+
+
+@register(
+    "multimodal_real_wav_headers",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE {_MD5_SLICE.format(a=1, b=1)} % 5
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                  WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+             CAST({_MD5_SLICE.format(a=2, b=1)} % 2 + 1 AS INT) AS ch,
+             {_MD5_SLICE.format(a=3, b=5)} % 1000000 + 1000 AS data_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(data_len * 1000 // (rate * ch * 2) AS BIGINT) AS duration_ms,
+           CAST(rate AS INT) AS sample_rate,
+           ch AS channels,
+           'wav' AS codec
+    FROM p
+    """,
+)
+def multimodal_real_wav_headers(spark: SparkSession, sf: str):
+    """The REAL audio-header parser under the oracle gate: valid RIFF/
+    WAVE headers are BUILT natively (little-endian fmt + data chunks via
+    byte-reversed unhex) with hash-derived sample rate / channels / data
+    size, parsed by the pure-Python chunk scanner
+    (operators/media_headers.parse_wav_header), and the oracle re-derives
+    duration_ms with the same integer division — endianness, chunk
+    offsets, and the duration arithmetic are all under the hash.  Scale:
+    narrow map-side construction + decode, no shuffle."""
+    from byte_convert_avro_spark.operators.multimodal import decode_audio_metadata
+
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    md5 = F.md5("text")
+    rate_idx = F.conv(F.substring(md5, 1, 1), 16, 10).cast("long") % 5
+    rate = (
+        F.when(rate_idx == 0, 8000).when(rate_idx == 1, 16000)
+        .when(rate_idx == 2, 22050).when(rate_idx == 3, 44100)
+        .otherwise(48000)
+    ).cast("int")
+    ch = (F.conv(F.substring(md5, 2, 1), 16, 10).cast("long") % 2 + 1).cast("int")
+    data_len = (
+        F.conv(F.substring(md5, 3, 5), 16, 10).cast("long") % 1000000 + 1000
+    ).cast("int")
+    byte_rate = (rate * ch * 2).cast("int")
+    block_align = (ch * 2).cast("int")
+    blob = F.concat(
+        F.lit(b"RIFF"),
+        _le4(data_len + 36),
+        F.lit(b"WAVE"),
+        F.lit(b"fmt "),
+        _le4(F.lit(16)),
+        _le2(F.lit(1)),          # PCM
+        _le2(ch),
+        _le4(rate),
+        _le4(byte_rate),
+        _le2(block_align),
+        _le2(F.lit(16)),         # bits per sample
+        F.lit(b"data"),
+        _le4(data_len),
+        # truncated body: header parsing must not need the samples
+        F.lit(b"\x00\x00\x00\x00"),
+    )
+    src = d.select("doc_id", blob.alias("blob"))
+    meta = decode_audio_metadata(src)
+    return meta.select("doc_id", "duration_ms", "sample_rate", "channels", "codec")
