@@ -43,7 +43,13 @@ def get_spark(app_name: str = "byte_convert_avro_spark", cpus: int | None = None
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[32] = driver JVM IS the executor: 32 concurrent tasks
+        # share this heap.  8g OOM'd pagerank's edge materialization at
+        # local sf10 (12M edges x 32 tasks); 24g clears every local
+        # stress with headroom on the 128 GiB box — heap is reserved
+        # lazily, so small runs cost nothing extra.  On a real cluster
+        # executor memory is the knob instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
