@@ -78,7 +78,16 @@ try:  # spec "snappy": compressed block + 4-byte BE CRC32 of the PLAIN bytes
         ).to_bytes(4, "big")
 
     def _snappy_d(data: bytes) -> bytes:
-        out = _snappy_mod.decompress(bytes(data[:-4]))
+        if len(data) < 5:  # must carry >=1 compressed byte + 4-byte CRC
+            raise ValueError(
+                f"snappy OCF block truncated: {len(data)} bytes"
+            )
+        try:
+            out = _snappy_mod.decompress(bytes(data[:-4]))
+        except Exception as ex:  # typed error channel, never a raw
+            raise ValueError(  # third-party exception mid-block
+                f"snappy OCF block decompress failed: {ex}"
+            ) from ex
         if (zlib.crc32(out) & 0xFFFFFFFF) != int.from_bytes(data[-4:], "big"):
             raise ValueError("snappy OCF block CRC32 mismatch")
         return out

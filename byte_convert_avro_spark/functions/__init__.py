@@ -209,6 +209,18 @@ def bounded_ordered_agg(
         raise ValueError(f"chunk must be >= 1, got {chunk}")
     chunk_aggs = chunk_aggs or {}
     final_aggs = final_aggs or {}
+    reserved = {"__chunk", "__csum", "__cnt", "osum", "ocnt"}
+    clashes = (
+        (reserved & set(df.columns))
+        | (reserved & set(group_cols))
+        | (reserved & set(chunk_aggs))
+        | (reserved & set(final_aggs))
+    )
+    if clashes:
+        raise ValueError(
+            f"bounded_ordered_agg reserves column names {sorted(reserved)}; "
+            f"rename the clashing input/agg columns: {sorted(clashes)}"
+        )
     chk = F.call_function("div", F.col(sort_key).cast("long"), F.lit(chunk))
     lvl1 = df.groupBy(*group_cols, chk.alias("__chunk")).agg(
         ordered_fold(sort_key, value).alias("__csum"),

@@ -50,14 +50,25 @@ def drop_exact_dups(df: DataFrame, content_col: str = "text", id_col: str = "doc
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Explode word n-gram shingles: adds column ``sh``.  Documents shorter
-    than n words produce no rows."""
+    than n words produce no rows.
+
+    The transform is guarded by an inline CASE, not only the filter:
+    Catalyst pushes the explode's inferred isnotnull/size predicates into
+    the scan Filter where they evaluate the transform on UNFILTERED rows
+    — with size(_w) < n, sequence(1, size-{n-1}) descends through 0 and
+    element_at(_w, 0) throws under ANSI.  The CASE branch is evaluated
+    conditionally, so short docs just produce an empty array wherever the
+    expression lands."""
     words = df.withColumn("_w", F.split(text_col, " ")).filter(F.size("_w") >= n)
     parts = ", ".join(f"element_at(_w, i + {j})" for j in range(n))
+    shingles = (
+        f"CASE WHEN size(_w) >= {n} THEN "
+        f"transform(sequence(1, size(_w) - {n - 1}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
     return words.select(
         "*",
-        F.explode(
-            F.expr(f"transform(sequence(1, size(_w) - {n - 1}), i -> concat_ws(' ', {parts}))")
-        ).alias("sh"),
+        F.explode(F.expr(shingles)).alias("sh"),
     ).drop("_w")
 
 

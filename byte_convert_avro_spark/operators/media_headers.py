@@ -47,7 +47,14 @@ def parse_image_header(data: bytes) -> dict | None:
             while pos + 4 <= n:
                 if data[pos] != 0xFF:
                     return None  # marker desync — corrupt stream
+                # ITU T.81 allows runs of 0xFF FILL bytes before a marker
+                while pos + 1 < n and data[pos + 1] == 0xFF:
+                    pos += 1
+                if pos + 4 > n:
+                    return None
                 marker = data[pos + 1]
+                if marker == 0xD9:  # EOI before any SOF: no dimensions
+                    return None
                 if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                     pos += 2  # standalone markers carry no length
                     continue

@@ -63,13 +63,21 @@ def scd2_history(
     ``key_col`` — ONE shuffle key end to end, frames are row-bounded; no
     self-join reconstruction (the naive SCD2 build joins the changelog to
     itself per attribute flip).  Determinism: ordering is
-    ``(ts_col, tiebreak_col)``, so ties never reorder runs."""
+    ``(ts_col, tiebreak_col)``, so ties never reorder runs.  NULL
+    attributes are a real value: consecutive NULLs collapse into one run
+    (null-safe equality — plain ``==`` would open a new version per NULL
+    row)."""
     wo = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # lag of a constant distinguishes "no previous row" (must open a run
+    # even when attr is NULL — eqNullSafe(NULL, NULL) would say equal)
+    # from "previous attr is NULL"
+    prev_exists = F.lag(F.lit(1)).over(wo).isNotNull()
     flagged = df.withColumn(
         "_chg",
-        F.when(F.col(attr_col) == F.lag(attr_col).over(wo), F.lit(0)).otherwise(
-            F.lit(1)
-        ),
+        F.when(
+            prev_exists & F.col(attr_col).eqNullSafe(F.lag(attr_col).over(wo)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
     )
     runs = flagged.withColumn(
         "_run", F.sum("_chg").over(wo.rowsBetween(W.unboundedPreceding, 0))

@@ -392,7 +392,10 @@ def pca_power_top_component(
     unaffected."""
     from byte_convert_avro_spark.functions import bounded_ordered_agg
 
-    dim_n = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_power_top_component: corpus is empty")
+    dim_n = len(first[0])
     e = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
     )
@@ -432,6 +435,15 @@ def pca_power_top_component(
         for yj in y:  # dim order — matches list_reduce(list(y*y ORDER BY dim))
             total += yj * yj
         nrm = math.sqrt(total)
+        if nrm == 0.0:
+            # zero variance along v (all vectors equal the mean, or the
+            # corpus is exactly orthogonal to the start direction): no
+            # principal direction exists to normalize toward — raise a
+            # typed error instead of ZeroDivisionError mid-iteration
+            raise ValueError(
+                "pca_power_top_component: centered corpus has zero "
+                "variance along the iteration direction"
+            )
         v = [yj / nrm for yj in y]
 
     return corpus.sparkSession.createDataFrame(

@@ -110,12 +110,21 @@ def salted_join(
     pre-split so only the HOT KEYS take this path and the cold majority
     joins normally.
 
-    The salt derives from xxhash64 of the big side's full row (content-
-    stable, no RNG) — reruns produce identical partition assignment."""
+    The salt mixes xxhash64 of the row with a per-row
+    ``monotonically_increasing_id`` so BYTE-IDENTICAL hot-key rows (the
+    exact case salting exists for — a content-only hash would send every
+    duplicate to the same reducer and spread nothing) still distribute
+    across all ``n_salts``.  The JOIN RESULT is deterministic regardless
+    of which salt a row lands on — the salt only routes; row-to-reducer
+    assignment may differ between reruns, same as any shuffle."""
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     b = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ).cast("int"),
     )
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

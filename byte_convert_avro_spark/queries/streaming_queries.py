@@ -37,6 +37,29 @@ from byte_convert_avro_spark.queries.base import (
 US_PER_HOUR = 3_600_000_000
 
 
+def write_ordered_shards(frames, prefix: str) -> str:
+    """Write each DataFrame as ONE parquet file in a fresh temp dir with
+    strictly increasing modification times — the deterministic
+    micro-batch harness shared by every multi-trigger streaming query
+    (file sources batch by mtime; ``maxFilesPerTrigger=1`` then replays
+    the shards in exactly this order).  Caller removes the directory."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    for i, fr in enumerate(frames):
+        tmp = os.path.join(d, "_w")
+        fr.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    return d
+
+
 def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     # The stream must declare the RAW file schema (ts may be a timestamp
     # or a ns-long depending on the driver's parquet generation), then
@@ -258,10 +281,7 @@ def streaming_late_data_watermark(spark: SparkSession, sf: str):
     evict, one-batch filter lag neutralized by the pinned equal-max
     shard) were pinned empirically; tests/test_streaming.py asserts a
     named late row is excluded."""
-    import glob
-    import os
     import shutil
-    import tempfile
 
     ev = t(spark, sf, "events")
     slot = hash_bucket("event_id", 48).cast("int")
@@ -300,20 +320,11 @@ def streaming_late_data_watermark(spark: SparkSession, sf: str):
         shaped.filter(block == 3),
         shaped.filter(block == 5),
     ]
-    d = tempfile.mkdtemp(prefix="late_shards_")
+    d = write_ordered_shards(
+        [sh.select("event_id", "value", "ts_us") for sh in shards],
+        "late_shards_",
+    )
     try:
-        for i, sh in enumerate(shards):
-            tmp = os.path.join(d, "_w")
-            sh.select("event_id", "value", "ts_us").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(d, f"{i:03d}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(tmp)
-            # file source batches by modification time: make arrival
-            # order explicit and strictly increasing
-            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
         stream = (
             spark.readStream.schema("event_id long, value double, ts_us long")
             .option("maxFilesPerTrigger", 1)
@@ -503,26 +514,16 @@ def streaming_stateful_user_totals(spark: SparkSession, sf: str):
     the batches sliced.  The last row is selected with max(struct(...)) —
     n_events strictly increases per emission, so the struct max IS the
     final state."""
-    import glob
-    import os
     import shutil
-    import tempfile
 
     ev = t(spark, sf, "events")
     shard = hash_bucket("event_id", 4).cast("int")
     raw = ev.withColumn("_shard", shard)
-    d = tempfile.mkdtemp(prefix="stateful_shards_")
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "stateful_shards_",
+    )
     try:
-        for i in range(4):
-            tmp = os.path.join(d, "_w")
-            raw.filter(F.col("_shard") == i).drop("_shard").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(d, f"{i:03d}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -790,10 +791,7 @@ def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
     event-time range bounds both sides' buffered state to the window +
     delay, and outer emission is precisely the eviction moment — state
     cannot grow past watermark horizon BY CONSTRUCTION."""
-    import glob
-    import os
     import shutil
-    import tempfile
 
     ev = events_ts_to_ns(t(spark, sf, "events"))
     shaped = ev.select(
@@ -815,7 +813,6 @@ def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
     ]
 
     def write_side(etype: str) -> str:
-        d = tempfile.mkdtemp(prefix=f"lo_{etype}_")
         side = shaped.filter(F.col("event_type") == etype).select(
             "event_id", "user_id", "ts_us"
         )
@@ -823,15 +820,7 @@ def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
             spark.createDataFrame([s], "event_id long, user_id long, ts_us long")
             for s in sent
         ]
-        for i, fr in enumerate(frames):
-            tmp = os.path.join(d, "_w")
-            fr.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(d, f"{i:03d}.parquet")
-            shutil.move(part, dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
-        return d
+        return write_ordered_shards(frames, f"lo_{etype}_")
 
     dv = write_side("view")
     dp = write_side("purchase")

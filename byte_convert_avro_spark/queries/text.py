@@ -1060,12 +1060,17 @@ def _bpe_train_spark(spark: SparkSession, sf: str, n_rounds: int = 3):
     )
     rules: list[tuple[str, str, int]] = []
     for r in range(n_rounds):
+        # zip_with over slices is TOTAL: a word fully merged to ONE symbol
+        # makes sequence(1, 0) descend and element_at(syms, 0) throw under
+        # ANSI (latent until a 2-char word equals a learned merge); slices
+        # of length size-1 = 0 just yield zero pairs, matching DuckDB's
+        # empty generate_series
         pairs = j.select(
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(split(sj, '{s}')) - 1),"
-                    f" i -> named_struct('l', element_at(split(sj, '{s}'), i),"
-                    f" 'r2', element_at(split(sj, '{s}'), i + 1)))"
+                    f"zip_with(slice(split(sj, '{s}'), 1, size(split(sj, '{s}')) - 1),"
+                    f" slice(split(sj, '{s}'), 2, size(split(sj, '{s}')) - 1),"
+                    f" (a, b) -> named_struct('l', a, 'r2', b))"
                 )
             ).alias("p"),
             "freq",

@@ -187,10 +187,13 @@ def repetition_metrics(spark: SparkSession, sf: str):
     )
     bigrams = base.select(
         "doc_id",
+        # zip_with over slices is TOTAL (the element_at form throws on
+        # <2-word docs when the explode's inferred predicates push the
+        # transform below the size filter — see doc_bigram_familiarity)
         F.explode(
             F.expr(
-                "transform(sequence(1, size(w) - 1),"
-                " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> concat_ws(' ', a, b))"
             )
         ).alias("bg"),
     )
@@ -428,13 +431,21 @@ def doc_bigram_familiarity(spark: SparkSession, sf: str):
     corpus counts partial-aggregate map-side on the bigram (the same
     shuffle key the scoring join reuses), per-doc rollup on doc_id."""
     d = spread(t(spark, sf, "documents"), "doc_id")
+    # TOTAL expression (zip_with over slices), deliberately NOT the
+    # sequence/element_at form: a <2-word doc makes sequence(1, 0) the
+    # DESCENDING [1, 0] and element_at throws under ANSI — and a mere
+    # size(w) >= 2 filter does NOT protect it, because the explode's
+    # inferred isnotnull/size predicates get pushed into the same scan
+    # Filter and evaluate the transform on unfiltered rows.  slice with
+    # length size(w)-1 = 0 is just an empty array: short docs yield zero
+    # bigrams on both engines, no row can ever throw.
     words = d.select(
         "doc_id", F.split("text", " ").alias("w")
     ).select(
         "doc_id",
         F.expr(
-            "transform(sequence(1, size(w) - 1),"
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
         ).alias("bgs"),
     )
     bg = words.select("doc_id", F.explode("bgs").alias("bigram"))

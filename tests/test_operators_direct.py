@@ -1047,3 +1047,112 @@ def test_media_header_parsers_pure_python():
     }
     assert parse_wav_header(b"RIFFxxxxAVI ") is None
     assert parse_wav_header(b"") is None
+
+
+# ---------------------------------------------------------------------------
+# round-7 self-review regression tests
+
+
+def test_scd2_history_null_attrs_collapse(spark):
+    """NULL attribute values are a real value: consecutive NULLs compress
+    into ONE run (null-safe equality), and a leading NULL still opens its
+    run (lag-of-constant distinguishes 'no previous row')."""
+    from byte_convert_avro_spark.operators.scd import scd2_history
+
+    rows = [
+        ("u", 1, 10, None), ("u", 2, 20, None), ("u", 3, 30, "a"),
+        ("u", 4, 40, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, ts long, attr string")
+    hist = {
+        r.version: (r.attr, r.n_events, r.is_current)
+        for r in scd2_history(df, "k", "attr", "ts", "eid").collect()
+    }
+    assert hist == {
+        1: (None, 2, 0),  # two leading NULLs = one run
+        2: ("a", 1, 0),
+        3: (None, 1, 1),
+    }
+
+
+def test_bounded_ordered_agg_rejects_reserved_names(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, 1, 1.0)], "g int, k long, osum double")
+    with pytest.raises(ValueError, match="reserves column names"):
+        BF_bounded(df)
+
+
+def BF_bounded(df):
+    from byte_convert_avro_spark import functions as BF
+
+    return BF.bounded_ordered_agg(df, ["g"], "k", "osum")
+
+
+def test_jpeg_fill_bytes_and_eoi():
+    """ITU T.81 fill bytes (0xFF runs before a marker) must not desync
+    the SOF scan; an EOI before any SOF returns None."""
+    import struct
+
+    from byte_convert_avro_spark.operators.media_headers import parse_image_header
+
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 10, 20) + bytes([3, 0, 0, 0])
+    )
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0  # fill run then SOF
+    got = parse_image_header(padded)
+    assert got and (got["width"], got["height"]) == (20, 10)
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # EOI first
+
+
+def test_bigram_familiarity_survives_short_docs(spark, tmp_path):
+    """A one-word (and an empty) document must not crash the bigram
+    explode (sequence(1, 0) is DESCENDING in Spark): short docs simply
+    drop, matching DuckDB's empty generate_series."""
+    from byte_convert_avro_spark.queries.training_prep import doc_bigram_familiarity
+
+    docs = spark.createDataFrame(
+        [(1, "hello world again", "s", "en"), (2, "single", "s", "en"),
+         (3, "", "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.n_bigrams for r in doc_bigram_familiarity(spark, str(tmp_path)).collect()}
+    assert got == {1: 2}
+
+
+def test_word_shingles_short_docs_no_crash(spark):
+    """Docs shorter than n words yield zero shingles (the explode's
+    inferred predicates must not evaluate a throwing transform on
+    unfiltered rows)."""
+    from byte_convert_avro_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "one"), (3, "")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.sh) for r in word_shingles(df, n=3).select("doc_id", "sh").collect()
+    )
+    assert got == [(1, "a b c"), (1, "b c d")]
+
+
+def test_bpe_pair_explode_survives_fully_merged_word(spark):
+    """A 2-char word that IS the learned merge collapses to one symbol;
+    the next round's pair explode must yield zero pairs for it, not an
+    ANSI element_at error."""
+    import os
+    import tempfile
+
+    from byte_convert_avro_spark.queries.text import _bpe_train_spark
+
+    d = tempfile.mkdtemp()
+    # 'ab' dominates -> merge 1 = (a, b); word 'ab' becomes ONE symbol
+    docs = spark.createDataFrame(
+        [(i, "ab ab ab abc xy", "s", "en") for i in range(3)],
+        "doc_id long, text string, source string, lang string",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    _, rules = _bpe_train_spark(spark, d, n_rounds=3)
+    assert rules[0][:2] == ("a", "b")
+    assert len(rules) == 3  # rounds 2-3 ran over the collapsed table
