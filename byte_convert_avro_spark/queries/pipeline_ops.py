@@ -2701,3 +2701,113 @@ def multimodal_real_wav_headers(spark: SparkSession, sf: str):
     src = d.select("doc_id", blob.alias("blob"))
     meta = decode_audio_metadata(src)
     return meta.select("doc_id", "duration_ms", "sample_rate", "channels", "codec")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_intersection_estimate",
+    """
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'view'
+    ), hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    ), ska AS (SELECT h FROM ha ORDER BY h LIMIT 32),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 32),
+    u AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+          ORDER BY h LIMIT 32),
+    flags AS (
+      SELECT u.h,
+             CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END AS in_both
+      FROM u LEFT JOIN ska a ON a.h = u.h LEFT JOIN skb b ON b.h = u.h
+    ), agg AS (
+      SELECT CAST(SUM(in_both) AS BIGINT) AS n_both,
+             CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(MAX(h) AS BIGINT) AS kth_union
+      FROM flags
+    ), exact AS (
+      SELECT CAST((SELECT COUNT(*) FROM ha JOIN hb ON hb.h = ha.h) AS BIGINT)
+               AS exact_intersection,
+             CAST((SELECT COUNT(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb))
+               AS BIGINT) AS exact_union
+    )
+    SELECT n_both, k_used, kth_union,
+           CAST(n_both AS DOUBLE) / k_used AS jaccard_est,
+           CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
+                ELSE CAST(31.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE) / kth_union
+           END * (CAST(n_both AS DOUBLE) / k_used) AS intersection_est,
+           exact_intersection, exact_union
+    FROM agg CROSS JOIN exact
+    """,
+)
+def kmv_intersection_estimate(spark: SparkSession, sf: str):
+    """KMV SET-INTERSECTION estimate (k=32) — the sketch-algebra step
+    beyond kmv_distinct_users_estimate's single-set cardinality and
+    kmv_weekly_merge's unions: viewers ∩ purchasers estimated WITHOUT
+    materializing either set, via the classic KMV combinator — take the
+    k smallest of the UNION sketch (= k smallest of the two sketches'
+    union, the same mergeability the weekly query relies on), count how
+    many live in BOTH input sketches (Jaccard estimate n_both/k), and
+    multiply by the union's (k-1)/kth_hash cardinality estimate.  Every
+    step is deterministic (md5 hashing, integer ranks); the two floats
+    (ratio, product) compute from exact integers identically on both
+    engines.  Exact intersection/union carried alongside so the artifact
+    shows the sketch error.  Scale: each side's sketch is a mergeable
+    k-row state (map-side partial k-smallest, k values per shuffle);
+    the exact columns are gate-side verification only — at 100 TB you'd
+    ship just the 3x32 sketch rows."""
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+    def sketch(etype: str):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(32)
+        )
+
+    ska, skb = sketch("view"), sketch("purchase")
+    u = ska.union(skb).distinct().orderBy("h").limit(32)
+    flags = (
+        u.join(ska.withColumnRenamed("h", "ha"), u.h == F.col("ha"), "left")
+        .join(skb.withColumnRenamed("h", "hb"), u.h == F.col("hb"), "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("int").alias("both"),
+        )
+    )
+    agg = flags.agg(
+        F.sum("both").cast("long").alias("n_both"),
+        F.count("*").cast("long").alias("k_used"),
+        F.max("h").cast("long").alias("kth_union"),
+    )
+    full_a = ev.filter(F.col("event_type") == "view").select(h.alias("h")).distinct()
+    full_b = ev.filter(F.col("event_type") == "purchase").select(h.alias("h")).distinct()
+    exact = full_a.join(full_b, "h").agg(
+        F.count("*").cast("long").alias("exact_intersection")
+    ).crossJoin(
+        full_a.union(full_b).distinct().agg(
+            F.count("*").cast("long").alias("exact_union")
+        )
+    )
+    union_est = F.when(
+        F.col("k_used") < 32, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(31.0).cast("double") * F.lit(4294967296.0).cast("double")
+        / F.col("kth_union")
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_used")
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "n_both",
+        "k_used",
+        "kth_union",
+        jac.alias("jaccard_est"),
+        (union_est * jac).alias("intersection_est"),
+        "exact_intersection",
+        "exact_union",
+    )

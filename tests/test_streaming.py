@@ -575,3 +575,50 @@ def test_stateful_accumulator_state_survives_restart(spark, tmp_path):
         n, c = expect.get(u, (0, 0))
         expect[u] = (n + 1, c + round(v * 100))
     assert final == expect  # user 1's totals span the restart boundary
+
+
+def test_foreachbatch_ocf_sink_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once discipline of the foreachBatch OCF sink
+    (streaming_ocf_sink_daily_totals): batches write into batch={id}
+    directories and the read side compacts latest-wins by batch_id, so
+    REPLAYING a batch after a simulated failure — same content, possibly
+    different partitioning, Structured Streaming's replay contract —
+    leaves the compacted result identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from byte_convert_avro_spark.sources.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    out = str(tmp_path / "sink")
+
+    def sink_batch(batch_df, batch_id: int) -> None:
+        write_avro_ocf(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id))),
+            os.path.join(out, f"batch={batch_id:06d}"),
+        )
+
+    b0 = spark.createDataFrame([("a", 1, 10), ("b", 1, 5)], "k string, n long, v long")
+    b1 = spark.createDataFrame([("a", 2, 17)], "k string, n long, v long")
+
+    def compacted():
+        allb = read_avro_ocf(spark, out + "/*/*.avro")
+        return {
+            r.k: (r.n, r.v)
+            for r in allb.groupBy("k")
+            .agg(F.max(F.struct("batch_id", "n", "v")).alias("_l"))
+            .select("k", F.col("_l.n").alias("n"), F.col("_l.v").alias("v"))
+            .collect()
+        }
+
+    sink_batch(b0, 0)
+    sink_batch(b1, 1)
+    want = compacted()
+    assert want == {"a": (2, 17), "b": (1, 5)}
+    # replay batch 1: same rows, different partitioning (the replay may
+    # run on a different cluster layout)
+    sink_batch(b1.repartition(4), 1)
+    assert compacted() == want
