@@ -531,3 +531,87 @@ def suppliers_covering_all_small_sizes(spark: SparkSession, sf: str):
             "s_suppkey", "s_name", F.col("n_covered").cast("long").alias("n_sizes_covered")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_data_quality_expectations",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT 'not_null:o_custkey' AS expectation,
+           (SELECT n_rows FROM n) AS n_checked,
+           CAST(COUNT(*) AS BIGINT) AS n_failed,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           (SELECT n_rows FROM n),
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT),
+           CAST(CASE WHEN COALESCE(SUM(cnt - 1), 0) = 0 THEN 1 ELSE 0 END AS INT)
+    FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus',
+           (SELECT n_rows FROM n),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS INT)
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+    UNION ALL
+    SELECT 'relationship:o_custkey->customer',
+           (SELECT n_rows FROM n),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS INT)
+    FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+    WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'range:o_totalprice>0',
+           (SELECT n_rows FROM n),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS INT)
+    FROM orders WHERE o_totalprice IS NULL OR o_totalprice <= 0
+    """,
+)
+def orders_data_quality_expectations(spark: SparkSession, sf: str):
+    """DATA-QUALITY EXPECTATIONS as a query (the dbt-test / Great-
+    Expectations shape): one row per contract — not-null, uniqueness,
+    accepted values, referential integrity, range — with checked/failed
+    counts and a pass flag, so the WHOLE quality gate is itself under
+    the oracle gate.  Scale: each expectation is one scan-side aggregate
+    (the uniqueness check keys its shuffle on the tested column; the
+    relationship check is a broadcast-able anti-join); the union is
+    plan-level, 5 rows out."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer").select("c_custkey")
+    n_rows = o.count()
+
+    def row(name, n_failed_df):
+        return n_failed_df.select(
+            F.lit(name).alias("expectation"),
+            F.lit(n_rows).cast("long").alias("n_checked"),
+            F.col("nf").cast("long").alias("n_failed"),
+            (F.col("nf") == 0).cast("int").alias("passed"),
+        )
+
+    nn = o.filter(F.col("o_custkey").isNull()).agg(F.count("*").alias("nf"))
+    uq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("nf"))
+    )
+    av = o.filter(~F.col("o_orderstatus").isin("O", "F", "P")).agg(
+        F.count("*").alias("nf")
+    )
+    rel = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .agg(F.count("*").alias("nf"))
+    )
+    rng = o.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    ).agg(F.count("*").alias("nf"))
+    return (
+        row("not_null:o_custkey", nn)
+        .unionAll(row("unique:o_orderkey", uq))
+        .unionAll(row("accepted_values:o_orderstatus", av))
+        .unionAll(row("relationship:o_custkey->customer", rel))
+        .unionAll(row("range:o_totalprice>0", rng))
+    )
