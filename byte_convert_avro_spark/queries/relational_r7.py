@@ -1,9 +1,12 @@
 """Round-7 relational shapes the registry lacked: QUALIFY-style inline
 window filters, LATERAL-style per-row top-k, date-interval arithmetic
-(fulfillment spans, reorder gaps), and a non-equi interval-overlap
-self-join — the shapes a warehouse user reaches for daily that weren't
-yet under the oracle gate (round-6 verdict lead #7; the driver's
-correctness sample rotated onto the relational family in r06).
+(fulfillment spans, reorder gaps, burst sessionization), a non-equi
+interval-overlap self-join, interpolated percentiles (percentile_cont
+semantics from exact integer rank math), RANK-with-ties top-k,
+relational division, and a dbt-style data-quality expectation suite —
+the shapes a warehouse user reaches for daily that weren't yet under
+the oracle gate (round-6 verdict lead #7; the driver's correctness
+sample rotated onto the relational family in r06).
 
 Determinism discipline (queries/base.py): exact integer cents for every
 money sum, day-integer date_diff for every interval, explicit tie-break
