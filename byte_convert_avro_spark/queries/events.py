@@ -2096,3 +2096,94 @@ def events_last_touch_attribution(spark: SparkSession, sf: str):
         F.col("_lt.event_type").alias("last_touch_type"),
         F.col("_lt.ts_us").alias("last_touch_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_linear_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT p.purchase_id, t.event_type
+      FROM p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts <= p.p_ts
+       AND p.p_ts - t.t_ts <= 604800000000
+    ), pn AS (
+      SELECT purchase_id, COUNT(*) AS n FROM pairs GROUP BY purchase_id
+    ), shares AS (
+      SELECT pr.purchase_id, pr.event_type,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(*) AS DOUBLE) / MAX(pn.n) AS share
+      FROM pairs pr JOIN pn ON pn.purchase_id = pr.purchase_id
+      GROUP BY pr.purchase_id, pr.event_type
+    ), ch AS (
+      SELECT event_type, purchase_id // 2048 AS chk,
+             list_reduce(list(share ORDER BY purchase_id), (a, b) -> a + b) AS csum,
+             COUNT(*) AS cnt, SUM(k) AS kc
+      FROM shares GROUP BY event_type, chk
+    )
+    SELECT event_type,
+           CAST(SUM(kc) AS BIGINT) AS n_touchpoints,
+           CAST(SUM(cnt) AS BIGINT) AS n_purchases_touched,
+           list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) AS linear_credit
+    FROM ch GROUP BY event_type
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf: str):
+    """LINEAR MULTI-TOUCH ATTRIBUTION — the third attribution model next
+    to first-touch and last-touch: every view/click in the 7 days before
+    a purchase shares that purchase's credit equally (k/n per channel),
+    and channel credit sums the shares.  Each share is a division of
+    exact integers (identical double on both engines) and the channel
+    sum is the BOUNDED two-level purchase_id-ordered fold
+    (functions.bounded_ordered_agg, chunk=2048 — a plain SUM of doubles
+    would drift with accumulation order across engines/partitionings).
+    Scale: the touch join keys on user_id with a 7-day event-time band;
+    per-purchase counts and shares aggregate on the purchase key; the
+    fold shuffles only (channel, chunk) partials."""
+    from byte_convert_avro_spark.functions import bounded_ordered_agg
+
+    ev = _ev(spark, sf)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    t_ = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.col("ts_us").alias("t_ts")
+    )
+    pairs = p.join(
+        t_,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") - F.col("t_ts") <= 604_800_000_000),
+    ).select("purchase_id", "event_type")
+    pn = pairs.groupBy("purchase_id").agg(F.count("*").alias("n"))
+    shares = (
+        pairs.groupBy("purchase_id", "event_type")
+        .agg(F.count("*").alias("k"))
+        .join(pn, "purchase_id")
+        .select(
+            "purchase_id",
+            "event_type",
+            "k",
+            (F.col("k").cast("double") / F.col("n")).alias("share"),
+        )
+    )
+    agg = bounded_ordered_agg(
+        shares, ["event_type"], "purchase_id", "share", chunk=2048,
+        chunk_aggs={"kc": F.sum("k")},
+        final_aggs={"n_touchpoints": F.sum("kc")},
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_touchpoints").cast("long").alias("n_touchpoints"),
+        F.col("ocnt").alias("n_purchases_touched"),
+        F.col("osum").alias("linear_credit"),
+    )
