@@ -2187,3 +2187,67 @@ def events_linear_attribution(spark: SparkSession, sf: str):
         F.col("ocnt").alias("n_purchases_touched"),
         F.col("osum").alias("linear_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "user_conversion_latency",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), firsts AS (
+      SELECT user_id,
+             MIN(ts_us) AS first_event_ts_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts_us END)
+               AS first_purchase_ts_us
+      FROM e GROUP BY user_id
+    )
+    SELECT f.user_id, f.first_event_ts_us, f.first_purchase_ts_us,
+           f.first_purchase_ts_us - f.first_event_ts_us AS latency_us,
+           CAST((SELECT COUNT(*) FROM e
+                 WHERE e.user_id = f.user_id
+                   AND e.ts_us < f.first_purchase_ts_us) AS BIGINT)
+             AS n_events_before
+    FROM firsts f
+    WHERE f.first_purchase_ts_us IS NOT NULL
+    """,
+)
+def user_conversion_latency(spark: SparkSession, sf: str):
+    """CONVERSION LATENCY — per converting user, the integer-µs gap from
+    their first event of any kind to their first purchase, plus how many
+    events preceded it: the activation-funnel metric between the
+    attribution models (which split credit) and the funnel counts (which
+    lose the time axis).  The oracle spells the correlated count the way
+    analysts write it; the Spark plan is the decorrelated form — the
+    firsts aggregation and the before-count both key on user_id (one
+    shuffle KEY end to end, where the correlated subquery would rescan
+    events per user).  All integer µs, no floats anywhere."""
+    ev = _ev(spark, sf)
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_event_ts_us"),
+        F.min(purchase_ts).alias("first_purchase_ts_us"),
+    )
+    before = (
+        ev.join(
+            firsts.select("user_id", "first_purchase_ts_us"), "user_id"
+        )
+        .filter(F.col("ts_us") < F.col("first_purchase_ts_us"))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events_before"))
+    )
+    return (
+        firsts.filter(F.col("first_purchase_ts_us").isNotNull())
+        .join(before, "user_id", "left")
+        .select(
+            "user_id",
+            "first_event_ts_us",
+            "first_purchase_ts_us",
+            (
+                F.col("first_purchase_ts_us") - F.col("first_event_ts_us")
+            ).alias("latency_us"),
+            F.coalesce("n_events_before", F.lit(0)).cast("long").alias(
+                "n_events_before"
+            ),
+        )
+    )
