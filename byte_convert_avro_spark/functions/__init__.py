@@ -207,6 +207,25 @@ def bounded_ordered_agg(
     moves only the per-chunk sums, |groups| x |non-empty chunks| rows."""
     if chunk < 1:
         raise ValueError(f"chunk must be >= 1, got {chunk}")
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    try:
+        sort_type = df.schema[sort_key].dataType
+    except KeyError:
+        raise TypeError(
+            f"bounded_ordered_agg sort_key {sort_key!r} not in {df.columns}"
+        ) from None
+    if not isinstance(sort_type, (ByteType, ShortType, IntegerType, LongType)):
+        # Enforced at plan time: a float/string key would cast to NULL (or
+        # ANSI-error) deep inside the job, and a NEGATIVE integer key
+        # diverges from the DuckDB oracle silently (Spark `div` truncates
+        # toward zero, DuckDB `//` floors — keys in [-chunk, -1] land in
+        # chunk 0 alongside [0, chunk)).  Non-negativity itself is a data
+        # property the caller owns (documented REQUIRES above).
+        raise TypeError(
+            f"bounded_ordered_agg requires an integral sort_key; "
+            f"{sort_key!r} is {sort_type.simpleString()}"
+        )
     chunk_aggs = chunk_aggs or {}
     final_aggs = final_aggs or {}
     reserved = {"__chunk", "__csum", "__cnt", "osum", "ocnt"}

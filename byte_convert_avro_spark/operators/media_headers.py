@@ -72,9 +72,21 @@ def parse_image_header(data: bytes) -> dict | None:
         if data[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", data[6:10])
             return {"width": w, "height": h, "channels": 3, "format": "gif"}
-        if data[:2] == b"BM" and len(data) >= 26:
-            w, h = struct.unpack("<ii", data[18:26])
-            return {"width": w, "height": abs(h), "channels": 3, "format": "bmp"}
+        if data[:2] == b"BM" and len(data) >= 22:
+            # The dimension layout depends on the DIB header variant,
+            # identified by its leading size field: BITMAPCOREHEADER
+            # (12 bytes, unsigned 16-bit dims) vs BITMAPINFOHEADER and
+            # its extensions (>= 40 bytes, signed 32-bit dims).  Other
+            # sizes (e.g. the 16/52/56-byte OS/2 and Adobe oddities we
+            # don't recognize) return None per the permissive contract.
+            (dib_size,) = struct.unpack("<I", data[14:18])
+            if dib_size == 12:
+                w, h = struct.unpack("<HH", data[18:22])
+                return {"width": w, "height": h, "channels": 3, "format": "bmp"}
+            if dib_size >= 40 and len(data) >= 26:
+                w, h = struct.unpack("<ii", data[18:26])
+                return {"width": w, "height": abs(h), "channels": 3, "format": "bmp"}
+            return None
     except (struct.error, IndexError):
         return None
     return None

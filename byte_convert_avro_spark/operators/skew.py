@@ -40,8 +40,10 @@ def salted_agg(
     ``queries/base.py``).
 
     The salt is a uniform int derived from a high-entropy hash of the full
-    row (monotonically_increasing_id would also do); n_salts bounds the
-    fan-out of stage 2 (N partial rows per key).
+    row — DETERMINISTIC on purpose (monotonically_increasing_id/rand would
+    NOT do: a nondeterministic shuffle key re-routes recomputed rows on
+    partial map-stage retries and can drop/duplicate — see salted_join);
+    n_salts bounds the fan-out of stage 2 (N partial rows per key).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
@@ -93,6 +95,7 @@ def salted_join(
     small: DataFrame,
     key: str,
     n_salts: int = 8,
+    row_id: str | None = None,
 ) -> DataFrame:
     """Manual skew-join mitigation: salt the BIG side with a uniform
     ``[0, n_salts)`` value and REPLICATE every small-side row once per
@@ -110,21 +113,26 @@ def salted_join(
     pre-split so only the HOT KEYS take this path and the cold majority
     joins normally.
 
-    The salt mixes xxhash64 of the row with a per-row
-    ``monotonically_increasing_id`` so BYTE-IDENTICAL hot-key rows (the
-    exact case salting exists for — a content-only hash would send every
-    duplicate to the same reducer and spread nothing) still distribute
-    across all ``n_salts``.  The JOIN RESULT is deterministic regardless
-    of which salt a row lands on — the salt only routes; row-to-reducer
-    assignment may differ between reruns, same as any shuffle."""
+    The salt MUST be a deterministic function of the row: Spark only
+    auto-guards nondeterministic shuffle keys for round-robin
+    repartition, so a salt seeded from ``monotonically_increasing_id``
+    (or rand) recomputes DIFFERENTLY on a partial map-stage retry (lost
+    shuffle blocks, speculative execution) — reducers then see a mix of
+    old and recomputed map output routed to different partitions and can
+    drop or duplicate rows.  Default salt: ``xxhash64`` of ALL big-side
+    columns.  Byte-identical duplicate rows therefore share a salt; when
+    the hot key's rows are literal duplicates AND you have a stable
+    unique id column (a primary key, a content hash + position — NOT
+    something derived at runtime), pass it as ``row_id`` to spread them
+    deterministically."""
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if row_id is not None and row_id not in big.columns:
+        raise ValueError(f"row_id column {row_id!r} not in big side {big.columns}")
+    salt_src = [F.col(key), F.col(row_id)] if row_id else [F.col(c) for c in big.columns]
     b = big.withColumn(
         "_salt",
-        F.pmod(
-            F.xxhash64(F.col(key), F.monotonically_increasing_id()),
-            F.lit(n_salts),
-        ).cast("int"),
+        F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int"),
     )
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -338,8 +338,14 @@ def order_price_percentile_cont(spark: SparkSession, sf: str):
     fractional part are integer-derived (halves for p50, tenths for p90)
     — so the one float division at the end is bit-identical cross-engine,
     where each engine's native percentile_cont would round differently.
-    Scale: one window rank per priority partition + a rank-selection
-    aggregation; no full sort beyond the per-partition window."""
+    SCALE LIMIT (known, accepted): both windows partition by
+    o_orderpriority (5 distinct values), so each window partition holds
+    |orders|/5 rows sorted in ONE task — fine at gate scale, a hotspot
+    at 100 TB.  The scale path for low-cardinality-group exact
+    percentiles is a two-pass selection (per-group counts broadcast,
+    then a chunked partial-sort rank pick in the bounded_ordered_agg
+    style); this registry entry deliberately keeps the window form
+    because its rank arithmetic is the oracle-matched artifact."""
     o = t(spark, sf, "orders")
     w = W.partitionBy("o_orderpriority").orderBy(cents("o_totalprice"), "o_orderkey")
     wn = W.partitionBy("o_orderpriority")

@@ -244,3 +244,24 @@ def test_bounded_ordered_agg_extra_aggs_and_validation(spark):
     assert out.ocnt == 50
     with pytest.raises(ValueError, match="chunk"):
         BF.bounded_ordered_agg(df, ["g"], "k", "x", chunk=0)
+
+
+def test_bounded_ordered_agg_rejects_non_integral_sort_key(spark):
+    """Plan-time guard (ADVICE r07): a float/string sort_key would cast to
+    NULL (or ANSI-error) mid-job, and a negative key silently diverges
+    from the DuckDB oracle (div truncates, // floors) — so non-integral
+    types raise a typed error BEFORE any job runs."""
+    import pytest
+
+    fdf = spark.createDataFrame([(0, 1.5, 2.0)], "g int, k double, x double")
+    with pytest.raises(TypeError, match="integral sort_key"):
+        BF.bounded_ordered_agg(fdf, ["g"], "k", "x")
+    sdf = spark.createDataFrame([(0, "a", 2.0)], "g int, k string, x double")
+    with pytest.raises(TypeError, match="integral sort_key"):
+        BF.bounded_ordered_agg(sdf, ["g"], "k", "x")
+    with pytest.raises(TypeError, match="not in"):
+        BF.bounded_ordered_agg(sdf, ["g"], "nope", "x")
+    # integral widths all accepted
+    for t in ("tinyint", "smallint", "int", "long"):
+        idf = spark.createDataFrame([(0, 1, 2.0)], f"g int, k {t}, x double")
+        assert BF.bounded_ordered_agg(idf, ["g"], "k", "x").collect()[0].osum == 2.0

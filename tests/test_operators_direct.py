@@ -1029,9 +1029,18 @@ def test_media_header_parsers_pure_python():
 
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
     assert parse_image_header(gif)["width"] == 320
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 100, -50) + b"\x00" * 4
+    # 14-byte file header then the DIB header; dims layout depends on the
+    # DIB variant, keyed by its size field (ADVICE r07 fix)
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 100, -50) + b"\x00" * 4
     got = parse_image_header(bmp)
     assert (got["width"], got["height"]) == (100, 50)  # top-down negative h
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 640, 480)
+    got = parse_image_header(core)  # BITMAPCOREHEADER: 16-bit unsigned dims
+    assert (got["width"], got["height"]) == (640, 480)
+    os2 = b"BM" + b"\x00" * 12 + struct.pack("<I", 16) + struct.pack("<ii", 7, 7)
+    assert parse_image_header(os2) is None  # unrecognized DIB size: None, not garbage
+    v5_large = b"BM" + b"\x00" * 12 + struct.pack("<I", 124) + struct.pack("<ii", 32, 16) + b"\x00" * 4
+    assert parse_image_header(v5_large)["width"] == 32  # BITMAPV5HEADER layout matches INFO
 
     assert parse_image_header(b"") is None
     assert parse_image_header(b"\xff\xd8\x00\x01") is None  # marker desync

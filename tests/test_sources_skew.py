@@ -270,3 +270,57 @@ def test_salted_join_equals_plain_join(spark):
         assert got == want, n
     with pytest.raises(ValueError, match="n_salts"):
         salted_join(big, small, "k", n_salts=0)
+
+
+def test_salted_join_salt_is_deterministic(spark):
+    """ADVICE r07 (medium): the salt feeds a shuffle key, so it must be a
+    DETERMINISTIC row function — a monotonically_increasing_id/rand seed
+    recomputes differently on partial map-stage retries and can drop or
+    duplicate rows.  Pins: (a) no nondeterministic expression anywhere in
+    the salted plan, (b) byte-identical duplicate rows share a salt under
+    the default content hash, (c) a caller-supplied stable row_id spreads
+    duplicates across salts, still row-identical to the plain join."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(7, "hot", i) for i in range(64)] + [(1, "cold", 0)],
+        "k int, payload string, rid long",
+    )
+    small = spark.createDataFrame([(7, "d7"), (1, "d1")], "k int, label string")
+
+    joined = salted_join(big, small, "k", n_salts=8)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    for bad in ("monotonically_increasing_id", "rand(", "MonotonicallyIncreasingID"):
+        assert bad not in plan, bad
+
+    # (b) content hash: identical rows -> identical salt (1 distinct salt)
+    dup_big = big.select("k", "payload")  # rid dropped -> hot rows identical
+    salts = (
+        dup_big.withColumn(
+            "_s",
+            F.pmod(F.xxhash64(*dup_big.columns), F.lit(8)),
+        )
+        .filter("k = 7")
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert salts == 1
+
+    # (c) row_id spreads the hot key across many salts, result unchanged
+    want = sorted(
+        (r.k, r.payload, r.rid, r.label) for r in big.join(small, "k").collect()
+    )
+    out = salted_join(big, small, "k", n_salts=8, row_id="rid")
+    got = sorted((r.k, r.payload, r.rid, r.label) for r in out.collect())
+    assert got == want
+    spread = (
+        big.withColumn("_s", F.pmod(F.xxhash64(F.col("k"), F.col("rid")), F.lit(8)))
+        .filter("k = 7").select("_s").distinct().count()
+    )
+    assert spread >= 4  # 64 distinct rids over 8 salts
+
+    with pytest.raises(ValueError, match="row_id"):
+        salted_join(big, small, "k", row_id="nope")
