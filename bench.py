@@ -77,6 +77,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Controlled re-bench knob (round-7 verdict: the CC bimodality needed
+    # a focused >=5-run artifact): comma-separated subset of HEADLINE.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    headline = HEADLINE
+    if subset:
+        picked = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [p for p in picked if p not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"unknown bench queries {unknown}; headline = {HEADLINE}")
+        headline = picked
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     reg = queries()
@@ -91,7 +101,7 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    for name in HEADLINE:
+    for name in headline:
         try:
             materialize(reg[name](spark, warm_dir))
         except Exception:  # noqa: BLE001 — warm-up must never fail the bench
@@ -103,14 +113,14 @@ def main() -> None:
     # transient host-load spike degrades one ROUND of many queries
     # instead of every sample of one query
     for i in range(n_runs):
-        for name in HEADLINE:
+        for name in headline:
             q = reg[name]
             t0 = time.perf_counter()
             materialize(q(spark, sf_dir))
             dt = time.perf_counter() - t0
             runs.setdefault(name, []).append(dt)
             print(f"# run {i}: {name}: {dt:.3f}s", file=sys.stderr)
-    for name in HEADLINE:
+    for name in headline:
         timings[name] = round(statistics.median(runs[name]), 3)
 
     # decode throughput (the reference's core capability) — median-of-3 so
@@ -135,6 +145,7 @@ def main() -> None:
                 "queries": timings,
                 "runs_per_query": n_runs,
                 "aggregation": "median",
+                "mins": {k: round(min(v), 3) for k, v in runs.items()},
                 "all_runs": {k: [round(x, 3) for x in v] for k, v in runs.items()},
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "materialize": "noop-write (full column evaluation)",

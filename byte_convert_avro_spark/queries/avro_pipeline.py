@@ -217,6 +217,36 @@ def avro_ocf_roundtrip_customers(spark: SparkSession, sf: str):
 
 # ---------------------------------------------------------------------------
 @register(
+    "avro_ocf_snappy_roundtrip_supplier",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def avro_ocf_snappy_roundtrip_supplier(spark: SparkSession, sf: str):
+    """OCF with the SNAPPY codec under the oracle gate — the de facto
+    default Avro block codec in the wild, now ALWAYS available: real
+    ``python-snappy`` when installed, else the dependency-free spec
+    implementation (avro/snappy_pure.py — full-format reader,
+    literals-only writer, spec block framing = compressed bytes +
+    BE CRC32 of the plain bytes).  The supplier table writes one
+    snappy-framed OCF per partition and reads back distributed,
+    identity-compared against the parquet original — any framing, CRC,
+    or codec fault breaks the hash.  Scale: identical plan shape to
+    avro_ocf_roundtrip_customers; codec choice is per-block CPU only."""
+
+    from byte_convert_avro_spark.sources.avro_ocf import (
+        read_avro_ocf,
+        write_avro_ocf,
+    )
+
+    sel = t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    d = scratch_dir("ocf_sn_")
+    write_avro_ocf(spread(sel, "s_suppkey"), d, codec="snappy")
+    return read_avro_ocf(spark, d + "/*.avro")
+
+
+# ---------------------------------------------------------------------------
+@register(
     "avro_ocf_logical_roundtrip_orders",
     """
     SELECT o_orderkey,

@@ -67,7 +67,7 @@ def test_error_paths():
     with pytest.raises(ValueError, match="sync marker"):
         decode_ocf(blob[:-1])
     with pytest.raises(ValueError, match="codec"):
-        encode_ocf(ROWS[:1], SCHEMA, codec="snappy")
+        encode_ocf(ROWS[:1], SCHEMA, codec="lz4")  # spec codec we don't ship
     with pytest.raises(ValueError, match="block_rows"):
         encode_ocf(ROWS[:1], SCHEMA, block_rows=0)
     with pytest.raises(ValueError, match="sync marker must be 16"):
@@ -233,37 +233,51 @@ def test_streaming_read_requires_declared_schema(spark, tmp_path):
     assert df.schema.simpleString() == "struct<id:bigint>"
 
 
-@pytest.mark.parametrize("codec,module", [("snappy", "snappy"), ("zstandard", "zstandard")])
-def test_importgated_codecs_roundtrip_when_available(codec, module):
-    """snappy/zstandard register iff their packages import (round-6
-    verdict lead #3).  With the package absent: the codec must NOT be in
-    the registry and encode must raise the unsupported-codec error.  With
-    it present: full multi-block round-trip (and for snappy, the spec's
-    trailing BE-CRC32-of-plain-bytes framing is what _snappy_c/_d
-    implement — a corrupt CRC must raise)."""
-    import importlib
+def test_snappy_codec_always_available():
+    """snappy is ALWAYS registered (round-7 verdict #3): python-snappy
+    when it imports, the dependency-free spec implementation otherwise —
+    so the de facto default OCF codec round-trips in-container either
+    way.  The spec's trailing BE-CRC32-of-plain-bytes framing is what
+    _snappy_c/_d implement — a corrupt CRC must raise."""
+    from byte_convert_avro_spark.avro import ocf as ocf_mod
 
+    assert "snappy" in ocf_mod._CODECS
+    assert ocf_mod.SNAPPY_IMPL in ("python-snappy", "pure-python")
+
+    blob = encode_ocf(ROWS, SCHEMA, codec="snappy", block_rows=1000)
+    schema_json, back = decode_ocf(blob)
+    assert back == ROWS
+
+    data = b"hello snappy block"
+    framed = ocf_mod._COMPRESS["snappy"](data)
+    assert ocf_mod._DECOMPRESS["snappy"](framed) == data
+    bad = framed[:-1] + bytes([framed[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC32"):
+        ocf_mod._DECOMPRESS["snappy"](bad)
+    with pytest.raises(ValueError, match="truncated"):
+        ocf_mod._DECOMPRESS["snappy"](b"abc")
+
+
+def test_zstandard_codec_importgated():
+    """zstandard registers iff its package imports (round-6 verdict lead
+    #3).  With the package absent: NOT in the registry and encode raises
+    the unsupported-codec error.  With it present: full multi-block
+    round-trip."""
     from byte_convert_avro_spark.avro import ocf as ocf_mod
 
     try:
-        importlib.import_module(module)
+        import zstandard  # noqa: F401
+
         available = True
     except ImportError:
         available = False
 
     if not available:
-        assert codec not in ocf_mod._CODECS
+        assert "zstandard" not in ocf_mod._CODECS
         with pytest.raises(ValueError, match="unsupported OCF codec"):
-            encode_ocf(ROWS[:5], SCHEMA, codec=codec)
+            encode_ocf(ROWS[:5], SCHEMA, codec="zstandard")
         return
 
-    blob = encode_ocf(ROWS, SCHEMA, codec=codec, block_rows=1000)
+    blob = encode_ocf(ROWS, SCHEMA, codec="zstandard", block_rows=1000)
     schema_json, back = decode_ocf(blob)
     assert back == ROWS
-    if codec == "snappy":
-        data = b"hello snappy block"
-        framed = ocf_mod._COMPRESS["snappy"](data)
-        assert ocf_mod._DECOMPRESS["snappy"](framed) == data
-        bad = framed[:-1] + bytes([framed[-1] ^ 0xFF])
-        with pytest.raises(ValueError, match="CRC32"):
-            ocf_mod._DECOMPRESS["snappy"](bad)

@@ -1,0 +1,104 @@
+"""avro/snappy_pure — dependency-free snappy raw format (round-7 verdict
+#3).  The decompressor must accept the FULL public format (every tag
+type, multi-byte literal lengths, overlapping copies) so OCF files
+written by real snappy implementations read; the compressor emits
+literals only (valid per spec) and must round-trip through our own
+decompressor byte-exactly."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from byte_convert_avro_spark.avro.snappy_pure import (
+    SnappyError,
+    compress,
+    decompress,
+)
+
+
+def test_roundtrip_basic():
+    for data in (b"", b"a", b"hello world" * 100, bytes(range(256)) * 40):
+        assert decompress(compress(data)) == data
+
+
+def test_compress_is_literals_only_and_bounded_overhead():
+    data = b"x" * 100_000  # maximally compressible — we still emit literals
+    comp = compress(data)
+    # varint(100000)=3 bytes + one literal tag (62<<2) + 3 length bytes
+    assert len(comp) == len(data) + 3 + 4
+    assert decompress(comp) == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=5000))
+def test_roundtrip_property(data):
+    assert decompress(compress(data)) == data
+
+
+def test_literal_length_encodings():
+    """Exercise every literal length form: in-tag (<60), 1-byte (60),
+    2-byte (61), 3-byte (62) operands."""
+    for n in (1, 59, 60, 61, 255, 256, 257, 65536, 65537, 70000):
+        data = bytes(i & 0xFF for i in range(n))
+        comp = compress(data)
+        assert decompress(comp) == data, n
+
+
+def test_decompress_handcrafted_copy_elements():
+    """Hand-crafted streams a REAL snappy compressor could emit — copies
+    our literals-only compressor never produces but files in the wild
+    contain.  Layout per the public format description."""
+    # "abcdabcd": literal "abcd" + copy-1 (len 4, offset 4)
+    #   tag 01: len-4 in bits 2-4 -> 0, offset 11 bits: high 3 in bits
+    #   5-7 (0), low 8 in the next byte (4)
+    s = bytes([8]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes([0x01, 4])
+    assert decompress(s) == b"abcdabcd"
+
+    # overlapping run: literal "ab" + copy len 6 offset 2 -> "ab"*4
+    #   copy-2 (tag 10): len-1 in bits 2-7 -> 5, offset LE16 = 2
+    s = bytes([8]) + bytes([(2 - 1) << 2]) + b"ab" + bytes([(5 << 2) | 2, 2, 0])
+    assert decompress(s) == b"abababab"
+
+    # copy-4 (tag 11): same as copy-2 but 4-byte LE offset
+    s = bytes([8]) + bytes([(4 - 1) << 2]) + b"wxyz" + bytes(
+        [(3 << 2) | 3, 4, 0, 0, 0]
+    )
+    assert decompress(s) == b"wxyzwxyz"
+
+    # single-byte RLE: literal "z" + overlapping copy len 7 offset 1
+    s = bytes([8]) + bytes([0 << 2]) + b"z" + bytes([(6 << 2) | 2, 1, 0])
+    assert decompress(s) == b"z" * 8
+
+
+def test_decompress_malformed_raises_typed():
+    with pytest.raises(SnappyError, match="truncated length"):
+        decompress(b"")
+    with pytest.raises(SnappyError, match="truncated length"):
+        decompress(b"\xff\xff")  # continuation bits, no terminator
+    with pytest.raises(SnappyError, match="overflows"):
+        decompress(b"\xff\xff\xff\xff\xff\xff\x01")
+    with pytest.raises(SnappyError, match="literal runs past"):
+        decompress(bytes([10, (9 << 2)]) + b"abc")  # claims 10, has 3
+    with pytest.raises(SnappyError, match="truncated literal length"):
+        decompress(bytes([10, (60 << 2)]))  # 1-byte length operand missing
+    with pytest.raises(SnappyError, match="offset"):
+        decompress(bytes([4, (0 << 2)]) + b"a" + bytes([0x01, 9]))  # off>out
+    with pytest.raises(SnappyError, match="offset"):
+        decompress(bytes([2, (0 << 2)]) + b"a" + bytes([(0 << 2) | 2, 0, 0]))  # off=0
+    with pytest.raises(SnappyError, match="truncated copy-2"):
+        decompress(bytes([8, (0 << 2)]) + b"a" + bytes([(0 << 2) | 2, 0]))
+    with pytest.raises(SnappyError, match="declared length 9, produced 4"):
+        decompress(bytes([9, (3 << 2)]) + b"abcd")
+    with pytest.raises(SnappyError, match="exceeds declared"):
+        decompress(bytes([2, (3 << 2)]) + b"abcd")
+
+
+def test_interop_python_snappy_if_present():
+    """If the real package IS installed, our pure decompressor must read
+    its output and it must read ours (skip-gated like the OCF matrix)."""
+    real = pytest.importorskip("snappy")
+    data = (b"the quick brown fox " * 200) + bytes(range(256))
+    assert decompress(real.compress(data)) == data
+    assert real.decompress(compress(data)) == data
