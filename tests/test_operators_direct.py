@@ -1165,3 +1165,54 @@ def test_bpe_pair_explode_survives_fully_merged_word(spark):
     _, rules = _bpe_train_spark(spark, d, n_rounds=3)
     assert rules[0][:2] == ("a", "b")
     assert len(rules) == 3  # rounds 2-3 ran over the collapsed table
+
+
+# ---------------------------------------------------------------------------
+# round-8: bounded hierarchy walk
+
+
+def test_walk_to_root_depths_roots_and_multiple_trees(spark):
+    """(node, root, depth) over a two-tree forest; roots appear with
+    depth 0; converged rows ride along while deep chains keep walking."""
+    from byte_convert_avro_spark.operators.graph import walk_to_root
+
+    #      1            10
+    #     / \            |
+    #    2   3          11
+    #        |
+    #        4
+    edges = [(2, 1), (3, 1), (4, 3), (11, 10)]
+    df = spark.createDataFrame(edges, "node long, parent long")
+    got = {r.n: (r.root, r.depth) for r in walk_to_root(df).collect()}
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2), 10: (10, 0), 11: (10, 1)
+    }
+
+
+def test_walk_to_root_cycle_raises(spark):
+    """A parent cycle can never converge — typed error at max_rounds, not
+    a silent partial answer."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.graph import walk_to_root
+
+    df = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "node long, parent long")
+    with pytest.raises(RuntimeError, match="converge"):
+        walk_to_root(df, max_rounds=5)
+    with pytest.raises(ValueError, match="max_rounds"):
+        walk_to_root(df, max_rounds=0)
+
+
+def test_walk_to_root_depth_exceeding_bound_raises(spark):
+    """A chain deeper than max_rounds raises instead of emitting a
+    truncated walk."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.graph import walk_to_root
+
+    chain = [(i + 1, i) for i in range(10)]  # depth-10 path 10->...->0
+    df = spark.createDataFrame(chain, "node long, parent long")
+    with pytest.raises(RuntimeError, match="converge"):
+        walk_to_root(df, max_rounds=3)
+    out = {r.n: r.depth for r in walk_to_root(df, max_rounds=12).collect()}
+    assert out[10] == 10 and out[0] == 0

@@ -382,6 +382,83 @@ def test_restart_with_checkpoint_no_duplicates(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+def test_watermarked_agg_checkpoint_recovery_equals_uninterrupted(spark, tmp_path):
+    """Checkpoint recovery of a WATERMARKED WINDOWED AGGREGATION (round-7
+    verdict #5 — the failure mode every production streaming job hits):
+    kill an append-mode hourly aggregation after the first shards, restart
+    from its checkpoint, feed the remaining shards, and the union of
+    emitted rows must equal (a) the uninterrupted run over the same shards
+    and (b) the batch aggregate — which is only possible if the restarted
+    query recovered BOTH its window state and its watermark from the
+    checkpoint instead of restarting from zero (a zero restart would
+    re-open closed windows with partial counts, or drop the pre-restart
+    events entirely)."""
+    shards = []  # 4 shards, one file = one micro-batch each
+    for h in range(4):
+        shards.append(
+            [(10 + u, _ns(h * H + u * 60), "view", float(h * 10 + u)) for u in range(5)]
+        )
+    # flush shard: far-future event moves the watermark past every hour
+    # window so append mode emits them all; its own window never closes
+    flush = [(99, _ns(100 * H), "flush", 0.0)]
+
+    def run(tag: str, interrupt_after: int | None):
+        src = os.path.join(tmp_path, tag, "in")
+        ckpt = os.path.join(tmp_path, tag, "ckpt")
+        emitted: list = []
+
+        def start():
+            agg = hourly_tumbling_stream(_events_stream(spark, src), watermark="30 minutes")
+            return (
+                agg.writeStream.foreachBatch(
+                    lambda df, _eid: emitted.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        if interrupt_after is None:  # single uninterrupted query
+            for s in shards:
+                _write_events(spark, src, s)
+            _write_events(spark, src, flush)
+            q = start()
+            q.processAllAvailable()
+            q.stop()
+        else:  # kill after the first shards, recover from the checkpoint
+            for s in shards[:interrupt_after]:
+                _write_events(spark, src, s)
+            q = start()
+            q.processAllAvailable()
+            q.stop()
+            for s in shards[interrupt_after:]:
+                _write_events(spark, src, s)
+            _write_events(spark, src, flush)
+            q = start()  # SAME checkpoint: state + watermark must recover
+            q.processAllAvailable()
+            q.stop()
+        # append mode emits each closed window at most once per clean run;
+        # a replayed foreachBatch may duplicate rows, never contradict them
+        rows = {(r.hour_start, r.event_type, r.n_events, r.total_value) for r in emitted}
+        assert len({(h, e) for h, e, *_ in rows}) == len(rows), "conflicting re-emit"
+        return rows
+
+    uninterrupted = run("base", None)
+    recovered = run("killed", interrupt_after=3)
+    assert recovered == uninterrupted
+
+    # batch oracle over the same rows: every hour window, exact values
+    allrows = [r for s in shards for r in s]
+    batch = spark.createDataFrame(allrows, EVENT_SCHEMA)
+    want = {
+        (r.hour_start, r.event_type, r.n_events, r.total_value)
+        for r in hourly_tumbling_stream(batch, watermark="30 minutes").collect()
+    }
+    got = {(h, e, n, v) for h, e, n, v in recovered}
+    assert got == want and len(want) == 4
+
+
+# ---------------------------------------------------------------------------
 def test_stream_failfast_aborts_query(spark, tmp_path):
     """O19 in streaming: FAILFAST mode turns a malformed payload into a
     StreamingQueryException (the job aborts, nothing silently drops);
