@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel  # noqa: F401 — storage option type
 
 
 from byte_convert_avro_spark.functions import (
@@ -27,6 +28,7 @@ def pagerank_fixed_rounds(
     damping: float = 0.85,
     deterministic: bool = True,
     fold_chunk: int | None = None,
+    storage: "StorageLevel | None" = None,
 ) -> DataFrame:
     """PageRank after exactly ``n_rounds`` power iterations over a
     directed edge list (pass both directions for an undirected graph —
@@ -63,18 +65,35 @@ def pagerank_fixed_rounds(
     ids (``pagerank_trade_graph`` encodes customer/supplier keys as
     2k / 2k+1 for exactly this); ``None`` keeps the flat fold, which
     accepts any orderable id type.  The fold order (and so the last-ulp
-    rank values) follows the id ordering of whichever mode is chosen."""
+    rank values) follows the id ordering of whichever mode is chosen.
+
+    ``storage`` sets the StorageLevel of every localCheckpoint in the
+    operator (the static edge frame — by far the largest resident — plus
+    nodes and the per-round ranks).  Default ``None`` keeps Spark's
+    deserialized MEMORY_AND_DISK: fastest, but on ``local[32]`` (driver
+    JVM = the executor) a 12M-edge graph's deserialized rows OOM'd an
+    8g heap (NOTES sf10 stress).  PySpark's ``StorageLevel.MEMORY_AND_DISK``
+    (Serialized — unlike the Scala constant of the same name)
+    stores the checkpoint blocks serialized (~3-5x smaller for
+    wide-integer rows) at a per-round deserialization cost — measured at
+    sf10 it runs in a 12g heap where the default needed 24g, within
+    noise of the 24g time (SCALE.md round-8 table).  Storage level does
+    not affect results or the per-round job count."""
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
-    nodes = (
+    ckpt = (
+        (lambda df: df.localCheckpoint(storageLevel=storage))
+        if storage is not None
+        else (lambda df: df.localCheckpoint())
+    )
+    nodes = ckpt(
         edges.select(F.col(src).alias("v"))
         .union(edges.select(F.col(dst).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     outdeg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
-    e = edges.join(outdeg, src).localCheckpoint()
+    e = ckpt(edges.join(outdeg, src))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_rounds):
@@ -92,7 +111,7 @@ def pagerank_fixed_rounds(
         else:
             agg_fn = _ordered_fold("_s", "_c") if deterministic else F.sum("_c")
             sums = contrib.groupBy("v").agg(agg_fn.alias("_sum"))
-        ranks = (
+        ranks = ckpt(
             nodes.join(sums, "v", "left")
             .select(
                 "v",
@@ -100,7 +119,6 @@ def pagerank_fixed_rounds(
                     F.lit(base) + F.lit(damping) * F.coalesce("_sum", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
     return ranks
 

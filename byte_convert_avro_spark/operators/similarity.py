@@ -365,7 +365,7 @@ def pca_power_top_component(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_iter: int = 3,
-    fold_chunk: int = 128,
+    fold_chunk: int = 4096,
 ) -> DataFrame:
     """Deterministic MATRIX-FREE power iteration for the TOP PRINCIPAL
     COMPONENT of the (mean-centered) embedding corpus — the dimension-

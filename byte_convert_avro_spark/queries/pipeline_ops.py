@@ -1388,6 +1388,8 @@ def pagerank_trade_graph(spark: SparkSession, sf: str):
     sort key; labels are reconstructed for output.  Scale notes in
     operators/graph.py (one shuffle join + one bounded grouped fold per
     round, lineage truncated)."""
+    from pyspark.storagelevel import StorageLevel
+
     from byte_convert_avro_spark.operators.graph import pagerank_fixed_rounds
 
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
@@ -1401,8 +1403,13 @@ def pagerank_trade_graph(spark: SparkSession, sf: str):
         .distinct()
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # serialized checkpoint blocks: measured at sf10 (SCALE.md round-8)
+    # this runs in a 12g local heap where deserialized needed 24g, and
+    # FASTER (140.8s vs 272s) — smaller blocks beat re-deserialization.
+    # No effect on values or job counts.
     ranks = pagerank_fixed_rounds(
-        edges, "src", "dst", n_rounds=3, damping=0.85, fold_chunk=256
+        edges, "src", "dst", n_rounds=3, damping=0.85, fold_chunk=256,
+        storage=StorageLevel.MEMORY_AND_DISK,
     )
     half = F.call_function("div", F.col("v"), F.lit(2)).cast("string")
     return ranks.select(
@@ -2810,4 +2817,119 @@ def kmv_intersection_estimate(spark: SparkSession, sf: str):
         (union_est * jac).alias("intersection_est"),
         "exact_intersection",
         "exact_union",
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_estimate_vs_exact_jaccard",
+    r"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM words WHERE len(w) >= 3),
+    sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+    sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+    bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+    sigs AS (
+      SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
+      FROM sh0 CROSS JOIN bands GROUP BY doc_id, band
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(DISTINCT a.band) AS nb
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, p.nb, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+      GROUP BY p.doc_a, p.doc_b, p.nb
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.nb AS BIGINT) AS n_bands_matched,
+           CAST(c.nb AS DOUBLE) / 8.0 AS est_jaccard,
+           CAST(c.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - c.n_common)
+             AS exact_jaccard,
+           ABS(CAST(c.nb AS DOUBLE) / 8.0
+               - CAST(c.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - c.n_common))
+             AS abs_err
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """,
+)
+def minhash_estimate_vs_exact_jaccard(spark: SparkSession, sf: str):
+    """SKETCH-QUALITY audit for the MinHash stage (the ivf_recall_at_3
+    companion on the dedup ladder): for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (matched bands / 8 — the classic
+    unbiased per-hash collision estimator) next to the EXACT shingle
+    Jaccard and the absolute error — the number that tells an operator
+    whether 8 hash families are enough before trusting the candidate
+    graph at 100 TB.  Every value is exact-integer-derived; est/exact/err
+    are single IEEE divisions and one subtraction, bit-identical
+    cross-engine.  Scale: composes the existing bounded stages (one
+    shingle explode, signature partial-agg, bucket join, array-verify) —
+    no new shuffle shape."""
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", n_bands=8, shingle_n=3)
+    cands = D.lsh_candidates(sigs)
+    exact = D.jaccard_similarity(
+        docs, cands.select("doc_a", "doc_b"), "text", "doc_id", shingle_n=3
+    )
+    est = F.col("n_bands_matched").cast("double") / 8.0
+    return exact.join(cands, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_bands_matched").cast("long").alias("n_bands_matched"),
+        est.alias("est_jaccard"),
+        F.col("jaccard").alias("exact_jaccard"),
+        F.abs(est - F.col("jaccard")).alias("abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_log2_histogram",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(LENGTH(bin(n_tokens)) - 1 AS INT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM tok WHERE n_tokens >= 1
+    GROUP BY 1
+    """,
+)
+def doc_token_log2_histogram(spark: SparkSession, sf: str):
+    """LOG2-BUCKETED token-count histogram — the standard corpus-shape
+    readout before choosing packing length / truncation limits (doc
+    sizes are log-distributed; linear buckets hide the tail).  The
+    bucket is floor(log2(n)) computed as INTEGER string-length of the
+    binary representation (``LENGTH(bin(n)) - 1`` / Spark
+    ``length(conv(n, 10, 2)) - 1``) — never float ``LOG2``, whose libm
+    ulp differences between engines could misbucket values adjacent to
+    powers of two.  Scale: one groupBy over per-doc token counts;
+    ~30 buckets out."""
+    from byte_convert_avro_spark.operators import text as X
+
+    tok = X.token_count(t(spark, sf, "documents"), "text").select(
+        "doc_id", "n_tokens"
+    )
+    bucket = (F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1).cast("int")
+    return (
+        tok.filter(F.col("n_tokens") >= 1)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
     )

@@ -1216,3 +1216,32 @@ def test_walk_to_root_depth_exceeding_bound_raises(spark):
         walk_to_root(df, max_rounds=3)
     out = {r.n: r.depth for r in walk_to_root(df, max_rounds=12).collect()}
     assert out[10] == 10 and out[0] == 0
+
+
+def test_pagerank_storage_level_identical_ranks(spark):
+    """The checkpoint StorageLevel is a memory-footprint knob, not a
+    semantic one: serialized blocks produce bit-identical ranks to the
+    deserialized default (round-8 heap-floor work)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from byte_convert_avro_spark.operators.graph import pagerank_fixed_rounds
+
+    e0 = [(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20]
+    edges = spark.createDataFrame(
+        e0 + [(d, s) for s, d in e0], "src long, dst long"
+    ).distinct()
+    base = {r.v: r.rank for r in pagerank_fixed_rounds(edges, n_rounds=3).collect()}
+    ser = {
+        r.v: r.rank
+        for r in pagerank_fixed_rounds(
+            edges, n_rounds=3, storage=StorageLevel.MEMORY_AND_DISK
+        ).collect()
+    }
+    disk = {
+        r.v: r.rank
+        for r in pagerank_fixed_rounds(
+            edges, n_rounds=3, fold_chunk=4, storage=StorageLevel.DISK_ONLY
+        ).collect()
+    }
+    assert ser == base
+    assert set(disk) == set(base)  # chunked fold: same sums, bounded arrays
