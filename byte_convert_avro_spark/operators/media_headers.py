@@ -8,7 +8,9 @@ fingerprints, features) requires Pillow/soundfile and stays behind the
 documented hooks in :mod:`byte_convert_avro_spark.operators.multimodal`.
 
 Formats: PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen
-descriptor), BMP (BITMAPINFOHEADER), WAV (RIFF chunk scan).  Parsers are
+descriptor), BMP (BITMAPCOREHEADER / BITMAPINFOHEADER+, dispatched on
+the DIB size field), WAV (RIFF chunk scan), FLAC (STREAMINFO bit-pack).
+Parsers are
 defensive: anything malformed or unrecognized returns ``None`` rather
 than raising — the Arrow-batched callers emit a PERMISSIVE
 ``format='unknown'`` row, mirroring the decode engine's error channel.
@@ -124,6 +126,42 @@ def parse_wav_header(data: bytes) -> dict | None:
             "sample_rate": sample_rate,
             "channels": channels,
             "codec": "wav",
+        }
+    except (struct.error, IndexError):
+        return None
+
+
+def parse_flac_header(data: bytes) -> dict | None:
+    """-> ``{duration_ms, sample_rate, channels, codec}`` or ``None``.
+
+    FLAC native container (public format spec, xiph.org): ``fLaC`` magic,
+    then metadata blocks — the first block is MANDATORY STREAMINFO
+    (type 0, 34 bytes): after min/max blocksize (2×16 bits) and min/max
+    framesize (2×24 bits) comes a 64-bit big-endian pack of
+    sample-rate (20 bits) | channels-1 (3) | bits-per-sample-1 (5) |
+    total-samples (36).  Duration is integer math
+    (``total_samples * 1000 // sample_rate``); a zero sample rate or a
+    non-STREAMINFO first block is malformed → None (permissive
+    contract, same as the other parsers here)."""
+    try:
+        if data[:4] != b"fLaC" or len(data) < 8 + 18:
+            return None
+        block_type = data[4] & 0x7F
+        (block_len,) = struct.unpack(">I", b"\x00" + data[5:8])
+        if block_type != 0 or block_len < 34:
+            return None  # spec: STREAMINFO must be first and 34 bytes
+        # skip 2+2 blocksize and 3+3 framesize bytes -> pack at offset 18
+        (pack,) = struct.unpack(">Q", data[18:26])
+        sample_rate = pack >> 44
+        channels = ((pack >> 41) & 0x7) + 1
+        total_samples = pack & ((1 << 36) - 1)
+        if sample_rate == 0:
+            return None
+        return {
+            "duration_ms": total_samples * 1000 // sample_rate,
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "codec": "flac",
         }
     except (struct.error, IndexError):
         return None

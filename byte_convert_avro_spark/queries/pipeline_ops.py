@@ -2933,3 +2933,70 @@ def doc_token_log2_histogram(spark: SparkSession, sf: str):
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_real_flac_headers",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE {_MD5_SLICE.format(a=1, b=1)} % 4
+                  WHEN 0 THEN 22050 WHEN 1 THEN 44100
+                  WHEN 2 THEN 48000 ELSE 96000 END AS rate,
+             CAST({_MD5_SLICE.format(a=2, b=1)} % 2 + 1 AS INT) AS ch,
+             {_MD5_SLICE.format(a=3, b=7)} % 100000000 + 1 AS total_samples
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(total_samples * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(rate AS INT) AS sample_rate,
+           ch AS channels,
+           'flac' AS codec
+    FROM p
+    """,
+)
+def multimodal_real_flac_headers(spark: SparkSession, sf: str):
+    """The FLAC rung of the real-header family: valid ``fLaC`` containers
+    with a spec-exact STREAMINFO block are BUILT natively — the 64-bit
+    big-endian bit-pack ``rate<<44 | (ch-1)<<41 | (bps-1)<<36 | samples``
+    assembled from two 4-byte halves with integer arithmetic — and parsed
+    back by the pure-Python bit unpacker
+    (operators/media_headers.parse_flac_header, routed through
+    decode_audio_metadata's WAV→FLAC sniff).  The oracle re-derives the
+    integer duration from the same hash-derived rate/samples, so the bit
+    layout, the 20/3/5/36 field widths, and the division are all under
+    the hash.  Scale: narrow map-side construction + decode, no
+    shuffle."""
+    from byte_convert_avro_spark.operators.multimodal import decode_audio_metadata
+
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    md5 = F.md5("text")
+    rate_idx = F.conv(F.substring(md5, 1, 1), 16, 10).cast("long") % 4
+    rate = (
+        F.when(rate_idx == 0, 22050).when(rate_idx == 1, 44100)
+        .when(rate_idx == 2, 48000).otherwise(96000)
+    ).cast("long")
+    ch = (F.conv(F.substring(md5, 2, 1), 16, 10).cast("long") % 2 + 1).cast("long")
+    total = F.conv(F.substring(md5, 3, 7), 16, 10).cast("long") % 100000000 + 1
+    # STREAMINFO pack: rate(20) | ch-1(3) | bps-1(5) | samples(36); bps=16
+    pack = (
+        rate * F.lit(1 << 44).cast("long")
+        + (ch - 1) * F.lit(1 << 41).cast("long")
+        + F.lit(15 << 36).cast("long")
+        + total
+    )
+    two32 = F.lit(4294967296).cast("long")
+    blob = F.concat(
+        F.lit(b"fLaC"),
+        F.lit(bytes([0x80])),          # last-block flag + type 0
+        F.lit(b"\x00\x00\x22"),        # length 34
+        F.lit(b"\x10\x00\x10\x00"),    # min/max blocksize 4096
+        F.lit(b"\x00\x00\x00" * 2),    # min/max framesize unknown
+        _be4(F.floor(pack / two32).cast("long")),
+        _be4(pack % two32),
+        F.lit(b"\x00" * 16),           # md5 of samples: zeros
+    )
+    src = d.select("doc_id", blob.alias("blob"))
+    meta = decode_audio_metadata(src)
+    return meta.select("doc_id", "duration_ms", "sample_rate", "channels", "codec")

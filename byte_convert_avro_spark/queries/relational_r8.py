@@ -343,3 +343,112 @@ def nation_revenue_3mo_trailing(spark: SparkSession, sf: str):
         F.sum("revenue_c").over(w).cast("long").alias("trailing_3mo_c"),
         F.count("*").over(w).cast("long").alias("n_months_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "quantity_mode_per_returnflag",
+    """
+    WITH freq AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(SUM(n) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_qty,
+           CAST(MAX_BY(qty, n * 1024 + (1023 - qty)) AS BIGINT) AS mode_qty,
+           CAST(MAX(n) AS BIGINT) AS mode_count
+    FROM freq GROUP BY l_returnflag
+    """,
+)
+def quantity_mode_per_returnflag(spark: SparkSession, sf: str):
+    """Statistical MODE via two-level count + argmax — per return flag,
+    the most frequent order quantity, ties broken to the SMALLEST
+    quantity (both engines spell the tie-break explicitly as
+    ``max_by(qty, n*1024 + (1023-qty))`` — one exact composite integer
+    key (quantities are bounded < 1024) — never a native ``mode()``,
+    whose tie rule is engine-defined).  Scale: level 1
+    shuffles (flag, qty) group counts with map-side partials; level 2
+    reduces the tiny frequency table — the mode of a 100 TB column
+    costs two bounded aggregations, no sort."""
+    l = t(spark, sf, "lineitem")
+    freq = l.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    ).agg(F.count("*").alias("n"))
+    return freq.groupBy("l_returnflag").agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        F.count("*").cast("long").alias("n_distinct_qty"),
+        F.max_by("qty", F.col("n") * 1024 + (1023 - F.col("qty")))
+        .cast("long")
+        .alias("mode_qty"),
+        F.max("n").cast("long").alias("mode_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "nation_seat_allocation_largest_remainder",
+    """
+    WITH counts AS (
+      SELECT n_name, COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1
+    ), tot AS (SELECT SUM(n_orders) AS total FROM counts),
+    quota AS (
+      SELECT n_name, n_orders,
+             (n_orders * 100) // total AS floor_seats,
+             (n_orders * 100) % total AS remainder,
+             100 - SUM((n_orders * 100) // total) OVER () AS leftover
+      FROM counts CROSS JOIN tot
+    )
+    SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(floor_seats
+                + CASE WHEN RANK() OVER (ORDER BY remainder DESC, n_name) <= leftover
+                       THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM quota
+    """,
+)
+def nation_seat_allocation_largest_remainder(spark: SparkSession, sf: str):
+    """PROPORTIONAL ALLOCATION by the largest-remainder (Hamilton)
+    method — the integer-exact answer to 'split 100 slots across groups
+    by share' that naive per-row rounding gets wrong (rounded shares
+    rarely sum to the total): each nation gets floor(orders*100/total)
+    seats, and the leftover seats go to the largest remainders
+    (deterministic tie-break by name).  ALL integer arithmetic — no
+    float share ever computed, so the allocation is bit-identical
+    cross-engine and always sums to exactly 100 (the window-summed
+    floors define the leftover).  Scale: the windows run over the
+    25-row aggregated nation table; the only big work is the initial
+    count, map-side partials."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    counts = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = counts.agg(F.sum("n_orders").alias("total"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_orders",
+        F.floor(F.col("n_orders") * 100 / F.col("total")).alias("floor_seats"),
+        ((F.col("n_orders") * 100) % F.col("total")).alias("remainder"),
+    )
+    wall = W.partitionBy()
+    wr = W.orderBy(F.desc("remainder"), "n_name")
+    q = q.withColumn("leftover", F.lit(100) - F.sum("floor_seats").over(wall))
+    return q.select(
+        "n_name",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (
+            F.col("floor_seats")
+            + F.when(F.rank().over(wr) <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+    )

@@ -868,3 +868,84 @@ def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
     finally:
         shutil.rmtree(dv, ignore_errors=True)
         shutil.rmtree(dp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_chained_quarter_to_hour",
+    f"""
+    SELECT (epoch_us(ts) // {US_PER_HOUR}) * {US_PER_HOUR} AS hour_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT epoch_us(ts) // 900000000) AS n_quarters_active
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_chained_quarter_to_hour(spark: SparkSession, sf: str):
+    """CHAINED STREAMING AGGREGATIONS — two stateful operators in ONE
+    streaming query (Spark's multiple-stateful-operator support): a
+    15-minute windowed count per event type re-aggregated into 1-hour
+    windows via ``window(window_time(w), '1 hour')``, append mode, both
+    levels watermark-driven.  The events arrive as a real shard plus a
+    far-future FLUSH sentinel (one file per trigger) so the watermark
+    closes every real window at BOTH levels; the sentinel's own windows
+    never close and are withheld by append mode, and its rows are
+    excluded from the drained table (never filtered inside the streaming
+    plan — a pre-watermark filter freezes the watermark, the
+    streaming_left_outer lesson).  Equals the batch hour rollup with the
+    active-quarter count proving the hourly row really came from the
+    15-minute level.  Scale: level-1 state is (15-min window x type),
+    level-2 (hour x type) — both bounded by watermark eviction; this is
+    the production cascade that cuts sink volume 4x without a second
+    job."""
+    import shutil
+
+    from byte_convert_avro_spark.streaming import run_stream_to_memory
+
+    ev = t(spark, sf, "events")
+    flush_ns = 4_000_000_000 * 1_000_000_000  # ~2096: past every real event
+    # build the sentinel BY COLUMN NAME — a positional tuple silently
+    # misaligns if the driver's column order shifts (it already bit once:
+    # ts is the SECOND column, so a positional sentinel put -1 in ts and
+    # the watermark never advanced past the final hour)
+    row = {c: None for c in ev.columns}
+    row.update({"event_id": -1, "user_id": -1, "ts": flush_ns,
+                "event_type": "flush", "value": 0.0})
+    sentinel = spark.createDataFrame([row], ev.schema)
+    # ONE sentinel shard suffices (verified empirically, 1 == 2 == 3
+    # sentinels all yield the full 3385 rows): processAllAvailable keeps
+    # running micro-batches until state is drained, so the watermark
+    # advanced by the flush batch evicts BOTH levels before the query
+    # reports idle — the one-batch eviction lag does not compound into
+    # missing output here.
+    d = write_ordered_shards([ev, sentinel], "chained_agg_")
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        s = stream.withColumn(
+            "ts_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        ).withWatermark("ts_ts", "10 minutes")
+        lvl1 = s.groupBy(
+            F.window("ts_ts", "15 minutes").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n_q"))
+        lvl2 = lvl1.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+        ).agg(
+            F.sum("n_q").alias("n_events"),
+            F.count("*").alias("n_quarters_active"),
+        )
+        out = lvl2.select(
+            (F.col("h.start").cast("long") * 1_000_000).alias("hour_start_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_quarters_active").cast("long").alias("n_quarters_active"),
+        )
+        q, name = run_stream_to_memory(out, output_mode="append")
+        q.stop()
+        return spark.table(name).filter(F.col("event_type") != "flush")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1245,3 +1245,55 @@ def test_pagerank_storage_level_identical_ranks(spark):
     }
     assert ser == base
     assert set(disk) == set(base)  # chunked fold: same sums, bounded arrays
+
+
+def test_flac_header_parser_pure_python():
+    """parse_flac_header: spec-exact STREAMINFO bit unpack; malformed
+    inputs (wrong magic, non-STREAMINFO first block, short block, zero
+    sample rate) return None."""
+    import struct
+
+    from byte_convert_avro_spark.operators.media_headers import parse_flac_header
+
+    def build(rate, ch, bps, samples, block_type=0, block_len=34):
+        pack = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | samples
+        return (
+            b"fLaC"
+            + bytes([0x80 | block_type])
+            + block_len.to_bytes(3, "big")
+            + b"\x10\x00\x10\x00" + b"\x00\x00\x00" * 2
+            + struct.pack(">Q", pack)
+            + b"\x00" * 16
+        )
+
+    got = parse_flac_header(build(44100, 2, 16, 44100 * 30))
+    assert got == {
+        "duration_ms": 30000, "sample_rate": 44100, "channels": 2, "codec": "flac"
+    }
+    assert parse_flac_header(build(96000, 8, 24, 1))["channels"] == 8
+    assert parse_flac_header(build(8000, 1, 16, 7999))["duration_ms"] == 999
+
+    assert parse_flac_header(b"") is None
+    assert parse_flac_header(b"fLaC") is None
+    assert parse_flac_header(build(44100, 2, 16, 100, block_type=4)) is None
+    assert parse_flac_header(build(44100, 2, 16, 100, block_len=20)) is None
+    assert parse_flac_header(build(0, 2, 16, 100)) is None  # zero rate
+
+
+def test_decode_audio_metadata_flac_route(spark):
+    """decode_audio_metadata sniffs WAV first, then FLAC; junk stays a
+    PERMISSIVE unknown row."""
+    import struct
+
+    from byte_convert_avro_spark.operators.multimodal import decode_audio_metadata
+
+    pack = (48000 << 44) | (0 << 41) | (15 << 36) | 48000 * 2
+    flac = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + b"\x10\x00\x10\x00" + b"\x00\x00\x00" * 2
+        + struct.pack(">Q", pack) + b"\x00" * 16
+    )
+    df = spark.createDataFrame([(1, flac), (2, b"not-audio")], "doc_id long, blob binary")
+    got = {r.doc_id: r for r in decode_audio_metadata(df).collect()}
+    assert (got[1].codec, got[1].duration_ms, got[1].channels) == ("flac", 2000, 1)
+    assert got[2].codec == "unknown" and got[2].sample_rate is None
