@@ -9,7 +9,8 @@ documented hooks in :mod:`byte_convert_avro_spark.operators.multimodal`.
 
 Formats: PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen
 descriptor), BMP (BITMAPCOREHEADER / BITMAPINFOHEADER+, dispatched on
-the DIB size field), WAV (RIFF chunk scan), FLAC (STREAMINFO bit-pack).
+the DIB size field), WAV (RIFF chunk scan), FLAC (STREAMINFO bit-pack),
+MP3 (MPEG frame header + ID3v2 skip, CBR duration estimate).
 Parsers are
 defensive: anything malformed or unrecognized returns ``None`` rather
 than raising — the Arrow-batched callers emit a PERMISSIVE
@@ -162,6 +163,68 @@ def parse_flac_header(data: bytes) -> dict | None:
             "sample_rate": sample_rate,
             "channels": channels,
             "codec": "flac",
+        }
+    except (struct.error, IndexError):
+        return None
+
+
+#: MPEG Layer III bitrate tables (kbps), index 1-14 (0=free, 15=bad)
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+#: sample-rate tables by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {
+    0b00: (11025, 12000, 8000),
+    0b10: (22050, 24000, 16000),
+    0b11: (44100, 48000, 32000),
+}
+
+
+def parse_mp3_header(data: bytes) -> dict | None:
+    """-> ``{duration_ms, sample_rate, channels, codec}`` or ``None``.
+
+    MPEG audio frame header (public ISO/IEC 11172-3 layout): an optional
+    ID3v2 tag (``ID3`` + 10-byte header with a SYNCSAFE 28-bit size) is
+    skipped, then the first frame header must follow — 11 sync bits,
+    version (MPEG1/2/2.5), LAYER III only (Layer I/II return None — the
+    tables differ and 'mp3' means Layer III), bitrate index 1-14,
+    sample-rate index 0-2, channel mode (3 = mono).  ``duration_ms`` is
+    the CBR ESTIMATE ``audio_bytes * 8 // bitrate_kbps`` — exact for
+    constant-bitrate files, a documented approximation for VBR (real
+    VBR duration needs a full frame walk or a Xing header).  Integer
+    math throughout."""
+    try:
+        pos = 0
+        if data[:3] == b"ID3" and len(data) >= 10:
+            size = (
+                (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+            )
+            pos = 10 + size
+        if pos + 4 > len(data):
+            return None
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None  # no frame sync where a frame must start
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version == 0b01 or layer != 0b01:  # reserved version / not Layer III
+            return None
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / invalid
+        bitrate_kbps = (
+            _MP3_BITRATES_V1 if version == 0b11 else _MP3_BITRATES_V2
+        )[br_idx]
+        sample_rate = _MP3_RATES[version][sr_idx]
+        channels = 1 if ((b3 >> 6) & 0x3) == 0b11 else 2
+        audio_bytes = len(data) - pos
+        return {
+            "duration_ms": audio_bytes * 8 // bitrate_kbps,
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "codec": "mp3",
         }
     except (struct.error, IndexError):
         return None

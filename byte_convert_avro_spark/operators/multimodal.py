@@ -219,11 +219,12 @@ def decode_audio_metadata(
     """Decode audio container headers into typed metadata columns — the
     audio twin of :func:`decode_image_metadata`.
 
-    The REAL path parses WAV/RIFF and FLAC-STREAMINFO headers
-    pure-Python (:mod:`operators.media_headers` — channels, sample rate,
-    duration from the fmt/data chunks or the STREAMINFO bit-pack, no
+    The REAL path parses WAV/RIFF, FLAC-STREAMINFO and MP3 frame
+    headers pure-Python (:mod:`operators.media_headers` — channels,
+    sample rate, duration from the fmt/data chunks, the STREAMINFO
+    bit-pack, or the MPEG frame fields with a CBR duration estimate, no
     audio library); unrecognized containers
-    (mp3/opus need a codec library) yield a PERMISSIVE
+    (opus/aac need a codec library) yield a PERMISSIVE
     ``codec='unknown'`` row with NULL fields.  ``deterministic_fake=True``
     keeps the hash-derived metadata for the oracle queries over the
     synthetic corpus.  Only sample DECODING (resample, fingerprint)
@@ -236,13 +237,18 @@ def decode_audio_metadata(
 
         from byte_convert_avro_spark.operators.media_headers import (
             parse_flac_header,
+            parse_mp3_header,
             parse_wav_header,
         )
 
         def _decode(data: bytes) -> dict:
             if deterministic_fake:
                 return _fake_audio_meta(data)
-            meta = parse_wav_header(data) or parse_flac_header(data)
+            meta = (
+                parse_wav_header(data)
+                or parse_flac_header(data)
+                or parse_mp3_header(data)
+            )
             if meta is None:
                 meta = {
                     "duration_ms": None, "sample_rate": None,

@@ -3000,3 +3000,60 @@ def multimodal_real_flac_headers(spark: SparkSession, sf: str):
     src = d.select("doc_id", blob.alias("blob"))
     meta = decode_audio_metadata(src)
     return meta.select("doc_id", "duration_ms", "sample_rate", "channels", "codec")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_real_mp3_headers",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST({_MD5_SLICE.format(a=1, b=2)} % 14 + 1 AS INT) AS br_idx,
+             CAST({_MD5_SLICE.format(a=4, b=1)} % 3 AS INT) AS sr_idx,
+             CAST({_MD5_SLICE.format(a=5, b=1)} % 2 AS INT) AS mono
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(20000 * 8 // (CASE br_idx
+                WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+                WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+                WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+                WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END) AS BIGINT)
+             AS duration_ms,
+           CAST(CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INT) AS sample_rate,
+           CAST(CASE mono WHEN 1 THEN 1 ELSE 2 END AS INT) AS channels,
+           'mp3' AS codec
+    FROM p
+    """,
+)
+def multimodal_real_mp3_headers(spark: SparkSession, sf: str):
+    """The MP3 rung of the real-header family: valid MPEG1 Layer III
+    frame headers are BUILT natively (sync byte 0xFFFB, then the
+    bitrate/sample-rate/padding byte and the channel-mode byte assembled
+    from hash-derived indexes) over a fixed 20000-byte blob, parsed back
+    by the pure-Python MPEG header reader (operators/media_headers.
+    parse_mp3_header via decode_audio_metadata's WAV→FLAC→MP3 sniff),
+    and the oracle re-derives the CBR duration estimate from the SAME
+    public bitrate/sample-rate tables spelled as CASE arms — so the bit
+    layout, both tables, and the integer duration division are all under
+    the hash.  Scale: narrow map-side construction + decode, no
+    shuffle."""
+    from byte_convert_avro_spark.operators.multimodal import decode_audio_metadata
+
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    md5 = F.md5("text")
+    br_idx = (F.conv(F.substring(md5, 1, 2), 16, 10).cast("long") % 14 + 1).cast("int")
+    sr_idx = (F.conv(F.substring(md5, 4, 1), 16, 10).cast("long") % 3).cast("int")
+    mono = (F.conv(F.substring(md5, 5, 1), 16, 10).cast("long") % 2).cast("int")
+    byte2 = F.shiftleft(br_idx, 4) + F.shiftleft(sr_idx, 2)
+    byte3 = F.when(mono == 1, F.lit(0xC0)).otherwise(F.lit(0x00))
+    blob = F.concat(
+        F.lit(bytes([0xFF, 0xFB])),
+        _byte1(byte2),
+        _byte1(byte3),
+        F.lit(b"\x00" * 19996),
+    )
+    src = d.select("doc_id", blob.alias("blob"))
+    meta = decode_audio_metadata(src)
+    return meta.select("doc_id", "duration_ms", "sample_rate", "channels", "codec")

@@ -1297,3 +1297,35 @@ def test_decode_audio_metadata_flac_route(spark):
     got = {r.doc_id: r for r in decode_audio_metadata(df).collect()}
     assert (got[1].codec, got[1].duration_ms, got[1].channels) == ("flac", 2000, 1)
     assert got[2].codec == "unknown" and got[2].sample_rate is None
+
+
+def test_mp3_header_parser_pure_python():
+    """parse_mp3_header: MPEG1/2 Layer III tables, ID3v2 skip, CBR
+    duration estimate; Layer I/II, reserved version, free/bad bitrate,
+    and missing sync return None."""
+    from byte_convert_avro_spark.operators.media_headers import parse_mp3_header
+
+    def frame(b1, br_idx, sr_idx, mode):
+        return bytes([0xFF, b1, (br_idx << 4) | (sr_idx << 2), mode << 6])
+
+    # MPEG1 L3 128kbps 44.1kHz stereo, 16000 bytes -> exactly 1000 ms
+    blob = frame(0xFB, 9, 0, 0) + b"\x00" * (16000 - 4)
+    assert parse_mp3_header(blob) == {
+        "duration_ms": 1000, "sample_rate": 44100, "channels": 2, "codec": "mp3"
+    }
+    # MPEG2 L3 (version bits 10): the LOW bitrate table; mono
+    got = parse_mp3_header(frame(0xF3, 9, 0, 3) + b"\x00" * 7996)
+    assert (got["sample_rate"], got["channels"]) == (22050, 1)
+    assert got["duration_ms"] == 8000 * 8 // 80  # idx 9 in V2 table = 80
+    # ID3v2 tag skipped (syncsafe size)
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 100]) + b"x" * 100
+    assert parse_mp3_header(id3 + blob)["duration_ms"] == 1000
+
+    assert parse_mp3_header(b"") is None
+    assert parse_mp3_header(b"\xff\xfb") is None          # truncated header
+    assert parse_mp3_header(frame(0xFD, 9, 0, 0) + b"\x00" * 100) is None  # Layer II
+    assert parse_mp3_header(frame(0xEB, 9, 0, 0) + b"\x00" * 100) is None  # reserved ver
+    assert parse_mp3_header(frame(0xFB, 0, 0, 0) + b"\x00" * 100) is None  # free bitrate
+    assert parse_mp3_header(frame(0xFB, 15, 0, 0) + b"\x00" * 100) is None  # bad bitrate
+    assert parse_mp3_header(frame(0xFB, 9, 3, 0) + b"\x00" * 100) is None  # bad rate idx
+    assert parse_mp3_header(b"AB" + blob) is None          # no sync at start
