@@ -9,7 +9,8 @@ documented hooks in :mod:`byte_convert_avro_spark.operators.multimodal`.
 
 Formats: PNG (IHDR), JPEG (SOF marker scan), GIF (logical screen
 descriptor), BMP (BITMAPCOREHEADER / BITMAPINFOHEADER+, dispatched on
-the DIB size field), WAV (RIFF chunk scan), FLAC (STREAMINFO bit-pack),
+the DIB size field), WEBP (VP8X canvas / VP8L packed / VP8 key-frame
+dims), WAV (RIFF chunk scan), FLAC (STREAMINFO bit-pack),
 MP3 (MPEG frame header + ID3v2 skip, CBR duration estimate).
 Parsers are
 defensive: anything malformed or unrecognized returns ``None`` rather
@@ -75,6 +76,34 @@ def parse_image_header(data: bytes) -> dict | None:
         if data[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", data[6:10])
             return {"width": w, "height": h, "channels": 3, "format": "gif"}
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 20:
+            # WebP (public container spec): one of three first chunks.
+            fourcc = data[12:16]
+            if fourcc == b"VP8X" and len(data) >= 30:
+                # extended: flags byte (bit 4 = alpha), 24-bit LE
+                # canvas width-1 / height-1
+                alpha = (data[20] >> 4) & 1
+                w = int.from_bytes(data[24:27], "little") + 1
+                h = int.from_bytes(data[27:30], "little") + 1
+                return {"width": w, "height": h,
+                        "channels": 4 if alpha else 3, "format": "webp"}
+            if fourcc == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+                # lossless: 14-bit width-1 / height-1 + alpha bit packed LE
+                b = int.from_bytes(data[21:25], "little")
+                return {
+                    "width": (b & 0x3FFF) + 1,
+                    "height": ((b >> 14) & 0x3FFF) + 1,
+                    "channels": 4 if (b >> 28) & 1 else 3,
+                    "format": "webp",
+                }
+            if fourcc == b"VP8 " and len(data) >= 30:
+                # lossy key frame: 3-byte frame tag, start code, LE16 dims
+                if data[23:26] != b"\x9d\x01\x2a":
+                    return None
+                w = int.from_bytes(data[26:28], "little") & 0x3FFF
+                h = int.from_bytes(data[28:30], "little") & 0x3FFF
+                return {"width": w, "height": h, "channels": 3, "format": "webp"}
+            return None
         if data[:2] == b"BM" and len(data) >= 22:
             # The dimension layout depends on the DIB header variant,
             # identified by its leading size field: BITMAPCOREHEADER

@@ -3057,3 +3057,55 @@ def multimodal_real_mp3_headers(spark: SparkSession, sf: str):
     src = d.select("doc_id", blob.alias("blob"))
     meta = decode_audio_metadata(src)
     return meta.select("doc_id", "duration_ms", "sample_rate", "channels", "codec")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_real_webp_headers",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             {_MD5_SLICE.format(a=1, b=3)} % 4000 + 1 AS w,
+             {_MD5_SLICE.format(a=4, b=3)} % 3000 + 1 AS h,
+             {_MD5_SLICE.format(a=7, b=1)} % 2 AS alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE alpha WHEN 1 THEN 4 ELSE 3 END AS INT) AS channels,
+           'webp' AS format
+    FROM p
+    """,
+)
+def multimodal_real_webp_headers(spark: SparkSession, sf: str):
+    """The WEBP rung of the real-header family: valid VP8L (lossless)
+    containers are BUILT natively — the 32-bit little-endian pack
+    ``(w-1) | (h-1)<<14 | alpha<<28`` behind the 0x2F signature — and
+    parsed back by the pure-Python bit unpacker
+    (operators/media_headers.parse_image_header via
+    decode_image_metadata), with the oracle re-deriving width/height/
+    channels from the same hash arithmetic — the 14-bit field widths,
+    the little-endian pack, and the alpha-channel mapping are all under
+    the hash.  Scale: narrow map-side construction + decode, no
+    shuffle."""
+    from byte_convert_avro_spark.operators.multimodal import decode_image_metadata
+
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    md5 = F.md5("text")
+    w = F.conv(F.substring(md5, 1, 3), 16, 10).cast("long") % 4000 + 1
+    h = F.conv(F.substring(md5, 4, 3), 16, 10).cast("long") % 3000 + 1
+    alpha = F.conv(F.substring(md5, 7, 1), 16, 10).cast("long") % 2
+    pack = (w - 1) + (h - 1) * F.lit(1 << 14).cast("long") + alpha * F.lit(1 << 28).cast("long")
+    blob = F.concat(
+        F.lit(b"RIFF"),
+        _le4(F.lit(13)),           # RIFF size: WEBP + chunk header + 5 payload
+        F.lit(b"WEBP"),
+        F.lit(b"VP8L"),
+        _le4(F.lit(5)),
+        F.lit(bytes([0x2F])),
+        _le4(pack),
+    )
+    src = d.select("doc_id", blob.alias("blob"))
+    meta = decode_image_metadata(src)
+    return meta.select("doc_id", "width", "height", "channels", "format")

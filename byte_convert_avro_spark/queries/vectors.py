@@ -230,3 +230,92 @@ def array_hof_showcase(spark: SparkSession, sf: str):
         F.when(F.exists("e", lambda x: F.abs(x) > 2.0), 1).otherwise(0).alias("has_outlier"),
         F.round(F.array_max(F.transform("e", lambda x: F.abs(x))), 4).alias("max_abs"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "truncated_dim_recall_at3",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, e[1:16] AS p,
+                 sqrt({_DOT_SQL.format(n=DIM, a='e', b='e')}) AS nrm,
+                 sqrt({_DOT_SQL.format(n=16, a='e', b='e')}) AS pnrm
+          FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, p AS qp, nrm AS qn, pnrm AS qpn
+          FROM n WHERE vec_id < 5),
+    c AS (SELECT vec_id, e, p, nrm, pnrm FROM n WHERE vec_id >= 5),
+    sims AS (
+      SELECT q.qid, c.vec_id,
+             ROUND({_DOT_SQL.format(n=DIM, a='c.e', b='q.qe')} / (c.nrm * q.qn), 4)
+               AS sim_full,
+             ROUND({_DOT_SQL.format(n=16, a='c.p', b='q.qp')} / (c.pnrm * q.qpn), 4)
+               AS sim_trunc
+      FROM c CROSS JOIN q
+    ),
+    rf AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim_full DESC, vec_id) AS r
+           FROM sims),
+    rt AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim_trunc DESC, vec_id) AS r
+           FROM sims)
+    SELECT f.qid,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(t.vec_id) AS DOUBLE) / 3.0 AS recall_at_3
+    FROM rf f
+    LEFT JOIN rt t ON t.qid = f.qid AND t.vec_id = f.vec_id AND t.r <= 3
+    WHERE f.r <= 3
+    GROUP BY f.qid
+    """,
+)
+def truncated_dim_recall_at3(spark: SparkSession, sf: str):
+    """MATRYOSHKA-STYLE truncation quality audit: for 5 query vectors,
+    how much of the exact 64-dim cosine top-3 survives when ranking by
+    the FIRST 16 DIMENSIONS only — the measurement behind
+    truncated-embedding retrieval (rank on a cheap prefix, re-rank the
+    shortlist with full vectors), the same audit-the-approximation
+    discipline as ivf_recall_at_3 and minhash_estimate_vs_exact_jaccard.
+    Both rankings use sequential-fold cosines with vec_id tie-breaks;
+    recall is exact-int / 3.0.  Scale: the all-pairs form is the
+    correctness baseline over the broadcast query set; at 100 TB the
+    prefix cosine IS the prefilter (4x fewer multiplies per candidate,
+    or an IVF probe on prefix centroids) and this query is the recall
+    gauge that says whether 16 dims are enough."""
+    e = _emb(spark, sf).select(
+        "vec_id",
+        "e",
+        F.slice("e", 1, 16).alias("p"),
+        F.sqrt(F.expr(_DOT.format(a="e", b="e"))).alias("nrm"),
+        F.sqrt(F.expr(_DOT.format(a="slice(e, 1, 16)", b="slice(e, 1, 16)"))).alias("pnrm"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("p").alias("qp"),
+        F.col("nrm").alias("qn"), F.col("pnrm").alias("qpn"),
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.expr(_DOT.format(a="e", b="qe")) / (F.col("nrm") * F.col("qn")), 4
+        ).alias("sim_full"),
+        F.round(
+            F.expr(_DOT.format(a="p", b="qp")) / (F.col("pnrm") * F.col("qpn")), 4
+        ).alias("sim_trunc"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("sim_full"), "vec_id")
+    wt = W.partitionBy("qid").orderBy(F.desc("sim_trunc"), "vec_id")
+    ranked = sims.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    top = ranked.filter(F.col("rf") <= 3)
+    return top.groupBy("qid").agg(
+        F.sum((F.col("rt") <= 3).cast("int")).cast("long").alias("n_overlap"),
+        (F.sum((F.col("rt") <= 3).cast("int")).cast("double") / 3.0).alias(
+            "recall_at_3"
+        ),
+    )

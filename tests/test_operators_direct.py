@@ -1329,3 +1329,40 @@ def test_mp3_header_parser_pure_python():
     assert parse_mp3_header(frame(0xFB, 15, 0, 0) + b"\x00" * 100) is None  # bad bitrate
     assert parse_mp3_header(frame(0xFB, 9, 3, 0) + b"\x00" * 100) is None  # bad rate idx
     assert parse_mp3_header(b"AB" + blob) is None          # no sync at start
+
+
+def test_webp_header_parser_pure_python():
+    """parse_image_header WEBP: VP8X canvas dims, VP8L packed dims +
+    alpha bit, VP8 lossy key frame; malformed/unknown chunks -> None."""
+    from byte_convert_avro_spark.operators.media_headers import parse_image_header
+
+    vp8x = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + (10).to_bytes(4, "little")
+        + bytes([0x10, 0, 0, 0])
+        + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+    )
+    assert parse_image_header(vp8x) == {
+        "width": 1920, "height": 1080, "channels": 4, "format": "webp"
+    }
+    b = (639) | (479 << 14)  # no alpha
+    vp8l = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+        + b"VP8L" + (9).to_bytes(4, "little") + bytes([0x2F]) + b.to_bytes(4, "little")
+    )
+    assert parse_image_header(vp8l) == {
+        "width": 640, "height": 480, "channels": 3, "format": "webp"
+    }
+    vp8 = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+        + b"VP8 " + (12).to_bytes(4, "little")
+        + b"\x00" * 3 + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+    )
+    assert parse_image_header(vp8)["width"] == 320
+    assert parse_image_header(b"RIFF1234WEBPXXXX") is None  # unknown chunk
+    assert parse_image_header(vp8[:20]) is None              # truncated
+    bad_start = vp8[:23] + b"\x00\x00\x00" + vp8[26:]
+    assert parse_image_header(bad_start) is None             # bad start code
+    vp8l_bad_sig = vp8l[:20] + bytes([0x30]) + vp8l[21:]
+    assert parse_image_header(vp8l_bad_sig) is None
