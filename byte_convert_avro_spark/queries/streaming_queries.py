@@ -949,3 +949,46 @@ def streaming_chained_quarter_to_hour(spark: SparkSession, sf: str):
         return spark.table(name).filter(F.col("event_type") != "flush")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_top5_users_complete",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    ORDER BY total_cents DESC, user_id
+    LIMIT 5
+    """,
+)
+def streaming_top5_users_complete(spark: SparkSession, sf: str):
+    """STREAMING SORT + LIMIT — the leaderboard shape: top-5 users by
+    total spend, recomputed by the streaming engine every trigger.
+    Sorting a stream is only legal in COMPLETE output mode after an
+    aggregation (append/update can never retract an already-emitted
+    rank) — exactly the semantics a live leaderboard wants, and a shape
+    none of the other streaming entries covers.  Exact integer cents;
+    the tie-break includes user_id.  Scale: state is the per-user
+    aggregate (bounded by |users|); the sort runs over the AGGREGATED
+    state per trigger and the LIMIT keeps emission tiny — for
+    million-user state, swap complete-mode sort for an update-mode sink
+    with a downstream top-k view."""
+    ev = _events_stream(spark, sf)
+    agg = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy(F.desc("total_cents"), "user_id")
+        .limit(5)
+    )
+    return _run_complete(agg)
