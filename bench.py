@@ -72,6 +72,19 @@ HEADLINE = [
     "copurchase_triangle_count",
 ]
 
+#: Heavier iterative/graph entries benched on demand
+#: (SPARK_GRAFT_BENCH_EXTENDED=1) — kept out of HEADLINE so the
+#: round-over-round comparison stays on a stable query set (the r07->r08
+#: CC-variance lesson: stable sets + medians + loadavg are what make the
+#: artifact adjudicable).
+EXTENDED = [
+    "pagerank_trade_graph",
+    "customer_hierarchy_walk",
+    "pca_power_top_component",
+    "minhash_estimate_vs_exact_jaccard",
+    "ship_latency_percentiles_scale_path",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,12 +93,14 @@ def main() -> None:
     # Controlled re-bench knob (round-7 verdict: the CC bimodality needed
     # a focused >=5-run artifact): comma-separated subset of HEADLINE.
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
-    headline = HEADLINE
+    headline = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED"):
+        headline += EXTENDED
     if subset:
         picked = [s.strip() for s in subset.split(",") if s.strip()]
-        unknown = [p for p in picked if p not in HEADLINE]
+        unknown = [p for p in picked if p not in headline]
         if unknown:
-            raise SystemExit(f"unknown bench queries {unknown}; headline = {HEADLINE}")
+            raise SystemExit(f"unknown bench queries {unknown}; known = {headline}")
         headline = picked
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
