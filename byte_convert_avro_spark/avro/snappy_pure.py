@@ -54,12 +54,14 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     while True:
         if pos >= n:
             raise SnappyError("snappy: truncated length varint")
-        if shift > 35:  # > 5 bytes: exceeds the spec's 32-bit length
+        if shift >= 35:  # a 6th byte: exceeds the spec's 5-byte maximum
             raise SnappyError("snappy: length varint overflows 32 bits")
         b = data[pos]
         pos += 1
         value |= (b & 0x7F) << shift
         if not b & 0x80:
+            if value > 0xFFFFFFFF:  # 5 bytes can encode up to 35 bits
+                raise SnappyError("snappy: length varint overflows 32 bits")
             return value, pos
         shift += 7
 

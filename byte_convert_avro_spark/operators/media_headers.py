@@ -229,7 +229,9 @@ def parse_mp3_header(data: bytes) -> dict | None:
                 (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
                 | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
             )
-            pos = 10 + size
+            # ID3v2.4 footer flag (0x10): a 10-byte footer follows the
+            # tag body, NOT counted in the syncsafe size
+            pos = 10 + size + (10 if data[5] & 0x10 else 0)
         if pos + 4 > len(data):
             return None
         b0, b1, b2, b3 = data[pos : pos + 4]

@@ -3099,7 +3099,8 @@ def multimodal_real_webp_headers(spark: SparkSession, sf: str):
     pack = (w - 1) + (h - 1) * F.lit(1 << 14).cast("long") + alpha * F.lit(1 << 28).cast("long")
     blob = F.concat(
         F.lit(b"RIFF"),
-        _le4(F.lit(13)),           # RIFF size: WEBP + chunk header + 5 payload
+        _le4(F.lit(17)),           # RIFF size = bytes after this field:
+        # "WEBP"(4) + "VP8L"(4) + chunk length(4) + payload(5) = 17
         F.lit(b"WEBP"),
         F.lit(b"VP8L"),
         _le4(F.lit(5)),

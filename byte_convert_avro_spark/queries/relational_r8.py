@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import cents, dsum, register, t
+from byte_convert_avro_spark.queries.base import cents, register, t
 
 
 # ---------------------------------------------------------------------------

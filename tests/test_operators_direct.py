@@ -1320,6 +1320,13 @@ def test_mp3_header_parser_pure_python():
     # ID3v2 tag skipped (syncsafe size)
     id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 100]) + b"x" * 100
     assert parse_mp3_header(id3 + blob)["duration_ms"] == 1000
+    # ID3v2.4 FOOTER flag (0x10): a 10-byte footer follows the body,
+    # not counted in the syncsafe size (review fix)
+    id3f = (
+        b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 100])
+        + b"x" * 100 + b"3DI" + b"\x00" * 7
+    )
+    assert parse_mp3_header(id3f + blob)["duration_ms"] == 1000
 
     assert parse_mp3_header(b"") is None
     assert parse_mp3_header(b"\xff\xfb") is None          # truncated header

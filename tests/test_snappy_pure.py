@@ -78,7 +78,14 @@ def test_decompress_malformed_raises_typed():
     with pytest.raises(SnappyError, match="truncated length"):
         decompress(b"\xff\xff")  # continuation bits, no terminator
     with pytest.raises(SnappyError, match="overflows"):
-        decompress(b"\xff\xff\xff\xff\xff\xff\x01")
+        decompress(b"\xff\xff\xff\xff\xff\xff\x01")  # 7-byte varint
+    with pytest.raises(SnappyError, match="overflows"):
+        decompress(b"\xff\xff\xff\xff\xff\x01")  # 6 bytes: > 5-byte max
+    with pytest.raises(SnappyError, match="overflows"):
+        decompress(b"\x80\x80\x80\x80\x7f")  # 5 bytes but 2^33 > 32 bits
+    # max legal 32-bit declared length parses (fails later on body, not varint)
+    with pytest.raises(SnappyError, match="declared length"):
+        decompress(bytes([0xFF, 0xFF, 0xFF, 0xFF, 0x0F]))
     with pytest.raises(SnappyError, match="literal runs past"):
         decompress(bytes([10, (9 << 2)]) + b"abc")  # claims 10, has 3
     with pytest.raises(SnappyError, match="truncated literal length"):
