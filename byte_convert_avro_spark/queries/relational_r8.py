@@ -560,3 +560,178 @@ def ship_latency_percentiles_scale_path(spark: SparkSession, sf: str):
             ).cast("double") / 10.0
         ).alias("p90_cont"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_yoy_by_month",
+    """
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, n_orders, revenue_c,
+           LAG(revenue_c, 12) OVER (ORDER BY yr * 12 + mo) AS prev_year_c,
+           CAST(revenue_c AS DOUBLE)
+             / LAG(revenue_c, 12) OVER (ORDER BY yr * 12 + mo) AS yoy_ratio
+    FROM m
+    """,
+)
+def orders_yoy_by_month(spark: SparkSession, sf: str):
+    """YEAR-OVER-YEAR same-month comparison — LAG(12) over the
+    month-indexed aggregated series, so each month compares against the
+    SAME calendar month a year earlier (the seasonality-aware growth
+    number; quarter-over-quarter compares adjacent periods instead).
+    Exact cents; the one float division is on exact ints.  Scale: the
+    global-ordered window runs over the ~80-row aggregated series —
+    fine; the raw-row reduction is the map-side-partial groupBy."""
+    o = t(spark, sf, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("long").alias("revenue_c"),
+    )
+    w = W.orderBy(F.col("yr") * 12 + F.col("mo"))
+    prev = F.lag("revenue_c", 12).over(w)
+    return m.select(
+        "yr", "mo", "n_orders", "revenue_c",
+        prev.alias("prev_year_c"),
+        (F.col("revenue_c").cast("double") / prev).alias("yoy_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "part_name_inverted_index",
+    """
+    WITH tok AS (
+      SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' ')) AS token
+      FROM part
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           array_to_string((list_sort(list(p_partkey)))[1:64], ',')
+             AS postings_head
+    FROM tok GROUP BY token
+    """,
+)
+def part_name_inverted_index(spark: SparkSession, sf: str):
+    """INVERTED INDEX over part names — the IR primitive behind keyword
+    retrieval: token -> exact document frequency + the HEAD of the
+    sorted posting list (lowest 64 part keys), deterministic by
+    construction.  Scale honesty: the per-token collect is df-sized —
+    one reducer-side array per token, bounded only by the token's
+    document frequency.  That is acceptable for selective vocabularies
+    and WRONG for stop-words at 100 TB (this synthetic corpus's 16-word
+    vocabulary makes every token a stop-word, which is exactly why the
+    truncation is part of the contract — and the head ships as a
+    comma-joined string, the cross-engine-stable array encoding);
+    production postings shard by
+    (token, key-range) — the bounded_ordered_agg chunking discipline —
+    or drop high-df tokens before the collect, as
+    winnowing_pairs_capped drops high-df fingerprints.  The exact
+    doc_freq column is what operators use to choose."""
+    p = t(spark, sf, "part")
+    tok = (
+        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("token"))
+        .distinct()
+    )
+    return tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_list("p_partkey")), 1, 64), ","
+        ).alias("postings_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_welch_t_view_purchase",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'view' THEN s1 END) AS sa1,
+        MAX(CASE WHEN event_type = 'view' THEN s2 END) AS sq1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS sa2,
+        MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS sq2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
+           CAST(sa1 AS DOUBLE) / n1 / 100.0 AS mean_view,
+           CAST(sa2 AS DOUBLE) / n2 / 100.0 AS mean_purchase,
+           (CAST(sa1 AS DOUBLE) / n1 - CAST(sa2 AS DOUBLE) / n2)
+             / sqrt(
+                 (CAST(n1 AS DOUBLE) * sq1 - CAST(sa1 AS DOUBLE) * sa1)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                 + (CAST(n2 AS DOUBLE) * sq2 - CAST(sa2 AS DOUBLE) * sa2)
+                   / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))
+               ) AS welch_t
+    FROM w
+    """,
+)
+def events_value_welch_t_view_purchase(spark: SparkSession, sf: str):
+    """WELCH'S T-STATISTIC on event values (view vs purchase) computed
+    from EXACT integer sums — the unequal-variance two-sample test next
+    to ab_test_purchase_rates' two-proportion z: per group one pass
+    accumulates n, Σcents, Σcents² as exact int64 (cents² x |events|
+    stays far under 2^63 at any plausible value range — overflow is a
+    data contract, not a rounding risk), then mean difference over the
+    Welch standard error sqrt(v1/n1 + v2/n2) with each variance as the
+    integer-numerator form (n·Σx² − (Σx)²)/(n·n·(n−1)).  Every float op
+    has exact-integer inputs and both engines spell the identical
+    expression tree, so the t value is bit-identical.  Scale: one
+    groupBy over filtered events, two partial-agg sums; the final math
+    is a 2-row fold."""
+    ev = t(spark, sf, "events")
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    s = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(c).cast("long").alias("s1"),
+            F.sum(c * c).cast("long").alias("s2"),
+        )
+    )
+    pick = lambda et, col: F.max(F.when(F.col("event_type") == et, F.col(col)))  # noqa: E731
+    w = s.agg(
+        pick("view", "n").alias("n1"), pick("view", "s1").alias("sa1"),
+        pick("view", "s2").alias("sq1"),
+        pick("purchase", "n").alias("n2"), pick("purchase", "s1").alias("sa2"),
+        pick("purchase", "s2").alias("sq2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    sa1, sa2 = F.col("sa1"), F.col("sa2")
+    sq1, sq2 = F.col("sq1"), F.col("sq2")
+    v1 = (n1.cast("double") * sq1 - sa1.cast("double") * sa1) / (
+        n1.cast("double") * n1 * (n1 - 1)
+    )
+    v2 = (n2.cast("double") * sq2 - sa2.cast("double") * sa2) / (
+        n2.cast("double") * n2 * (n2 - 1)
+    )
+    return w.select(
+        n1.cast("long").alias("n_view"),
+        n2.cast("long").alias("n_purchase"),
+        (sa1.cast("double") / n1 / 100.0).alias("mean_view"),
+        (sa2.cast("double") / n2 / 100.0).alias("mean_purchase"),
+        (
+            (sa1.cast("double") / n1 - sa2.cast("double") / n2)
+            / F.sqrt(v1 + v2)
+        ).alias("welch_t"),
+    )
