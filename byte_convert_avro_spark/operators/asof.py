@@ -203,3 +203,58 @@ def asof_join_tolerance(
         .cogroup(right.groupBy(by))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join_nearest_native(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    tolerance: int | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """NEAREST-direction as-of as a pure native plan — closes the gap
+    that previously required the cogrouped ``pd.merge_asof`` path: run
+    the backward and forward union+window plans and keep, per left row,
+    the candidate with the smaller absolute gap.
+
+    Tie rule (EXPLICIT, unlike merge_asof's input-order-dependent one):
+    equal distances prefer the BACKWARD match — equivalently, the match
+    with the smaller ``on`` value — so the result is deterministic and
+    an oracle can spell the same ``(abs_gap, t)`` argmin.  ``tolerance``
+    bounds the accepted gap on both sides (merge_asof semantics: the
+    left row survives with nulls).
+
+    Scale: two runs of the native plan (each one shuffle on ``by`` +
+    one running window) joined back on the left row — the join key is
+    the left side's own columns, so partitioning carries over; still
+    zero Python."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
+    b = asof_join_tolerance_native(
+        left, right, on, by, tolerance=tolerance, right_cols=right_cols
+    )
+    f = asof_join_tolerance_native(
+        left, right, on, by, tolerance=tolerance,
+        direction="forward", right_cols=right_cols,
+    )
+    asof_cols = [f"{c}_asof" for c in right_cols + [on]]
+    fb = f.select(
+        *left.columns, *[F.col(c).alias(f"_f_{c}") for c in asof_cols]
+    )
+    j = b.join(fb, on=left.columns)
+    bgap = F.col(on) - F.col(f"{on}_asof")
+    fgap = F.col(f"_f_{on}_asof") - F.col(on)
+    use_backward = F.col(f"{on}_asof").isNotNull() & (
+        F.col(f"_f_{on}_asof").isNull() | (bgap <= fgap)
+    )
+    out = j.select(
+        *left.columns,
+        *[
+            F.when(use_backward, F.col(c))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(c)
+            for c in asof_cols
+        ],
+    )
+    return out

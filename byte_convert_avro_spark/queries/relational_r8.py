@@ -735,3 +735,68 @@ def events_value_welch_t_view_purchase(spark: SparkSession, sf: str):
             / F.sqrt(v1 + v2)
         ).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_nearest_purchase",
+    """
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_ts_us
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts_us
+      FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+      SELECT v.view_id, p.purchase_id, p.p_ts_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.view_id
+               ORDER BY ABS(p.p_ts_us - v.view_ts_us), p.p_ts_us,
+                        p.purchase_id DESC) AS rn
+      FROM v JOIN p ON p.user_id = v.user_id
+       AND ABS(p.p_ts_us - v.view_ts_us) <= 3600000000
+    )
+    SELECT v.view_id, v.user_id, v.view_ts_us,
+           c.purchase_id, c.p_ts_us AS purchase_ts_us,
+           c.p_ts_us - v.view_ts_us AS gap_us
+    FROM v LEFT JOIN cand c ON c.view_id = v.view_id AND c.rn = 1
+    """,
+)
+def events_asof_nearest_purchase(spark: SparkSession, sf: str):
+    """NEAREST-direction as-of under the oracle gate: each view matches
+    the user's closest purchase IN EITHER DIRECTION within 1 hour —
+    completing the as-of family (backward: events_asof_purchase_view;
+    forward: events_asof_next_purchase; tolerance:
+    events_asof_tolerance_30m) with the fully NATIVE nearest plan
+    (operators/asof.asof_join_nearest_native: backward + forward
+    union-window runs, per-row argmin on absolute gap, explicit tie
+    rules — equal distance prefers backward, tied timestamps the
+    greatest payload struct — which the oracle spells as the same
+    (abs_gap, ts, id DESC) ranking).  Scale: two native as-of plans
+    (one shuffle + one running window each), no range-join explosion,
+    zero Python."""
+    from byte_convert_avro_spark.operators.asof import asof_join_nearest_native
+    from byte_convert_avro_spark.functions import epoch_us
+
+    ev = t(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = asof_join_nearest_native(
+        v, p, on="ts_us", by="user_id", tolerance=3_600_000_000
+    )
+    return out.select(
+        "view_id",
+        "user_id",
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("purchase_id_asof").alias("purchase_id"),
+        F.col("ts_us_asof").alias("purchase_ts_us"),
+        (F.col("ts_us_asof") - F.col("ts_us")).alias("gap_us"),
+    )

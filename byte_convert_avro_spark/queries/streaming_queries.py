@@ -992,3 +992,106 @@ def streaming_top5_users_complete(spark: SparkSession, sf: str):
         .limit(5)
     )
     return _run_complete(agg)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_full_outer_view_purchase",
+    """
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_ts_us
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user,
+             epoch_us(ts) AS purchase_ts_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.view_id, v.user_id AS view_user, v.view_ts_us,
+           p.purchase_id, p.p_user AS purchase_user, p.purchase_ts_us,
+           p.purchase_ts_us - v.view_ts_us AS gap_us
+    FROM v FULL JOIN p
+      ON p.p_user = v.user_id
+     AND p.purchase_ts_us >= v.view_ts_us
+     AND p.purchase_ts_us - v.view_ts_us <= 1800000000
+    """,
+)
+def streaming_full_outer_view_purchase(spark: SparkSession, sf: str):
+    """FULL OUTER stream-stream join — completes the streaming join-type
+    matrix (inner: streaming_view_purchase_join; left outer:
+    streaming_left_outer_view_purchase): matched pairs, views that never
+    converted, AND purchases with no preceding view all emit — each
+    outer row only once the watermark proves its partner cannot arrive,
+    so BOTH sides' eviction contracts are exercised at once.  Same
+    flush-sentinel harness as the left-outer twin; the finite-input
+    result equals the batch FULL JOIN.  Scale notes: state on both
+    sides is bounded by the match window + watermark delay BY
+    CONSTRUCTION — outer emission IS eviction, on both sides."""
+    import shutil
+
+    ev = events_ts_to_ns(t(spark, sf, "events"))
+    shaped = ev.select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_type"
+    )
+    max_us = shaped.agg(F.max("ts_us")).collect()[0][0]
+    day_us = 86_400_000_000
+    sent = [
+        (-1, -1, max_us + 60 * day_us),
+        (-2, -1, max_us + 120 * day_us),
+        (-3, -1, max_us + 180 * day_us),
+    ]
+
+    def write_side(etype: str) -> str:
+        side = shaped.filter(F.col("event_type") == etype).select(
+            "event_id", "user_id", "ts_us"
+        )
+        frames = [side] + [
+            spark.createDataFrame([s], "event_id long, user_id long, ts_us long")
+            for s in sent
+        ]
+        return write_ordered_shards(frames, f"fo_{etype}_")
+
+    dv = write_side("view")
+    dp = write_side("purchase")
+    try:
+        def read_side(d: str, prefix: str):
+            return (
+                spark.readStream.schema("event_id long, user_id long, ts_us long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+                .select(
+                    F.col("event_id").alias(f"{prefix}_id"),
+                    F.col("user_id").alias(f"{prefix}_user"),
+                    F.col("ts_us").alias(f"{prefix}_ts_us"),
+                    F.timestamp_micros("ts_us").alias(f"{prefix}_time"),
+                )
+                .withWatermark(f"{prefix}_time", "1 minute")
+            )
+
+        views = read_side(dv, "v")
+        purch = read_side(dp, "p")
+        j = views.join(
+            purch,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_time") >= F.col("v_time"))
+            & (F.col("p_time") <= F.col("v_time") + F.expr("INTERVAL 30 MINUTES")),
+            "fullOuter",
+        ).select(
+            F.col("v_id").alias("view_id"),
+            F.col("v_user").alias("view_user"),
+            F.col("v_ts_us").alias("view_ts_us"),
+            F.col("p_id").alias("purchase_id"),
+            F.col("p_user").alias("purchase_user"),
+            F.col("p_ts_us").alias("purchase_ts_us"),
+            (F.col("p_ts_us") - F.col("v_ts_us")).alias("gap_us"),
+        )
+        from byte_convert_avro_spark.streaming import run_stream_to_memory
+
+        q, name = run_stream_to_memory(j, output_mode="append")
+        q.stop()
+        return spark.table(name).filter(
+            (F.coalesce("view_user", F.lit(0)) >= 0)
+            & (F.coalesce("purchase_user", F.lit(0)) >= 0)
+        )
+    finally:
+        shutil.rmtree(dv, ignore_errors=True)
+        shutil.rmtree(dp, ignore_errors=True)

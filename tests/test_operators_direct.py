@@ -1373,3 +1373,48 @@ def test_webp_header_parser_pure_python():
     assert parse_image_header(bad_start) is None             # bad start code
     vp8l_bad_sig = vp8l[:20] + bytes([0x30]) + vp8l[21:]
     assert parse_image_header(vp8l_bad_sig) is None
+
+
+def test_asof_nearest_native(spark):
+    """Native nearest: per left row the smaller absolute gap wins, exact
+    ties prefer backward; tolerance nulls both directions; equals the
+    cogrouped merge_asof path on tie-free data."""
+    from byte_convert_avro_spark.operators.asof import (
+        asof_join_nearest_native,
+        asof_join_tolerance,
+    )
+
+    left, right = _frames(spark)
+    got = {
+        (r.k, r.t): (r.rv_asof, r.t_asof)
+        for r in asof_join_nearest_native(left, right, on="t", by="k").collect()
+    }
+    # a@10: candidates 8 (gap 2) vs 20 (gap 10) -> 8; a@35: 30 (5) vs none fwd
+    # b@5: only forward 50
+    assert got == {
+        ("a", 10): (100, 8),
+        ("a", 20): (200, 20),
+        ("a", 35): (300, 30),
+        ("b", 5): (400, 50),
+    }
+    # exact tie prefers backward: left t=25, right at 20 and 30 (gap 5 each)
+    l2 = spark.createDataFrame([("a", 25, "L")], "k string, t long, lv string")
+    tie = asof_join_nearest_native(l2, right, on="t", by="k").collect()[0]
+    assert (tie.rv_asof, tie.t_asof) == (200, 20)
+    # tolerance bounds both directions
+    t3 = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join_nearest_native(
+            left, right, on="t", by="k", tolerance=3
+        ).collect()
+    }
+    assert t3 == {("a", 10): 100, ("a", 20): 200, ("a", 35): None, ("b", 5): None}
+    # parity with the cogrouped nearest on this tie-free fixture
+    cg = {
+        (r.k, r.t): r.rv_asof
+        for r in asof_join_tolerance(
+            left, right, on="t", by="k", direction="nearest"
+        ).collect()
+    }
+    native = {k: v[0] for k, v in got.items()}
+    assert cg == native
