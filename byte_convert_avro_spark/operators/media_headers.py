@@ -259,3 +259,80 @@ def parse_mp3_header(data: bytes) -> dict | None:
         }
     except (struct.error, IndexError):
         return None
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) over an ISO-BMFF box
+    range; stops (rather than raising) on malformed sizes."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:  # 64-bit largesize follows the type
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            header = 16
+        elif size == 0:  # box extends to the end of the enclosing range
+            size = end - pos
+        if size < header or pos + size > end:
+            return  # malformed: don't walk past the container
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def parse_mp4_header(data: bytes) -> dict | None:
+    """-> ``{duration_ms, width, height, format}`` or ``None``.
+
+    ISO-BMFF / MP4 (public ISO/IEC 14496-12 box layout): top-level boxes
+    are walked to ``moov``; ``moov/mvhd`` carries the movie timescale and
+    duration (version 0: 32-bit fields after 4+4 creation/modification
+    times; version 1: 64-bit after 8+8), and the first ``moov/trak/tkhd``
+    with non-zero dimensions supplies width/height (16.16 fixed point in
+    the box's last 8 bytes).  A file without ``moov`` before the data we
+    were given (streaming-optimized files put it last — callers that
+    only fetch a head range must fetch the tail too) returns None, as
+    does any malformed box walk.  ``duration_ms`` is integer math
+    (``duration * 1000 // timescale``)."""
+    try:
+        if len(data) < 16 or data[4:8] != b"ftyp":
+            return None
+        duration_ms = None
+        width = height = None
+        for btype, s, e in _iter_boxes(data, 0, len(data)):
+            if btype != b"moov":
+                continue
+            for ctype, cs, ce in _iter_boxes(data, s, e):
+                if ctype == b"mvhd" and duration_ms is None:
+                    version = data[cs]
+                    if version == 0 and ce - cs >= 20:
+                        timescale, duration = struct.unpack(
+                            ">II", data[cs + 12 : cs + 20]
+                        )
+                    elif version == 1 and ce - cs >= 32:
+                        (timescale,) = struct.unpack(">I", data[cs + 20 : cs + 24])
+                        (duration,) = struct.unpack(">Q", data[cs + 24 : cs + 32])
+                    else:
+                        return None
+                    if timescale == 0:
+                        return None
+                    duration_ms = duration * 1000 // timescale
+                elif ctype == b"trak" and width is None:
+                    for ttype, ts_, te in _iter_boxes(data, cs, ce):
+                        if ttype == b"tkhd" and te - ts_ >= 8:
+                            w = int.from_bytes(data[te - 8 : te - 4], "big") >> 16
+                            h = int.from_bytes(data[te - 4 : te], "big") >> 16
+                            if w and h:
+                                width, height = w, h
+                            break
+        if duration_ms is None:
+            return None
+        return {
+            "duration_ms": duration_ms,
+            "width": width,
+            "height": height,
+            "format": "mp4",
+        }
+    except (struct.error, IndexError):
+        return None

@@ -408,3 +408,59 @@ def extract_features(
     return df.select(id_col, blob_col).mapInPandas(
         run, schema=f"{id_col} long, features array<double>"
     )
+
+
+#: schema of the metadata struct produced by decode_video_metadata
+VIDEO_META_SCHEMA = (
+    "duration_ms long, width int, height int, format string, "
+    "n_bytes long, content_md5 string"
+)
+
+
+def decode_video_metadata(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode video container headers into typed metadata columns — the
+    video member of the decode_image_metadata / decode_audio_metadata
+    family, completing REAL header parsing across all three modalities.
+
+    Parses MP4/ISO-BMFF pure-Python (:mod:`operators.media_headers.
+    parse_mp4_header` — movie duration from ``moov/mvhd``, dimensions
+    from the first ``trak/tkhd``, no video library); unrecognized or
+    moov-less containers (MKV/EBML, AVI, or streaming-optimized MP4s
+    whose moov trails the data range supplied) yield a PERMISSIVE
+    ``format='unknown'`` row.  FRAME decoding (pixels) remains behind
+    the documented av/ffmpeg hook — see :func:`frame_sample_positions`
+    for the sampling plan that would feed it.
+    -> (id_col, duration_ms, width, height, format, n_bytes,
+    content_md5)"""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from byte_convert_avro_spark.operators.media_headers import (
+            parse_mp4_header,
+        )
+
+        def _decode(data: bytes) -> dict:
+            meta = parse_mp4_header(data)
+            if meta is None:
+                meta = {
+                    "duration_ms": None, "width": None,
+                    "height": None, "format": "unknown",
+                }
+            meta["n_bytes"] = len(data)
+            meta["content_md5"] = hashlib.md5(data).hexdigest()
+            return meta
+
+        for pdf in it:
+            metas = [_decode(bytes(b)) for b in pdf[blob_col]]
+            out = pd.DataFrame(metas)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=f"{id_col} long, {VIDEO_META_SCHEMA}"
+    )

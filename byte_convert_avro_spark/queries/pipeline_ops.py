@@ -3110,3 +3110,73 @@ def multimodal_real_webp_headers(spark: SparkSession, sf: str):
     src = d.select("doc_id", blob.alias("blob"))
     meta = decode_image_metadata(src)
     return meta.select("doc_id", "width", "height", "channels", "format")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_real_mp4_headers",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE {_MD5_SLICE.format(a=1, b=1)} % 3
+                  WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS timescale,
+             {_MD5_SLICE.format(a=2, b=5)} % 1000000 AS dur_extra,
+             CAST({_MD5_SLICE.format(a=7, b=3)} % 1920 + 16 AS INT) AS w,
+             CAST({_MD5_SLICE.format(a=10, b=3)} % 1080 + 16 AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((timescale + dur_extra) * 1000 // timescale AS BIGINT)
+             AS duration_ms,
+           w AS width, h AS height,
+           'mp4' AS format
+    FROM p
+    """,
+)
+def multimodal_real_mp4_headers(spark: SparkSession, sf: str):
+    """The VIDEO rung of the real-header family — all three modalities
+    now parse real containers: spec-valid MP4/ISO-BMFF files are BUILT
+    natively (ftyp, then moov nesting a version-0 mvhd with hash-derived
+    timescale/duration and a trak/tkhd carrying 16.16 fixed-point
+    dimensions — every box size field exact per ISO 14496-12) and parsed
+    back by the pure-Python box walker
+    (operators/media_headers.parse_mp4_header via
+    decode_video_metadata).  The oracle re-derives the integer duration
+    (ticks*1000 // timescale) and dimensions from the same hash
+    arithmetic, so the box walk, the v0 field offsets, and the
+    fixed-point shift are all under the hash.  Scale: narrow map-side
+    construction + decode, no shuffle."""
+    from byte_convert_avro_spark.operators.multimodal import decode_video_metadata
+
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    md5 = F.md5("text")
+    ts_idx = F.conv(F.substring(md5, 1, 1), 16, 10).cast("long") % 3
+    timescale = (
+        F.when(ts_idx == 0, 600).when(ts_idx == 1, 1000).otherwise(90000)
+    ).cast("long")
+    duration = timescale + F.conv(F.substring(md5, 2, 5), 16, 10).cast("long") % 1000000
+    w = (F.conv(F.substring(md5, 7, 3), 16, 10).cast("long") % 1920 + 16)
+    h = (F.conv(F.substring(md5, 10, 3), 16, 10).cast("long") % 1080 + 16)
+
+    ftyp = F.concat(
+        _be4(F.lit(20)), F.lit(b"ftyp"), F.lit(b"isom"), _be4(F.lit(0)), F.lit(b"isom")
+    )
+    mvhd = F.concat(
+        _be4(F.lit(108)), F.lit(b"mvhd"),
+        F.lit(b"\x00" * 4),            # version 0 + flags
+        F.lit(b"\x00" * 8),            # creation/modification time
+        _be4(timescale), _be4(duration),
+        F.lit(b"\x00" * 80),           # rate/volume/matrix/predefined/next
+    )
+    tkhd = F.concat(
+        _be4(F.lit(92)), F.lit(b"tkhd"),
+        F.lit(b"\x00" * 4),            # version 0 + flags
+        F.lit(b"\x00" * 72),           # times/ids/duration/layer/matrix
+        _be4(w * 65536), _be4(h * 65536),   # 16.16 fixed point
+    )
+    trak = F.concat(_be4(F.lit(100)), F.lit(b"trak"), tkhd)
+    moov = F.concat(_be4(F.lit(216)), F.lit(b"moov"), mvhd, trak)
+    blob = F.concat(ftyp, moov)
+    src = d.select("doc_id", blob.alias("blob"))
+    meta = decode_video_metadata(src)
+    return meta.select("doc_id", "duration_ms", "width", "height", "format")

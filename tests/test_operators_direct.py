@@ -1418,3 +1418,78 @@ def test_asof_nearest_native(spark):
     }
     native = {k: v[0] for k, v in got.items()}
     assert cg == native
+
+
+def test_mp4_header_parser_pure_python():
+    """parse_mp4_header: box walk to moov/mvhd (+ trak/tkhd dims), v0 and
+    v1 mvhd layouts, largesize boxes; malformed walks return None."""
+    import struct
+
+    from byte_convert_avro_spark.operators.media_headers import parse_mp4_header
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, 30500) + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00" * 4 + b"\x00" * 72 + struct.pack(">II", 1920 << 16, 1080 << 16),
+    )
+    blob = ftyp + box(b"moov", mvhd + box(b"trak", tkhd))
+    assert parse_mp4_header(blob) == {
+        "duration_ms": 30500, "width": 1920, "height": 1080, "format": "mp4"
+    }
+    # version-1 mvhd: 64-bit times/duration
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01" + b"\x00" * 3 + b"\x00" * 16
+        + struct.pack(">I", 90000) + struct.pack(">Q", 90000 * 12) + b"\x00" * 76,
+    )
+    got = parse_mp4_header(ftyp + box(b"moov", mvhd1))
+    assert (got["duration_ms"], got["width"]) == (12000, None)
+    # largesize (size==1 + 64-bit) moov still walks
+    inner = mvhd
+    large_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(inner)) + inner
+    )
+    assert parse_mp4_header(ftyp + large_moov)["duration_ms"] == 30500
+
+    assert parse_mp4_header(b"") is None
+    assert parse_mp4_header(b"junkjunkjunkjunk") is None
+    assert parse_mp4_header(ftyp) is None                       # no moov
+    assert parse_mp4_header(ftyp + box(b"moov", b"")) is None   # empty moov
+    zero_ts = box(
+        b"mvhd", b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 0, 10) + b"\x00" * 80
+    )
+    assert parse_mp4_header(ftyp + box(b"moov", zero_ts)) is None
+    # box claiming to extend past the buffer: walk stops, no moov found
+    bad = ftyp + struct.pack(">I", 999) + b"moov" + b"\x00" * 8
+    assert parse_mp4_header(bad) is None
+
+
+def test_decode_video_metadata_permissive(spark):
+    """decode_video_metadata: real MP4 parse + PERMISSIVE unknown row."""
+    import struct
+
+    from byte_convert_avro_spark.operators.multimodal import decode_video_metadata
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 600, 1200) + b"\x00" * 80,
+    )
+    mp4 = ftyp + box(b"moov", mvhd)
+    df = spark.createDataFrame(
+        [(1, mp4), (2, b"not-a-video")], "doc_id long, blob binary"
+    )
+    got = {r.doc_id: r for r in decode_video_metadata(df).collect()}
+    assert (got[1].format, got[1].duration_ms) == ("mp4", 2000)
+    assert got[2].format == "unknown" and got[2].duration_ms is None
+    assert got[2].n_bytes == 11 and len(got[2].content_md5) == 32
