@@ -800,3 +800,118 @@ def events_asof_nearest_purchase(spark: SparkSession, sf: str):
         F.col("ts_us_asof").alias("purchase_ts_us"),
         (F.col("ts_us_asof") - F.col("ts_us")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_stickiness_dau_mau",
+    """
+    WITH days AS (
+      SELECT strftime(make_timestamp((epoch_us(ts) // 86400000000)
+                                     * 86400000000), '%Y-%m') AS month,
+             epoch_us(ts) // 86400000000 AS day_idx,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), dau AS (
+      SELECT month, day_idx, COUNT(DISTINCT user_id) AS dau
+      FROM days GROUP BY 1, 2
+    ), mau AS (
+      SELECT month, COUNT(DISTINCT user_id) AS mau FROM days GROUP BY 1
+    )
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_total,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau AS stickiness
+    FROM dau d JOIN mau m ON m.month = d.month
+    GROUP BY d.month, m.mau
+    """,
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf: str):
+    """DAU/MAU STICKINESS — the product-analytics engagement ratio:
+    average daily active users over monthly active users, per month.
+    Both actives are exact COUNT(DISTINCT) over (period, user) pairs —
+    the distinct collapses FIRST (map-side partial on the pair), so the
+    shuffle carries |users x periods|, not |events|; the ratio is one
+    division of exact ints.  Day/month from the same integer-µs epoch
+    bucketing as every event-time query (UTC-pinned rendering)."""
+    from byte_convert_avro_spark.functions import epoch_us
+
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    day_idx = F.call_function("div", epoch_us("ts"), F.lit(86_400_000_000))
+    days = ev.select(
+        F.date_format(
+            F.timestamp_micros(day_idx * 86_400_000_000), "yyyy-MM"
+        ).alias("month"),
+        day_idx.alias("day_idx"),
+        "user_id",
+    )
+    dau = days.groupBy("month", "day_idx").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = days.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("dau").cast("long").alias("dau_total"),
+        )
+        .select(
+            "month",
+            "n_days",
+            "dau_total",
+            F.col("mau").cast("long").alias("mau"),
+            (
+                F.col("dau_total").cast("double") / F.col("n_days") / F.col("mau")
+            ).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_priority_mix_shift",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             o_orderpriority,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT month, o_orderpriority, n,
+             SUM(n) OVER (PARTITION BY month) AS month_total
+      FROM m
+    )
+    SELECT month, o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+           CAST(n AS DOUBLE) / month_total AS share,
+           CAST(n AS DOUBLE) / month_total
+             - LAG(CAST(n AS DOUBLE) / month_total) OVER (
+                 PARTITION BY o_orderpriority ORDER BY month) AS share_delta
+    FROM tot
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf: str):
+    """COMPOSITION-SHIFT tracking: each priority's share of the month's
+    orders and the month-over-month share delta — the mix-shift readout
+    that separates 'volume grew' from 'composition changed'.  Shares are
+    single divisions of exact counts; the delta subtracts two such
+    doubles (deterministic IEEE).  Scale: the raw reduction is one
+    month x priority groupBy with map-side partials; both windows run
+    over the ~400-row aggregated series."""
+    o = t(spark, sf, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count("*").alias("n"))
+    share = F.col("n").cast("double") / F.sum("n").over(W.partitionBy("month"))
+    wlag = W.partitionBy("o_orderpriority").orderBy("month")
+    tot = m.select(
+        "month",
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        share.alias("share"),
+    )
+    return tot.withColumn(
+        "share_delta", F.col("share") - F.lag("share").over(wlag)
+    )

@@ -425,3 +425,15 @@ def test_bpe_pipeline_bounded_exchanges_after_checkpoint(spark, sf_dir):
     # 3 broadcast 1-row rule applications + the word-keyed vocab join
     assert joins.count("BroadcastNestedLoopJoin") == 3
     assert any(j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for j in joins)
+
+
+def test_asof_nearest_is_pure_codegen(spark, sf_dir):
+    """The NATIVE nearest as-of must also stay Python-free — it composes
+    the backward and forward union-window plans plus one join back on
+    the left row; the cogrouped merge_asof nearest it replaces would
+    show FlatMapCoGroupsInPandas."""
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = Q["events_asof_nearest_purchase"](spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "Python" not in plan and "Pandas" not in plan
