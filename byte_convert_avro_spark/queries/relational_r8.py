@@ -915,3 +915,148 @@ def orders_priority_mix_shift(spark: SparkSession, sf: str):
     return tot.withColumn(
         "share_delta", F.col("share") - F.lag("share").over(wlag)
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "brand_abc_classification",
+    """
+    WITH rev AS (
+      SELECT p_brand, p_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT p_brand, p_partkey, revenue_c,
+             SUM(revenue_c) OVER (PARTITION BY p_brand
+                                  ORDER BY revenue_c DESC, p_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(revenue_c) OVER (PARTITION BY p_brand) AS total_c
+      FROM rev
+    )
+    SELECT p_brand, p_partkey, revenue_c,
+           CAST(cum_c AS DOUBLE) / total_c AS cum_share,
+           CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def brand_abc_classification(spark: SparkSession, sf: str):
+    """ABC (Pareto) CLASSIFICATION per brand: parts ranked by revenue,
+    cumulative share, class A up to 80% of brand revenue, B to 95%, C
+    beyond — inventory management's standard cut.  The CLASS BOUNDARIES
+    compare exact integers (``cum*100 <= total*80``), so classification
+    never hinges on a float rounding; the share column is display-only.
+    Scale: the raw reduction is the (brand, part) groupBy with map-side
+    partials; the windows run per brand over part-level aggregates —
+    bounded by catalog size per brand, not by order volume (a catalog
+    with one giant brand would shard the ranking the
+    bounded_ordered_agg way)."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    rev = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(cents("l_extendedprice")).cast("long").alias("revenue_c"))
+    )
+    wcum = (
+        W.partitionBy("p_brand")
+        .orderBy(F.desc("revenue_c"), "p_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "p_partkey",
+        "revenue_c",
+        F.sum("revenue_c").over(wcum).alias("cum_c"),
+        F.sum("revenue_c").over(wtot).alias("total_c"),
+    )
+    return ranked.select(
+        "p_brand",
+        "p_partkey",
+        "revenue_c",
+        (F.col("cum_c").cast("double") / F.col("total_c")).alias("cum_share"),
+        F.when(F.col("cum_c") * 100 <= F.col("total_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("total_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_part('year', o_orderdate) * 12
+                      + date_part('month', o_orderdate) - 1 AS BIGINT))
+               AS cohort_idx
+      FROM orders GROUP BY 1
+    ), monthly AS (
+      SELECT f.cohort_idx,
+             CAST(date_part('year', o.o_orderdate) * 12
+                  + date_part('month', o.o_orderdate) - 1 AS BIGINT)
+               - f.cohort_idx AS months_since,
+             CAST(SUM(CAST(ROUND(o.o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort_idx, COUNT(*) AS cohort_users FROM firsts GROUP BY 1
+    )
+    SELECT m.cohort_idx, m.months_since,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(SUM(m.revenue_c) OVER (
+             PARTITION BY m.cohort_idx ORDER BY m.months_since
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_c,
+           CAST(SUM(m.revenue_c) OVER (
+             PARTITION BY m.cohort_idx ORDER BY m.months_since
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / s.cohort_users / 100.0
+             AS ltv_per_user
+    FROM monthly m JOIN sizes s ON s.cohort_idx = m.cohort_idx
+    """,
+)
+def customer_cohort_ltv_curve(spark: SparkSession, sf: str):
+    """COHORT LTV CURVES — cumulative revenue per first-order cohort over
+    months-since-acquisition, per-user — the growth metric behind every
+    payback-period decision, the revenue companion to
+    orders_cohort_retention's counts.  Exact cents cumulate in an
+    integer running window; the per-user division happens once at the
+    end.  Scale: first-order month per customer is one groupBy; the
+    cohort x months_since matrix is ~thousands of rows, and the
+    cumulative windows run over THAT, never raw orders."""
+    o = t(spark, sf, "orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    firsts = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min(midx).alias("cohort_idx")
+    )
+    monthly = (
+        o.join(firsts, F.col("ck") == F.col("o_custkey"))
+        .groupBy(
+            "cohort_idx", (midx - F.col("cohort_idx")).alias("months_since")
+        )
+        .agg(F.sum(cents("o_totalprice")).cast("long").alias("revenue_c"))
+    )
+    sizes = firsts.groupBy("cohort_idx").agg(F.count("*").alias("cohort_users"))
+    wcum = (
+        W.partitionBy("cohort_idx")
+        .orderBy("months_since")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("revenue_c").over(wcum)
+    return (
+        monthly.join(sizes, "cohort_idx")
+        .select(
+            "cohort_idx",
+            "months_since",
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            cum.cast("long").alias("cum_revenue_c"),
+            (cum.cast("double") / F.col("cohort_users") / 100.0).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
