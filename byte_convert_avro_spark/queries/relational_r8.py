@@ -1060,3 +1060,158 @@ def customer_cohort_ltv_curve(spark: SparkSession, sf: str):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_merge_apply_cdc",
+    """
+    WITH snap AS (
+      SELECT c_custkey AS k, CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS bal_c
+      FROM customer
+    ), changes AS (
+      SELECT k, 'U' AS op, bal_c + 1000 AS new_bal FROM snap
+      WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+      UNION ALL
+      SELECT k, 'D', NULL FROM snap
+      WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10 = 1
+      UNION ALL
+      SELECT k + 10000000, 'I', k FROM snap
+      WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10 = 2
+    )
+    SELECT COALESCE(s.k, c.k) AS k,
+           CASE WHEN c.op = 'U' THEN c.new_bal
+                WHEN c.op = 'I' THEN c.new_bal
+                ELSE s.bal_c END AS bal_c,
+           CASE WHEN c.op = 'U' THEN 'updated'
+                WHEN c.op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS status
+    FROM snap s FULL JOIN changes c ON c.k = s.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def customer_merge_apply_cdc(spark: SparkSession, sf: str):
+    """MERGE / UPSERT APPLY — the Delta/Iceberg `MERGE INTO` semantics as
+    one relational plan: a snapshot full-outer-joins a CDC batch
+    (hash-derived here: 10% updates, 10% deletes, 10% inserts under NEW
+    keys) and each row resolves WHEN MATCHED UPDATE / WHEN MATCHED
+    DELETE / WHEN NOT MATCHED INSERT / else carry-over — the missing
+    write-side primitive next to events_changelog_compaction (which
+    compacts a changelog; THIS applies one to a base table).  Scale:
+    ONE shuffle joining snapshot and batch on the key (broadcast the
+    batch when it is small — here it is snapshot-derived so the
+    full-outer keeps both sides shuffled); the anti-delete filter is a
+    residual predicate, no second pass."""
+    c = t(spark, sf, "customer")
+    snap = c.select(
+        F.col("c_custkey").alias("k"), cents("c_acctbal").alias("bal_c")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    )
+    upd = snap.filter(bucket == 0).select(
+        "k", F.lit("U").alias("op"), (F.col("bal_c") + 1000).alias("new_bal")
+    )
+    dele = snap.filter(bucket == 1).select(
+        "k", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_bal")
+    )
+    ins = snap.filter(bucket == 2).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        F.col("k").alias("new_bal"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins).select(
+        F.col("k").alias("ck"), "op", "new_bal"
+    )
+    merged = snap.join(changes, snap["k"] == changes["ck"], "fullOuter")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("k", "ck").alias("k"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+            .otherwise(F.col("bal_c"))
+            .alias("bal_c"),
+            F.when(F.col("op") == "U", "updated")
+            .when(F.col("op") == "I", "inserted")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_distinct_users_by_type",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), sk AS (
+      SELECT event_type,
+             COUNT(*) AS k_used,
+             MAX(hv) AS kth
+      FROM ranked WHERE rn <= 32 GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, COUNT(*) AS exact_users FROM h GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(s.k_used AS BIGINT) AS k_used,
+           CAST(s.kth AS BIGINT) AS kth,
+           CASE WHEN s.k_used < 32 THEN CAST(s.k_used AS DOUBLE)
+                ELSE CAST(31 AS DOUBLE) * 4294967296.0 / s.kth END
+             AS distinct_est,
+           CAST(e.exact_users AS BIGINT) AS exact_users
+    FROM sk s JOIN exact e ON e.event_type = s.event_type
+    """,
+)
+def kmv_distinct_users_by_type(spark: SparkSession, sf: str):
+    """GROUPED KMV sketch — per-event-type distinct-user estimates from
+    the 32 smallest hash values, next to the GLOBAL kmv_distinct_users_
+    estimate: the grouped form every per-segment dashboard needs, with
+    the exact count alongside as the error readout.  Scale note (the
+    interesting part): Spark has per-group TakeOrdered for ONE group
+    (ORDER BY LIMIT) but not per key — so for LOW-CARDINALITY,
+    ENUMERABLE groups (the 5 event types, collected first) the engine
+    runs one bounded TakeOrdered per group and unions the sketches:
+    |groups| driver-planned jobs, each with per-partition heaps, never
+    a corpus-sized per-group window sort.  For high-cardinality group
+    keys the escalation is the chunked min-k (bounded_ordered_agg
+    discipline).  Estimator identical to the global query:
+    (k-1) * 2^32 / kth, exact below k."""
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    types = sorted(r.event_type for r in h.select("event_type").distinct().collect())
+    sketches = None
+    for et in types:  # bounded: |event types| jobs, each a TakeOrdered
+        sk = (
+            h.filter(F.col("event_type") == et)
+            .select("hv")
+            .orderBy("hv")
+            .limit(32)
+            .agg(
+                F.count("*").cast("long").alias("k_used"),
+                F.max("hv").cast("long").alias("kth"),
+            )
+            .select(F.lit(et).alias("event_type"), "k_used", "kth")
+        )
+        sketches = sk if sketches is None else sketches.unionByName(sk)
+    exact = h.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_users")
+    )
+    est = F.when(
+        F.col("k_used") < 32, F.col("k_used").cast("double")
+    ).otherwise(F.lit(31.0) * F.lit(4294967296.0) / F.col("kth"))
+    return sketches.join(exact, "event_type").select(
+        "event_type", "k_used", "kth", est.alias("distinct_est"), "exact_users"
+    )
