@@ -106,22 +106,54 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", max_pairs_per_doc: int | None = None,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_pairs_per_doc: int | None = None,
+    max_docs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band signature.
     -> (doc_a, doc_b, n_bands_matched), doc_a < doc_b.
 
-    ``max_pairs_per_doc`` (default None = unchanged exact behavior) is
-    the hub-document mitigation for 100 TB corpora: downstream exact
-    verification ships each doc's shingle array once per candidate pair,
-    so a boilerplate hub colliding with k partners costs k array copies.
-    With the cap, each pair must rank within the top ``max_pairs_per_doc``
-    of BOTH endpoints (by ``n_bands_matched`` DESC — strongest evidence
-    first — with the partner id as the deterministic tie-break), which
-    hard-bounds every doc to at most ``max_pairs_per_doc`` surviving
+    TWO independent caps, bounding the two places LSH blows up:
+
+    ``max_docs_per_bucket`` bounds the CANDIDATE ENUMERATION — a
+    (band, sig) bucket holding B docs emits B(B-1)/2 join rows, so one
+    boilerplate signature shared by 10^5 docs emits 5x10^9 pairs before
+    any downstream cap can see them (measured: the uncapped join
+    spilled 45 GB at the sf10 100x-duplication stress).  Buckets larger
+    than the cap are DROPPED before the pair join (one extra aggregation
+    on the join's own (band, sig) shuffle key, map-side partials) — the
+    same discipline as winnowing's fingerprint df cap: a
+    near-universal signature carries no pair-discriminative signal, and
+    the docs it would have linked are exactly the ones exact/chunk
+    dedup already catches for free.  Join output is then bounded at
+    cap²/2 rows per bucket BY CONSTRUCTION.
+
+    ``max_pairs_per_doc`` bounds the VERIFICATION fan-out — downstream
+    exact verification ships each doc's shingle array once per
+    candidate pair, so a hub doc colliding with k partners costs k
+    array copies.  With the cap, each pair must rank within the top
+    ``max_pairs_per_doc`` of BOTH endpoints (by ``n_bands_matched``
+    DESC — strongest evidence first — partner id as the deterministic
+    tie-break), hard-bounding every doc to at most that many surviving
     pairs (an either-endpoint rule would leave hub fan-in unbounded
     through its partners' lists).  Cost: two window shuffles over the
-    candidate pair set — cheap relative to the verification they bound."""
+    (already bucket-bounded) candidate set.
+
+    Defaults None = unchanged exact behavior (the correctness-baseline
+    oracle form)."""
+    if max_docs_per_bucket is not None:
+        if max_docs_per_bucket < 2:
+            raise ValueError(
+                f"max_docs_per_bucket must be >= 2, got {max_docs_per_bucket}"
+            )
+        ok = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_docs_per_bucket)
+            .select("band", "sig")
+        )
+        sigs = sigs.join(ok, ["band", "sig"])
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2"))
     pairs = (

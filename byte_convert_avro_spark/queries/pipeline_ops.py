@@ -3185,3 +3185,98 @@ def multimodal_real_mp4_headers(spark: SparkSession, sf: str):
     src = d.select("doc_id", blob.alias("blob"))
     meta = decode_video_metadata(src)
     return meta.select("doc_id", "duration_ms", "width", "height", "format")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_estimate_vs_exact_capped",
+    r"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM words WHERE len(w) >= 3),
+    sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+    sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+    bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+    sigs0 AS (
+      SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
+      FROM sh0 CROSS JOIN bands GROUP BY doc_id, band
+    ),
+    bok AS (
+      SELECT band, sig FROM sigs0 GROUP BY band, sig HAVING COUNT(*) <= 4
+    ),
+    sigs AS (
+      SELECT s.doc_id, s.band, s.sig
+      FROM sigs0 s JOIN bok k ON k.band = s.band AND k.sig = s.sig
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(DISTINCT a.band) AS nb
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT doc_a AS doc, doc_b AS partner, nb FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, nb FROM pairs
+    ),
+    ranked AS (
+      SELECT doc, partner, nb,
+             ROW_NUMBER() OVER (PARTITION BY doc
+                                ORDER BY nb DESC, partner) AS rk
+      FROM directed
+    ),
+    capped AS (
+      SELECT LEAST(doc, partner) AS doc_a, GREATEST(doc, partner) AS doc_b,
+             MIN(nb) AS nb
+      FROM ranked WHERE rk <= 8
+      GROUP BY 1, 2 HAVING COUNT(*) = 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, p.nb, COUNT(*) AS n_common
+      FROM capped p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+      GROUP BY p.doc_a, p.doc_b, p.nb
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(c.nb AS BIGINT) AS n_bands_matched,
+           CAST(c.nb AS DOUBLE) / 8.0 AS est_jaccard,
+           CAST(c.n_common AS DOUBLE) / (za.n_sh + zb.n_sh - c.n_common)
+             AS exact_jaccard
+    FROM common c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """,
+)
+def minhash_estimate_vs_exact_capped(spark: SparkSession, sf: str):
+    """The 100 TB form of the sketch-quality audit: the same
+    MinHash-estimate-vs-exact comparison run over the DOUBLY-CAPPED
+    candidate graph — ``max_docs_per_bucket`` bounds the ENUMERATION
+    (oversized (band, sig) buckets dropped before the pair join; the
+    after-join cap alone could not prevent the 45 GB sf10 spill because
+    a B-doc bucket emits B²/2 join rows first) and
+    ``max_pairs_per_doc=8`` bounds the VERIFY fan-out (top-8 of BOTH
+    endpoints).  Bucket cap 4 here so the sf0.01 gate genuinely
+    exercises the drop (max gate bucket is 6); production uses
+    corpus-calibrated caps (e.g. 10³).  The ORACLE spells BOTH cap
+    semantics — the bucket HAVING filter, the doubled directed rows,
+    per-doc (bands DESC, partner) ranking, both-endpoint survival —
+    proving each cap is exactly the documented rule.  Estimator
+    columns identical to the uncapped audit."""
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", n_bands=8, shingle_n=3)
+    cands = D.lsh_candidates(
+        sigs, max_pairs_per_doc=8, max_docs_per_bucket=4
+    )
+    exact = D.jaccard_similarity(
+        docs, cands.select("doc_a", "doc_b"), "text", "doc_id", shingle_n=3
+    )
+    est = F.col("n_bands_matched").cast("double") / 8.0
+    return exact.join(cands, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_bands_matched").cast("long").alias("n_bands_matched"),
+        est.alias("est_jaccard"),
+        F.col("jaccard").alias("exact_jaccard"),
+    )

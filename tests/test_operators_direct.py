@@ -1493,3 +1493,36 @@ def test_decode_video_metadata_permissive(spark):
     assert (got[1].format, got[1].duration_ms) == ("mp4", 2000)
     assert got[2].format == "unknown" and got[2].duration_ms is None
     assert got[2].n_bytes == 11 and len(got[2].content_md5) == 32
+
+
+def test_lsh_candidates_bucket_cap(spark):
+    """max_docs_per_bucket drops oversized (band, sig) buckets BEFORE the
+    pair join (enumeration bound); small buckets still pair; the
+    per-doc cap composes; bad cap raises."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.dedup import lsh_candidates
+
+    # one band; sig 'hub' shared by 5 docs, sig 'pair' by 2
+    rows = [(i, 0, "hub") for i in range(5)] + [(10, 0, "pair"), (11, 0, "pair")]
+    sigs = spark.createDataFrame(rows, "doc_id long, band int, sig string")
+
+    unc = {(r.doc_a, r.doc_b) for r in lsh_candidates(sigs).collect()}
+    assert len(unc) == 10 + 1  # C(5,2) hub pairs + the small-bucket pair
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidates(sigs, max_docs_per_bucket=4).collect()
+    }
+    assert capped == {(10, 11)}  # hub bucket (5 > 4) dropped entirely
+
+    both = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidates(
+            sigs, max_pairs_per_doc=3, max_docs_per_bucket=10
+        ).collect()
+    }
+    assert (10, 11) in both and len(both) <= 11
+
+    with pytest.raises(ValueError, match="max_docs_per_bucket"):
+        lsh_candidates(sigs, max_docs_per_bucket=1)
