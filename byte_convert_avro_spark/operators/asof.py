@@ -8,10 +8,13 @@
    still fully native: the same union+window plan, with matches farther
    than ``tolerance`` nulled out afterwards (``merge_asof`` tolerance
    semantics) and forward direction via axis negation.
-3. :func:`asof_join_tolerance` — cogrouped ``pd.merge_asof`` per key:
-   kept for ``nearest`` direction, which needs both neighbours.  Both
-   sides shuffle once on the key; the match is a partition-local linear
-   merge (never a range-join explosion).
+3. :func:`asof_join_nearest_native` — NEAREST direction, still fully
+   native: one union, one shuffle, two running windows (backward +
+   forward fills), per-row absolute-gap argmin with explicit tie rules.
+4. :func:`asof_join_tolerance` — cogrouped ``pd.merge_asof`` per key:
+   the cross-check/compat path (pandas tie semantics).  Both sides
+   shuffle once on the key; the match is a partition-local linear merge
+   (never a range-join explosion).
 """
 
 from __future__ import annotations
@@ -120,8 +123,8 @@ def asof_join_tolerance_native(
     pure native plan: run :func:`asof_join` (forward = backward on the
     negated axis), then null out matched columns whose gap exceeds
     ``tolerance`` — the left row survives unmatched, exactly like
-    ``pd.merge_asof``.  Whole-stage codegen, no Python; use
-    :func:`asof_join_tolerance` only for ``nearest``."""
+    ``pd.merge_asof``.  Whole-stage codegen, no Python;
+    ``nearest`` has its own native plan — :func:`asof_join_nearest_native`."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
     if direction == "backward":
@@ -214,47 +217,91 @@ def asof_join_nearest_native(
     right_cols: list[str] | None = None,
 ) -> DataFrame:
     """NEAREST-direction as-of as a pure native plan — closes the gap
-    that previously required the cogrouped ``pd.merge_asof`` path: run
-    the backward and forward union+window plans and keep, per left row,
-    the candidate with the smaller absolute gap.
+    that previously required the cogrouped ``pd.merge_asof`` path.
 
-    Tie rule (EXPLICIT, unlike merge_asof's input-order-dependent one):
-    equal distances prefer the BACKWARD match — equivalently, the match
-    with the smaller ``on`` value — so the result is deterministic and
-    an oracle can spell the same ``(abs_gap, t)`` argmin.  ``tolerance``
-    bounds the accepted gap on both sides (merge_asof semantics: the
-    left row survives with nulls).
+    ONE union of both tagged sides, ONE shuffle on ``by``, and TWO
+    running windows over it: the backward fill (``last`` non-null right
+    payload over the ascending (on, kind, payload) order — rights at the
+    same ``on`` sort before the left row, so exact matches count, and
+    the greatest payload struct wins ties) and the forward fill
+    (``first`` non-null payload looking forward under (on, kind DESC,
+    payload DESC) — the same exact-match and greatest-struct rules
+    mirrored).  Each left row then keeps whichever candidate has the
+    smaller absolute gap, equal distances preferring BACKWARD —
+    deterministic, oracle-spellable tie rules, and NO join back onto the
+    left frame, so NULL-bearing left rows and duplicate left rows pass
+    through one-for-one (the join-back form dropped rows on null
+    equality and multiplied duplicates — round-8 review finding).
+    ``tolerance`` bounds the accepted gap on both sides (merge_asof
+    semantics: the left row survives with nulls).
 
-    Scale: two runs of the native plan (each one shuffle on ``by`` +
-    one running window) joined back on the left row — the join key is
-    the left side's own columns, so partitioning carries over; still
-    zero Python."""
+    Scale: same shape as :func:`asof_join` plus one extra sort of the
+    same partitioning (two window orders over one exchange); zero
+    Python."""
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
-    b = asof_join_tolerance_native(
-        left, right, on, by, tolerance=tolerance, right_cols=right_cols
+    elif len(set(right_cols)) != len(right_cols) or on in right_cols or by in right_cols:
+        raise ValueError(
+            f"asof_join right_cols must be unique and exclude on={on!r}/"
+            f"by={by!r}, got {right_cols}"
+        )
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+        + [T.StructField(on, right.schema[on].dataType)]
     )
-    f = asof_join_tolerance_native(
-        left, right, on, by, tolerance=tolerance,
-        direction="forward", right_cols=right_cols,
+    if not _orderable(payload_t):
+        bad = [c for c in right_cols if not _orderable(right.schema[c].dataType)]
+        raise TypeError(
+            f"asof_join payload columns {bad} are not orderable (map-typed); "
+            "use asof_join_tolerance (cogrouped merge_asof) instead"
+        )
+    l_tag = left.select(
+        *left.columns, F.lit(1).alias("_kind"),
+        F.lit(None).cast(payload_t).alias("_r"),
     )
-    asof_cols = [f"{c}_asof" for c in right_cols + [on]]
-    fb = f.select(
-        *left.columns, *[F.col(c).alias(f"_f_{c}") for c in asof_cols]
+    r_tag = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (on, by)
+        ],
+        F.col(on), F.col(by), F.lit(0).alias("_kind"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols], F.col(on).alias(on)
+        ).alias("_r"),
+    ).select(*l_tag.columns)
+    u = l_tag.unionByName(r_tag)
+    rp = F.when(F.col("_kind") == 0, F.col("_r"))
+    wb = (
+        W.partitionBy(by)
+        .orderBy(on, "_kind", "_r")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    j = b.join(fb, on=left.columns)
-    bgap = F.col(on) - F.col(f"{on}_asof")
-    fgap = F.col(f"_f_{on}_asof") - F.col(on)
-    use_backward = F.col(f"{on}_asof").isNotNull() & (
-        F.col(f"_f_{on}_asof").isNull() | (bgap <= fgap)
+    wf = (
+        W.partitionBy(by)
+        .orderBy(F.col(on), F.desc("_kind"), F.desc("_r"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
-    out = j.select(
+    filled = u.select(
+        *left.columns,
+        "_kind",
+        F.last(rp, ignorenulls=True).over(wb).alias("_rb"),
+        F.first(rp, ignorenulls=True).over(wf).alias("_rf"),
+    ).filter(F.col("_kind") == 1)
+    bgap = F.col(on) - F.col("_rb").getField(on)
+    fgap = F.col("_rf").getField(on) - F.col(on)
+    b_ok = F.col("_rb").isNotNull() & (
+        F.lit(True) if tolerance is None else (bgap <= tolerance)
+    )
+    f_ok = F.col("_rf").isNotNull() & (
+        F.lit(True) if tolerance is None else (fgap <= tolerance)
+    )
+    use_b = b_ok & (~f_ok | (bgap <= fgap))
+    chosen = F.when(use_b, F.col("_rb")).when(f_ok, F.col("_rf"))
+    return filled.select(
         *left.columns,
         *[
-            F.when(use_backward, F.col(c))
-            .otherwise(F.col(f"_f_{c}"))
-            .alias(c)
-            for c in asof_cols
+            chosen.getField(c).alias(f"{c}_asof")
+            for c in right_cols + [on]
         ],
     )
-    return out

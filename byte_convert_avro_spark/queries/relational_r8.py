@@ -575,9 +575,15 @@ def ship_latency_percentiles_scale_path(spark: SparkSession, sf: str):
       FROM orders GROUP BY 1, 2
     )
     SELECT yr, mo, n_orders, revenue_c,
-           LAG(revenue_c, 12) OVER (ORDER BY yr * 12 + mo) AS prev_year_c,
+           CASE WHEN LAG(yr * 12 + mo, 12) OVER (ORDER BY yr * 12 + mo)
+                     = yr * 12 + mo - 12
+                THEN LAG(revenue_c, 12) OVER (ORDER BY yr * 12 + mo) END
+             AS prev_year_c,
            CAST(revenue_c AS DOUBLE)
-             / LAG(revenue_c, 12) OVER (ORDER BY yr * 12 + mo) AS yoy_ratio
+             / CASE WHEN LAG(yr * 12 + mo, 12) OVER (ORDER BY yr * 12 + mo)
+                         = yr * 12 + mo - 12
+                    THEN LAG(revenue_c, 12) OVER (ORDER BY yr * 12 + mo) END
+             AS yoy_ratio
     FROM m
     """,
 )
@@ -597,8 +603,14 @@ def orders_yoy_by_month(spark: SparkSession, sf: str):
         F.count("*").alias("n_orders"),
         F.sum(cents("o_totalprice")).cast("long").alias("revenue_c"),
     )
-    w = W.orderBy(F.col("yr") * 12 + F.col("mo"))
-    prev = F.lag("revenue_c", 12).over(w)
+    idx = F.col("yr") * 12 + F.col("mo")
+    w = W.orderBy(idx)
+    # LAG(12) is a ROW offset: only the same calendar month when every
+    # intermediate month is present — guard on the lagged month index so
+    # a gap month yields NULL instead of silently mislabeling month-13-ago
+    # as last year (round-8 review finding)
+    aligned = F.lag(idx, 12).over(w) == idx - 12
+    prev = F.when(aligned, F.lag("revenue_c", 12).over(w))
     return m.select(
         "yr", "mo", "n_orders", "revenue_c",
         prev.alias("prev_year_c"),
@@ -819,22 +831,34 @@ def events_asof_nearest_purchase(spark: SparkSession, sf: str):
       SELECT month, COUNT(DISTINCT user_id) AS mau FROM days GROUP BY 1
     )
     SELECT d.month,
-           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(date_diff('day',
+                strptime(d.month || '-01', '%Y-%m-%d'),
+                strptime(d.month || '-01', '%Y-%m-%d') + INTERVAL 1 MONTH)
+             AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_active_days,
            CAST(SUM(d.dau) AS BIGINT) AS dau_total,
            CAST(m.mau AS BIGINT) AS mau,
-           CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / m.mau AS stickiness
+           CAST(SUM(d.dau) AS DOUBLE)
+             / date_diff('day',
+                 strptime(d.month || '-01', '%Y-%m-%d'),
+                 strptime(d.month || '-01', '%Y-%m-%d') + INTERVAL 1 MONTH)
+             / m.mau AS stickiness
     FROM dau d JOIN mau m ON m.month = d.month
     GROUP BY d.month, m.mau
     """,
 )
 def events_stickiness_dau_mau(spark: SparkSession, sf: str):
     """DAU/MAU STICKINESS — the product-analytics engagement ratio:
-    average daily active users over monthly active users, per month.
-    Both actives are exact COUNT(DISTINCT) over (period, user) pairs —
-    the distinct collapses FIRST (map-side partial on the pair), so the
-    shuffle carries |users x periods|, not |events|; the ratio is one
-    division of exact ints.  Day/month from the same integer-µs epoch
-    bucketing as every event-time query (UTC-pinned rendering)."""
+    average daily active users over monthly active users, per month —
+    averaged over CALENDAR days (a zero-event day is a DAU=0
+    observation in the standard metric; dividing by active days only
+    would inflate sparse months — round-8 review finding;
+    ``n_active_days`` keeps the distinction visible).  Both actives are
+    exact COUNT(DISTINCT) over (period, user) pairs — the distinct
+    collapses FIRST (map-side partial on the pair), so the shuffle
+    carries |users x periods|, not |events|; the ratio is one division
+    of exact ints.  Day/month from the same integer-µs epoch bucketing
+    as every event-time query (UTC-pinned rendering)."""
     from byte_convert_avro_spark.functions import epoch_us
 
     ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
@@ -850,20 +874,23 @@ def events_stickiness_dau_mau(spark: SparkSession, sf: str):
         F.countDistinct("user_id").alias("dau")
     )
     mau = days.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    month_start = F.to_date(F.concat(F.col("month"), F.lit("-01")))
+    n_cal_days = F.datediff(F.add_months(month_start, 1), month_start).cast("long")
     return (
         dau.join(mau, "month")
         .groupBy("month", "mau")
         .agg(
-            F.count("*").cast("long").alias("n_days"),
+            F.count("*").cast("long").alias("n_active_days"),
             F.sum("dau").cast("long").alias("dau_total"),
         )
         .select(
             "month",
-            "n_days",
+            n_cal_days.alias("n_days"),
+            "n_active_days",
             "dau_total",
             F.col("mau").cast("long").alias("mau"),
             (
-                F.col("dau_total").cast("double") / F.col("n_days") / F.col("mau")
+                F.col("dau_total").cast("double") / n_cal_days / F.col("mau")
             ).alias("stickiness"),
         )
     )
@@ -1158,7 +1185,8 @@ def customer_merge_apply_cdc(spark: SparkSession, sf: str):
              MAX(hv) AS kth
       FROM ranked WHERE rn <= 32 GROUP BY event_type
     ), exact AS (
-      SELECT event_type, COUNT(*) AS exact_users FROM h GROUP BY event_type
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
     )
     SELECT s.event_type,
            CAST(s.k_used AS BIGINT) AS k_used,
@@ -1190,7 +1218,9 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf: str):
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         .alias("hv"),
-    ).distinct()
+    ).distinct().localCheckpoint()  # h is |distinct (type, hash)|-sized and
+    # feeds |types|+2 jobs below — materialize once instead of re-scanning
+    # raw events per job (round-8 review finding)
     types = sorted(r.event_type for r in h.select("event_type").distinct().collect())
     sketches = None
     for et in types:  # bounded: |event types| jobs, each a TakeOrdered
@@ -1206,8 +1236,12 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf: str):
             .select(F.lit(et).alias("event_type"), "k_used", "kth")
         )
         sketches = sk if sketches is None else sketches.unionByName(sk)
-    exact = h.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("exact_users")
+    # exact ground truth over USERS, not 32-bit hash prefixes — the
+    # truncated-hash distinct loses ~n²/2³³ users to collisions, which
+    # would corrupt the error readout this column exists for (round-8
+    # review finding)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
     )
     est = F.when(
         F.col("k_used") < 32, F.col("k_used").cast("double")

@@ -636,6 +636,59 @@ def streaming_ocf_sink_daily_totals(spark: SparkSession, sf: str):
     )
 
 
+
+def _two_sided_sentinel_streams(spark, sf: str, prefix: str):
+    """Shared harness for the outer stream-stream joins: split events
+    into view/purchase sides, append THREE far-future flush sentinels
+    per side (watermark updates from batch N apply to batch N+1, and
+    outer-row eviction lags one more batch — the third sentinel
+    guarantees a batch that RUNS with the watermark already past every
+    real row's match window), write each side as ordered one-file
+    shards, and return (views_stream, purchases_stream, cleanup_paths).
+    Both streams carry a 1-minute watermark; sentinel rows are user -1
+    and must be filtered from the DRAINED table (never inside the
+    streaming plan — a pre-watermark filter freezes the watermark)."""
+    ev = events_ts_to_ns(t(spark, sf, "events"))
+    shaped = ev.select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_type"
+    )
+    max_us = shaped.agg(F.max("ts_us")).collect()[0][0]
+    day_us = 86_400_000_000
+    sent = [
+        (-1, -1, max_us + 60 * day_us),
+        (-2, -1, max_us + 120 * day_us),
+        (-3, -1, max_us + 180 * day_us),
+    ]
+
+    def write_side(etype: str) -> str:
+        side = shaped.filter(F.col("event_type") == etype).select(
+            "event_id", "user_id", "ts_us"
+        )
+        frames = [side] + [
+            spark.createDataFrame([x], "event_id long, user_id long, ts_us long")
+            for x in sent
+        ]
+        return write_ordered_shards(frames, f"{prefix}{etype}_")
+
+    def read_side(d: str, pfx: str):
+        return (
+            spark.readStream.schema("event_id long, user_id long, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .select(
+                F.col("event_id").alias(f"{pfx}_id"),
+                F.col("user_id").alias(f"{pfx}_user"),
+                F.col("ts_us").alias(f"{pfx}_ts_us"),
+                F.timestamp_micros("ts_us").alias(f"{pfx}_time"),
+            )
+            .withWatermark(f"{pfx}_time", "1 minute")
+        )
+
+    dv = write_side("view")
+    dp = write_side("purchase")
+    return read_side(dv, "v"), read_side(dp, "p"), [dv, dp]
+
+
 # ---------------------------------------------------------------------------
 @register(
     "streaming_ocf_evolution_read",
@@ -780,12 +833,10 @@ def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
     matched views with their <=30min purchases, UNMATCHED views with
     nulls — but an outer row may only emit once the watermark PROVES no
     match can still arrive, so this query exercises the state-eviction
-    contract itself.  Harness: each side streams as 3 ordered files
-    (real data, then two far-future flush sentinels on user -1) with a
-    1-minute watermark delay, so the sentinels drive the watermark past
-    every real view's match window and the buffered unmatched views
-    flush before the drain ends; sentinels filter out post-join.  The
-    finite-input result must equal the batch LEFT JOIN exactly.
+    contract itself.  Harness: _two_sided_sentinel_streams (shared with
+    the full-outer twin) feeds each side as ordered shards with three
+    far-future flush sentinels; the finite-input result must equal the
+    batch LEFT JOIN exactly.
 
     Scale notes: equality key (user_id) is the shuffle/state key; the
     event-time range bounds both sides' buffered state to the window +
@@ -793,54 +844,8 @@ def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
     cannot grow past watermark horizon BY CONSTRUCTION."""
     import shutil
 
-    ev = events_ts_to_ns(t(spark, sf, "events"))
-    shaped = ev.select(
-        "event_id",
-        "user_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
-        "event_type",
-    )
-    max_us = shaped.agg(F.max("ts_us")).collect()[0][0]
-    day_us = 86_400_000_000
-    # three flush batches: watermark updates from batch N's max event time
-    # apply to batch N+1, and outer-row eviction lags one more batch — the
-    # third sentinel guarantees a batch that RUNS with the watermark
-    # already past every real view's match window
-    sent = [
-        (-1, -1, max_us + 60 * day_us),
-        (-2, -1, max_us + 120 * day_us),
-        (-3, -1, max_us + 180 * day_us),
-    ]
-
-    def write_side(etype: str) -> str:
-        side = shaped.filter(F.col("event_type") == etype).select(
-            "event_id", "user_id", "ts_us"
-        )
-        frames = [side] + [
-            spark.createDataFrame([s], "event_id long, user_id long, ts_us long")
-            for s in sent
-        ]
-        return write_ordered_shards(frames, f"lo_{etype}_")
-
-    dv = write_side("view")
-    dp = write_side("purchase")
+    views, purch, paths = _two_sided_sentinel_streams(spark, sf, "lo_")
     try:
-        def read_side(d: str, prefix: str):
-            return (
-                spark.readStream.schema("event_id long, user_id long, ts_us long")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(d)
-                .select(
-                    F.col("event_id").alias(f"{prefix}_id"),
-                    F.col("user_id").alias(f"{prefix}_user"),
-                    F.col("ts_us").alias(f"{prefix}_ts_us"),
-                    F.timestamp_micros("ts_us").alias(f"{prefix}_time"),
-                )
-                .withWatermark(f"{prefix}_time", "1 minute")
-            )
-
-        views = read_side(dv, "v")
-        purch = read_side(dp, "p")
         j = views.join(
             purch,
             (F.col("p_user") == F.col("v_user"))
@@ -855,19 +860,14 @@ def streaming_left_outer_view_purchase(spark: SparkSession, sf: str):
             F.col("p_ts_us").alias("purchase_ts_us"),
             (F.col("p_ts_us") - F.col("v_ts_us")).alias("gap_us"),
         )
-        # sentinels filter out AFTER the drain, on the BATCH table: a
-        # left-column filter inside the streaming plan gets pushed below
-        # the views-side EventTimeWatermark, which would drop the flush
-        # sentinels before they can advance the watermark — leaving the
-        # final match-window's unmatched views buffered forever
         from byte_convert_avro_spark.streaming import run_stream_to_memory
 
         q, name = run_stream_to_memory(j, output_mode="append")
         q.stop()
         return spark.table(name).filter(F.col("user_id") >= 0)
     finally:
-        shutil.rmtree(dv, ignore_errors=True)
-        shutil.rmtree(dp, ignore_errors=True)
+        for d in paths:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1022,53 +1022,15 @@ def streaming_full_outer_view_purchase(spark: SparkSession, sf: str):
     converted, AND purchases with no preceding view all emit — each
     outer row only once the watermark proves its partner cannot arrive,
     so BOTH sides' eviction contracts are exercised at once.  Same
-    flush-sentinel harness as the left-outer twin; the finite-input
-    result equals the batch FULL JOIN.  Scale notes: state on both
-    sides is bounded by the match window + watermark delay BY
-    CONSTRUCTION — outer emission IS eviction, on both sides."""
+    shared sentinel harness as the left-outer twin
+    (_two_sided_sentinel_streams); the finite-input result equals the
+    batch FULL JOIN.  Scale notes: state on both sides is bounded by
+    the match window + watermark delay BY CONSTRUCTION — outer emission
+    IS eviction, on both sides."""
     import shutil
 
-    ev = events_ts_to_ns(t(spark, sf, "events"))
-    shaped = ev.select(
-        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_type"
-    )
-    max_us = shaped.agg(F.max("ts_us")).collect()[0][0]
-    day_us = 86_400_000_000
-    sent = [
-        (-1, -1, max_us + 60 * day_us),
-        (-2, -1, max_us + 120 * day_us),
-        (-3, -1, max_us + 180 * day_us),
-    ]
-
-    def write_side(etype: str) -> str:
-        side = shaped.filter(F.col("event_type") == etype).select(
-            "event_id", "user_id", "ts_us"
-        )
-        frames = [side] + [
-            spark.createDataFrame([s], "event_id long, user_id long, ts_us long")
-            for s in sent
-        ]
-        return write_ordered_shards(frames, f"fo_{etype}_")
-
-    dv = write_side("view")
-    dp = write_side("purchase")
+    views, purch, paths = _two_sided_sentinel_streams(spark, sf, "fo_")
     try:
-        def read_side(d: str, prefix: str):
-            return (
-                spark.readStream.schema("event_id long, user_id long, ts_us long")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(d)
-                .select(
-                    F.col("event_id").alias(f"{prefix}_id"),
-                    F.col("user_id").alias(f"{prefix}_user"),
-                    F.col("ts_us").alias(f"{prefix}_ts_us"),
-                    F.timestamp_micros("ts_us").alias(f"{prefix}_time"),
-                )
-                .withWatermark(f"{prefix}_time", "1 minute")
-            )
-
-        views = read_side(dv, "v")
-        purch = read_side(dp, "p")
         j = views.join(
             purch,
             (F.col("p_user") == F.col("v_user"))
@@ -1093,5 +1055,5 @@ def streaming_full_outer_view_purchase(spark: SparkSession, sf: str):
             & (F.coalesce("purchase_user", F.lit(0)) >= 0)
         )
     finally:
-        shutil.rmtree(dv, ignore_errors=True)
-        shutil.rmtree(dp, ignore_errors=True)
+        for d in paths:
+            shutil.rmtree(d, ignore_errors=True)

@@ -1526,3 +1526,21 @@ def test_lsh_candidates_bucket_cap(spark):
 
     with pytest.raises(ValueError, match="max_docs_per_bucket"):
         lsh_candidates(sigs, max_docs_per_bucket=1)
+
+
+def test_asof_nearest_null_payload_and_duplicate_left_rows(spark):
+    """Round-8 review regression: the join-back form dropped left rows
+    with NULL columns (null-unsafe equality) and multiplied duplicate
+    left rows (2x2 self-match).  The single-pass form passes both
+    through one-for-one."""
+    from byte_convert_avro_spark.operators.asof import asof_join_nearest_native
+
+    left = spark.createDataFrame(
+        [("a", 10, None), ("a", 10, None), ("a", 20, "x")],
+        "k string, t long, lv string",
+    )
+    right = spark.createDataFrame([("a", 8, 100)], "k string, t long, rv long")
+    rows = asof_join_nearest_native(left, right, on="t", by="k").collect()
+    assert len(rows) == 3  # both duplicates AND the null-payload rows kept
+    assert all(r.rv_asof == 100 for r in rows)
+    assert sorted((r.t, r.lv) for r in rows) == [(10, None), (10, None), (20, "x")]
