@@ -252,6 +252,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 def simhash_near_dup(
     sigs: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash",
     bits: int = 16, n_bands: int = 4, max_hamming: int = 3,
+    max_docs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Hamming-ball near-dup pairs over SimHash signatures: band the
     ``bits``-bit signature into ``n_bands`` contiguous substrings,
@@ -270,7 +271,18 @@ def simhash_near_dup(
     Scale: the self-join runs within (band, band-key) buckets — the
     shuffle key — so pair generation is partition-local and bounded by
     Σ|bucket|² per band, never |docs|²; the verify is a native
-    conv→xor→bit_count per candidate (codegen'd, no explode)."""
+    conv→xor→bit_count per candidate (codegen'd, no explode).
+
+    ``max_docs_per_bucket`` (default None) bounds the enumeration at
+    real duplication (a B-doc bucket emits B²/2 join rows — the round-8
+    LSH finding, measured at 45 GB of spill uncapped): oversized
+    (band, key) buckets are dropped before the join on its own shuffle
+    key.  EXPLICIT TRADE: dropping a bucket voids the pigeonhole
+    guarantee FOR PAIRS WHOSE ONLY agreeing band was dropped — recall
+    becomes exact-over-surviving-buckets; in practice a bucket only
+    exceeds a sane cap when one signature is near-universal boilerplate
+    whose members exact/chunk dedup already catches.  Leave None where
+    the 100%-recall contract matters more than the bound."""
     if bits % n_bands:
         raise ValueError(f"bits={bits} must divide into n_bands={n_bands}")
     if not 1 <= bits <= 63:
@@ -296,6 +308,18 @@ def simhash_near_dup(
             F.array(*[F.substring(sig_col, b * w + 1, w) for b in range(n_bands)])
         ).alias("band", "bk"),
     )
+    if max_docs_per_bucket is not None:
+        if max_docs_per_bucket < 2:
+            raise ValueError(
+                f"max_docs_per_bucket must be >= 2, got {max_docs_per_bucket}"
+            )
+        ok = (
+            keyed.groupBy("band", "bk")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_docs_per_bucket)
+            .select("band", "bk")
+        )
+        keyed = keyed.join(ok, ["band", "bk"])
     a = keyed.select(F.col("id").alias("doc_a"), F.col("sig").alias("_sa"), "band", "bk")
     b = keyed.select(
         F.col("id").alias("doc_b"), F.col("sig").alias("_sb"),

@@ -315,6 +315,7 @@ def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8)
 def sign_lsh_banded_candidates(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     n_bands: int = 4, bits_per_band: int = 8,
+    max_docs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Multi-band sign-LSH candidate pairs: band ``b`` buckets on the sign
     pattern of dimensions ``[b*bits_per_band, (b+1)*bits_per_band)``;
@@ -331,7 +332,12 @@ def sign_lsh_banded_candidates(
     Scale: each vector expands to exactly ``n_bands`` (band, bucket)
     rows; the self-join runs within (band, bucket) — the shuffle key — so
     pair generation is partition-local per bucket and the pair count is
-    bounded by Σ|bucket|² across bands, never |corpus|²."""
+    bounded by Σ|bucket|² across bands, never |corpus|².
+    ``max_docs_per_bucket`` (default None) drops oversized buckets
+    before the join — the round-8 LSH enumeration bound; sign-LSH is
+    probabilistic already, so the cap only re-shapes recall (a dense
+    sign-pattern cluster larger than the cap is the embedding analogue
+    of boilerplate)."""
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("e"))
     band_keys = [
         F.concat(
@@ -346,6 +352,18 @@ def sign_lsh_banded_candidates(
     keyed = e.select(
         "id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
     )
+    if max_docs_per_bucket is not None:
+        if max_docs_per_bucket < 2:
+            raise ValueError(
+                f"max_docs_per_bucket must be >= 2, got {max_docs_per_bucket}"
+            )
+        ok = (
+            keyed.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_docs_per_bucket)
+            .select("band", "bucket")
+        )
+        keyed = keyed.join(ok, ["band", "bucket"])
     a = keyed.select(F.col("id").alias("id_a"), "band", "bucket")
     b2 = keyed.select(
         F.col("id").alias("id_b"), F.col("band").alias("band2"), F.col("bucket").alias("bucket2")

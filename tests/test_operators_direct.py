@@ -1544,3 +1544,46 @@ def test_asof_nearest_null_payload_and_duplicate_left_rows(spark):
     assert len(rows) == 3  # both duplicates AND the null-payload rows kept
     assert all(r.rv_asof == 100 for r in rows)
     assert sorted((r.t, r.lv) for r in rows) == [(10, None), (10, None), (20, "x")]
+
+
+def test_simhash_and_signlsh_bucket_caps(spark):
+    """The round-8 enumeration cap applied symmetrically across the LSH
+    families: oversized buckets drop pre-join; pairs from small buckets
+    survive; simhash documents the pigeonhole trade explicitly."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.dedup import simhash_near_dup
+    from byte_convert_avro_spark.operators.similarity import (
+        sign_lsh_banded_candidates,
+    )
+
+    # 5 identical signatures (every band a 5-doc bucket) + a near pair
+    rows = [(i, "1010101010101010") for i in range(5)]
+    rows += [(10, "0101010101010101"), (11, "0101010101010111")]
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash string")
+    unc = {(r.doc_a, r.doc_b) for r in simhash_near_dup(sigs).collect()}
+    assert len(unc) == 10 + 1
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup(sigs, max_docs_per_bucket=4).collect()
+    }
+    assert capped == {(10, 11)}
+    with pytest.raises(ValueError, match="max_docs_per_bucket"):
+        simhash_near_dup(sigs, max_docs_per_bucket=1)
+
+    vecs = [(i, [1.0] * 8) for i in range(5)] + [
+        (10, [-1.0] * 8), (11, [-1.0] * 8)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    unc2 = {
+        (r.id_a, r.id_b)
+        for r in sign_lsh_banded_candidates(df, n_bands=2, bits_per_band=4).collect()
+    }
+    assert len(unc2) == 10 + 1
+    capped2 = {
+        (r.id_a, r.id_b)
+        for r in sign_lsh_banded_candidates(
+            df, n_bands=2, bits_per_band=4, max_docs_per_bucket=4
+        ).collect()
+    }
+    assert capped2 == {(10, 11)}
