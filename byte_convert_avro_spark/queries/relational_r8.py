@@ -1249,3 +1249,142 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf: str):
     return sketches.join(exact, "event_type").select(
         "event_type", "k_used", "kth", est.alias("distinct_est"), "exact_users"
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "nation_top_customer_name_listagg",
+    """
+    WITH ranked AS (
+      SELECT n_name, c_name,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_name) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n_customers
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name,
+           CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+           string_agg(c_name, ',' ORDER BY c_name) AS first5_names
+    FROM ranked WHERE rn <= 5
+    GROUP BY n_name
+    """,
+)
+def nation_top_customer_name_listagg(spark: SparkSession, sf: str):
+    """ORDERED STRING AGGREGATION (LISTAGG / string_agg ... ORDER BY) —
+    the report-formatting shape ANSI added in SQL:2016 and Spark lacks
+    as a native ordered aggregate: per nation, the 5 alphabetically
+    first customer names joined ','.  Spark spells it deterministically
+    as rank-filter -> array_sort(collect_list) -> array_join — the
+    collect is bounded at 5 BY the rank filter, so no unbounded
+    per-group array (the ordered_fold memory contract).  The oracle
+    uses the literal ``string_agg(... ORDER BY ...)``.  Scale: one
+    window over the customer-nation join partitioned by nation + a
+    5-row-per-nation aggregate."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    j = c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    w = W.partitionBy("n_name").orderBy("c_name")
+    wn = W.partitionBy("n_name")
+    ranked = j.select(
+        "n_name",
+        "c_name",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_customers"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 5)
+        .groupBy("n_name")
+        .agg(
+            F.max("n_customers").cast("long").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "first5_names"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_strict_funnel_in_session",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events WHERE user_id IS NOT NULL
+    ), marked AS (
+      SELECT user_id, ts_us, event_type,
+             CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us) > 1800000000
+                  OR LAG(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ), sess AS (
+      SELECT user_id, ts_us, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ), per AS (
+      SELECT user_id, sess_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts_us END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) AS t_buy
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS with_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS view_then_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+    FROM per
+    """,
+)
+def events_strict_funnel_in_session(spark: SparkSession, sf: str):
+    """STRICT-ORDER funnel WITHIN sessions: a session converts only if
+    its first view precedes its first click precedes its first purchase
+    — the ordered-sequence semantics the unordered funnel
+    (events_funnel_conversion — 'did all steps happen?') cannot
+    express, composed over 30-minute-gap sessionization.  All integer
+    µs comparisons; NULL step times fail the strict inequalities
+    naturally on both engines.  Scale: one user-keyed window pass for
+    sessionization (gaps-and-islands prefix sum), one (user, session)
+    aggregate with conditional MINs, one global fold — no joins."""
+    from byte_convert_avro_spark.functions import epoch_us
+
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", epoch_us("ts").alias("ts_us"), "event_type")
+    )
+    wo = W.partitionBy("user_id").orderBy("ts_us")
+    prev = F.lag("ts_us").over(wo)
+    marked = ev.withColumn(
+        "new_sess",
+        (prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000)).cast("int"),
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    step = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts_us")))  # noqa: E731
+    per = sess.groupBy("user_id", "sess_id").agg(
+        step("view").alias("t_view"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_buy"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.col("t_view").isNotNull().cast("int")).cast("long").alias("with_view"),
+        F.sum(
+            (F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")))
+            .cast("int")
+        ).cast("long").alias("view_then_click"),
+        F.sum(
+            (
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click"))
+            ).cast("int")
+        ).cast("long").alias("full_funnel"),
+    )
