@@ -1312,3 +1312,113 @@ def crosslingual_dup_leakage(spark: SparkSession, sf: str):
         )
         .filter(F.col("n_langs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_cosine_top3",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+    wts AS (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf AS DOUBLE) * n.nd / d.df AS w
+      FROM tf t JOIN df d ON d.term = t.term CROSS JOIN n
+    ), norms AS (
+      SELECT doc_id,
+             sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b))
+               AS nrm
+      FROM wts GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS qid, b.doc_id AS did,
+             list_reduce(list(a.w * b.w ORDER BY a.term), (x, y) -> x + y)
+               AS dot
+      FROM wts a
+      JOIN wts b ON b.term = a.term AND b.doc_id >= 5
+      WHERE a.doc_id < 5
+      GROUP BY 1, 2
+    ), sims AS (
+      SELECT d.qid, d.did,
+             ROUND(d.dot / (qa.nrm * qb.nrm), 4) AS sim
+      FROM dots d
+      JOIN norms qa ON qa.doc_id = d.qid
+      JOIN norms qb ON qb.doc_id = d.did
+    )
+    SELECT qid, did, sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, did) AS rank
+      FROM sims)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_cosine_top3(spark: SparkSession, sf: str):
+    """SPARSE vector-space retrieval — TF-IDF cosine top-3 over the
+    inverted term join, the classic-IR counterpart of the dense
+    embedding kNN: weights are ``tf * N / df`` (rational idf — *, /
+    are IEEE-exact on exact ints, the tfidf_top_terms trade), the dot
+    product sums shared-term products through a TERM-ORDERED fold and
+    norms likewise (both folds bounded BY CONSTRUCTION at the document
+    vocabulary — the ordered_fold memory contract), so every cosine is
+    bit-identical cross-engine before the display ROUND.  Scale: the
+    pair enumeration is a join on the TERM — bounded by df per term;
+    production corpora cap or drop stop-word terms first
+    (max_docs_per_bucket discipline; this 16-word synthetic vocabulary
+    deliberately runs uncapped so the gate has signal).  Query side
+    bounded to 5 docs."""
+    from byte_convert_avro_spark.functions import ordered_fold
+
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.select(F.countDistinct("doc_id").alias("nd"))
+    wts = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf").cast("double") * F.col("nd") / F.col("df")).alias("w"),
+        )
+    )
+    norms = (
+        wts.select("doc_id", "term", (F.col("w") * F.col("w")).alias("w2"))
+        .groupBy("doc_id")
+        .agg(F.sqrt(ordered_fold("term", "w2")).alias("nrm"))
+    )
+    a = wts.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), "term", F.col("w").alias("wa")
+    )
+    b = wts.filter(F.col("doc_id") >= 5).select(
+        F.col("doc_id").alias("did"), F.col("term").alias("term2"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, a.term == b.term2)
+        .select("qid", "did", "term", (F.col("wa") * F.col("wb")).alias("p"))
+        .groupBy("qid", "did")
+        .agg(ordered_fold("term", "p").alias("dot"))
+    )
+    qa = norms.select(F.col("doc_id").alias("qid"), F.col("nrm").alias("qn"))
+    qb = norms.select(F.col("doc_id").alias("did"), F.col("nrm").alias("dn"))
+    sims = (
+        dots.join(qa, "qid")
+        .join(qb, "did")
+        .select(
+            "qid", "did",
+            F.round(F.col("dot") / (F.col("qn") * F.col("dn")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), "did")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "did", "sim", "rank")
+    )
