@@ -1422,3 +1422,116 @@ def tfidf_cosine_top3(spark: SparkSession, sf: str):
         .filter(F.col("rank") <= 3)
         .select("qid", "did", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "bm25_rational_top3",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dlen FROM words GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS nd, SUM(dlen) AS total_len FROM dl
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), qterms AS (
+      SELECT DISTINCT doc_id AS qid, term FROM tf WHERE doc_id < 5
+    ), scored AS (
+      SELECT q.qid, t.doc_id AS did,
+             (CAST(s.nd AS DOUBLE) / d.df)
+               * (t.tf * (1.2 + 1.0))
+               / (t.tf + 1.2 * (1.0 - 0.75
+                  + 0.75 * CAST(l.dlen AS DOUBLE) * s.nd / s.total_len))
+               AS contrib,
+             t.term
+      FROM qterms q
+      JOIN tf t ON t.term = q.term AND t.doc_id >= 5
+      JOIN df d ON d.term = q.term
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ), sums AS (
+      SELECT qid, did,
+             list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+               AS score
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT qid, did, ROUND(score, 4) AS bm25, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY ROUND(score, 4) DESC, did) AS rank
+      FROM sums)
+    WHERE rank <= 3
+    """,
+)
+def bm25_rational_top3(spark: SparkSession, sf: str):
+    """BM25 RANKING (k1=1.2, b=0.75) with the rational-idf trade: the
+    tf-saturation core ``tf(k1+1) / (tf + k1(1-b+b·dl·N/Σdl))`` uses
+    ONLY exact-int inputs through IEEE *, /, so scores are bit-identical
+    cross-engine; the idf keeps ``N/df`` (the tfidf_top_terms trade —
+    libm ``ln`` is NOT reproducible across engines, and monotone idf
+    variants preserve BM25's RANKING, which is the deliverable).  Terms
+    contribute in TERM ORDER through the bounded fold; rank ties break
+    on the rounded score then doc id in BOTH engines (scores compare
+    post-ROUND so a representation tie cannot reorder).  Scale: the
+    scoring join is per-term bounded by df (stop-word cap discipline at
+    production vocabularies); query side bounded to 5 docs; dl/N/Σdl
+    are one tiny broadcast."""
+    from byte_convert_avro_spark.functions import ordered_fold
+
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("nd"), F.sum("dlen").alias("total_len")
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .distinct()
+    )
+    corpus_tf = tf.filter(F.col("doc_id") >= 5).select(
+        F.col("doc_id").alias("did"), F.col("term").alias("cterm"), "tf"
+    )
+    scored = (
+        qterms.join(corpus_tf, qterms.term == corpus_tf.cterm)
+        .join(df_counts, "term")
+        .join(dl.select(F.col("doc_id").alias("did"), "dlen"), "did")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "did",
+            "term",
+            (
+                (F.col("nd").cast("double") / F.col("df"))
+                * (F.col("tf") * (1.2 + 1.0))
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        1.0
+                        - 0.75
+                        + 0.75
+                        * F.col("dlen").cast("double")
+                        * F.col("nd")
+                        / F.col("total_len")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    sums = scored.groupBy("qid", "did").agg(
+        ordered_fold("term", "contrib").alias("score")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc(F.round(F.col("score"), 4)), "did")
+    return (
+        sums.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "qid", "did", F.round(F.col("score"), 4).alias("bm25"), "rank"
+        )
+    )
