@@ -3280,3 +3280,168 @@ def minhash_estimate_vs_exact_capped(spark: SparkSession, sf: str):
         est.alias("est_jaccard"),
         F.col("jaccard").alias("exact_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "hybrid_rrf_dense_sparse_top5",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(generate_series(1, 64),
+                      i -> e[i]*e[i]), (x, y) -> x + y)) AS nrm FROM v),
+    dq AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+    dc AS (SELECT vec_id, e, nrm FROM n WHERE vec_id >= 5),
+    dense AS (
+      SELECT qid, vec_id AS did,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(list_reduce(list_transform(generate_series(1, 64),
+                     i -> dc.e[i]*dq.qe[i]), (x, y) -> x + y)
+                 / (dc.nrm * dq.qn), 4) DESC, vec_id) AS rnk
+      FROM dc CROSS JOIN dq
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+    wts AS (
+      SELECT t.doc_id, t.term, CAST(t.tf AS DOUBLE) * n2.nd / d.df AS w
+      FROM tf t JOIN df d ON d.term = t.term CROSS JOIN nd n2
+    ), norms AS (
+      SELECT doc_id,
+             sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b)) AS nrm
+      FROM wts GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS qid, b.doc_id AS did,
+             list_reduce(list(a.w * b.w ORDER BY a.term), (x, y) -> x + y) AS dot
+      FROM wts a JOIN wts b ON b.term = a.term AND b.doc_id >= 5
+      WHERE a.doc_id < 5 GROUP BY 1, 2
+    ), sparse AS (
+      SELECT d.qid, d.did,
+             ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY
+               ROUND(d.dot / (qa.nrm * qb.nrm), 4) DESC, d.did) AS rnk
+      FROM dots d
+      JOIN norms qa ON qa.doc_id = d.qid
+      JOIN norms qb ON qb.doc_id = d.did
+    ),
+    fused AS (
+      SELECT COALESCE(de.qid, sp.qid) AS qid,
+             COALESCE(de.did, sp.did) AS did,
+             (CASE WHEN de.rnk IS NOT NULL AND de.rnk <= 10
+                   THEN 1.0 / (60 + de.rnk) ELSE 0.0 END)
+             + (CASE WHEN sp.rnk IS NOT NULL AND sp.rnk <= 10
+                     THEN 1.0 / (60 + sp.rnk) ELSE 0.0 END) AS rrf
+      FROM (SELECT * FROM dense WHERE rnk <= 10) de
+      FULL JOIN (SELECT * FROM sparse WHERE rnk <= 10) sp
+        ON sp.qid = de.qid AND sp.did = de.did
+    )
+    SELECT qid, did, rrf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY rrf DESC, did) AS rank
+      FROM fused)
+    WHERE rank <= 5
+    """,
+)
+def hybrid_rrf_dense_sparse_top5(spark: SparkSession, sf: str):
+    """HYBRID RETRIEVAL via RECIPROCAL RANK FUSION — the modern RAG-stack
+    primitive: per query, the DENSE ranking (64-dim embedding cosine)
+    and the SPARSE ranking (TF-IDF cosine over the inverted term join)
+    fuse as ``Σ 1/(60 + rank)`` over each list's top-10, full-outer so a
+    doc ranked by only one modality still scores.  The synthetic corpus
+    pairs doc_id i with vec_id i (documented identification).  RRF uses
+    only integer ranks — ``1/(60+r)`` is one IEEE division, so fusion is
+    bit-identical however the underlying scores were produced; both
+    underlying rankings order by ROUNDED scores with id tie-breaks so
+    cross-engine rank equality holds first.  Scale: each modality's
+    ranking is its existing bounded plan; fusion joins two
+    top-10-per-query lists — tiny."""
+    from byte_convert_avro_spark.functions import ordered_fold
+
+    # dense: embedding cosine top-10 (knn_cosine_top5 discipline)
+    emb = spread(t(spark, sf, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    n = emb.withColumn("nrm", F.sqrt(F.expr(dot.format(a="e", b="e"))))
+    dq = n.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dc = n.filter(F.col("vec_id") >= 5)
+    wd = W.partitionBy("qid").orderBy(F.desc("sim"), "did")
+    dense = (
+        dc.crossJoin(F.broadcast(dq))
+        .select(
+            "qid",
+            F.col("vec_id").alias("did"),
+            F.round(
+                F.expr(dot.format(a="e", b="qe")) / (F.col("nrm") * F.col("qn")), 4
+            ).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "did", F.col("rnk").alias("drnk"))
+    )
+    # sparse: TF-IDF cosine top-10 (tfidf_cosine_top3 discipline)
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndd = tf.select(F.countDistinct("doc_id").alias("nd"))
+    wts = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(ndd))
+        .select(
+            "doc_id", "term",
+            (F.col("tf").cast("double") * F.col("nd") / F.col("df")).alias("w"),
+        )
+    )
+    norms = (
+        wts.select("doc_id", "term", (F.col("w") * F.col("w")).alias("w2"))
+        .groupBy("doc_id")
+        .agg(F.sqrt(ordered_fold("term", "w2")).alias("nrm"))
+    )
+    a = wts.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), "term", F.col("w").alias("wa")
+    )
+    b = wts.filter(F.col("doc_id") >= 5).select(
+        F.col("doc_id").alias("did"), F.col("term").alias("term2"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(b, a.term == b.term2)
+        .select("qid", "did", "term", (F.col("wa") * F.col("wb")).alias("p"))
+        .groupBy("qid", "did")
+        .agg(ordered_fold("term", "p").alias("dotv"))
+    )
+    qa = norms.select(F.col("doc_id").alias("qid"), F.col("nrm").alias("qn2"))
+    qb = norms.select(F.col("doc_id").alias("did"), F.col("nrm").alias("dn2"))
+    ws = W.partitionBy("qid").orderBy(F.desc("sim2"), "did")
+    sparse = (
+        dots.join(qa, "qid")
+        .join(qb, "did")
+        .select(
+            "qid", "did",
+            F.round(F.col("dotv") / (F.col("qn2") * F.col("dn2")), 4).alias("sim2"),
+        )
+        .withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= 10)
+        .select("qid", "did", F.col("rnk").alias("srnk"))
+    )
+    fused = dense.join(sparse, ["qid", "did"], "fullOuter").select(
+        "qid", "did",
+        (
+            F.coalesce(1.0 / (60 + F.col("drnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("srnk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("rrf"), "did")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "did", "rrf", "rank")
+    )
