@@ -467,3 +467,107 @@ def pca_power_top_component(
     return corpus.sparkSession.createDataFrame(
         [(i + 1, v[i]) for i in range(dim_n)], "dim int, loading double"
     )
+
+
+def pca_power_two_components(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 3,
+    fold_chunk: int = 4096,
+) -> DataFrame:
+    """TOP TWO principal components by power iteration WITH DEFLATION —
+    extends :func:`pca_power_top_component`: component 1 is the same
+    ``n_iter``-round iteration; component 2 re-runs it on the DEFLATED
+    rows ``c' = c - (c·v1)·v1`` (the projection removed row-locally from
+    literal arrays — still matrix-free, still every fold bounded).
+    -> (component 1|2, dim 1..64, loading).
+
+    Determinism: the deflation arithmetic is the exact expression
+    ``(x_i - mu_i) - t·v1_i`` with ``t`` from the same dim-ordered fold
+    both engines spell, so every second-component loading is
+    bit-identical cross-engine like the first.  Orthogonality to v1 is
+    exact only in exact arithmetic; in floats it holds to rounding —
+    callers can re-project if they iterate further.  Cost: exactly the
+    first component's per-round plan twice (+ one extra row-local fold
+    for ``t``)."""
+    from byte_convert_avro_spark.functions import bounded_ordered_agg
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_power_two_components: corpus is empty")
+    dim_n = len(first[0])
+    e = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    dims0 = e.select("id", F.posexplode("e").alias("dim0", "x")).select(
+        "id", (F.col("dim0") + 1).alias("dim"), "x"
+    )
+    mu_rows = (
+        bounded_ordered_agg(dims0, ["dim"], "id", "x", chunk=fold_chunk)
+        .select("dim", (F.col("osum") / F.col("ocnt")).alias("m"))
+        .collect()
+    )
+    mu = [m for _, m in sorted((int(r.dim), float(r.m)) for r in mu_rows)]
+    mulit = F.array(*[F.lit(x) for x in mu])
+
+    def iterate(project_out: list[float] | None) -> list[float]:
+        v = [1.0 / 8.0] * dim_n
+        for _ in range(n_iter):
+            vlit = F.array(*[F.lit(x) for x in v])
+            centered = F.zip_with("e", mulit, lambda x, m: x - m)
+            if project_out is not None:
+                plit = F.array(*[F.lit(x) for x in project_out])
+                tproj = F.aggregate(
+                    F.zip_with(centered, plit, lambda x, w: x * w),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                )
+                # materialize the projection scalar as its own column so
+                # the deflation lambda reads it once per ROW, not once
+                # per array element
+                base = e.select("id", centered.alias("c0"), tproj.alias("t"))
+                cexpr = F.zip_with(
+                    "c0", plit, lambda c, w: c - F.col("t") * w
+                )
+            else:
+                base = e.select("id", centered.alias("c0"))
+                cexpr = F.col("c0")
+            s = F.aggregate(
+                F.zip_with(cexpr, vlit, lambda x, w: x * w),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            rows = base.select("id", cexpr.alias("c"), s.alias("s"))
+            prods = rows.select(
+                "id", F.posexplode("c").alias("dim0", "xc"), "s"
+            ).select(
+                (F.col("dim0") + 1).alias("dim"), "id",
+                (F.col("xc") * F.col("s")).alias("p"),
+            )
+            y_rows = (
+                bounded_ordered_agg(prods, ["dim"], "id", "p", chunk=fold_chunk)
+                .select("dim", "osum")
+                .collect()
+            )
+            y = [val for _, val in sorted((int(r.dim), float(r.osum)) for r in y_rows)]
+            total = 0.0
+            for yj in y:
+                total += yj * yj
+            nrm = math.sqrt(total)
+            if nrm == 0.0:
+                raise ValueError(
+                    "pca_power_two_components: zero variance along the "
+                    "iteration direction"
+                )
+            v = [yj / nrm for yj in y]
+        return v
+
+    v1 = iterate(None)
+    v2 = iterate(v1)
+    rows = [(1, i + 1, v1[i]) for i in range(dim_n)] + [
+        (2, i + 1, v2[i]) for i in range(dim_n)
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "component int, dim int, loading double"
+    )

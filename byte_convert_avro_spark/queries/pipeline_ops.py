@@ -3445,3 +3445,87 @@ def hybrid_rrf_dense_sparse_top5(spark: SparkSession, sf: str):
         .filter(F.col("rank") <= 5)
         .select("qid", "did", "rrf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+def _pca2_sql(n_iter: int = 3, chunk: int = 128) -> str:
+    """Extends :func:`_pca_sql` with DEFLATION for the second component:
+    after ``vr{n_iter}`` (= v1), each row's projection onto v1 is removed
+    ONCE (``c_i = (e_i - mu_i) - t·v1_i`` with ``t`` from the same
+    dim-ordered fold the operator runs — v1 is fixed, so t is
+    round-invariant), then the same unrolled power rounds run over the
+    deflated coordinates."""
+    base = _pca_sql(n_iter, chunk)
+    parts = [
+        f"""t2 AS MATERIALIZED (
+      SELECT v.vec_id, v.e,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - muv.mu[i]) * vr{n_iter}.vr[i]),
+                         (a, b) -> a + b) AS t
+      FROM v CROSS JOIN muv CROSS JOIN vr{n_iter})""",
+        f"""c2 AS MATERIALIZED (
+      SELECT t2.vec_id,
+             list_transform(generate_series(1, 64),
+                 i -> (t2.e[i] - muv.mu[i]) - t2.t * vr{n_iter}.vr[i]) AS c
+      FROM t2 CROSS JOIN muv CROSS JOIN vr{n_iter})""",
+        """wr0 AS (SELECT list_transform(generate_series(1, 64),
+                          i -> CAST(1.0 AS DOUBLE) / 8) AS vr)""",
+    ]
+    for r in range(n_iter):
+        parts.append(
+            f"""s2_{r} AS (
+      SELECT c2.vec_id, c2.c,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> c2.c[i] * wr{r}.vr[i]), (a, b) -> a + b) AS s
+      FROM c2 CROSS JOIN wr{r})"""
+        )
+        parts.append(
+            f"""y2ch{r} AS (
+      SELECT dd.dim, s.vec_id // {chunk} AS chk,
+             list_reduce(list(s.c[dd.dim] * s.s ORDER BY s.vec_id),
+                         (a, b) -> a + b) AS csum
+      FROM s2_{r} s CROSS JOIN dd GROUP BY dd.dim, chk)"""
+        )
+        parts.append(
+            f"""y2_{r} AS (
+      SELECT dim, list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) AS y
+      FROM y2ch{r} GROUP BY dim)"""
+        )
+        parts.append(
+            f"n2_{r} AS (SELECT sqrt(list_reduce(list(y * y ORDER BY dim), (a, b) -> a + b)) AS nrm FROM y2_{r})"
+        )
+        parts.append(
+            f"wr{r + 1} AS (SELECT list(y / n2_{r}.nrm ORDER BY dim) AS vr FROM y2_{r} CROSS JOIN n2_{r})"
+        )
+    return base + ",\n    " + ",\n    ".join(parts)
+
+
+@register(
+    "pca_power_top2_components",
+    f"""
+    WITH {_pca2_sql(3, 128)}
+    SELECT 1 AS component, CAST(dd.dim AS INT) AS dim, vr3.vr[dd.dim] AS loading
+    FROM vr3 CROSS JOIN dd
+    UNION ALL
+    SELECT 2, CAST(dd.dim AS INT), wr3.vr[dd.dim]
+    FROM wr3 CROSS JOIN dd
+    """,
+)
+def pca_power_top2_components(spark: SparkSession, sf: str):
+    """TOP TWO principal components by power iteration WITH DEFLATION,
+    bit-identical cross-engine: component 2 runs the same fixed-round
+    iteration over rows with their v1 projection removed
+    (``c' = (x - mu) - ((x - mu)·v1)·v1`` — matrix-free, every fold
+    bounded, the projection scalar computed once per row).  The oracle
+    unrolls BOTH components round by round (_pca2_sql; the deflated
+    coordinates are a MATERIALIZED CTE — DuckDB re-inlines multiply-
+    referenced CTEs and the 6 reuses of the per-row transform chain
+    compounded past 300s without the hint), so the
+    deflation arithmetic itself — not just the outcome — is under the
+    hash.  Scale: exactly twice the top-component plan (one extra
+    row-local fold for the projection); still one 64-value driver
+    collect per round.  operators/similarity.pca_power_two_components."""
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    return S.pca_power_two_components(
+        emb, "embedding", "vec_id", n_iter=3, fold_chunk=128
+    )

@@ -1587,3 +1587,36 @@ def test_simhash_and_signlsh_bucket_caps(spark):
         ).collect()
     }
     assert capped2 == {(10, 11)}
+
+
+def test_pca_two_components_deflation(spark):
+    """Component 2 is orthogonal to component 1 (to float rounding) and
+    recovers the second variance direction; both runs reproduce."""
+    from byte_convert_avro_spark.operators.similarity import (
+        pca_power_two_components,
+    )
+
+    rows = []
+    for i in range(200):
+        a = (i % 7) - 3.0
+        b = ((i * 3) % 5) - 2.0
+        rows.append(
+            (i, [a * 0.6 + b * 0.1, a * 0.8 - b * 0.075, b * 0.5,
+                 0.01 * ((i * 13) % 5 - 2)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    runs = []
+    for _ in range(2):
+        out = {
+            (r.component, r.dim): r.loading
+            for r in pca_power_two_components(
+                df, n_iter=5, fold_chunk=16
+            ).collect()
+        }
+        runs.append(out)
+    assert runs[0] == runs[1]  # deterministic across runs
+    v1 = [runs[0][(1, d)] for d in range(1, 5)]
+    v2 = [runs[0][(2, d)] for d in range(1, 5)]
+    assert abs(sum(a * b for a, b in zip(v1, v2))) < 1e-9  # orthogonal
+    # v2 dominated by the b-signal axis (dim 3)
+    assert abs(v2[2]) > 0.9
