@@ -1388,3 +1388,36 @@ def events_strict_funnel_in_session(spark: SparkSession, sf: str):
             ).cast("int")
         ).cast("long").alias("full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_isodow_profile",
+    """
+    SELECT CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+           CAST(MAX(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END) AS INT)
+             AS is_weekend
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_isodow_profile(spark: SparkSession, sf: str):
+    """DAY-OF-WEEK profile keyed on the ISO weekday (1=Monday..7=Sunday)
+    — a deliberately boring query guarding a genuinely cross-engine
+    TRAP: Spark's ``dayofweek`` is 1=SUNDAY..7=Saturday while DuckDB's
+    ``isodow`` is 1=Monday..7=Sunday, so the naive spelling produces
+    rows that hash-match per engine but label every day wrong.  The
+    Spark side maps explicitly: ``(dayofweek + 5) % 7 + 1 == isodow``.
+    Exact cents; weekend flag from the shared ISO numbering.  Scale:
+    one 7-group aggregation, map-side partials."""
+    o = t(spark, sf, "orders")
+    iso_dow = ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("int")
+    pre = o.select(iso_dow.alias("iso_dow"), cents("o_totalprice").alias("p_c"))
+    return pre.groupBy("iso_dow").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("p_c").cast("long").alias("revenue_c"),
+        F.max((F.col("iso_dow") >= 6).cast("int")).cast("int").alias("is_weekend"),
+    )
