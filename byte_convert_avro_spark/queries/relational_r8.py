@@ -1421,3 +1421,54 @@ def orders_isodow_profile(spark: SparkSession, sf: str):
         F.sum("p_c").cast("long").alias("revenue_c"),
         F.max((F.col("iso_dow") >= 6).cast("int")).cast("int").alias("is_weekend"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "priority_uniformity_chi2",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, COUNT(*) AS obs FROM orders GROUP BY 1
+    ), tot AS (SELECT SUM(obs) AS n, COUNT(*) AS k FROM c)
+    SELECT CAST(t.n AS BIGINT) AS n_orders,
+           CAST(t.k AS BIGINT) AS n_categories,
+           list_reduce(
+             list((CAST(c.obs AS DOUBLE) - CAST(t.n AS DOUBLE) / t.k)
+                  * (CAST(c.obs AS DOUBLE) - CAST(t.n AS DOUBLE) / t.k)
+                  / (CAST(t.n AS DOUBLE) / t.k)
+                  ORDER BY c.o_orderpriority),
+             (a, b) -> a + b) AS chi2
+    FROM c CROSS JOIN tot t
+    GROUP BY t.n, t.k
+    """,
+)
+def priority_uniformity_chi2(spark: SparkSession, sf: str):
+    """CHI-SQUARE goodness-of-fit against the uniform distribution over
+    order priorities — the categorical-balance test next to the
+    two-proportion z (ab_test_purchase_rates) and Welch t
+    (events_value_welch_t): every (obs - exp)²/exp term has exact-int
+    inputs (exp = n/k is one IEEE division) and the terms fold in
+    CATEGORY ORDER, so the statistic is bit-identical cross-engine.
+    Scale: one k-group count with map-side partials; the fold runs over
+    k=5 category rows."""
+    from byte_convert_avro_spark.functions import ordered_fold
+
+    o = t(spark, sf, "orders")
+    c = o.groupBy("o_orderpriority").agg(F.count("*").alias("obs"))
+    tot = c.agg(F.sum("obs").alias("n"), F.count("*").alias("k"))
+    exp = F.col("n").cast("double") / F.col("k")
+    term = (
+        (F.col("obs").cast("double") - exp)
+        * (F.col("obs").cast("double") - exp)
+        / exp
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority", "n", "k", term.alias("term")
+    )
+    return terms.groupBy("n", "k").agg(
+        ordered_fold("o_orderpriority", "term").alias("chi2")
+    ).select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("k").cast("long").alias("n_categories"),
+        "chi2",
+    )
