@@ -1472,3 +1472,72 @@ def priority_uniformity_chi2(spark: SparkSession, sf: str):
         F.col("k").cast("long").alias("n_categories"),
         "chi2",
     )
+
+
+# ---------------------------------------------------------------------------
+#: Benford P(d) = log10(1 + 1/d), spelled as identical decimal literals
+#: in BOTH engines (libm log10 at plan time would be engine-dependent;
+#: a shared literal is bit-identical by construction).
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829993,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+#: Spell each literal WITH AN EXPONENT ("...e0") — DuckDB types bare
+#: decimal literals as DECIMAL, and even CAST(DECIMAL AS DOUBLE) can
+#: differ by an ulp from the correctly-rounded decimal-string parse
+#: (measured here); an exponent makes the literal parse directly as
+#: DOUBLE, bit-identical to the Python float the Spark side embeds.
+_BENFORD_SQL = " ".join(
+    f"WHEN {d} THEN {v!r}e0" for d, v in _BENFORD.items()
+)
+
+
+@register(
+    "price_benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100,0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS d,
+             COUNT(*) AS obs
+      FROM orders
+      WHERE o_totalprice > 0
+      GROUP BY 1
+    ), tot AS (SELECT SUM(obs) AS n FROM digits)
+    SELECT d.d AS first_digit,
+           CAST(d.obs AS BIGINT) AS n_observed,
+           CAST(t.n AS DOUBLE) * (CASE d.d {_BENFORD_SQL} END) AS n_expected,
+           (CAST(d.obs AS DOUBLE)
+              - CAST(t.n AS DOUBLE) * (CASE d.d {_BENFORD_SQL} END))
+           / sqrt(CAST(t.n AS DOUBLE) * (CASE d.d {_BENFORD_SQL} END))
+             AS z_score
+    FROM digits d CROSS JOIN tot t
+    """,
+)
+def price_benford_first_digit(spark: SparkSession, sf: str):
+    """BENFORD'S-LAW first-digit audit over order prices — the classic
+    anomaly/fraud screen: observed first-digit counts against the
+    Benford expectation with a per-digit z-score.  The Benford
+    probabilities are SHARED DECIMAL LITERALS in both engines (a
+    plan-time ``log10`` would round engine-dependently; identical
+    literals are bit-identical by construction), so expected counts and
+    z-scores are exact-int × literal IEEE arithmetic.  First digits via
+    integer-string ops on exact cents.  Scale: one 9-group count with
+    map-side partials."""
+    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast("int")
+    digits = o.groupBy(d.alias("d")).agg(F.count("*").alias("obs"))
+    tot = digits.agg(F.sum("obs").alias("n"))
+    pmap = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )
+    j = digits.crossJoin(F.broadcast(tot))
+    expected = F.col("n").cast("double") * pmap[F.col("d")]
+    return j.select(
+        F.col("d").alias("first_digit"),
+        F.col("obs").cast("long").alias("n_observed"),
+        expected.alias("n_expected"),
+        ((F.col("obs").cast("double") - expected) / F.sqrt(expected)).alias(
+            "z_score"
+        ),
+    )
