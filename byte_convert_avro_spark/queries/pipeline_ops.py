@@ -2998,7 +2998,7 @@ def multimodal_real_flac_headers(spark: SparkSession, sf: str):
         F.lit(b"\x00\x00\x22"),        # length 34
         F.lit(b"\x10\x00\x10\x00"),    # min/max blocksize 4096
         F.lit(b"\x00\x00\x00" * 2),    # min/max framesize unknown
-        _be4(F.floor(pack / two32).cast("long")),
+        _be4(F.shiftright(pack, 32)),
         _be4(pack % two32),
         F.lit(b"\x00" * 16),           # md5 of samples: zeros
     )

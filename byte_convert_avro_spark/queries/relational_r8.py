@@ -637,28 +637,38 @@ def part_name_inverted_index(spark: SparkSession, sf: str):
     """INVERTED INDEX over part names — the IR primitive behind keyword
     retrieval: token -> exact document frequency + the HEAD of the
     sorted posting list (lowest 64 part keys), deterministic by
-    construction.  Scale honesty: the per-token collect is df-sized —
-    one reducer-side array per token, bounded only by the token's
-    document frequency.  That is acceptable for selective vocabularies
-    and WRONG for stop-words at 100 TB (this synthetic corpus's 16-word
-    vocabulary makes every token a stop-word, which is exactly why the
-    truncation is part of the contract — and the head ships as a
-    comma-joined string, the cross-engine-stable array encoding);
-    production postings shard by
-    (token, key-range) — the bounded_ordered_agg chunking discipline —
-    or drop high-df tokens before the collect, as
-    winnowing_pairs_capped drops high-df fingerprints.  The exact
-    doc_freq column is what operators use to choose."""
+    construction.  The posting-list aggregate buffer is BOUNDED: a
+    streaming row_number over (token ORDER BY p_partkey) ranks each
+    token's postings first, and only rank <= 64 keys reach the
+    collect_list (the conditional collect skips the NULLs the rank
+    filter produces), so the per-token reducer array holds at most 64
+    elements even for a stop-word token whose df is corpus-sized —
+    the same head-truncation discipline winnowing_pairs_capped applies
+    to high-df fingerprints, but without losing the EXACT doc_freq,
+    which counts every row in the same shuffle.  row_number's running
+    frame streams (no per-partition buffering), and the window and the
+    groupBy share the token hash partitioning, so this is still one
+    shuffle.  Production postings beyond the head shard by
+    (token, key-range) — the bounded_ordered_agg chunking discipline;
+    the exact doc_freq column is what operators use to choose."""
     p = t(spark, sf, "part")
     tok = (
         p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("token"))
         .distinct()
     )
-    return tok.groupBy("token").agg(
-        F.count("*").cast("long").alias("doc_freq"),
-        F.array_join(
-            F.slice(F.array_sort(F.collect_list("p_partkey")), 1, 64), ","
-        ).alias("postings_head"),
+    rn = F.row_number().over(W.partitionBy("token").orderBy("p_partkey"))
+    return (
+        tok.withColumn("rn", rn)
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("doc_freq"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("rn") <= 64, F.col("p_partkey")))
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
     )
 
 

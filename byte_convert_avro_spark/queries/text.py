@@ -1443,9 +1443,9 @@ def tfidf_cosine_top3(spark: SparkSession, sf: str):
     ), scored AS (
       SELECT q.qid, t.doc_id AS did,
              (CAST(s.nd AS DOUBLE) / d.df)
-               * (t.tf * (1.2 + 1.0))
-               / (t.tf + 1.2 * (1.0 - 0.75
-                  + 0.75 * CAST(l.dlen AS DOUBLE) * s.nd / s.total_len))
+               * (t.tf * (1.2e0 + 1.0e0))
+               / (t.tf + 1.2e0 * (1.0e0 - 0.75e0
+                  + 0.75e0 * CAST(l.dlen AS DOUBLE) * s.nd / s.total_len))
                AS contrib,
              t.term
       FROM qterms q
