@@ -100,3 +100,84 @@ def bloom_probe(
     # NULL keys hash to NULL positions -> NULL checks; the contract is
     # BOOLEAN (a NULL key is definitely not a member)
     return out.select(*keep, F.coalesce(maybe, F.lit(False)).alias("bloom_maybe"))
+
+
+def kmv_grouped(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    k: int = 32,
+    chunks: int = 64,
+) -> DataFrame:
+    """GROUPED K-minimum-values sketch WITHOUT the per-group job loop —
+    per group-key, the ``k`` smallest distinct 32-bit value hashes, in
+    ONE shuffle of the data (plus one k-bounded merge), at ANY group
+    cardinality.
+
+    The scale problem it solves: Spark has TakeOrdered for one global
+    ORDER BY LIMIT but no per-key bounded top-k aggregate — the
+    enumerable-group form (``kmv_distinct_users_by_type``) collects the
+    group list and runs |groups| driver-planned jobs, which is wrong for
+    per-user-segment sketches at real cardinality, and the naive
+    ``collect_list`` per key is a group-sized reducer array on skewed
+    keys (the inverted-index hazard class).
+
+    The chunked min-k plan, all streaming operators:
+
+    1. hash the value to a uniform 32-bit ``hv`` (md5-prefix — the
+       engine-portable ``hash_bucket`` discipline) and chunk each row by
+       ``pmod(xxhash64(hv), chunks)`` — equal values ALWAYS share a
+       chunk, and chunk sizes are uniform within every key because hv is
+       itself uniform, so a stop-key cannot create a sort hotspot;
+    2. one window over ``(keys..., chunk) ORDER BY hv``: ``lag`` flags
+       the first occurrence of each distinct hv and ``dense_rank`` (which
+       counts distinct values) bounds it — ``first AND dense_rank <= k``
+       emits exactly min(k, chunk-distinct) rows per chunk.  Both are
+       running-frame functions: ONE spillable sort, ZERO aggregate
+       buffers, duplicates never collected;
+    3. merge: groupBy(keys) over <= chunks*k candidate rows per key —
+       the union of per-chunk min-k provably contains the global min-k
+       (any of the k smallest distinct values is among its own chunk's k
+       smallest), so sort+slice is exact; the merge buffer is bounded at
+       chunks*k by construction.
+
+    Output per key: ``k_used`` (= min(k, exact distinct count)),
+    ``kth`` (largest retained hash), ``distinct_est`` (exact k_used
+    below k, else the unbiased (k-1)*2^32/kth).  NULL values are
+    excluded (a NULL is not a member).  The chunking is invisible in
+    the result — oracles spell the direct rank filter."""
+    if k < 2:
+        raise ValueError(f"kmv_grouped needs k >= 2, got {k}")
+    if chunks < 1:
+        raise ValueError(f"kmv_grouped needs chunks >= 1, got {chunks}")
+    from pyspark.sql import Window as W
+
+    hv = F.conv(
+        F.substring(F.md5(F.col(value).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    base = (
+        df.filter(F.col(value).isNotNull())
+        .select(*keys, hv.alias("_hv"))
+        .withColumn("_ck", F.pmod(F.xxhash64("_hv"), F.lit(chunks)))
+    )
+    w = W.partitionBy(*keys, "_ck").orderBy("_hv")
+    prev = F.lag("_hv").over(w)
+    cand = (
+        base.withColumn("_first", prev.isNull() | (prev != F.col("_hv")))
+        .withColumn("_dr", F.dense_rank().over(w))
+        .filter(F.col("_first") & (F.col("_dr") <= k))
+    )
+    merged = cand.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.collect_list("_hv")), 1, k).alias("_mins")
+    )
+    k_used = F.size("_mins").cast("long")
+    kth = F.element_at("_mins", F.size("_mins")).cast("long")
+    est = F.when(k_used < k, k_used.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(4294967296.0) / kth
+    )
+    return merged.select(
+        *keys,
+        k_used.alias("k_used"),
+        kth.alias("kth"),
+        est.alias("distinct_est"),
+    )

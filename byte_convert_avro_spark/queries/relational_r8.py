@@ -1219,9 +1219,11 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf: str):
     runs one bounded TakeOrdered per group and unions the sketches:
     |groups| driver-planned jobs, each with per-partition heaps, never
     a corpus-sized per-group window sort.  For high-cardinality group
-    keys the escalation is the chunked min-k (bounded_ordered_agg
-    discipline).  Estimator identical to the global query:
-    (k-1) * 2^32 / kth, exact below k."""
+    keys the escalation is IMPLEMENTED as ``operators/sketch.
+    kmv_grouped`` (chunked min-k merge, one shuffle, no driver loop —
+    see ``kmv_parts_by_segment_nation``); this row keeps the
+    enumerable-group form under the gate.  Estimator identical to the
+    global query: (k-1) * 2^32 / kth, exact below k."""
     ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
     h = ev.select(
         "event_type",

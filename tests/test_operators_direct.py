@@ -1620,3 +1620,91 @@ def test_pca_two_components_deflation(spark):
     assert abs(sum(a * b for a, b in zip(v1, v2))) < 1e-9  # orthogonal
     # v2 dominated by the b-signal axis (dim 3)
     assert abs(v2[2]) > 0.9
+
+
+def test_kmv_grouped_chunk_invariance_and_exactness(spark):
+    """kmv_grouped's chunking must be invisible in the result: chunks=1
+    (one chunk == the direct rank filter) and chunks=8/64 produce
+    IDENTICAL sketches, small groups are exact (k_used == distinct
+    count), duplicates never shift the sketch, and NULL values are
+    excluded."""
+    from byte_convert_avro_spark.operators.sketch import kmv_grouped
+
+    rows = [("a", i % 50) for i in range(500)]          # heavy duplicates
+    rows += [("b", i) for i in range(200)]              # distinct-rich
+    rows += [("c", i) for i in range(5)] + [("c", None)]  # small + NULL
+    df = spark.createDataFrame(rows, "g string, v int")
+    outs = {
+        c: {
+            r.g: (r.k_used, r.kth, r.distinct_est)
+            for r in kmv_grouped(df, ["g"], "v", k=32, chunks=c).collect()
+        }
+        for c in (1, 8, 64)
+    }
+    assert outs[1] == outs[8] == outs[64]
+    got = outs[1]
+    assert set(got) == {"a", "b", "c"}
+    # small group: exact, below k
+    assert got["c"][0] == 5 and got["c"][2] == 5.0
+    # duplicates collapse: group a has 50 distinct values -> k_used = 32
+    assert got["a"][0] == 32 and got["b"][0] == 32
+    # doubling every row changes nothing
+    doubled = kmv_grouped(df.unionAll(df), ["g"], "v", k=32, chunks=8)
+    assert {
+        r.g: (r.k_used, r.kth, r.distinct_est) for r in doubled.collect()
+    } == got
+
+
+def test_kmv_grouped_matches_direct_rank_filter(spark):
+    """The chunked min-k merge must equal the direct per-key
+    row_number-over-distinct-hashes reference (the oracle's spelling)
+    bit-for-bit, including the estimator."""
+    from pyspark.sql import Window as W
+
+    from byte_convert_avro_spark.operators.sketch import kmv_grouped
+
+    rows = [(f"g{i % 7}", f"u{(i * 13) % 211}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r.g: (r.k_used, r.kth, r.distinct_est)
+        for r in kmv_grouped(df, ["g"], "v", k=16, chunks=4).collect()
+    }
+    hv = F.conv(F.substring(F.md5(F.col("v")), 1, 8), 16, 10).cast("long")
+    h = df.select("g", hv.alias("hv")).distinct()
+    rn = F.row_number().over(W.partitionBy("g").orderBy("hv"))
+    ref_rows = (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= 16)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("k_used"), F.max("hv").alias("kth"))
+        .collect()
+    )
+    ref = {}
+    for r in ref_rows:
+        est = float(r.k_used) if r.k_used < 16 else 15.0 * 4294967296.0 / r.kth
+        ref[r.g] = (r.k_used, r.kth, est)
+    assert got == ref
+
+
+def test_kmv_grouped_no_driver_group_loop_plan(spark):
+    """The scale contract: ONE plan regardless of group count — a
+    Window (streaming lag + dense_rank) below a single bounded merge
+    aggregate, no Python stages, and no per-group collect-and-loop (the
+    plan is built before any job runs)."""
+    from byte_convert_avro_spark.operators.sketch import kmv_grouped
+    from byte_convert_avro_spark.plans.inspect import explain_str
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    out = kmv_grouped(df, ["g"], "v", k=8, chunks=16)
+    plan = explain_str(out)
+    assert "Window" in plan and "dense_rank" in plan
+    # no Python execution stages (the local-data scan's
+    # applySchemaToPythonRDD line is the input, not a stage)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert node not in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        kmv_grouped(df, ["g"], "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_grouped(df, ["g"], "v", chunks=0)
