@@ -258,3 +258,64 @@ def walk_to_root(
         f"walk_to_root did not converge in {max_rounds} rounds: "
         f"cycle in the parent map, or depth exceeds the bound"
     )
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded TRANSITIVE-CLOSURE REACHABILITY: min-hop distance from a
+    seed set over a directed edge table, the breadth-first twin of a
+    ``WITH RECURSIVE`` reachability CTE (``walk_to_root``'s discipline
+    applied to fan-out instead of parent pointers).
+
+    Returns one row per reachable node: ``(node, hop)`` with ``hop`` =
+    MINIMUM number of edges from any seed (0 for the seeds themselves).
+    Exactly ``max_hops`` expansion rounds unless the frontier drains
+    first — the bounded-iteration contract; unlike ``walk_to_root``,
+    running out of rounds is NOT an error (reachability WITHIN a hop
+    budget is the query; the recursive oracle spells the same bound).
+
+    Algorithm: classic frontier BFS — per round ONE shuffle join of the
+    current frontier against ``edges`` on the source key, a distinct on
+    the successors, and a left-anti against the visited set so a node
+    expands exactly ONCE ever (min-hop by construction — a node joins
+    the frontier on its first discovery only).  Each round's frontier is
+    localCheckpointed (lazily — the convergence count materializes it),
+    so lineage depth stays O(1) per round and the visited union is a
+    shallow DAG of <= max_hops+1 checkpointed frames.  No per-group
+    arrays, no driver data beyond the per-round count.
+
+    Scale: frontier and visited are node-sized, never path-sized — the
+    naive UNION ALL closure materializes every PATH (degree^hops rows);
+    this walks each node once.  Skewed out-degrees are one join's
+    build/probe skew, mitigated by AQE like any join."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    visited = (
+        seeds.select(F.col(node).alias("n"))
+        .distinct()
+        .select("n", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = visited.select("n")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["n"] == e["__s"])
+            .select(F.col("__d").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .select("n", F.lit(h).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        # convergence probe doubles as the checkpoint materialization
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("n")
+    return visited

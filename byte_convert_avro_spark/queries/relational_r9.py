@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import cents, register, t
+from byte_convert_avro_spark.queries.base import register, t
 
 
 # ---------------------------------------------------------------------------
@@ -101,4 +101,239 @@ def kmv_parts_by_segment_nation(spark: SparkSession, sf: str):
     )
     return sk.join(exact, ["segment", "nation"]).select(
         "segment", "nation", "k_used", "kth", "distinct_est", "exact_parts"
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "user_value_ewma",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1 AS k
+      FROM events WHERE user_id IS NOT NULL
+    ), ch AS (
+      SELECT user_id, k // 16 AS chk,
+             list_reduce(
+               list({'s': 0.875e0, 'o': 0.125e0 * cents} ORDER BY k),
+               (a, b) -> {'s': a.s * b.s, 'o': b.s * a.o + b.o}) AS m,
+             COUNT(*) AS cnt
+      FROM e GROUP BY 1, 2
+    ), fin AS (
+      SELECT user_id,
+             list_reduce(list(m ORDER BY chk),
+                         (a, b) -> {'s': a.s * b.s, 'o': b.s * a.o + b.o})
+               AS m,
+             CAST(SUM(cnt) AS BIGINT) AS n_events
+      FROM ch GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           m.o / 100.0e0 AS ewma_value,
+           m.o / (1.0e0 - m.s) / 100.0e0 AS ewma_debiased
+    FROM fin
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf: str):
+    """EXPONENTIALLY WEIGHTED MOVING AVERAGE per user — the classic
+    smoothing recurrence y_t = alpha*x_t + (1-alpha)*y_{t-1} (y_0 = 0,
+    alpha = 1/8) over each user's event-value series in (ts, event_id)
+    order, plus the bias-corrected form y_t / (1 - (1-alpha)^t).
+
+    Spark has no ordered-aggregate UDAF surface for this, and the naive
+    per-user collect is the unbounded-array hazard.  The EWMA step is an
+    AFFINE MAP acc -> s*acc + o, and affine maps COMPOSE associatively:
+    (s1,o1) then (s2,o2) = (s1*s2, s2*o1 + o2).  So the recurrence runs
+    as the bounded TWO-LEVEL CHUNKED FOLD (the bounded_ordered_agg
+    discipline, generalized from sums to affine maps): rows chunk by
+    (user, k div 16), each chunk folds its <= 16 element maps
+    (s = 1-alpha, o = alpha*x) in k order, then the per-chunk maps fold
+    in chunk order — per-task arrays bounded at 16, one extra tiny
+    shuffle, and the debias scale (1-alpha)^T falls out as the composed
+    map's s with NO libm pow.  Every constant is an exact binary
+    fraction (alpha = 0.125) and both engines fold with the identical
+    expression tree and identity-map init (multiplying by the (1,0)
+    identity is IEEE-exact), so the smoothed values are BIT-IDENTICAL
+    cross-engine.  Scale: one window rank + two bounded groupBys, all
+    on the user key."""
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    k = (
+        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        - 1
+    )
+    e = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        k.alias("k"),
+    )
+
+    def compose(a, b):
+        return F.struct(
+            (a["s"] * b["s"]).alias("s"), (b["s"] * a["o"] + b["o"]).alias("o")
+        )
+
+    ident = F.struct(F.lit(1.0).alias("s"), F.lit(0.0).alias("o"))
+    elem_maps = F.transform(
+        F.array_sort(F.collect_list(F.struct("k", "cents"))),
+        lambda r: F.struct(
+            F.lit(0.875).alias("s"), (F.lit(0.125) * r["cents"]).alias("o")
+        ),
+    )
+    ch = (
+        e.withColumn("chk", F.expr("k div 16"))
+        .groupBy("user_id", "chk")
+        .agg(
+            F.aggregate(elem_maps, ident, compose).alias("m"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    chunk_maps = F.transform(
+        F.array_sort(F.collect_list(F.struct("chk", "m"))), lambda r: r["m"]
+    )
+    fin = ch.groupBy("user_id").agg(
+        F.aggregate(chunk_maps, ident, compose).alias("m"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )
+    return fin.select(
+        "user_id",
+        "n_events",
+        (F.col("m.o") / F.lit(100.0)).alias("ewma_value"),
+        (F.col("m.o") / (F.lit(1.0) - F.col("m.s")) / F.lit(100.0)).alias(
+            "ewma_debiased"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_filter_clause_aggregates",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(COALESCE(
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               FILTER (WHERE EXTRACT(year FROM o_orderdate) = 1995),
+             0) AS BIGINT) AS revenue_1995_c,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'O'
+                                    THEN o_custkey END) AS BIGINT)
+             AS open_customers,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS max_finished_c
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_filter_clause_aggregates(spark: SparkSession, sf: str):
+    """FILTER-CLAUSE AGGREGATES (SQL:2003 ``agg(...) FILTER (WHERE
+    ...)``) — the per-aggregate predicate shape that replaces N
+    self-joins or CASE pyramids with one pass: per order priority, the
+    total count next to a status-filtered count, a year-filtered exact
+    cents sum, a status-filtered MAX, and a conditional distinct.
+    Spark parses the literal FILTER clause in expressions (the
+    conditional-distinct is the one form its parser lacks, spelled as
+    the equivalent COUNT(DISTINCT CASE WHEN) in BOTH engines).
+    Cross-engine: a filtered SUM over an empty set is NULL in both
+    engines — COALESCE(...) pins it to 0 explicitly.  Scale: ONE
+    map-side-partial hash aggregate over one scan; every filter is a
+    row predicate inside the aggregate, no extra shuffle."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr("count(*) FILTER (WHERE o_orderstatus = 'F')")
+        .cast("long")
+        .alias("n_finished"),
+        F.coalesce(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100, 0) as bigint)) "
+                "FILTER (WHERE year(o_orderdate) = 1995)"
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("revenue_1995_c"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        )
+        .cast("long")
+        .alias("open_customers"),
+        F.expr(
+            "max(cast(round(o_totalprice * 100, 0) as bigint)) "
+            "FILTER (WHERE o_orderstatus = 'F')"
+        )
+        .cast("long")
+        .alias("max_finished_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "trade_reachability_3hop",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), und AS (
+      SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ), seeds AS (
+      SELECT DISTINCT c_custkey * 2 AS node
+      FROM customer WHERE c_nationkey = 1
+    ), reach AS (
+      SELECT node, 0 AS hop FROM seeds
+      UNION ALL
+      SELECT DISTINCT u.b AS node, r.hop + 1
+      FROM reach r JOIN und u ON u.a = r.node
+      WHERE r.hop < 3
+    ), mh AS (
+      SELECT node, MIN(hop) AS min_hop FROM reach GROUP BY node
+    )
+    SELECT CAST(min_hop AS INT) AS min_hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM mh GROUP BY min_hop
+    """,
+)
+def trade_reachability_3hop(spark: SparkSession, sf: str):
+    """BOUNDED TRANSITIVE-CLOSURE REACHABILITY — min-hop BFS from one
+    nation's customers over the undirected customer<->supplier trade
+    graph, 3 hops, aggregated to (min_hop, n_nodes): the reachability
+    companion of ``customer_hierarchy_walk``, against a literal WITH
+    RECURSIVE oracle.
+
+    Spark runs ``operators/graph.bfs_min_hops``: per hop ONE shuffle
+    join frontier->edges + distinct + left-anti against visited, each
+    frontier localCheckpointed — node-sized state per round, a node
+    expands exactly once, so min-hop is by construction and the plan
+    never materializes PATHS (the naive closure is degree^hops rows —
+    even the oracle needs the per-iteration DISTINCT inside the
+    recursive term to stay node-bounded; bare UNION dedup is the
+    DuckDB ALL-semantics quirk recorded on the hierarchy walk).  Node
+    encoding: customer k -> 2k, supplier k -> 2k+1 (the pagerank
+    integer-encoding discipline).  Hop 0 counts every seed customer
+    including order-less ones; the bipartite graph means odd hops reach
+    suppliers and even hops customers."""
+    from byte_convert_avro_spark.operators.graph import bfs_min_hops
+
+    li = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    und = li.unionByName(li.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    seeds = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 1)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    vis = bfs_min_hops(und, seeds, max_hops=3, node="node", src="a", dst="b")
+    return vis.groupBy(F.col("hop").cast("int").alias("min_hop")).agg(
+        F.count("*").cast("long").alias("n_nodes")
     )

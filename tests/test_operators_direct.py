@@ -1708,3 +1708,27 @@ def test_kmv_grouped_no_driver_group_loop_plan(spark):
         kmv_grouped(df, ["g"], "v", k=1)
     with pytest.raises(ValueError):
         kmv_grouped(df, ["g"], "v", chunks=0)
+
+
+def test_bfs_min_hops_known_graph(spark):
+    """bfs_min_hops on a hand-built graph: min-hop distances exact, a
+    node discovered at two depths keeps the minimum, hop budget cuts
+    the walk, unreachable nodes absent, hop 0 = the seed set even for
+    isolated seeds."""
+    from byte_convert_avro_spark.operators.graph import bfs_min_hops
+
+    #  1 -> 2 -> 3 -> 4 -> 5, plus shortcut 1 -> 3, and 9 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node int")
+    got = {r.n: r.hop for r in bfs_min_hops(edges, seeds, 10).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    capped = {r.n: r.hop for r in bfs_min_hops(edges, seeds, 2).collect()}
+    assert capped == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2}
+    zero = {r.n: r.hop for r in bfs_min_hops(edges, seeds, 0).collect()}
+    assert zero == {1: 0, 9: 0}
+    import pytest
+
+    with pytest.raises(ValueError):
+        bfs_min_hops(edges, seeds, -1)
