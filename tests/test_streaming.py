@@ -699,3 +699,217 @@ def test_foreachbatch_ocf_sink_replay_is_idempotent(spark, tmp_path):
     # run on a different cluster layout)
     sink_batch(b1.repartition(4), 1)
     assert compacted() == want
+
+
+# ---------------------------------------------------------------------------
+SIDE_SCHEMA = "id long, user long, ts long"  # ts = epoch seconds
+
+
+def _write_side(spark, path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, SIDE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_full_outer_join_checkpoint_recovery_equals_uninterrupted(spark, tmp_path):
+    """Checkpoint recovery of the FULL OUTER STREAM-STREAM JOIN (round-8
+    verdict #4 — the most fragile state a restart can corrupt: BOTH
+    sides' buffered rows and eviction clocks).  Kill the query after the
+    first shards, restart from the checkpoint, feed the rest: the
+    drained rows must equal the uninterrupted run AND the batch FULL
+    JOIN.  The decisive pair is a pre-kill view matched by a
+    post-restart purchase — impossible unless the restarted query
+    recovered the view from join state; the outer rows prove both
+    eviction clocks also resumed (a watermark restart from zero would
+    never evict, a watermark jump would mis-drop)."""
+    M = 60
+    views1 = [(101, 1, BASE), (102, 2, BASE + 5 * M), (103, 3, BASE),
+              (105, 5, BASE)]
+    purch1 = [(201, 1, BASE + 10 * M)]
+    # post-restart: p2 matches pre-kill v2 (state recovery), p4 has no
+    # view (right outer), p5 is 40min after v5 (outside the 30min window
+    # -> BOTH emit as outer rows)
+    purch2 = [(202, 2, BASE + 20 * M), (204, 4, BASE + 15 * M),
+              (205, 5, BASE + 40 * M)]
+    v_sent = [[(-1 - i, -1, BASE + (100 + i) * 86_400)] for i in range(3)]
+    p_sent = [[(-11 - i, -1, BASE + (150 + i) * 86_400)] for i in range(3)]
+
+    def side(path, pfx):
+        return (
+            spark.readStream.schema(SIDE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .select(
+                F.col("id").alias(f"{pfx}_id"),
+                F.col("user").alias(f"{pfx}_user"),
+                F.timestamp_seconds("ts").alias(f"{pfx}_time"),
+            )
+            .withWatermark(f"{pfx}_time", "1 minute")
+        )
+
+    def join_plan(views, purch):
+        return views.join(
+            purch,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_time") >= F.col("v_time"))
+            & (F.col("p_time") <= F.col("v_time") + F.expr("INTERVAL 30 MINUTES")),
+            "fullOuter",
+        ).select("v_id", "v_user", "p_id", "p_user")
+
+    def run(tag: str, interrupt: bool):
+        vsrc = os.path.join(tmp_path, tag, "views")
+        psrc = os.path.join(tmp_path, tag, "purch")
+        ckpt = os.path.join(tmp_path, tag, "ckpt")
+        emitted: list = []
+
+        def start():
+            j = join_plan(side(vsrc, "v"), side(psrc, "p"))
+            return (
+                j.writeStream.foreachBatch(
+                    lambda df, _eid: emitted.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        def feed_rest():
+            _write_side(spark, psrc, purch2)
+            for s in v_sent:
+                _write_side(spark, vsrc, s)
+            for s in p_sent:
+                _write_side(spark, psrc, s)
+
+        _write_side(spark, vsrc, views1)
+        _write_side(spark, psrc, purch1)
+        if interrupt:
+            q = start()
+            q.processAllAvailable()
+            q.stop()
+            feed_rest()
+            q = start()  # SAME checkpoint: join state + watermark recover
+        else:
+            feed_rest()
+            q = start()
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r.v_id, r.v_user, r.p_id, r.p_user)
+            for r in emitted
+            if (r.v_user is None or r.v_user >= 0)
+            and (r.p_user is None or r.p_user >= 0)
+        }
+
+    uninterrupted = run("base", False)
+    recovered = run("killed", True)
+    assert recovered == uninterrupted
+
+    # batch FULL JOIN oracle over the same (non-sentinel) rows
+    vb = spark.createDataFrame(views1, SIDE_SCHEMA).select(
+        F.col("id").alias("v_id"), F.col("user").alias("v_user"),
+        F.timestamp_seconds("ts").alias("v_time"))
+    pb = spark.createDataFrame(purch1 + purch2, SIDE_SCHEMA).select(
+        F.col("id").alias("p_id"), F.col("user").alias("p_user"),
+        F.timestamp_seconds("ts").alias("p_time"))
+    want = {
+        (r.v_id, r.v_user, r.p_id, r.p_user)
+        for r in vb.join(
+            pb,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_time") >= F.col("v_time"))
+            & (F.col("p_time") <= F.col("v_time") + F.expr("INTERVAL 30 MINUTES")),
+            "fullOuter",
+        ).select("v_id", "v_user", "p_id", "p_user").collect()
+    }
+    assert recovered == want
+    # the spanning match really exists, and both outer shapes emitted
+    assert (102, 2, 202, 2) in recovered
+    assert (103, 3, None, None) in recovered and (105, 5, None, None) in recovered
+    assert (None, None, 204, 4) in recovered and (None, None, 205, 5) in recovered
+
+
+# ---------------------------------------------------------------------------
+def test_chained_agg_checkpoint_recovery_equals_uninterrupted(spark, tmp_path):
+    """Checkpoint recovery of CHAINED STREAMING AGGREGATIONS (two
+    stateful operators: 15-min windows re-aggregated to hours).  Kill
+    after 5 quarter-shards (mid second hour), restart from checkpoint,
+    feed the rest + flush: drained hourly rows must equal the
+    uninterrupted run and the batch rollup — which requires BOTH
+    levels' window state to recover (a zero restart would emit a
+    partial second hour with n_quarters_active < 4)."""
+    shards = []
+    for qtr in range(8):  # 2 full hours, 3 events per quarter
+        shards.append(
+            [(10 + j, _ns(qtr * 900 + j * 60), "view", 1.0) for j in range(3)]
+        )
+    flush = [(99, _ns(4000 * H), "flush", 0.0)]
+
+    def plan(src):
+        s = _events_stream(spark, src).withColumn(
+            "ts_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        ).withWatermark("ts_ts", "10 minutes")
+        lvl1 = s.groupBy(
+            F.window("ts_ts", "15 minutes").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n_q"))
+        return (
+            lvl1.groupBy(
+                F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+            )
+            .agg(
+                F.sum("n_q").alias("n_events"),
+                F.count("*").alias("n_quarters_active"),
+            )
+            .select(
+                F.col("h.start").cast("long").alias("hour_start"),
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("n_quarters_active").cast("long").alias("n_quarters_active"),
+            )
+        )
+
+    def run(tag: str, interrupt_after: int | None):
+        src = os.path.join(tmp_path, tag, "in")
+        ckpt = os.path.join(tmp_path, tag, "ckpt")
+        emitted: list = []
+
+        def start():
+            return (
+                plan(src).writeStream.foreachBatch(
+                    lambda df, _eid: emitted.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        if interrupt_after is None:
+            for s in shards:
+                _write_events(spark, src, s)
+            _write_events(spark, src, flush)
+            q = start()
+        else:
+            for s in shards[:interrupt_after]:
+                _write_events(spark, src, s)
+            q = start()
+            q.processAllAvailable()
+            q.stop()
+            for s in shards[interrupt_after:]:
+                _write_events(spark, src, s)
+            _write_events(spark, src, flush)
+            q = start()
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r.hour_start, r.event_type, r.n_events, r.n_quarters_active)
+            for r in emitted
+            if r.event_type != "flush"
+        }
+
+    uninterrupted = run("base", None)
+    recovered = run("killed", interrupt_after=5)
+    assert recovered == uninterrupted
+    # batch oracle: each hour has 12 events across 4 active quarters
+    want = {
+        (BASE + h * 3600, "view", 12, 4) for h in range(2)
+    }
+    assert recovered == want
