@@ -21,8 +21,10 @@ The host load average is recorded in the JSON for the same reason.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -86,6 +88,39 @@ EXTENDED = [
 ]
 
 
+def _history_medians() -> tuple[str | None, dict[str, float]]:
+    """Per-query medians from the most recent driver bench artifact
+    (``BENCH_r{N}.json`` with the highest N; override with
+    $SPARK_GRAFT_BENCH_HISTORY).  The drift-adjudication baseline: twice
+    now (CC r7, avro_roundtrip r8) a >2x driver-median line was VM load
+    noise proven only by out-of-band artifacts — the bench now carries
+    that evidence itself."""
+    path = os.environ.get("SPARK_GRAFT_BENCH_HISTORY")
+    if not path:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = []
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.fullmatch(r"BENCH_r0*(\d+)\.json", os.path.basename(p))
+            if m:
+                cands.append((int(m.group(1)), p))
+        if not cands:
+            return None, {}
+        path = max(cands)[1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return None, {}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+    if doc.get("sf") != cur_sf:  # history at another SF is not comparable
+        return None, {}
+    return os.path.basename(path), {
+        k: float(v) for k, v in doc.get("queries", {}).items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -124,12 +159,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    run_load: dict[str, list[float]] = {}
     # interleave rounds (run 0 of every query, then run 1, ...) so a
     # transient host-load spike degrades one ROUND of many queries
     # instead of every sample of one query
     for i in range(n_runs):
         for name in headline:
             q = reg[name]
+            run_load.setdefault(name, []).append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             materialize(q(spark, sf_dir))
             dt = time.perf_counter() - t0
@@ -137,6 +174,44 @@ def main() -> None:
             print(f"# run {i}: {name}: {dt:.3f}s", file=sys.stderr)
     for name in headline:
         timings[name] = round(statistics.median(runs[name]), 3)
+
+    # --- self-adjudication (round-8 verdict #5): any line >1.5x over its
+    # own history gets an immediate interleaved A/B re-run recorded in
+    # the artifact, so a drift verdict never needs out-of-band evidence.
+    hist_file, hist = _history_medians()
+    flagged = [
+        n for n in headline
+        if n in hist and hist[n] > 0 and timings[n] > 1.5 * hist[n]
+    ]
+    adjudication: dict[str, dict] = {}
+    if flagged and not os.environ.get("SPARK_GRAFT_BENCH_NO_ADJUDICATE"):
+        rerun_n = max(3, n_runs)
+        reruns: dict[str, list[float]] = {n: [] for n in flagged}
+        rerun_load: dict[str, list[float]] = {n: [] for n in flagged}
+        for i in range(rerun_n):  # interleaved, same as the main pass
+            for name in flagged:
+                rerun_load[name].append(round(os.getloadavg()[0], 2))
+                t0 = time.perf_counter()
+                materialize(reg[name](spark, sf_dir))
+                reruns[name].append(time.perf_counter() - t0)
+                print(
+                    f"# adjudicate {i}: {name}: {reruns[name][-1]:.3f}s",
+                    file=sys.stderr,
+                )
+        for name in flagged:
+            rmed = statistics.median(reruns[name])
+            adjudication[name] = {
+                "history_median": hist[name],
+                "first_median": timings[name],
+                "rerun_all": [round(x, 3) for x in reruns[name]],
+                "rerun_min": round(min(reruns[name]), 3),
+                "rerun_median": round(rmed, 3),
+                "rerun_loadavg": rerun_load[name],
+                "verdict": (
+                    "noise" if min(reruns[name]) <= 1.5 * hist[name]
+                    else "regression-suspect"
+                ),
+            }
 
     # decode throughput (the reference's core capability) — median-of-3 so
     # the fused-codegen path's regression story is tracked round-over-round
@@ -163,6 +238,9 @@ def main() -> None:
                 "mins": {k: round(min(v), 3) for k, v in runs.items()},
                 "all_runs": {k: [round(x, 3) for x in v] for k, v in runs.items()},
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "run_loadavg": run_load,
+                "history_file": hist_file,
+                "adjudication": adjudication,
                 "materialize": "noop-write (full column evaluation)",
                 "decode": decode,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
