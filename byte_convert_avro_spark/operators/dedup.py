@@ -74,11 +74,24 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_bands: int = 8, shingle_n: int = 3,
+    n_bands: int = 8, shingle_n: int = 3, rows_per_band: int = 1,
 ) -> DataFrame:
     """Per-(doc, band) MinHash signature: min over shingles of
-    md5(band || '|' || shingle).  ``n_bands`` independent hash families via
-    the band prefix.  -> (id_col, band, sig)
+    md5(hash_idx || '|' || shingle).  ``n_bands`` independent hash
+    families via the index prefix.  -> (id_col, band, sig)
+
+    ``rows_per_band`` (classic banding ``r``) concatenates r independent
+    minima into each band signature: P(unrelated docs share a band sig)
+    drops ~quadratically at r=2 while a true near-dup pair still matches
+    a band with probability J^r.  Why it matters at scale (measured,
+    BENCH_r9_organic_recall.json): at r=1 on a low-entropy corpus the
+    hottest band signatures are shared by a growing fraction of the
+    WHOLE corpus, so bucket sizes grow with corpus size and any absolute
+    ``max_docs_per_bucket`` cap drops an increasing share of REAL
+    near-dup pairs (bucket16 recall at J>=0.5 fell 0.94 -> 0.51 going
+    5k -> 50k docs); at r=2 buckets shrink enough that the same caps
+    keep their recall.  r=1 (the default) is bit-identical to the
+    pre-parameter behavior.
 
     Scale: shingles explode ONCE (never ×bands) and all band minima
     accumulate as parallel agg buffers in a single codegen'd hash
@@ -90,18 +103,25 @@ def minhash_signatures(
     row-locally with array higher-order functions avoids the shuffle
     entirely but falls out of whole-stage codegen into interpreted
     lambdas — ~3-4× slower.)"""
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
+    total = n_bands * rows_per_band
     sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("sh")))).alias(f"_s{b}")
-            for b in range(n_bands)
+            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"_s{h}")
+            for h in range(total)
         ]
     )
+    band_sigs = [
+        F.concat(
+            *[F.col(f"_s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(n_bands)
+    ]
     return mins.select(
         id_col,
-        F.posexplode(F.array(*[F.col(f"_s{b}") for b in range(n_bands)])).alias(
-            "band", "sig"
-        ),
+        F.posexplode(F.array(*band_sigs)).alias("band", "sig"),
     )
 
 

@@ -337,3 +337,207 @@ def trade_reachability_3hop(spark: SparkSession, sf: str):
     return vis.groupBy(F.col("hop").cast("int").alias("min_hop")).agg(
         F.count("*").cast("long").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_ols_qty_dollars",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(ROUND(l_extendedprice, 0) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS BIGINT)
+               AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_extendedprice, 0) AS BIGINT)) AS BIGINT)
+               AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n AS DOUBLE) AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+    """,
+)
+def lineitem_ols_qty_dollars(spark: SparkSession, sf: str):
+    """ORDINARY LEAST SQUARES per group (the ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` SQL:2003 family) from EXACT integer
+    sums: per return flag, regress whole-dollar extended price on
+    quantity.  One pass accumulates n, Σx, Σy, Σx², Σy², Σxy as exact
+    int64 (dollars ~1e5, qty <= 50: Σy² stays under 2^63 through ~1e8
+    rows per group — the Welch-t data-contract note applies beyond
+    that; shard the sums or scale y down); slope = (nΣxy − ΣxΣy) /
+    (nΣxx − Σx²) is ONE double division of exact integers, intercept
+    and r² reuse the same casts in the identical expression tree, so
+    every output is bit-identical cross-engine (r²'s numerator squares
+    in DOUBLE — the integer square can exceed int64).  Scale: one
+    map-side-partial hash aggregate; the regression math is a 3-row
+    fold."""
+    li = t(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice"), 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double")).alias(
+            "intercept"
+        ),
+        (num * num / (denx * deny)).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_priority_measures",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS max_cents,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, measure, value
+    FROM wide
+    UNPIVOT (value FOR measure IN (n_orders, total_cents, max_cents,
+                                   n_customers))
+    """,
+)
+def unpivot_priority_measures(spark: SparkSession, sf: str):
+    """UNPIVOT — the wide-to-long reshape that is pivot's inverse and a
+    first-class clause in both engines: one aggregated row per order
+    priority melts into (priority, measure, value) rows.  The oracle
+    uses DuckDB's literal UNPIVOT clause; Spark spells the same reshape
+    with its ``stack`` table-valued generator (Spark's UNPIVOT surface)
+    over the identical wide aggregate — 4 exact-integer measures, so
+    the melt is type-uniform BIGINT and hash-stable.  Scale: the
+    reshape runs on the post-aggregate (|priorities| rows); the only
+    real work is the one wide aggregation."""
+    o = t(spark, sf, "orders")
+    c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(c).cast("long").alias("total_cents"),
+        F.max(c).cast("long").alias("max_cents"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(4, 'n_orders', n_orders, 'total_cents', total_cents, "
+            "'max_cents', max_cents, 'n_customers', n_customers) "
+            "AS (measure, value)"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "order_business_day_latency",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                  AS BIGINT) AS d1,
+             CAST(date_diff('day', DATE '1970-01-01', first_ship)
+                  AS BIGINT) AS d2
+      FROM orders
+      JOIN (SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY l_orderkey) s
+        ON l_orderkey = o_orderkey
+    ), b AS (
+      SELECT o_orderpriority,
+             (5 * ((d2 + 4) // 7) + LEAST((d2 + 4) % 7, 5))
+               - (5 * ((d1 + 4) // 7) + LEAST((d1 + 4) % 7, 5))
+               AS bdays
+      FROM d
+    )
+    SELECT o_orderpriority,
+           CASE WHEN bdays <= 5 THEN 'a_0_5'
+                WHEN bdays <= 10 THEN 'b_6_10'
+                WHEN bdays <= 20 THEN 'c_11_20'
+                ELSE 'd_over_20' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+           CAST(SUM(bdays) AS DOUBLE) / COUNT(*) AS avg_bdays
+    FROM b GROUP BY 1, 2
+    """,
+)
+def order_business_day_latency(spark: SparkSession, sf: str):
+    """BUSINESS-DAY (weekday) latency between order placement and first
+    shipment — calendar math no engine ships natively, done with EXACT
+    integer arithmetic: W(d) = 5*((d+4) div 7) + least((d+4) mod 7, 5)
+    counts weekdays from the epoch through epoch-day d (day 0 was a
+    Thursday, so the +4 shift makes the week index roll over on
+    Sundays), and the latency is W(ship) − W(order) — weekends
+    contribute zero.  Every operation is integer div/mod on
+    non-negative days (the div-vs-floor trap never engages), so both
+    engines agree bit-for-bit; the only doubles are the final averages
+    of exact sums.  Scale: min-shipdate pre-aggregates lineitem on its
+    own join key before the orders join; one groupBy on (priority,
+    bucket)."""
+    o = t(spark, sf, "orders")
+    first = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    d = o.join(first, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d1"),
+        F.datediff("first_ship", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d2"),
+    )
+
+    # integer division: Spark's `/` on longs is double division — use div
+    b = d.select(
+        "o_orderpriority",
+        (
+            (5 * F.expr("(d2 + 4) div 7") + F.least(F.expr("(d2 + 4) % 7"), F.lit(5)))
+            - (5 * F.expr("(d1 + 4) div 7") + F.least(F.expr("(d1 + 4) % 7"), F.lit(5)))
+        ).alias("bdays"),
+    )
+    bucket = (
+        F.when(F.col("bdays") <= 5, "a_0_5")
+        .when(F.col("bdays") <= 10, "b_6_10")
+        .when(F.col("bdays") <= 20, "c_11_20")
+        .otherwise("d_over_20")
+    )
+    return b.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("bdays").cast("long").alias("total_bdays"),
+        (F.sum("bdays").cast("double") / F.count("*")).alias("avg_bdays"),
+    )

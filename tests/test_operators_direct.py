@@ -1732,3 +1732,34 @@ def test_bfs_min_hops_known_graph(spark):
 
     with pytest.raises(ValueError):
         bfs_min_hops(edges, seeds, -1)
+
+
+def test_minhash_rows_per_band_shapes_and_default_identity(spark):
+    """rows_per_band: r=1 must be BIT-IDENTICAL to the pre-parameter
+    signatures (oracle queries depend on it); r=2 concatenates two
+    independent 32-hex minima per band and shrinks unrelated-doc bucket
+    collisions (two docs sharing a band sig at r=2 must share BOTH
+    component minima)."""
+    from byte_convert_avro_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    r1 = minhash_signatures(df)
+    r1b = minhash_signatures(df, rows_per_band=1)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r1b.collect()))
+    assert all(len(r.sig) == 32 for r in r1.collect())
+    r2 = minhash_signatures(df, n_bands=4, rows_per_band=2)
+    rows = r2.collect()
+    assert {r.band for r in rows} == {0, 1, 2, 3}
+    assert all(len(r.sig) == 64 for r in rows)
+    # near-identical docs share bands at r=2; unrelated docs share none
+    sig = {(r.doc_id, r.band): r.sig for r in rows}
+    shared_12 = sum(sig[(1, b)] == sig[(2, b)] for b in range(4))
+    shared_13 = sum(sig[(1, b)] == sig[(3, b)] for b in range(4))
+    assert shared_12 >= 1 and shared_13 == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_signatures(df, rows_per_band=0)
