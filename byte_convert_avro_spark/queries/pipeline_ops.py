@@ -3258,8 +3258,15 @@ def minhash_estimate_vs_exact_capped(spark: SparkSession, sf: str):
     a B-doc bucket emits B²/2 join rows first) and
     ``max_pairs_per_doc=8`` bounds the VERIFY fan-out (top-8 of BOTH
     endpoints).  Bucket cap 4 here so the sf0.01 gate genuinely
-    exercises the drop (max gate bucket is 6); production uses
-    corpus-calibrated caps (e.g. 10³).  The ORACLE spells BOTH cap
+    exercises the drop (max gate bucket is 6) — these values put the
+    cap SEMANTICS under the oracle, they are NOT recommendations:
+    the r9 organic-mutation study (SCALE.md round-9 table) measured
+    recall 0.10 at J>=0.5 for exactly these caps on a 50k-doc mutated
+    corpus.  Production calibrates caps >= duplication-cluster size x
+    slack, sets max_pairs_per_doc >= expected true-duplicate degree,
+    and on boilerplate-heavy corpora raises minhash rows_per_band to 2
+    FIRST so buckets shrink to cluster size and the caps revert to
+    pure blowup guards.  The ORACLE spells BOTH cap
     semantics — the bucket HAVING filter, the doubled directed rows,
     per-doc (bands DESC, partner) ranking, both-endpoint survival —
     proving each cap is exactly the documented rule.  Estimator
