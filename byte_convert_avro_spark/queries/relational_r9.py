@@ -541,3 +541,83 @@ def order_business_day_latency(spark: SparkSession, sf: str):
         F.sum("bdays").cast("long").alias("total_bdays"),
         (F.sum("bdays").cast("double") / F.count("*")).alias("avg_bdays"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_r2_capped_candidates",
+    r"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM words WHERE len(w) >= 3),
+    sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+            FROM idx),
+    hidx AS (SELECT unnest(generate_series(0, 31)) AS h),
+    mins AS (
+      SELECT doc_id, h, MIN(md5(h::VARCHAR || '|' || sh)) AS mn
+      FROM sh0 CROSS JOIN hidx GROUP BY doc_id, h
+    ),
+    sigs0 AS (
+      SELECT doc_id, h // 2 AS band,
+             MIN(CASE WHEN h % 2 = 0 THEN mn END)
+               || MIN(CASE WHEN h % 2 = 1 THEN mn END) AS sig
+      FROM mins GROUP BY doc_id, h // 2
+    ),
+    bok AS (
+      SELECT band, sig FROM sigs0 GROUP BY band, sig HAVING COUNT(*) <= 16
+    ),
+    sigs AS (
+      SELECT s.doc_id, s.band, s.sig
+      FROM sigs0 s JOIN bok k ON k.band = s.band AND k.sig = s.sig
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(DISTINCT a.band) AS nb
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    directed AS (
+      SELECT doc_a AS doc, doc_b AS partner, nb FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, nb FROM pairs
+    ),
+    ranked AS (
+      SELECT doc, partner, nb,
+             ROW_NUMBER() OVER (PARTITION BY doc
+                                ORDER BY nb DESC, partner) AS rk
+      FROM directed
+    )
+    SELECT LEAST(doc, partner) AS doc_a, GREATEST(doc, partner) AS doc_b,
+           CAST(MIN(nb) AS BIGINT) AS n_bands_matched
+    FROM ranked WHERE rk <= 16
+    GROUP BY 1, 2 HAVING COUNT(*) = 2
+    """,
+)
+def minhash_r2_capped_candidates(spark: SparkSession, sf: str):
+    """The ROWS-PER-BAND=2 LSH path under the oracle gate — the
+    operating point the round-9 organic-mutation study measured as the
+    100 TB configuration (SCALE.md round-9 table: recall 0.9956 at
+    J >= 0.5 WITH both caps, 22x fewer candidates than r=1 uncapped):
+    16 bands of TWO concatenated independent minima each, bucket cap 16
+    and both-endpoint pair cap 16.  The oracle spells the full
+    construction — 32 hash minima, the h//2 band concat in h order, the
+    bucket HAVING filter, the doubled directed rows, (nb DESC, partner)
+    ranking, both-endpoint survival — so the r2 signature layout and
+    BOTH cap semantics are value-checked, not just the r1 default.
+    Scale: same plan family as minhash_dup_candidates (one shingle
+    explode, 32 parallel agg buffers, bucket-bounded join); r=2 is what
+    keeps buckets near cluster size on boilerplate-heavy corpora so
+    the caps act as pure blowup guards."""
+    from byte_convert_avro_spark.operators import dedup as D
+    from byte_convert_avro_spark.queries.base import spread
+
+    docs = spread(t(spark, sf, "documents"), "doc_id")
+    sigs = D.minhash_signatures(
+        docs, "text", "doc_id", n_bands=16, shingle_n=3, rows_per_band=2
+    )
+    return D.lsh_candidates(
+        sigs, max_pairs_per_doc=16, max_docs_per_bucket=16
+    ).select(
+        "doc_a", "doc_b", F.col("n_bands_matched").cast("long").alias("n_bands_matched")
+    )
