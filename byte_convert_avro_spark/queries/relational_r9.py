@@ -621,3 +621,190 @@ def minhash_r2_capped_candidates(spark: SparkSession, sf: str):
     ).select(
         "doc_a", "doc_b", F.col("n_bands_matched").cast("long").alias("n_bands_matched")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_not_in_null_semantics",
+    """
+    WITH keys AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END AS k
+      FROM orders
+    ), v1 AS (
+      SELECT COUNT(*) AS n FROM customer
+      WHERE c_custkey NOT IN (SELECT k FROM keys)
+    ), v2 AS (
+      SELECT COUNT(*) AS n FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey)
+    )
+    SELECT 'not_in' AS variant, CAST(n AS BIGINT) AS n_customers FROM v1
+    UNION ALL
+    SELECT 'not_exists', CAST(n AS BIGINT) FROM v2
+    """,
+)
+def customer_not_in_null_semantics(spark: SparkSession, sf: str):
+    """The NOT IN vs NOT EXISTS NULL TRAP as a first-class query — the
+    classic three-valued-logic gotcha every SQL engine must honor: the
+    subquery's key list contains NULLs (non-urgent orders map to NULL),
+    so ``NOT IN`` can never prove non-membership and returns ZERO rows,
+    while ``NOT EXISTS`` correctly counts customers with no urgent
+    order.  Spark plans the NOT IN as a null-aware anti join (the
+    disjunctive ``key == k OR k IS NULL`` anti condition — Spark's
+    NullAwareAntiJoin specialization) and the NOT EXISTS as a plain
+    left-anti; both spelled in the DataFrame API over the same key
+    frame.  Output is the two counts side by side — the 'not_in' row
+    being 0 IS the semantics under test.  Scale: the key frame reduces
+    to distinct keys + a has-null flag before broadcasting (exactly
+    what Spark's NAAJ rewrite does internally)."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    keys = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey")).alias(
+            "k"
+        )
+    )
+    # NOT IN: null-aware anti — a candidate survives only if NO key row
+    # equals it AND no key row is NULL
+    not_in = c.join(
+        keys, (F.col("c_custkey") == F.col("k")) | F.col("k").isNull(), "left_anti"
+    )
+    not_exists = c.join(keys, F.col("c_custkey") == F.col("k"), "left_anti")
+    return (
+        not_in.agg(F.count("*").cast("long").alias("n_customers"))
+        .select(F.lit("not_in").alias("variant"), "n_customers")
+        .unionByName(
+            not_exists.agg(F.count("*").cast("long").alias("n_customers")).select(
+                F.lit("not_exists").alias("variant"), "n_customers"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "user_interarrival_cv",
+    """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events WHERE user_id IS NOT NULL
+    ), s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING COUNT(*) >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           CAST(s1 AS DOUBLE) / n AS mean_gap_s,
+           sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                / (CAST(n AS DOUBLE) * n))
+             / (CAST(s1 AS DOUBLE) / n) AS cv
+    FROM s
+    """,
+)
+def user_interarrival_cv(spark: SparkSession, sf: str):
+    """INTER-ARRIVAL COEFFICIENT OF VARIATION per user — the burstiness
+    gauge (cv ~ 1 is Poisson, >> 1 bursty, << 1 periodic): LAG gaps
+    truncated to WHOLE SECONDS (integer division — us-precision gaps
+    squared overflow int64 for multi-hour gaps, which this corpus has;
+    ANSI mode surfaced exactly that on the first cut), then population
+    stddev over mean from EXACT int64 sums (gap_s ~ 1e5, gap² ~ 1e10,
+    x1e8 gaps stays under 2^63).  Every
+    float op has exact integer inputs and both engines spell the same
+    tree: bit-identical.  Scale: one window + one groupBy on the user
+    key."""
+    from byte_convert_avro_spark.queries.base import events_ts_to_ns
+
+    ev = events_ts_to_ns(t(spark, sf, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
+    # integer seconds: Spark's / on longs is double division — use div
+    g = ev.select(
+        "user_id",
+        F.expr(
+            "(ts DIV 1000 - lag(ts DIV 1000) OVER "
+            "(PARTITION BY user_id ORDER BY ts DIV 1000, event_id)) "
+            "div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap_s").cast("long").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / F.col("n")
+    std = F.sqrt(
+        (nd * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (nd * F.col("n"))
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        mean.alias("mean_gap_s"),
+        (std / mean).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_dispersion",
+    """
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             COUNT(*) AS k,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           CAST(s1 AS DOUBLE) / k AS mean_per_hour,
+           (CAST(k AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(k AS DOUBLE) * k)
+             / (CAST(s1 AS DOUBLE) / k) AS dispersion_index
+    FROM s
+    """,
+)
+def events_hourly_dispersion(spark: SparkSession, sf: str):
+    """INDEX OF DISPERSION (variance-to-mean ratio of hourly counts) per
+    event type — the Poisson-ness screen on arrival rates (~1 Poisson,
+    >1 clumped/overdispersed): hour buckets by integer-us division,
+    population variance over mean from exact int64 count sums, every
+    float op fed by exact integers — bit-identical cross-engine.  The
+    streaming twin of this readout is what an anomaly monitor
+    thresholds.  Scale: two stacked aggregations, the second over
+    |types| x |hours| rows."""
+    from byte_convert_avro_spark.queries.base import events_ts_to_ns
+
+    ev = events_ts_to_ns(t(spark, sf, "events"))
+    h = ev.groupBy(
+        "event_type", F.expr("(ts DIV 1000) DIV 3600000000").alias("hour_idx")
+    ).agg(F.count("*").alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    kd = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = (kd * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (kd * F.col("k"))
+    return s.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_hours"),
+        F.col("s1").cast("long").alias("n_events"),
+        mean.alias("mean_per_hour"),
+        (var / mean).alias("dispersion_index"),
+    )
