@@ -319,3 +319,64 @@ def bfs_min_hops(
         visited = visited.unionByName(nxt)
         frontier = nxt.select("n")
     return visited
+
+
+def k_core_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round K-CORE PEELING: iteratively remove nodes of degree
+    < k from an undirected graph, reporting the graph's size after each
+    peel — the classic core-decomposition step used to find dense
+    engagement/co-purchase cores.
+
+    ``edges`` holds each undirected edge ONCE (src < dst convention not
+    required — the symmetric closure and dedup happen inside).  Returns
+    (round, n_nodes, n_edges) for rounds 0..``rounds``: round 0 is the
+    input graph, round r the graph after r peels.  FIXED round budget
+    (the pagerank/kmeans contract — the job count is exact and an
+    oracle can unroll the same rounds as a CTE chain); true k-core
+    needs peeling to a fixed point, so callers check the last two
+    rounds for equality if they need the converged core.
+
+    Scale: per round ONE degree aggregation + two semi-joins on the
+    (node)-keyed symmetric edge frame, lineage truncated by a lazy
+    localCheckpoint per round; state is edge-sized, no per-group
+    arrays.  Stats rows are 1-row aggregates unioned into one frame —
+    no driver collects."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stats = []
+    cur = und
+    for r in range(rounds + 1):
+        stats.append(
+            cur.agg(
+                F.countDistinct("a").cast("long").alias("n_nodes"),
+                (F.count("*") / 2).cast("long").alias("n_edges"),
+            ).select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        if r == rounds:
+            break
+        deg = cur.groupBy("a").agg(F.count("*").alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select("a")
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

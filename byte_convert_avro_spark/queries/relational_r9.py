@@ -808,3 +808,73 @@ def events_hourly_dispersion(spark: SparkSession, sf: str):
         mean.alias("mean_per_hour"),
         (var / mean).alias("dispersion_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+def _k_core_oracle(k: int, rounds: int) -> str:
+    """Unrolled fixed-round k-core peel CTE chain (the pagerank-oracle
+    discipline: the recursion is spelled as literal rounds, so both
+    engines execute the identical computation)."""
+    # every u{r} is referenced by d{r+1}, u{r+1} AND the final stats
+    # select — without AS MATERIALIZED DuckDB re-inlines the whole chain
+    # multiplicatively (the r8 PCA-deflation oracle lesson)
+    parts = [
+        "WITH os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+        " l_partkey AS p FROM lineitem),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b"
+        " FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p),",
+        "u0 AS MATERIALIZED (SELECT a, b FROM e0"
+        " UNION ALL SELECT b AS a, a AS b FROM e0),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT a AS n, COUNT(*) AS deg"
+            f" FROM u{r - 1} GROUP BY a),"
+        )
+        parts.append(f"s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {k}),")
+        parts.append(
+            f"u{r} AS MATERIALIZED (SELECT u.a, u.b FROM u{r - 1} u"
+            f" JOIN s{r} x ON x.n = u.a JOIN s{r} y ON y.n = u.b),"
+        )
+    selects = [
+        f"SELECT {r} AS round,"
+        f" CAST(COUNT(DISTINCT a) AS BIGINT) AS n_nodes,"
+        f" CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM u{r}"
+        for r in range(rounds + 1)
+    ]
+    return "\n".join(parts)[:-1] + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("copurchase_k_core_peel", _k_core_oracle(80, 6))
+def copurchase_k_core_peel(spark: SparkSession, sf: str):
+    """K-CORE PEELING (k=80, 6 fixed rounds) on the part co-purchase
+    graph — the dense-core extraction that complements triangle
+    counting: per round, remove every part with fewer than 80 distinct
+    co-purchase partners and report the shrinking (n_nodes, n_edges).
+    k=80 is calibrated to this corpus (min degree 42, median 115) so
+    the peel has real dynamics AND converges inside the budget: 2000
+    -> 1903 -> ... -> 1857 -> 1857 — the last two equal rounds ARE the
+    converged 80-core.
+    Runs ``operators/graph.k_core_peel``: one degree aggregation + two
+    node-keyed semi-joins per round, per-round lazy localCheckpoint,
+    stats as unioned 1-row aggregates — edge-sized state, zero driver
+    collects, exact job budget.  The oracle unrolls the same 6 peels
+    as a literal CTE chain (the pagerank discipline), so every round's
+    node and edge count is value-checked; fixed rounds rather than
+    peel-to-fixed-point is the contract (callers compare the last two
+    rounds for convergence — at this corpus the peel stabilizes well
+    inside the budget)."""
+    from byte_convert_avro_spark.operators.graph import k_core_peel
+
+    os_ = (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = os_.select(F.col("ok").alias("ok2"), F.col("p").alias("p2"))
+    edges = (
+        os_.join(b, (F.col("ok2") == F.col("ok")) & (F.col("p") < F.col("p2")))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    return k_core_peel(edges, k=80, rounds=6)

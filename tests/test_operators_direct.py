@@ -1763,3 +1763,31 @@ def test_minhash_rows_per_band_shapes_and_default_identity(spark):
 
     with pytest.raises(ValueError):
         minhash_signatures(df, rows_per_band=0)
+
+
+def test_k_core_peel_known_graph(spark):
+    """k_core_peel on a hand graph: a 4-clique (every node degree 3)
+    survives k=3 peeling; the pendant chain peels off over two rounds;
+    stats per round are exact and the converged rounds repeat."""
+    from byte_convert_avro_spark.operators.graph import k_core_peel
+
+    # 4-clique 1-2-3-4 plus chain 4-5-6
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.round: (r.n_nodes, r.n_edges)
+        for r in k_core_peel(df, k=3, rounds=4).collect()
+    }
+    # round 0: all 6 nodes, 8 edges; round 1 removes BOTH chain nodes
+    # simultaneously (6 has degree 1, 5 degree 2 — peeling drops every
+    # node under k in the same round); the 4-clique is the stable 3-core
+    assert got[0] == (6, 8)
+    assert got[1] == (4, 6)
+    assert got[2] == (4, 6)
+    assert got[4] == (4, 6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_core_peel(df, k=0, rounds=1)
+    with pytest.raises(ValueError):
+        k_core_peel(df, k=2, rounds=-1)
