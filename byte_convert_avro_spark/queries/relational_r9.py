@@ -156,9 +156,18 @@ def user_value_ewma(spark: SparkSession, sf: str):
     identity is IEEE-exact), so the smoothed values are BIT-IDENTICAL
     cross-engine.  Scale: one window rank + two bounded groupBys, all
     on the user key."""
-    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    from byte_convert_avro_spark.queries.base import events_ts_to_ns
+
+    ev = events_ts_to_ns(t(spark, sf, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
+    # rank in MICROSECOND order (ts DIV 1000) to match the oracle's
+    # µs-precision timestamp compare — ranking raw ns longs could break
+    # a sub-µs tie differently than DuckDB's (ts, event_id)
     k = (
-        F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000"), "event_id")
+        )
         - 1
     )
     e = ev.select(
@@ -648,14 +657,16 @@ def customer_not_in_null_semantics(spark: SparkSession, sf: str):
     subquery's key list contains NULLs (non-urgent orders map to NULL),
     so ``NOT IN`` can never prove non-membership and returns ZERO rows,
     while ``NOT EXISTS`` correctly counts customers with no urgent
-    order.  Spark plans the NOT IN as a null-aware anti join (the
-    disjunctive ``key == k OR k IS NULL`` anti condition — Spark's
-    NullAwareAntiJoin specialization) and the NOT EXISTS as a plain
-    left-anti; both spelled in the DataFrame API over the same key
-    frame.  Output is the two counts side by side — the 'not_in' row
-    being 0 IS the semantics under test.  Scale: the key frame reduces
-    to distinct keys + a has-null flag before broadcasting (exactly
-    what Spark's NAAJ rewrite does internally)."""
+    order.  The Spark side spells the NOT IN as the same decomposition
+    Spark's NullAwareAntiJoin rewrite performs internally: the key
+    frame reduces to DISTINCT non-null keys plus a 1-row has-null flag
+    FIRST, then one equality left-anti + a broadcast flag gate that
+    zeroes the count when any NULL exists (a raw disjunctive
+    ``key == k OR k IS NULL`` anti would nested-loop against every
+    fact row — the scale hazard this query documents by NOT doing it).
+    NOT EXISTS is the plain left-anti on the same distinct keys.
+    Output is the two counts side by side — the 'not_in' row being 0
+    IS the semantics under test."""
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
     keys = o.select(
@@ -663,21 +674,34 @@ def customer_not_in_null_semantics(spark: SparkSession, sf: str):
             "k"
         )
     )
-    # NOT IN: null-aware anti — a candidate survives only if NO key row
-    # equals it AND no key row is NULL
-    not_in = c.join(
-        keys, (F.col("c_custkey") == F.col("k")) | F.col("k").isNull(), "left_anti"
+    # NOT IN decomposed the way Spark's NullAwareAntiJoin rewrite does:
+    # reduce the key frame to DISTINCT non-null keys + a 1-row has-null
+    # flag FIRST (a raw disjunctive anti against every key row would be
+    # a nested loop over the whole fact table — the scale hazard), then
+    # anti-join on equality and zero the count when any NULL exists
+    # (three-valued logic: one NULL key makes NOT IN unprovable for
+    # every candidate)
+    has_null = keys.agg(
+        F.max(F.col("k").isNull().cast("long")).alias("hn")
     )
-    not_exists = c.join(keys, F.col("c_custkey") == F.col("k"), "left_anti")
-    return (
-        not_in.agg(F.count("*").cast("long").alias("n_customers"))
-        .select(F.lit("not_in").alias("variant"), "n_customers")
-        .unionByName(
-            not_exists.agg(F.count("*").cast("long").alias("n_customers")).select(
-                F.lit("not_exists").alias("variant"), "n_customers"
-            )
+    dkeys = keys.filter(F.col("k").isNotNull()).distinct()
+    anti = c.join(dkeys, F.col("c_custkey") == F.col("k"), "left_anti")
+    not_in = (
+        anti.agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(has_null))
+        .select(
+            F.lit("not_in").alias("variant"),
+            F.when(F.col("hn") > 0, F.lit(0).cast("long"))
+            .otherwise(F.col("cnt"))
+            .alias("n_customers"),
         )
     )
+    not_exists = (
+        c.join(dkeys, F.col("c_custkey") == F.col("k"), "left_anti")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .select(F.lit("not_exists").alias("variant"), "n_customers")
+    )
+    return not_in.unionByName(not_exists)
 
 
 # ---------------------------------------------------------------------------
