@@ -85,6 +85,11 @@ EXTENDED = [
     "pca_power_top_component",
     "minhash_estimate_vs_exact_jaccard",
     "ship_latency_percentiles_scale_path",
+    # round-9 iterative/sketch additions — first history round
+    "copurchase_k_core_peel",
+    "trade_reachability_3hop",
+    "kmv_parts_by_segment_nation",
+    "minhash_r2_capped_candidates",
 ]
 
 
