@@ -902,3 +902,133 @@ def copurchase_k_core_peel(spark: SparkSession, sf: str):
         .distinct()
     )
     return k_core_peel(edges, k=80, rounds=6)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "user_value_holt_trend",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS k
+      FROM events WHERE user_id IS NOT NULL
+    ), ch AS (
+      SELECT user_id, k // 16 AS chk,
+             list_reduce(
+               list({'m11': 0.875e0, 'm12': 0.875e0,
+                     'm21': -0.03125e0, 'm22': 0.96875e0,
+                     'o1': 0.125e0 * cents, 'o2': 0.03125e0 * cents}
+                    ORDER BY k),
+               (a, b) -> {
+                 'm11': b.m11 * a.m11 + b.m12 * a.m21,
+                 'm12': b.m11 * a.m12 + b.m12 * a.m22,
+                 'm21': b.m21 * a.m11 + b.m22 * a.m21,
+                 'm22': b.m21 * a.m12 + b.m22 * a.m22,
+                 'o1': b.m11 * a.o1 + b.m12 * a.o2 + b.o1,
+                 'o2': b.m21 * a.o1 + b.m22 * a.o2 + b.o2}) AS m,
+             COUNT(*) AS cnt
+      FROM e GROUP BY 1, 2
+    ), fin AS (
+      SELECT user_id,
+             list_reduce(list(m ORDER BY chk),
+               (a, b) -> {
+                 'm11': b.m11 * a.m11 + b.m12 * a.m21,
+                 'm12': b.m11 * a.m12 + b.m12 * a.m22,
+                 'm21': b.m21 * a.m11 + b.m22 * a.m21,
+                 'm22': b.m21 * a.m12 + b.m22 * a.m22,
+                 'o1': b.m11 * a.o1 + b.m12 * a.o2 + b.o1,
+                 'o2': b.m21 * a.o1 + b.m22 * a.o2 + b.o2}) AS m,
+             CAST(SUM(cnt) AS BIGINT) AS n_events
+      FROM ch GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           m.o1 / 100.0e0 AS level_value,
+           m.o2 / 100.0e0 AS trend_value,
+           (m.o1 + m.o2) / 100.0e0 AS forecast_next
+    FROM fin
+    """,
+)
+def user_value_holt_trend(spark: SparkSession, sf: str):
+    """HOLT'S DOUBLE-EXPONENTIAL SMOOTHING (level + trend) per user —
+    the forecasting classic one rung above ``user_value_ewma``:
+    l_t = a*x_t + (1-a)(l+b), b_t = B(l_t - l) + (1-B)b, zero-seeded,
+    a = 1/8, B = 1/4, forecast = l + b.
+
+    The recurrence is linear in the (l, b) state, so each observation
+    is an AFFINE MAP on R²: state -> M*state + o*x with
+    M = [[1-a, 1-a], [-Ba, 1-Ba]], o = (a, Ba)x — and 2x2 affine maps
+    compose associatively ((B.M*A.M, B.M*A.o + B.o)), so the whole
+    series folds through the SAME bounded two-level chunking as the
+    EWMA query, just with a 6-field struct instead of 2.  Every
+    constant is an exact binary fraction (1/8, 1/4, 1/32, 31/32) and
+    both engines spell the identical matrix-product expression tree
+    with the identity-map init (multiplying by I and adding 0 are
+    IEEE-exact), so level, trend, and forecast are BIT-IDENTICAL
+    cross-engine.  This is the general template for ANY linear
+    recurrence over a partitioned series — per-task arrays bounded at
+    16, one tiny extra shuffle, no libm.  Scale: one window rank + two
+    bounded groupBys on the user key."""
+    from byte_convert_avro_spark.queries.base import events_ts_to_ns
+
+    ev = events_ts_to_ns(t(spark, sf, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
+    k = (
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000"), "event_id")
+        )
+        - 1
+    )
+    e = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        k.alias("k"),
+    )
+
+    def compose(a, b):
+        return F.struct(
+            (b["m11"] * a["m11"] + b["m12"] * a["m21"]).alias("m11"),
+            (b["m11"] * a["m12"] + b["m12"] * a["m22"]).alias("m12"),
+            (b["m21"] * a["m11"] + b["m22"] * a["m21"]).alias("m21"),
+            (b["m21"] * a["m12"] + b["m22"] * a["m22"]).alias("m22"),
+            (b["m11"] * a["o1"] + b["m12"] * a["o2"] + b["o1"]).alias("o1"),
+            (b["m21"] * a["o1"] + b["m22"] * a["o2"] + b["o2"]).alias("o2"),
+        )
+
+    ident = F.struct(
+        F.lit(1.0).alias("m11"), F.lit(0.0).alias("m12"),
+        F.lit(0.0).alias("m21"), F.lit(1.0).alias("m22"),
+        F.lit(0.0).alias("o1"), F.lit(0.0).alias("o2"),
+    )
+    elem_maps = F.transform(
+        F.array_sort(F.collect_list(F.struct("k", "cents"))),
+        lambda r: F.struct(
+            F.lit(0.875).alias("m11"), F.lit(0.875).alias("m12"),
+            F.lit(-0.03125).alias("m21"), F.lit(0.96875).alias("m22"),
+            (F.lit(0.125) * r["cents"]).alias("o1"),
+            (F.lit(0.03125) * r["cents"]).alias("o2"),
+        ),
+    )
+    ch = (
+        e.withColumn("chk", F.expr("k div 16"))
+        .groupBy("user_id", "chk")
+        .agg(
+            F.aggregate(elem_maps, ident, compose).alias("m"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    chunk_maps = F.transform(
+        F.array_sort(F.collect_list(F.struct("chk", "m"))), lambda r: r["m"]
+    )
+    fin = ch.groupBy("user_id").agg(
+        F.aggregate(chunk_maps, ident, compose).alias("m"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )
+    return fin.select(
+        "user_id",
+        "n_events",
+        (F.col("m.o1") / F.lit(100.0)).alias("level_value"),
+        (F.col("m.o2") / F.lit(100.0)).alias("trend_value"),
+        ((F.col("m.o1") + F.col("m.o2")) / F.lit(100.0)).alias("forecast_next"),
+    )
