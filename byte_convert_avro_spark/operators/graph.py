@@ -273,8 +273,9 @@ def bfs_min_hops(
     ``WITH RECURSIVE`` reachability CTE (``walk_to_root``'s discipline
     applied to fan-out instead of parent pointers).
 
-    Returns one row per reachable node: ``(node, hop)`` with ``hop`` =
-    MINIMUM number of edges from any seed (0 for the seeds themselves).
+    Returns one row per reachable node — the node column carries the
+    caller's ``node`` name — with ``hop`` = MINIMUM number of edges from
+    any seed (0 for the seeds themselves).
     Exactly ``max_hops`` expansion rounds unless the frontier drains
     first — the bounded-iteration contract; unlike ``walk_to_root``,
     running out of rounds is NOT an error (reachability WITHIN a hop
@@ -318,7 +319,7 @@ def bfs_min_hops(
             break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("n")
-    return visited
+    return visited.select(F.col("n").alias(node), "hop")
 
 
 def k_core_peel(

@@ -370,15 +370,25 @@ def trade_reachability_3hop(spark: SparkSession, sf: str):
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-           (sy - CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS intercept,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             * CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
     FROM s
     """,
 )
@@ -387,15 +397,15 @@ def lineitem_ols_qty_dollars(spark: SparkSession, sf: str):
     ``regr_intercept`` / ``regr_r2`` SQL:2003 family) from EXACT integer
     sums: per return flag, regress whole-dollar extended price on
     quantity.  One pass accumulates n, Σx, Σy, Σx², Σy², Σxy as exact
-    int64 (dollars ~1e5, qty <= 50: Σy² stays under 2^63 through ~1e8
-    rows per group — the Welch-t data-contract note applies beyond
-    that; shard the sums or scale y down); slope = (nΣxy − ΣxΣy) /
-    (nΣxx − Σx²) is ONE double division of exact integers, intercept
-    and r² reuse the same casts in the identical expression tree, so
-    every output is bit-identical cross-engine (r²'s numerator squares
-    in DOUBLE — the integer square can exceed int64).  Scale: one
-    map-side-partial hash aggregate; the regression math is a 3-row
-    fold."""
+    int64 (dollars ~1e5, qty <= 50: the SUMS stay under 2^63 through
+    ~1e8 rows per group — the Welch-t data-contract note applies beyond
+    that; shard the sums or scale y down).  The regression math casts
+    EVERY sum to double BEFORE forming any product — n·Σy² and (Σy)²
+    overflow int64 at only ~64k rows per group with ~1e5-dollar y, i.e.
+    just past sf0.01 — and slope/intercept/r² then use the identical
+    double expression tree in both engines, so every output stays
+    bit-identical cross-engine.  Scale: one map-side-partial hash
+    aggregate; the regression math is a 3-row fold."""
     li = t(spark, sf, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_extendedprice"), 0).cast("long")
@@ -407,17 +417,21 @@ def lineitem_ols_qty_dollars(spark: SparkSession, sf: str):
         F.sum(y * y).cast("long").alias("syy"),
         F.sum(x * y).cast("long").alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    num = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
     slope = num / denx
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
         slope.alias("slope"),
-        ((F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double")).alias(
-            "intercept"
-        ),
+        ((syd - slope * sxd) / nd).alias("intercept"),
         (num * num / (denx * deny)).alias("r2"),
     )
 
@@ -907,46 +921,82 @@ def copurchase_k_core_peel(spark: SparkSession, sf: str):
 # ---------------------------------------------------------------------------
 @register(
     "user_value_holt_trend",
+    # ORACLE NOTE — why WITH RECURSIVE and not list_reduce: DuckDB
+    # v1.0.0's list_reduce evaluates struct-lambda fields IN PLACE on
+    # the accumulator, so a field expression that reads an accumulator
+    # field ALREADY WRITTEN earlier in the same struct (here m21/m22/o1/
+    # o2 all read a.m11/a.m12/a.o1 after they were overwritten) computes
+    # garbage for any list of length >= 3.  Pinned by
+    # tests/test_queries_oracle.py::test_duckdb_list_reduce_aliasing_pin.
+    # The recursive spelling below replays the IDENTICAL left-fold
+    # expression tree (same products, same addition order) one step per
+    # iteration, so it stays bit-identical to the Spark chunked fold:
+    # f1 folds the <=16 element maps within each (user, chunk) in k
+    # order, f2 folds the chunk maps in chk order.  Seeding each fold
+    # with its first element is IEEE-exact vs composing with the
+    # identity map (x*1+y*0 == x).
     """
-    WITH e AS (
+    WITH RECURSIVE e AS (
       SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) - 1 AS k
       FROM events WHERE user_id IS NOT NULL
-    ), ch AS (
-      SELECT user_id, k // 16 AS chk,
-             list_reduce(
-               list({'m11': 0.875e0, 'm12': 0.875e0,
-                     'm21': -0.03125e0, 'm22': 0.96875e0,
-                     'o1': 0.125e0 * cents, 'o2': 0.03125e0 * cents}
-                    ORDER BY k),
-               (a, b) -> {
-                 'm11': b.m11 * a.m11 + b.m12 * a.m21,
-                 'm12': b.m11 * a.m12 + b.m12 * a.m22,
-                 'm21': b.m21 * a.m11 + b.m22 * a.m21,
-                 'm22': b.m21 * a.m12 + b.m22 * a.m22,
-                 'o1': b.m11 * a.o1 + b.m12 * a.o2 + b.o1,
-                 'o2': b.m21 * a.o1 + b.m22 * a.o2 + b.o2}) AS m,
-             COUNT(*) AS cnt
-      FROM e GROUP BY 1, 2
+    ), el AS (
+      SELECT user_id, k // 16 AS chk, k % 16 AS j,
+             0.875e0 AS m11, 0.875e0 AS m12,
+             -0.03125e0 AS m21, 0.96875e0 AS m22,
+             0.125e0 * cents AS o1, 0.03125e0 * cents AS o2
+      FROM e
+    ), f1 AS (
+      SELECT user_id, chk, j, m11, m12, m21, m22, o1, o2
+      FROM el WHERE j = 0
+      UNION ALL
+      SELECT b.user_id, b.chk, b.j,
+             b.m11 * a.m11 + b.m12 * a.m21 AS m11,
+             b.m11 * a.m12 + b.m12 * a.m22 AS m12,
+             b.m21 * a.m11 + b.m22 * a.m21 AS m21,
+             b.m21 * a.m12 + b.m22 * a.m22 AS m22,
+             b.m11 * a.o1 + b.m12 * a.o2 + b.o1 AS o1,
+             b.m21 * a.o1 + b.m22 * a.o2 + b.o2 AS o2
+      FROM f1 a
+      JOIN el b ON b.user_id = a.user_id AND b.chk = a.chk
+                AND b.j = a.j + 1
+    ), cm AS (
+      SELECT user_id, chk, m11, m12, m21, m22, o1, o2,
+             ROW_NUMBER() OVER (PARTITION BY user_id, chk
+                                ORDER BY j DESC) AS rn
+      FROM f1
+    ), cmr AS (
+      SELECT user_id, chk, m11, m12, m21, m22, o1, o2
+      FROM cm WHERE rn = 1
+    ), f2 AS (
+      SELECT user_id, chk, m11, m12, m21, m22, o1, o2
+      FROM cmr WHERE chk = 0
+      UNION ALL
+      SELECT b.user_id, b.chk,
+             b.m11 * a.m11 + b.m12 * a.m21 AS m11,
+             b.m11 * a.m12 + b.m12 * a.m22 AS m12,
+             b.m21 * a.m11 + b.m22 * a.m21 AS m21,
+             b.m21 * a.m12 + b.m22 * a.m22 AS m22,
+             b.m11 * a.o1 + b.m12 * a.o2 + b.o1 AS o1,
+             b.m21 * a.o1 + b.m22 * a.o2 + b.o2 AS o2
+      FROM f2 a
+      JOIN cmr b ON b.user_id = a.user_id AND b.chk = a.chk + 1
     ), fin AS (
-      SELECT user_id,
-             list_reduce(list(m ORDER BY chk),
-               (a, b) -> {
-                 'm11': b.m11 * a.m11 + b.m12 * a.m21,
-                 'm12': b.m11 * a.m12 + b.m12 * a.m22,
-                 'm21': b.m21 * a.m11 + b.m22 * a.m21,
-                 'm22': b.m21 * a.m12 + b.m22 * a.m22,
-                 'o1': b.m11 * a.o1 + b.m12 * a.o2 + b.o1,
-                 'o2': b.m21 * a.o1 + b.m22 * a.o2 + b.o2}) AS m,
-             CAST(SUM(cnt) AS BIGINT) AS n_events
-      FROM ch GROUP BY user_id
+      SELECT user_id, o1, o2,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY chk DESC) AS rn
+      FROM f2
+    ), cnts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM e GROUP BY user_id
     )
-    SELECT user_id, n_events,
-           m.o1 / 100.0e0 AS level_value,
-           m.o2 / 100.0e0 AS trend_value,
-           (m.o1 + m.o2) / 100.0e0 AS forecast_next
-    FROM fin
+    SELECT f.user_id, c.n_events,
+           f.o1 / 100.0e0 AS level_value,
+           f.o2 / 100.0e0 AS trend_value,
+           (f.o1 + f.o2) / 100.0e0 AS forecast_next
+    FROM fin f JOIN cnts c ON c.user_id = f.user_id
+    WHERE f.rn = 1
     """,
 )
 def user_value_holt_trend(spark: SparkSession, sf: str):

@@ -1722,12 +1722,21 @@ def test_bfs_min_hops_known_graph(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)], "src int, dst int"
     )
     seeds = spark.createDataFrame([(1,), (9,)], "node int")
-    got = {r.n: r.hop for r in bfs_min_hops(edges, seeds, 10).collect()}
+    out = bfs_min_hops(edges, seeds, 10)
+    assert out.columns == ["node", "hop"]  # caller's node name, not 'n'
+    got = {r.node: r.hop for r in out.collect()}
     assert got == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2, 5: 3}
-    capped = {r.n: r.hop for r in bfs_min_hops(edges, seeds, 2).collect()}
+    capped = {r.node: r.hop for r in bfs_min_hops(edges, seeds, 2).collect()}
     assert capped == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2}
-    zero = {r.n: r.hop for r in bfs_min_hops(edges, seeds, 0).collect()}
+    zero = {r.node: r.hop for r in bfs_min_hops(edges, seeds, 0).collect()}
     assert zero == {1: 0, 9: 0}
+    renamed = bfs_min_hops(
+        edges.withColumnRenamed("src", "a").withColumnRenamed("dst", "b"),
+        seeds.withColumnRenamed("node", "user"),
+        2, node="user", src="a", dst="b",
+    )
+    assert renamed.columns == ["user", "hop"]
+    assert {r.user: r.hop for r in renamed.collect()} == capped
     import pytest
 
     with pytest.raises(ValueError):

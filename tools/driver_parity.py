@@ -14,7 +14,16 @@ sample has never hit (streaming jobs, decode round-trips, multimodal): it
 proves each runs COLD through the entry module in a session we didn't
 configure.  Exits non-zero on any failure; prints one JSON object.
 
+Every run (full or ``--only``) also APPENDS one line per query to
+``PARITY_GATES.jsonl`` at the repo root — the committed gate ledger that
+``tests/test_entry_contract.py::test_every_registry_entry_has_a_gate``
+checks, so a registry entry committed without ever passing a parity run
+fails fast in-suite instead of in the next round's judge replica (the
+round-9 ``user_value_holt_trend`` hole).  ``--no-record`` skips the append
+for experimental runs.
+
 Usage:  python tools/driver_parity.py [--sf-dir DIR] [--only q1 q2 ...]
+                                      [--no-record]
 """
 
 from __future__ import annotations
@@ -53,6 +62,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -110,6 +120,17 @@ def main() -> int:
         if not results[name]["ok"]:
             failed += 1
             print(f"FAIL {name}: {results[name]}", file=sys.stderr)
+
+    if not args.no_record:
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(os.path.join(REPO, "PARITY_GATES.jsonl"), "a") as fh:
+            for name, r in results.items():
+                fh.write(json.dumps({
+                    "name": name,
+                    "ok": r["ok"],
+                    "sf_dir": args.sf_dir,
+                    "ts": stamp,
+                }) + "\n")
 
     print(json.dumps({
         "sf_dir": args.sf_dir,
