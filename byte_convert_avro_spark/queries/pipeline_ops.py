@@ -1009,9 +1009,17 @@ def sequence_packing_sharded(spark: SparkSession, sf: str):
             FROM words WHERE len(w) >= 3),
     sh0 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
     sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-    bands AS (SELECT unnest(generate_series(0, 7)) AS band),
-    sigs AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
-             FROM sh0 CROSS JOIN bands GROUP BY doc_id, band),
+    hidx AS (SELECT unnest(generate_series(0, 31)) AS h),
+    mins AS (SELECT doc_id, h, MIN(md5(h::VARCHAR || '|' || sh)) AS mn
+             FROM sh0 CROSS JOIN hidx GROUP BY doc_id, h),
+    sigs0 AS (SELECT doc_id, h // 2 AS band,
+                     MIN(CASE WHEN h % 2 = 0 THEN mn END)
+                       || MIN(CASE WHEN h % 2 = 1 THEN mn END) AS sig
+              FROM mins GROUP BY doc_id, h // 2),
+    bok AS (SELECT band, sig FROM sigs0 GROUP BY band, sig
+            HAVING COUNT(*) <= 16),
+    sigs AS (SELECT s.doc_id, s.band, s.sig
+             FROM sigs0 s JOIN bok k ON k.band = s.band AND k.sig = s.sig),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
                                      AND a.doc_id < b.doc_id
@@ -1039,11 +1047,23 @@ def corpus_after_dedup(spark: SparkSession, sf: str):
     hash) -> MinHash-LSH candidates -> exact Jaccard >= 0.5 verification
     -> drop the higher-id member of each verified near-dup pair -> final
     corpus size.  Composes the whole operators/dedup.py ladder in one
-    oracle-checked result."""
+    oracle-checked result.
+
+    Runs the PRODUCTION operating point the round-9 organic-mutation
+    study measured (SCALE.md round-9 table): ``rows_per_band=2`` banding
+    (16 bands of two concatenated minima) with the bucket-16 enumeration
+    cap — at r=1 the same caps lose ~90% of true near-dup pairs as the
+    corpus grows, at r=2 they hold 0.9956 recall at J >= 0.5 while
+    keeping every bucket's pair blowup bounded.  The oracle spells the
+    full r2 construction (32 hash minima, h//2 band concat, bucket
+    HAVING filter) so the capstone value-checks the configuration users
+    should actually deploy."""
     docs = spread(t(spark, sf, "documents"), "doc_id")
     keepers = D.drop_exact_dups(docs, "text", "doc_id")
-    sigs = D.minhash_signatures(keepers, "text", "doc_id", n_bands=8, shingle_n=3)
-    pairs = D.lsh_candidates(sigs).select("doc_a", "doc_b")
+    sigs = D.minhash_signatures(
+        keepers, "text", "doc_id", n_bands=16, shingle_n=3, rows_per_band=2
+    )
+    pairs = D.lsh_candidates(sigs, max_docs_per_bucket=16).select("doc_a", "doc_b")
     verified = D.jaccard_similarity(keepers, pairs, "text", "doc_id", shingle_n=3)
     near_b = verified.filter(F.col("jaccard") >= 0.5).select(
         F.col("doc_b").alias("doc_id")

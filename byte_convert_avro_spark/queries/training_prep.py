@@ -243,11 +243,19 @@ def repetition_metrics(spark: SparkSession, sf: str):
     nidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
              FROM nw WHERE len(w) >= 3),
     nsh  AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM nidx),
-    bands AS (SELECT unnest(generate_series(0, 7)) AS band),
-    csig AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
-             FROM csh CROSS JOIN bands GROUP BY 1, 2),
-    nsig AS (SELECT doc_id, band, MIN(md5(band::VARCHAR || '|' || sh)) AS sig
-             FROM nsh CROSS JOIN bands GROUP BY 1, 2),
+    hidx AS (SELECT unnest(generate_series(0, 31)) AS h),
+    cmins AS (SELECT doc_id, h, MIN(md5(h::VARCHAR || '|' || sh)) AS mn
+              FROM csh CROSS JOIN hidx GROUP BY doc_id, h),
+    csig AS (SELECT doc_id, h // 2 AS band,
+                    MIN(CASE WHEN h % 2 = 0 THEN mn END)
+                      || MIN(CASE WHEN h % 2 = 1 THEN mn END) AS sig
+             FROM cmins GROUP BY doc_id, h // 2),
+    nmins AS (SELECT doc_id, h, MIN(md5(h::VARCHAR || '|' || sh)) AS mn
+              FROM nsh CROSS JOIN hidx GROUP BY doc_id, h),
+    nsig AS (SELECT doc_id, h // 2 AS band,
+                    MIN(CASE WHEN h % 2 = 0 THEN mn END)
+                      || MIN(CASE WHEN h % 2 = 1 THEN mn END) AS sig
+             FROM nmins GROUP BY doc_id, h // 2),
     near AS (
       SELECT n.doc_id, MIN(c.doc_id) AS m
       FROM nsig n JOIN csig c ON n.band = c.band AND n.sig = c.sig
@@ -273,7 +281,12 @@ def incremental_dedup_new_batch(spark: SparkSession, sf: str):
     Plan: the new batch is tiny next to the corpus, so BOTH probe joins
     broadcast the new side (hashes, then band signatures) — the corpus
     streams map-side; on a real lake its hash/signature tables are
-    precomputed once and reused every batch."""
+    precomputed once and reused every batch.  Signatures use the
+    production ``rows_per_band=2`` banding (round-9 organic study,
+    SCALE.md): at r=1 a boilerplate band signature is shared by a
+    corpus-growing bucket, so the probe join's fan-out grows with the
+    corpus; at r=2 buckets stay near true-cluster size, which bounds
+    the join intermediate with no cap needed on this probe shape."""
     from byte_convert_avro_spark.operators import dedup as D
 
     d = t(spark, sf, "documents").withColumn("bucket", hash_bucket("doc_id", 100))
@@ -288,9 +301,12 @@ def incremental_dedup_new_batch(spark: SparkSession, sf: str):
         .agg(F.min("cdoc").alias("m_exact"))
     )
 
-    sig_new = D.minhash_signatures(newb, "text", "doc_id", n_bands=8, shingle_n=3)
+    sig_new = D.minhash_signatures(
+        newb, "text", "doc_id", n_bands=16, shingle_n=3, rows_per_band=2
+    )
     sig_corpus = D.minhash_signatures(
-        spread(corpus, "doc_id"), "text", "doc_id", n_bands=8, shingle_n=3
+        spread(corpus, "doc_id"), "text", "doc_id",
+        n_bands=16, shingle_n=3, rows_per_band=2,
     ).select(F.col("doc_id").alias("cdoc"), "band", "sig")
     near = (
         sig_corpus.join(F.broadcast(sig_new), ["band", "sig"])

@@ -86,3 +86,30 @@ def test_doc_counts_match_registry():
     assert proc.returncode == 0, (
         f"doc counts stale — run `python tools/sync_counts.py`\n{proc.stdout}"
     )
+
+
+def test_every_registry_entry_has_a_gate(entry):
+    """Gate-discipline backstop (round-9 postmortem): every registry entry
+    must have PASSED at least one recorded ``tools/driver_parity.py`` run
+    (the committed ``PARITY_GATES.jsonl`` ledger) — an entry registered in
+    a snapshot commit with no parity artifact fails HERE, in-suite, instead
+    of in the next round's judge replica (how ``user_value_holt_trend``
+    shipped red in round 9).  Fix a failure with:
+        python tools/driver_parity.py --only <name>
+    and commit the updated ledger alongside the new entry."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ledger_path = os.path.join(repo, "PARITY_GATES.jsonl")
+    assert os.path.exists(ledger_path), (
+        "PARITY_GATES.jsonl missing — run tools/driver_parity.py"
+    )
+    latest: dict[str, bool] = {}
+    with open(ledger_path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            latest[rec["name"]] = rec["ok"]  # later lines win
+    ungated = sorted(set(entry.queries()) - set(latest))
+    assert not ungated, f"registry entries with no parity-gate record: {ungated}"
+    red = sorted(n for n in entry.queries() if latest.get(n) is False)
+    assert not red, f"registry entries whose LATEST gate run failed: {red}"
