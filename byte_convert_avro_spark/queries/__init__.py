@@ -24,6 +24,7 @@ from byte_convert_avro_spark.queries import relational_gaps  # noqa: E402,F401
 from byte_convert_avro_spark.queries import relational_r7  # noqa: E402,F401
 from byte_convert_avro_spark.queries import relational_r8  # noqa: E402,F401
 from byte_convert_avro_spark.queries import relational_r9  # noqa: E402,F401
+from byte_convert_avro_spark.queries import relational_r10  # noqa: E402,F401
 from byte_convert_avro_spark.queries import events  # noqa: E402,F401
 from byte_convert_avro_spark.queries import text  # noqa: E402,F401
 from byte_convert_avro_spark.queries import training_prep  # noqa: E402,F401

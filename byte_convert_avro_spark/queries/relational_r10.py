@@ -1,0 +1,193 @@
+"""Round-10 relational additions — the window/bucketing shapes the driver's
+relational sample has not drawn yet (round-9 verdict #6): the
+``percent_rank``/``cume_dist`` dual pair, a WIDTH_BUCKET-style equi-width
+histogram in exact integer arithmetic, and the batch-native
+``session_window`` twin of the streaming sessionizer with an EXPLICIT
+per-event gap parameter.
+
+Same contract as every other query module: each entry is registered with
+a DuckDB oracle and the cross-engine determinism discipline from
+``base.py`` (exact-integer cores, e-notation float literals, explicit
+tie-break keys, aliases matching both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import dsum, register, t
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_balance_rank_duals",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+           CAST(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC) AS DOUBLE)
+             AS cume_desc
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def customer_balance_rank_duals(spark: SparkSession, sf: str):
+    """The relative-rank DUAL PAIR per market segment:
+    ``percent_rank`` = (rank-1)/(n-1) (position among *started* groups,
+    0 for the minimum) vs ``cume_dist`` = |rows <= current|/n (inclusive
+    distribution, 1 for the maximum) — plus the descending cume_dist so
+    the tie sensitivity is visible in the output (cume + cume_desc =
+    1 + peers/n, > 1 exactly when the balance ties).  The window orders
+    by the value ALONE — tied rows must receive identical ranks in both
+    engines, which is precisely what these functions guarantee and what
+    a (value, key) tie-broken ordering would hide.  Both values are
+    ratios of window-computed integers, so the doubles are bit-identical
+    cross-engine.  Scale: all three functions share one hash partition
+    on c_mktsegment (the descending window reuses the exchange, adding
+    only a partition-local re-sort), no joins."""
+    c = t(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    wd = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.cume_dist().over(wd).cast("double").alias("cume_desc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "order_price_equi_width_hist",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c)
+    SELECT CAST(((cents - mn) * 20) // (mx - mn + 1) AS INT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM c CROSS JOIN mm
+    GROUP BY 1
+    """,
+)
+def order_price_equi_width_hist(spark: SparkSession, sf: str):
+    """WIDTH_BUCKET-style EQUI-WIDTH histogram of order value — the dual
+    of the existing equi-HEIGHT (ntile/percentile) forms: 20 buckets of
+    equal VALUE width spanning [min, max], computed entirely in exact
+    integer arithmetic: bucket = (cents - mn) * 20 DIV (mx - mn + 1)
+    (the +1 makes the half-open top edge land the maximum in bucket 19
+    with no LEAST clamp, and integer DIV makes the bucket function
+    bit-identical cross-engine — the float spelling
+    FLOOR((v-lo)/(hi-lo)*nb) can disagree at bucket edges).  Empty
+    buckets produce no row (both engines agree by construction).
+    Scale: two scans — a 1-row global min/max aggregate broadcast into
+    the bucketing pass (the classic two-pass histogram; on a lake the
+    min/max comes free from parquet footer stats), then one
+    map-side-partial groupBy on a 20-value key."""
+    o = t(spark, sf, "orders")
+    cents_col = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    c = o.select(cents_col.alias("cents"))
+    mm = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    return (
+        c.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr("CAST(((cents - mn) * 20) DIV (mx - mn + 1) AS INT)").alias(
+                "bucket"
+            ),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE event_type WHEN 'purchase' THEN 1800000000
+                             WHEN 'view'     THEN 600000000
+                             ELSE 1200000000 END AS gap_us
+      FROM events WHERE user_id IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, event_id, value, ts_us,
+             CASE WHEN MAX(ts_us + gap_us) OVER wprev IS NULL
+                    OR ts_us >= MAX(ts_us + gap_us) OVER wprev
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_session_window_dynamic_gap(spark: SparkSession, sf: str):
+    """BATCH-NATIVE ``session_window`` with an EXPLICIT, PER-EVENT gap
+    parameter — the batch twin of ``streaming_session_windows`` and the
+    gap-parameterized shape the gaps-and-islands queries hard-code away:
+    purchases hold a session open 30 min, views only 10, everything else
+    20.  Spark runs its real merging-session operator (each event spans
+    [ts, ts+gap); overlapping spans per user merge; the span boundary is
+    half-open, so an event landing exactly at a session's current end
+    starts a NEW session).  The oracle derives identical semantics from
+    first principles: a session break is ts >= running MAX(ts + gap)
+    over all PRIOR events of the user — the running max is what makes
+    per-event gaps correct where the classic lag-based flag (which only
+    looks at the immediately previous event) is not.
+    Scale: one shuffle on user_id; Spark's session merge is a
+    partition-local sort pass, the same cost profile as the
+    gaps-and-islands spelling but with the gap logic in the operator
+    where the streaming twin can share it."""
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+    )
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .otherwise(F.lit("20 minutes"))
+    )
+    return (
+        ev.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        .groupBy(F.session_window("ts_ts", gap).alias("s"), "user_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "session_value",
+        )
+    )
