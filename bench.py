@@ -90,6 +90,8 @@ EXTENDED = [
     "trade_reachability_3hop",
     "kmv_parts_by_segment_nation",
     "minhash_r2_capped_candidates",
+    # round-10: the batch merging-session-window operator — first history
+    "events_session_window_dynamic_gap",
 ]
 
 
