@@ -488,3 +488,42 @@ def test_inverted_index_collect_is_rank_bounded(spark, sf_dir):
     )
     assert out.doc_freq == 200
     assert out.postings_head.split(",") == [str(i) for i in range(1, 65)]
+
+
+def test_rank_duals_share_one_exchange(spark, sf_dir):
+    """All three relative-rank windows (asc percent_rank, asc cume_dist,
+    desc cume_dist) must share ONE hash partition on c_mktsegment — the
+    descending window is a partition-local re-sort, never a second
+    exchange."""
+    df = Q["customer_balance_rank_duals"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = explain_str(df, "formatted")
+    assert plan.count("Window") >= 2  # both window specs survived
+
+
+def test_equi_width_hist_broadcasts_minmax(spark, sf_dir):
+    """The global min/max pass must reach the bucketing scan as a
+    BROADCAST of the 1-row aggregate (nested-loop on a single-row build
+    side is the cheap form), and the 20-key bucket aggregate must
+    partial-aggregate map-side: exactly the min/max agg exchange + the
+    bucket agg exchange, nothing else."""
+    df = Q["order_price_equi_width_hist"](spark, sf_dir)
+    assert join_strategies(df) == ["BroadcastNestedLoopJoin"]
+    assert count_exchanges(df) == 2
+    plan = explain_str(df, "formatted")
+    assert "BroadcastExchange" in plan
+
+
+def test_session_window_dynamic_gap_is_one_exchange_merging_sessions(
+    spark, sf_dir
+):
+    """The dynamic-gap batch sessionizer must plan as Spark's native
+    MergingSessions operator over ONE exchange on the user key, with a
+    partial session aggregate BELOW the exchange (map-side session
+    pre-merge) — a regression to a windowed gaps-and-islands rewrite
+    would double the sort passes, and a second exchange would mean the
+    session key stopped riding the user partition."""
+    df = Q["events_session_window_dynamic_gap"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = explain_str(df, "formatted")
+    assert "MergingSessions" in plan
