@@ -347,7 +347,12 @@ def k_core_peel(
     (node)-keyed symmetric edge frame, lineage truncated by a lazy
     localCheckpoint per round; state is edge-sized, no per-group
     arrays.  Stats rows are 1-row aggregates unioned into one frame —
-    no driver collects."""
+    no driver collects.  The round stats DERIVE from the degree frame
+    each peel needs anyway (n_nodes = |deg rows|, n_edges = Σdeg / 2 —
+    every symmetric edge row contributes 1 to exactly one node's
+    degree), so no round ever re-aggregates the edge frame just for
+    counting; that countDistinct-over-edges spelling was measured ~40%
+    slower at sf0.1 (round-10 log)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 0:
@@ -359,24 +364,37 @@ def k_core_peel(
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+    def degrees(frame: DataFrame) -> DataFrame:
+        # node-sized; checkpointed so the stats row and the next peel
+        # share ONE computation of it
+        return (
+            frame.groupBy("a")
+            .agg(F.count("*").alias("_deg"))
+            .localCheckpoint(eager=False)
+        )
+
     stats = []
     cur = und
+    deg = degrees(cur)
     for r in range(rounds + 1):
         stats.append(
-            cur.agg(
-                F.countDistinct("a").cast("long").alias("n_nodes"),
-                (F.count("*") / 2).cast("long").alias("n_edges"),
+            deg.agg(
+                F.count("*").cast("long").alias("n_nodes"),
+                (F.coalesce(F.sum("_deg"), F.lit(0)) / 2)
+                .cast("long")
+                .alias("n_edges"),
             ).select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
         )
         if r == rounds:
             break
-        deg = cur.groupBy("a").agg(F.count("*").alias("_deg"))
         keep = deg.filter(F.col("_deg") >= k).select("a")
         cur = (
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
+        deg = degrees(cur)
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)
