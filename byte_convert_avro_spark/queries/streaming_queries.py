@@ -1057,3 +1057,73 @@ def streaming_full_outer_view_purchase(spark: SparkSession, sf: str):
     finally:
         for d in paths:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_session_window_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             CASE event_type WHEN 'purchase' THEN 1800000000
+                             WHEN 'view'     THEN 600000000
+                             ELSE 1200000000 END AS gap_us
+      FROM events WHERE user_id IS NOT NULL
+    ), flagged AS (
+      SELECT user_id, event_id, value, ts_us,
+             CASE WHEN MAX(ts_us + gap_us) OVER wprev IS NULL
+                    OR ts_us >= MAX(ts_us + gap_us) OVER wprev
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def streaming_session_window_dynamic_gap(spark: SparkSession, sf: str):
+    """The STREAMING twin of ``events_session_window_dynamic_gap``: the
+    same per-event-type gap (30m purchase / 10m view / 20m other) run by
+    the streaming engine's merging-session state store (complete mode,
+    memory sink) — proving the DYNAMIC-gap session merge produces
+    exactly the batch/oracle semantics, the same batch↔stream pairing
+    contract as ``streaming_session_windows`` pins for the fixed gap.
+    Scale: session state is per (user, open session); a deployment adds
+    ``withWatermark`` so closed sessions evict (append mode) — complete
+    mode here only because the oracle needs every session."""
+    ev = _events_stream(spark, sf).filter(F.col("user_id").isNotNull()).withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+        .when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .otherwise(F.lit("20 minutes"))
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts_ts", gap).alias("s"), "user_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            "session_value",
+        )
+    )
+    return _run_complete(agg)
