@@ -191,3 +191,177 @@ def events_session_window_dynamic_gap(spark: SparkSession, sf: str):
             "session_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "user_rolling_7d_median_value",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE user_id IS NOT NULL
+    ), anchors AS (
+      SELECT DISTINCT user_id, day FROM e
+    ), win AS (
+      SELECT a.user_id, a.day, e.vc, e.event_id
+      FROM anchors a
+      JOIN e ON e.user_id = a.user_id
+            AND e.day BETWEEN a.day - 6 AND a.day
+    ), ranked AS (
+      SELECT user_id, day, vc,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY vc, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, day) AS n
+      FROM win
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           MAX(n) AS n_events_7d,
+           CAST(SUM(CAST(vc AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE) / 100.0e0
+             AS median_value
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY user_id, day
+    """,
+)
+def user_rolling_7d_median_value(spark: SparkSession, sf: str):
+    """ROLLING EXACT MEDIAN — the moving-window quantile shape no engine
+    has a native window function for: per user and active day, the
+    exact median event value over the trailing 7 days.  The scalable
+    spelling: anchor days join their trailing window (each event lands
+    in <= 7 anchors — BOUNDED amplification, never |history|), then the
+    two-middle-rows selection from the exact-median family
+    (median_price_by_priority) runs per (user, day) group.  Exact
+    integer cents; the two middle values average through DECIMAL so
+    the double is bit-identical cross-engine.  Scale: one shuffle on
+    user_id for the window join (both sides), one on (user_id, day)
+    for the rank — at 100 TB the 7x amplification is the explicit,
+    bounded price of EXACT moving quantiles; the sketch alternative
+    (approx_percentile per window) trades it away when error is
+    acceptable."""
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+            F.expr("(ts DIV 1000) DIV 86400000000").alias("day"),
+        )
+    )
+    anchors = ev.select(
+        F.col("user_id").alias("a_user"), F.col("day").alias("a_day")
+    ).distinct()
+    e2 = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("day").alias("e_day"),
+        "vc",
+        "event_id",
+    )
+    win = anchors.join(
+        e2,
+        (F.col("a_user") == F.col("e_user"))
+        & (F.col("e_day").between(F.col("a_day") - 6, F.col("a_day"))),
+    ).select(
+        F.col("a_user").alias("user_id"),
+        F.col("a_day").alias("day"),
+        "vc",
+        "event_id",
+    )
+    wr = W.partitionBy("user_id", "day").orderBy("vc", "event_id")
+    wn = W.partitionBy("user_id", "day")
+    ranked = win.select(
+        "user_id",
+        "day",
+        "vc",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        F.expr("rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2")
+    )
+    return mid.groupBy("user_id", F.col("day").cast("long").alias("day")).agg(
+        F.max("n").alias("n_events_7d"),
+        (
+            (F.sum(F.col("vc").cast("decimal(18,4)")) / F.count("*")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("median_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_subtree_revenue_rollup",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS c,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), divs AS (
+      SELECT unnest([1, 10, 100, 1000, 10000, 100000, 1000000]) AS d
+    ), anc AS (
+      SELECT DISTINCT r.c, r.c // v.d AS node
+      FROM rev r CROSS JOIN divs v
+      WHERE r.c // v.d >= 1
+    )
+    SELECT a.node,
+           CAST(COUNT(*) AS BIGINT) AS n_contributors,
+           CAST(SUM(r.cents) AS BIGINT) AS subtree_cents,
+           CAST(SUM(r.n_orders) AS BIGINT) AS subtree_orders
+    FROM anc a JOIN rev r ON r.c = a.c
+    GROUP BY a.node
+    HAVING COUNT(*) >= 2
+    """,
+)
+def customer_subtree_revenue_rollup(spark: SparkSession, sf: str):
+    """HIERARCHICAL SUBTREE ROLLUP: every customer's order revenue
+    accumulated into ALL its ancestors in the digit-trim hierarchy
+    (parent = custkey DIV 10 — the customer_hierarchy_walk tree), i.e.
+    the recursive "bill-of-materials" aggregation, reported for every
+    internal node with >= 2 contributors.  Because this hierarchy is an
+    ARITHMETIC encoding, the ancestor closure is row-local — explode 7
+    divisors and keep quotients >= 1 — so the rollup needs ZERO
+    iterations: closure explode (bounded x7), one join, one groupBy.
+    That is the scale lesson this query pins: materialize the
+    node->ancestor closure when depth is bounded (here by key width)
+    and the whole recursive aggregation collapses to one shuffle; the
+    general parent-map fallback is operators/graph.walk_to_root.
+    Exact integer cents throughout."""
+    rev = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    anc = (
+        rev.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)"
+                )
+            ).alias("d"),
+        )
+        .select("c", F.expr("c DIV d").alias("node"))
+        .filter(F.col("node") >= 1)
+        .distinct()
+    )
+    return (
+        anc.join(rev, "c")
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_contributors"),
+            F.sum("cents").cast("long").alias("subtree_cents"),
+            F.sum("n_orders").cast("long").alias("subtree_orders"),
+        )
+        .filter(F.col("n_contributors") >= 2)
+    )
