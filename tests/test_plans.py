@@ -527,3 +527,37 @@ def test_session_window_dynamic_gap_is_one_exchange_merging_sessions(
     assert count_exchanges(df) == 1
     plan = explain_str(df, "formatted")
     assert "MergingSessions" in plan
+
+
+def test_rolling_median_window_join_is_equi_keyed(spark, sf_dir):
+    """The trailing-7-day anchor join must ride the day-range predicate
+    as a RESIDUAL on a user-keyed equi join (hash or sort-merge — either
+    is the scale shape) — a regression to a nested-loop/cartesian plan
+    turns the bounded 7x amplification into |anchors| x |events|."""
+    df = Q["user_rolling_7d_median_value"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert strats, "window join disappeared"
+    assert all(
+        s in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for s in strats
+    ), strats
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_subtree_rollup_is_single_pass_no_iteration(spark, sf_dir):
+    """The bill-of-materials rollup must stay a ONE-PASS plan: the
+    ancestor closure is a row-local explode (no iterative joins), so the
+    whole query is bounded exchanges (revenue agg, closure distinct,
+    final agg) and exactly one equi join back to the revenue frame."""
+    df = Q["customer_subtree_revenue_rollup"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert len(strats) == 1 and strats[0] in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+    ), strats
+    assert count_exchanges(df) <= 4
+    plan = explain_str(df, "formatted")
+    assert "Generate" in plan  # the divisor explode is the closure
