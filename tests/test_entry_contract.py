@@ -29,6 +29,7 @@ DRIVER_UNSAMPLED = [
     "streaming_decode_customers",
     "streaming_hourly_tumbling",
     "streaming_session_windows",
+    "streaming_session_window_dynamic_gap",
     "streaming_sliding_counts",
     "avro_roundtrip_customers",
     "decode_error_rates",
