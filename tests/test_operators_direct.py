@@ -1800,3 +1800,11 @@ def test_k_core_peel_known_graph(spark):
         k_core_peel(df, k=0, rounds=1)
     with pytest.raises(ValueError):
         k_core_peel(df, k=2, rounds=-1)
+    # total peel: k above every degree empties the graph in round 1 and
+    # the stats rows for the empty rounds must read (0, 0), not NULL —
+    # covers the coalesce'd degree-derived stats path
+    empty = {
+        r.round: (r.n_nodes, r.n_edges)
+        for r in k_core_peel(df, k=10, rounds=2).collect()
+    }
+    assert empty == {0: (6, 8), 1: (0, 0), 2: (0, 0)}
