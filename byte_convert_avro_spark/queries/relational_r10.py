@@ -365,3 +365,154 @@ def customer_subtree_revenue_rollup(spark: SparkSession, sf: str):
         )
         .filter(F.col("n_contributors") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+#: Poisson(1) CDF thresholds scaled to 52-bit integers (floor(CDF * 2^52)
+#: for k = 0..5) — the deterministic inverse-CDF lookup both engines
+#: compare a 52-bit md5-derived uniform against.  Counts cap at 6
+#: (P(X > 5) ~ 6e-4; the cap is part of the pinned definition).
+_POIS1_T = [
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+]
+
+
+@register(
+    "order_value_bootstrap_ci",
+    f"""
+    WITH c AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), reps AS (
+      SELECT unnest(generate_series(0, 39)) AS b
+    ), drawn AS (
+      SELECT r.b, c.cents,
+             ('0x' || substr(md5(CAST(c.o_orderkey AS VARCHAR) || '|'
+                                 || CAST(r.b AS VARCHAR)), 1, 13))::BIGINT AS v
+      FROM c CROSS JOIN reps r
+    ), counted AS (
+      SELECT b, cents,
+             CASE WHEN v < {_POIS1_T[0]} THEN 0
+                  WHEN v < {_POIS1_T[1]} THEN 1
+                  WHEN v < {_POIS1_T[2]} THEN 2
+                  WHEN v < {_POIS1_T[3]} THEN 3
+                  WHEN v < {_POIS1_T[4]} THEN 4
+                  WHEN v < {_POIS1_T[5]} THEN 5
+                  ELSE 6 END AS cnt
+      FROM drawn
+    ), means AS (
+      SELECT b,
+             CAST(SUM(cnt * cents) AS DOUBLE) / SUM(cnt) / 100.0e0 AS m
+      FROM counted GROUP BY b HAVING SUM(cnt) > 0
+    ), ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM means
+    ), pt AS (
+      SELECT CAST(SUM(CAST(cents AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE)
+               / 100.0e0 AS point_mean
+      FROM c
+    )
+    SELECT p.point_mean,
+           MAX(CASE WHEN rn = 1 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rn = nb THEN m END) AS ci_hi,
+           MAX(nb) AS n_replicates
+    FROM ranked CROSS JOIN pt p
+    GROUP BY p.point_mean
+    """,
+)
+def order_value_bootstrap_ci(spark: SparkSession, sf: str):
+    """BOOTSTRAP CONFIDENCE INTERVAL with DETERMINISTIC randomness — the
+    resampling-inference family (absent from SQL engines) under the
+    oracle gate: a 40-replicate Poissonized bootstrap of mean order
+    value, CI = (min, max) of the replicate means (the exact 2.5/97.5
+    envelope at B=40).  The Poissonization is what makes the bootstrap
+    distributed-friendly: instead of drawing n rows WITH replacement
+    per replicate (a global operation), each row independently appears
+    Poisson(1) times — row-local, one pass, the standard streaming-
+    bootstrap trick.  Randomness is the repo's reproducible-sampling
+    primitive taken one step further: a 52-bit md5 uniform compared
+    against INTEGER Poisson-CDF thresholds (floor(CDF * 2^52) literals
+    shared by both engines), so every draw is bit-identical
+    cross-engine with zero float in the sampling path.  Scale: the x40
+    replicate explode is the explicit bounded cost (B x corpus rows
+    into one map-side-partial groupBy on 40 keys); at 100 TB run the
+    replicates as 40 independent aggregates over one scan — same plan
+    Catalyst produces here."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b")
+    c = t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    drawn = c.select("o_orderkey", "cents", reps).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("v"),
+    )
+    cnt = (
+        F.when(F.col("v") < _POIS1_T[0], 0)
+        .when(F.col("v") < _POIS1_T[1], 1)
+        .when(F.col("v") < _POIS1_T[2], 2)
+        .when(F.col("v") < _POIS1_T[3], 3)
+        .when(F.col("v") < _POIS1_T[4], 4)
+        .when(F.col("v") < _POIS1_T[5], 5)
+        .otherwise(6)
+    )
+    means = (
+        drawn.select("b", "cents", cnt.alias("cnt"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("cnt") * F.col("cents")).alias("_num"),
+            F.sum("cnt").alias("_den"),
+        )
+        .filter(F.col("_den") > 0)
+        .select(
+            "b",
+            (F.col("_num").cast("double") / F.col("_den") / 100.0).alias("m"),
+        )
+    )
+    wrk = W.orderBy("m", "b")
+    ranked = means.select(
+        "m",
+        F.row_number().over(wrk).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("nb"),
+    )
+    pt = c.agg(
+        (
+            (F.sum(F.col("cents").cast("decimal(18,4)")) / F.count("*")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("point_mean")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .groupBy("point_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == F.col("nb"), F.col("m"))).alias("ci_hi"),
+            F.max("nb").alias("n_replicates"),
+        )
+        .select("point_mean", "ci_lo", "ci_hi", "n_replicates")
+    )
