@@ -516,3 +516,156 @@ def order_value_bootstrap_ci(spark: SparkSession, sf: str):
         )
         .select("point_mean", "ci_lo", "ci_hi", "n_replicates")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "ab_test_permutation_pvalue",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), obs AS (
+      SELECT
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                 THEN conv ELSE 0 END) AS xa,
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                 THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+                 THEN conv ELSE 0 END) AS xb,
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+                 THEN 1 ELSE 0 END) AS nb
+      FROM u
+    ), reps AS (
+      SELECT unnest(generate_series(0, 39)) AS b
+    ), perm AS (
+      SELECT r.b,
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '|'
+                                      || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                 THEN u.conv ELSE 0 END) AS xa,
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '|'
+                                      || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                 THEN 1 ELSE 0 END) AS na,
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '|'
+                                      || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+                 THEN u.conv ELSE 0 END) AS xb,
+        SUM(CASE WHEN ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '|'
+                                      || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+                 THEN 1 ELSE 0 END) AS nb
+      FROM u CROSS JOIN reps r
+      GROUP BY r.b
+    ), od AS (
+      SELECT CAST(xa AS DOUBLE) / na AS rate_a,
+             CAST(xb AS DOUBLE) / nb AS rate_b,
+             ABS(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) AS ad
+      FROM obs
+    ), ext AS (
+      SELECT CAST(SUM(CASE WHEN ABS(CAST(p.xa AS DOUBLE) / p.na
+                               - CAST(p.xb AS DOUBLE) / p.nb) >= o.ad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+             CAST(COUNT(*) AS BIGINT) AS n_perms
+      FROM perm p CROSS JOIN od o
+    )
+    SELECT o.rate_a, o.rate_b,
+           o.rate_a - o.rate_b AS obs_diff,
+           e.n_extreme, e.n_perms,
+           (1.0e0 + e.n_extreme) / (1.0e0 + e.n_perms) AS p_value
+    FROM od o CROSS JOIN ext e
+    """,
+)
+def ab_test_permutation_pvalue(spark: SparkSession, sf: str):
+    """PERMUTATION TEST with DETERMINISTIC resampling — the
+    hypothesis-testing twin of ``order_value_bootstrap_ci`` and the
+    nonparametric companion to the parametric z/t/chi2 family: is the
+    observed A/B conversion-rate difference (arms = the same md5%2
+    assignment ``ab_test_purchase_rates`` uses) explainable by chance?
+    40 RE-RANDOMIZATIONS re-assign each user's arm independently via
+    the reproducible hash(user || '|' || b) — the re-randomization
+    variant of the permutation test, exactly mirroring how the original
+    arms were assigned (hash%2, so arm sizes vary binomially rather
+    than being held fixed; under that design this is the faithful null)
+    — exact integer counts per replicate, one double rate-difference
+    each, and the add-one p-value counts replicates at least as extreme
+    as the observed difference (add-one = the standard guarantee that a
+    resampling p-value is never exactly 0).  Every draw is bit-identical cross-engine: the
+    assignment is integer md5 arithmetic, the only floats are identical
+    rate divisions.  Scale: the x40 explode feeds ONE map-side-partial
+    groupBy on 40 keys (conditional-sum buffers) — same plan family as
+    the bootstrap; at 100 TB permutation count trades linearly with
+    cost and 40 gives p-resolution 1/41."""
+    from byte_convert_avro_spark.queries.base import hash_bucket
+
+    u = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    arm = hash_bucket("user_id", 2)
+    obs = u.agg(
+        F.sum(F.when(arm == 0, F.col("conv")).otherwise(0)).alias("xa"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(arm == 1, F.col("conv")).otherwise(0)).alias("xb"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).alias("nb"),
+    )
+    od = obs.select(
+        (F.col("xa").cast("double") / F.col("na")).alias("rate_a"),
+        (F.col("xb").cast("double") / F.col("nb")).alias("rate_b"),
+        F.abs(
+            F.col("xa").cast("double") / F.col("na")
+            - F.col("xb").cast("double") / F.col("nb")
+        ).alias("ad"),
+    )
+    parm = hash_bucket(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        ),
+        2,
+    )
+    perm = (
+        u.select(
+            "user_id",
+            "conv",
+            F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(parm == 0, F.col("conv")).otherwise(0)).alias("xa"),
+            F.sum(F.when(parm == 0, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(parm == 1, F.col("conv")).otherwise(0)).alias("xb"),
+            F.sum(F.when(parm == 1, 1).otherwise(0)).alias("nb"),
+        )
+    )
+    pd_ = F.abs(
+        F.col("xa").cast("double") / F.col("na")
+        - F.col("xb").cast("double") / F.col("nb")
+    )
+    ext = (
+        perm.crossJoin(F.broadcast(od))
+        .agg(
+            F.sum(F.when(pd_ >= F.col("ad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_extreme"),
+            F.count("*").cast("long").alias("n_perms"),
+        )
+    )
+    return (
+        od.crossJoin(F.broadcast(ext))
+        .select(
+            "rate_a",
+            "rate_b",
+            (F.col("rate_a") - F.col("rate_b")).alias("obs_diff"),
+            "n_extreme",
+            "n_perms",
+            ((F.lit(1.0) + F.col("n_extreme")) / (F.lit(1.0) + F.col("n_perms")))
+            .alias("p_value"),
+        )
+    )
