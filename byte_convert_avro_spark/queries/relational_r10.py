@@ -127,7 +127,7 @@ def order_price_equi_width_hist(spark: SparkSession, sf: str):
     ), flagged AS (
       SELECT user_id, event_id, value, ts_us,
              CASE WHEN MAX(ts_us + gap_us) OVER wprev IS NULL
-                    OR ts_us >= MAX(ts_us + gap_us) OVER wprev
+                    OR ts_us > MAX(ts_us + gap_us) OVER wprev
                   THEN 1 ELSE 0 END AS new_session
       FROM e
       WINDOW wprev AS (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -153,13 +153,14 @@ def events_session_window_dynamic_gap(spark: SparkSession, sf: str):
     gap-parameterized shape the gaps-and-islands queries hard-code away:
     purchases hold a session open 30 min, views only 10, everything else
     20.  Spark runs its real merging-session operator (each event spans
-    [ts, ts+gap); overlapping spans per user merge; the span boundary is
-    half-open, so an event landing exactly at a session's current end
-    starts a NEW session).  The oracle derives identical semantics from
-    first principles: a session break is ts >= running MAX(ts + gap)
-    over all PRIOR events of the user — the running max is what makes
-    per-event gaps correct where the classic lag-based flag (which only
-    looks at the immediately previous event) is not.
+    [ts, ts+gap]; spans that overlap OR TOUCH per user merge — an event
+    landing exactly at a session's current end EXTENDS it, the
+    inclusive-end rule pinned by tests/test_session_semantics.py on
+    explicit boundary cases).  The oracle derives identical semantics
+    from first principles: a session break is ts STRICTLY > running
+    MAX(ts + gap) over all PRIOR events of the user — the running max
+    is what makes per-event gaps correct where the classic lag-based
+    flag (which only looks at the immediately previous event) is not.
     Scale: one shuffle on user_id; Spark's session merge is a
     partition-local sort pass, the same cost profile as the
     gaps-and-islands spelling but with the gap logic in the operator

@@ -1072,7 +1072,7 @@ def streaming_full_outer_view_purchase(spark: SparkSession, sf: str):
     ), flagged AS (
       SELECT user_id, event_id, value, ts_us,
              CASE WHEN MAX(ts_us + gap_us) OVER wprev IS NULL
-                    OR ts_us >= MAX(ts_us + gap_us) OVER wprev
+                    OR ts_us > MAX(ts_us + gap_us) OVER wprev
                   THEN 1 ELSE 0 END AS new_session
       FROM e
       WINDOW wprev AS (PARTITION BY user_id ORDER BY ts_us, event_id

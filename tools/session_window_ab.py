@@ -30,8 +30,9 @@ sys.path.insert(0, REPO)
 
 def islands_form(spark, sf_dir):
     """Gaps-and-islands twin of events_session_window_dynamic_gap —
-    identical semantics (running MAX(ts+gap) break flag), classic
-    two-window spelling."""
+    identical semantics (break iff ts STRICTLY exceeds the running
+    MAX(ts+gap) — Spark's merge treats the session end as inclusive),
+    classic two-window spelling."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -54,7 +55,7 @@ def islands_form(spark, sf_dir):
         "new_session",
         F.when(F.max(F.col("ts_us") + F.col("gap_us")).over(wprev).isNull(), 1)
         .when(
-            F.col("ts_us") >= F.max(F.col("ts_us") + F.col("gap_us")).over(wprev), 1
+            F.col("ts_us") > F.max(F.col("ts_us") + F.col("gap_us")).over(wprev), 1
         )
         .otherwise(0),
     )
