@@ -1578,8 +1578,13 @@ def customer_fuzzy_match_pairs(spark: SparkSession, sf: str):
     found by BLOCKING + exact edit distance — the fuzzy-match primitive
     every dedup-adjacent pipeline needs for keys that hash differently
     but mean the same entity (typos, OCR noise).  Levenshtein is an
-    exact integer metric, identical in both engines, so fuzzy matching
-    sits under the hash gate like any join.  Scale: the quadratic
+    exact integer metric, identical in both engines ON ASCII input —
+    the corpus's envelope.  Pinned caveat
+    (tests/test_cross_engine_scalars.py): DuckDB's levenshtein counts
+    UTF-8 BYTES while Spark's counts CHARACTERS ('café'->'cafe' is 1 vs
+    2), so on a multibyte corpus the ORACLE needs a byte-safe
+    respelling; the Spark operator's character semantics are the
+    correct linkage metric and would not change.  Scale: the quadratic
     comparison runs only INSIDE nation blocks (the standard blocking
     discipline — never corpus × corpus); at deployment, block on
     cheap canonical keys (sorted name tokens, phonetic codes, LSH over
