@@ -140,3 +140,31 @@ def test_levenshtein_ascii_matches_and_multibyte_divergence_pinned(spark):
         "envelope note and this pin can be revisited"
     )
     con.close()
+
+
+def test_integer_division_and_modulo_match_on_negatives(spark):
+    """Both engines TRUNCATE integer division toward zero and give the
+    dividend's sign to %, INCLUDING on negatives (-7 DIV 2 = -3 = -7//2
+    in DuckDB — note this is NOT Python's floor //).  Every oracle
+    division is non-negative by construction today; this pin keeps the
+    convention agreement visible so a negative-operand query added
+    later inherits a proven rule instead of a Python intuition."""
+    cases = [(-7, 2), (7, 2), (-7, -2), (-1, 16), (-16, 16)]
+    gd = [
+        r.d
+        for r in spark.createDataFrame(cases, "a long, b long")
+        .select(F.expr("a DIV b").alias("d"))
+        .collect()
+    ]
+    gm = [
+        r.m
+        for r in spark.createDataFrame(cases, "a long, b long")
+        .select(F.expr("a % b").alias("m"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    dd = [con.execute(f"SELECT {a} // {b}").fetchone()[0] for a, b in cases]
+    dm = [con.execute(f"SELECT {a} % {b}").fetchone()[0] for a, b in cases]
+    con.close()
+    assert gd == dd
+    assert gm == dm
