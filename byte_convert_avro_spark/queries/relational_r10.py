@@ -1,9 +1,14 @@
-"""Round-10 relational additions — the window/bucketing shapes the driver's
-relational sample has not drawn yet (round-9 verdict #6): the
-``percent_rank``/``cume_dist`` dual pair, a WIDTH_BUCKET-style equi-width
-histogram in exact integer arithmetic, and the batch-native
-``session_window`` twin of the streaming sessionizer with an EXPLICIT
-per-event gap parameter.
+"""Round-10 relational additions.
+
+The round-9 verdict #6 shapes — the ``percent_rank``/``cume_dist`` dual
+pair, a WIDTH_BUCKET-style equi-width histogram in exact integer
+arithmetic, and the batch-native ``session_window`` with an EXPLICIT
+per-event gap parameter — plus the round's later families: the rolling
+exact median (bounded anchor-window join), the bill-of-materials
+subtree rollup (row-local ancestor closure), and deterministic
+resampling inference (Poissonized bootstrap CI and the
+re-randomization A/B test, both drawing from integer-threshold md5
+randomness).
 
 Same contract as every other query module: each entry is registered with
 a DuckDB oracle and the cross-engine determinism discipline from
