@@ -168,3 +168,28 @@ def test_integer_division_and_modulo_match_on_negatives(spark):
     con.close()
     assert gd == dd
     assert gm == dm
+
+
+def test_division_by_zero_is_loud_never_silent(spark):
+    """Zero denominators can NEVER silently diverge between the engines:
+    Spark runs ANSI mode (the 4.x default — double x/0 THROWS
+    DIVIDE_BY_ZERO) while DuckDB returns NULL, so a query whose
+    denominator reaches zero fails its gate loudly on one side or the
+    other — it cannot hash-match wrong values.  The recorded discipline
+    for query authors: where zero is REACHABLE (a variance over a
+    constant group, an empty-window rate), guard with CASE/nullif in
+    BOTH spellings; a green gate on an unguarded division is proof the
+    corpus never reaches zero, not that the division is safe at every
+    scale (the data-contract notes on the OLS/Welch-t docstrings)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    df = spark.createDataFrame([(1.0, 0.0)], "a double, b double")
+    with pytest.raises(ArithmeticException):
+        df.select((F.col("a") / F.col("b")).alias("d")).collect()
+    con = duckdb.connect()
+    assert (
+        con.execute("SELECT CAST(1 AS DOUBLE) / CAST(0 AS DOUBLE)").fetchone()[0]
+        is None
+    )
+    con.close()
