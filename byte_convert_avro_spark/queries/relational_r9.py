@@ -734,7 +734,8 @@ def customer_not_in_null_semantics(spark: SparkSession, sf: str):
              CAST(SUM(gap_s) AS BIGINT) AS s1,
              CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
       FROM g WHERE gap_s IS NOT NULL
-      GROUP BY user_id HAVING COUNT(*) >= 2
+      GROUP BY user_id
+      HAVING COUNT(*) >= 2 AND SUM(gap_s) > 0
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
            CAST(s1 AS DOUBLE) / n AS mean_gap_s,
@@ -753,8 +754,13 @@ def user_interarrival_cv(spark: SparkSession, sf: str):
     stddev over mean from EXACT int64 sums (gap_s ~ 1e5, gap² ~ 1e10,
     x1e8 gaps stays under 2^63).  Every
     float op has exact integer inputs and both engines spell the same
-    tree: bit-identical.  Scale: one window + one groupBy on the user
-    key."""
+    tree: bit-identical.  Users whose gaps ALL truncate to zero seconds
+    (every event inside one wall-clock second) are EXCLUDED by the
+    SUM(gap_s) > 0 guard — their cv is 0/0, which ANSI Spark turns into
+    a DIVIDE_BY_ZERO crash (reachable on any bursty corpus even though
+    this one never trips it; the round-10 division-loudness pin in
+    tests/test_cross_engine_scalars.py records the rule).  Scale: one
+    window + one groupBy on the user key."""
     from byte_convert_avro_spark.queries.base import events_ts_to_ns
 
     ev = events_ts_to_ns(t(spark, sf, "events")).filter(
@@ -776,7 +782,7 @@ def user_interarrival_cv(spark: SparkSession, sf: str):
             F.sum("gap_s").cast("long").alias("s1"),
             F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("s2"),
         )
-        .filter(F.col("n") >= 2)
+        .filter((F.col("n") >= 2) & (F.col("s1") > 0))
     )
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / F.col("n")
