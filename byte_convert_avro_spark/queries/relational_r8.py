@@ -697,13 +697,21 @@ def part_name_inverted_index(spark: SparkSession, sf: str):
     SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_purchase,
            CAST(sa1 AS DOUBLE) / n1 / 100.0 AS mean_view,
            CAST(sa2 AS DOUBLE) / n2 / 100.0 AS mean_purchase,
-           (CAST(sa1 AS DOUBLE) / n1 - CAST(sa2 AS DOUBLE) / n2)
-             / sqrt(
-                 (CAST(n1 AS DOUBLE) * sq1 - CAST(sa1 AS DOUBLE) * sa1)
-                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
-                 + (CAST(n2 AS DOUBLE) * sq2 - CAST(sa2 AS DOUBLE) * sa2)
-                   / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))
-               ) AS welch_t
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+             CASE WHEN (CAST(n1 AS DOUBLE) * sq1 - CAST(sa1 AS DOUBLE) * sa1)
+                         / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                       + (CAST(n2 AS DOUBLE) * sq2 - CAST(sa2 AS DOUBLE) * sa2)
+                         / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) > 0
+             THEN
+               (CAST(sa1 AS DOUBLE) / n1 - CAST(sa2 AS DOUBLE) / n2)
+                 / sqrt(
+                     (CAST(n1 AS DOUBLE) * sq1 - CAST(sa1 AS DOUBLE) * sa1)
+                       / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+                     + (CAST(n2 AS DOUBLE) * sq2 - CAST(sa2 AS DOUBLE) * sa2)
+                       / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))
+                   )
+             END
+           END AS welch_t
     FROM w
     """,
 )
@@ -717,9 +725,15 @@ def events_value_welch_t_view_purchase(spark: SparkSession, sf: str):
     Welch standard error sqrt(v1/n1 + v2/n2) with each variance as the
     integer-numerator form (n·Σx² − (Σx)²)/(n·n·(n−1)).  Every float op
     has exact-integer inputs and both engines spell the identical
-    expression tree, so the t value is bit-identical.  Scale: one
-    groupBy over filtered events, two partial-agg sums; the final math
-    is a 2-row fold."""
+    expression tree, so the t value is bit-identical.  Degenerate
+    inputs return NULL instead of crashing ANSI Spark (the round-10
+    division-loudness rule): a single-row group makes (n-1) = 0 and an
+    all-equal-values pair makes the Welch SE 0 — both guarded by
+    CONDITIONALLY EVALUATED nested CASE branches (a flat AND is not a
+    guard: the variance division inside the condition would itself
+    throw while the condition is being tested).  Scale: one groupBy
+    over filtered events, two partial-agg sums; the final math is a
+    2-row fold."""
     ev = t(spark, sf, "events")
     c = F.round(F.col("value") * 100, 0).cast("long")
     s = (
@@ -752,9 +766,13 @@ def events_value_welch_t_view_purchase(spark: SparkSession, sf: str):
         n2.cast("long").alias("n_purchase"),
         (sa1.cast("double") / n1 / 100.0).alias("mean_view"),
         (sa2.cast("double") / n2 / 100.0).alias("mean_purchase"),
-        (
-            (sa1.cast("double") / n1 - sa2.cast("double") / n2)
-            / F.sqrt(v1 + v2)
+        F.when(
+            (n1 >= 2) & (n2 >= 2),
+            F.when(
+                v1 + v2 > 0,
+                (sa1.cast("double") / n1 - sa2.cast("double") / n2)
+                / F.sqrt(v1 + v2),
+            ),
         ).alias("welch_t"),
     )
 

@@ -370,25 +370,36 @@ def trade_reachability_3hop(spark: SparkSession, sf: str):
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-           (CAST(sy AS DOUBLE)
-              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+             (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)
+           END AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0 THEN
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE) AS intercept,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS r2
     FROM s
     """,
 )
@@ -430,9 +441,11 @@ def lineitem_ols_qty_dollars(spark: SparkSession, sf: str):
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        slope.alias("slope"),
-        ((syd - slope * sxd) / nd).alias("intercept"),
-        (num * num / (denx * deny)).alias("r2"),
+        F.when(denx != 0, slope).alias("slope"),
+        F.when(denx != 0, (syd - slope * sxd) / nd).alias("intercept"),
+        F.when((denx != 0) & (deny != 0), num * num / (denx * deny)).alias(
+            "r2"
+        ),
     )
 
 
