@@ -904,14 +904,23 @@ def events_user_rfm(spark: SparkSession, sf: str):
       FROM h GROUP BY event_type
     )
     SELECT h.event_type, h.hour_bucket, h.c,
-           (CAST(h.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n)
-             / sqrt((CAST(s.n AS DOUBLE) * s.sum_c2 - CAST(s.sum_c AS DOUBLE) * s.sum_c)
-                    / (CAST(s.n AS DOUBLE) * (s.n - 1))) AS zscore
+           CASE WHEN s.n >= 2
+                 AND CAST(s.n AS DOUBLE) * s.sum_c2
+                       - CAST(s.sum_c AS DOUBLE) * s.sum_c > 0 THEN
+             (CAST(h.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n)
+               / sqrt((CAST(s.n AS DOUBLE) * s.sum_c2
+                         - CAST(s.sum_c AS DOUBLE) * s.sum_c)
+                      / (CAST(s.n AS DOUBLE) * (s.n - 1)))
+           END AS zscore
     FROM h JOIN s ON s.event_type = h.event_type
-    WHERE (CAST(h.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n)
-          / sqrt((CAST(s.n AS DOUBLE) * s.sum_c2 - CAST(s.sum_c AS DOUBLE) * s.sum_c)
-                 / (CAST(s.n AS DOUBLE) * (s.n - 1)))
-          >= CAST(2.5 AS DOUBLE)
+    WHERE CASE WHEN s.n >= 2
+                AND CAST(s.n AS DOUBLE) * s.sum_c2
+                      - CAST(s.sum_c AS DOUBLE) * s.sum_c > 0 THEN
+            (CAST(h.c AS DOUBLE) - CAST(s.sum_c AS DOUBLE) / s.n)
+              / sqrt((CAST(s.n AS DOUBLE) * s.sum_c2
+                        - CAST(s.sum_c AS DOUBLE) * s.sum_c)
+                     / (CAST(s.n AS DOUBLE) * (s.n - 1)))
+          END >= CAST(2.5 AS DOUBLE)
     """,
 )
 def events_hourly_anomaly_zscore(spark: SparkSession, sf: str):
@@ -922,8 +931,14 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf: str):
     mean and variance derive from EXACT integer sums
     (n, Σc, Σc² — sum-of-squares identity), and the z-score is a fixed
     sequence of IEEE ops on those integers, bit-identical cross-engine,
-    so even the >= threshold row set matches exactly.  Scale: one
-    (type, hour) groupBy + one tiny per-type rollup broadcast back."""
+    so even the >= threshold row set matches exactly.  Degenerate types
+    (one active hour -> (n-1) = 0; perfectly uniform hourly counts ->
+    variance 0) produce NULL z via a CONDITIONALLY EVALUATED CASE
+    instead of crashing ANSI Spark — the guard must live INSIDE the
+    expression, not as a flat AND in the filter, because vectorized
+    evaluation does not short-circuit (round-10 division-loudness
+    rule).  Scale: one (type, hour) groupBy + one tiny per-type rollup
+    broadcast back."""
     ev = _ev(spark, sf)
     h = ev.groupBy(
         "event_type", F.expr(f"ts_us DIV {US_PER_HOUR}").alias("hour_bucket")
@@ -935,11 +950,15 @@ def events_hourly_anomaly_zscore(spark: SparkSession, sf: str):
     )
     j = h.join(F.broadcast(s), "event_type")
     mean = F.col("sum_c").cast("double") / F.col("n")
-    var = (
+    var_num = (
         F.col("n").cast("double") * F.col("sum_c2")
         - F.col("sum_c").cast("double") * F.col("sum_c")
-    ) / (F.col("n").cast("double") * (F.col("n") - 1))
-    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    )
+    var = var_num / (F.col("n").cast("double") * (F.col("n") - 1))
+    z = F.when(
+        (F.col("n") >= 2) & (var_num > 0),
+        (F.col("c").cast("double") - mean) / F.sqrt(var),
+    )
     return (
         j.withColumn("zscore", z)
         .filter(F.col("zscore") >= F.lit(2.5))
