@@ -48,6 +48,9 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
     d = df.withColumn("_w", F.split(text_col, " "))
     n_chars = F.length(text_col)
     n_words = F.size("_w")
+    # n_words >= 1 always (split('') = ['']); n_chars CAN be 0 for an
+    # empty document — under ANSI that division throws, so the punct
+    # term is conditionally evaluated (empty doc contributes 0)
     diversity = F.size(F.array_distinct("_w")).cast("double") / n_words
     punct_ratio = (
         F.length(F.regexp_replace(text_col, r"[\w\s]", "")).cast("double") / n_chars
@@ -61,9 +64,12 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
     # NOTE: left unrounded — the expression tree is identical across
     # engines so the doubles agree bit-for-bit, whereas ROUND(x, 4) ties
     # resolve differently per engine.
+    punct_term = F.when(
+        n_chars > 0, 1.0 - F.least(punct_ratio * 5, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
     score = (
         0.3 * len_band + 0.2 * has_stop + 0.3 * F.least(diversity * 2, F.lit(1.0))
-        + 0.2 * (1.0 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.2 * punct_term
     )
     return d.withColumn(out, score).drop("_w")
 

@@ -193,7 +193,10 @@ _QUALITY_CTE = r"""
                          WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
              + 0.2 * has_stop
              + 0.3 * LEAST(CAST(n_distinct AS DOUBLE) / n_words * 2, 1.0)
-             + 0.2 * (1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_chars * 5, 1.0))
+             + 0.2 * (CASE WHEN n_chars > 0
+                            THEN 1.0 - LEAST(CAST(n_punct AS DOUBLE)
+                                             / n_chars * 5, 1.0)
+                            ELSE 0.0 END)
                AS quality
       FROM qbase
     )
