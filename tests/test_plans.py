@@ -11,6 +11,8 @@ auto-broadcast of tiny test tables can't flake them.)
 
 from __future__ import annotations
 
+import re
+
 from byte_convert_avro_spark.avro import schemaless_encode
 from byte_convert_avro_spark.engine import Engine, EngineConfig, KAFKA_RECORD_SCHEMA
 from byte_convert_avro_spark.plans import (
@@ -529,21 +531,28 @@ def test_session_window_dynamic_gap_is_one_exchange_merging_sessions(
     assert "MergingSessions" in plan
 
 
-def test_rolling_median_window_join_is_equi_keyed(spark, sf_dir):
-    """The trailing-7-day anchor join must ride the day-range predicate
-    as a RESIDUAL on a user-keyed equi join (hash or sort-merge — either
-    is the scale shape) — a regression to a nested-loop/cartesian plan
-    turns the bounded 7x amplification into |anchors| x |events|."""
+def test_rolling_median_is_joinless_and_day_keyed(spark, sf_dir):
+    """The trailing-7-day window must be JOINLESS: each event explodes
+    to its <= 7 covered anchor days (physical, bounded fan-out) and the
+    window + aggregate key on the composite (user_id, day).  A
+    regression to the old anchors-join spelling — equi-keyed on user
+    alone with the day band as a residual — re-opens the hot-user
+    quadratic hazard (|active_days_u| x |events_u| candidate pairs per
+    user, un-splittable by AQE within one join key).  Pin both halves:
+    zero joins anywhere in the plan, and the window partition spec
+    carries the day next to the user."""
     df = Q["user_rolling_7d_median_value"](spark, sf_dir)
-    strats = join_strategies(df)
-    assert strats, "window join disappeared"
-    assert all(
-        s in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
-        for s in strats
-    ), strats
+    assert join_strategies(df) == [], join_strategies(df)
     plan = explain_str(df, "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the explode IS the 7x fan-out
+    # The one window exchange must hash on (user_id, day) — the day
+    # riding the partition key is what makes a hot USER splittable
+    # across his active days.
+    assert re.search(
+        r"hashpartitioning\(user_id[^)]*,\s*day", plan
+    ), plan[:4000]
 
 
 def test_subtree_rollup_is_single_pass_no_iteration(spark, sf_dir):
