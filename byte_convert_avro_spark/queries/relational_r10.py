@@ -314,12 +314,13 @@ def user_rolling_7d_median_value(spark: SparkSession, sf: str):
                   AS BIGINT) AS cents,
              COUNT(*) AS n_orders
       FROM orders GROUP BY 1
-    ), divs AS (
-      SELECT unnest([1, 10, 100, 1000, 10000, 100000, 1000000]) AS d
     ), anc AS (
-      SELECT DISTINCT r.c, r.c // v.d AS node
-      FROM rev r CROSS JOIN divs v
-      WHERE r.c // v.d >= 1
+      SELECT DISTINCT r.c,
+             CAST(substr(CAST(r.c AS VARCHAR), 1, i) AS BIGINT) AS node
+      FROM rev r
+      CROSS JOIN LATERAL (
+        SELECT unnest(range(1, length(CAST(r.c AS VARCHAR)) + 1)) AS i
+      )
     )
     SELECT a.node,
            CAST(COUNT(*) AS BIGINT) AS n_contributors,
@@ -336,9 +337,14 @@ def customer_subtree_revenue_rollup(spark: SparkSession, sf: str):
     (parent = custkey DIV 10 — the customer_hierarchy_walk tree), i.e.
     the recursive "bill-of-materials" aggregation, reported for every
     internal node with >= 2 contributors.  Because this hierarchy is an
-    ARITHMETIC encoding, the ancestor closure is row-local — explode 7
-    divisors and keep quotients >= 1 — so the rollup needs ZERO
-    iterations: closure explode (bounded x7), one join, one groupBy.
+    ARITHMETIC encoding, the ancestor closure is row-local — a key's
+    ancestors are exactly the decimal PREFIXES of its own digits, so
+    each row explodes to length(digits) prefix nodes (round 11: derived
+    from the key's own width; the old fixed 7-divisor list silently
+    dropped ancestors above 10^6 for custkeys >= 10^7 at large scale
+    factors, and the oracle shared the literal so no gate could see it
+    — the r10 ADVICE finding) — the rollup needs ZERO iterations:
+    closure explode (bounded by key width), one join, one groupBy.
     That is the scale lesson this query pins: materialize the
     node->ancestor closure when depth is bounded (here by key width)
     and the whole recursive aggregation collapses to one shuffle; the
@@ -359,12 +365,11 @@ def customer_subtree_revenue_rollup(spark: SparkSession, sf: str):
             "c",
             F.explode(
                 F.expr(
-                    "array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)"
+                    "transform(sequence(1, length(cast(c AS STRING))),"
+                    " i -> cast(substr(cast(c AS STRING), 1, i) AS BIGINT))"
                 )
-            ).alias("d"),
+            ).alias("node"),
         )
-        .select("c", F.expr("c DIV d").alias("node"))
-        .filter(F.col("node") >= 1)
         .distinct()
     )
     return (
@@ -442,8 +447,11 @@ def order_value_bootstrap_ci(spark: SparkSession, sf: str):
     """BOOTSTRAP CONFIDENCE INTERVAL with DETERMINISTIC randomness — the
     resampling-inference family (absent from SQL engines) under the
     oracle gate: a 40-replicate Poissonized bootstrap of mean order
-    value, CI = (min, max) of the replicate means (the exact 2.5/97.5
-    envelope at B=40).  The Poissonization is what makes the bootstrap
+    value, CI = (min, max) of the replicate means — the 0th/100th order
+    statistics, i.e. the min/max replicate ENVELOPE, whose
+    expected-quantile coverage at B=40 is ~2.4/97.6 per tail (1/(B+1));
+    NOT a computed 2.5/97.5 percentile pair (r10 ADVICE wording fix —
+    use rn = 2 and 39 if the interior order statistics are wanted).  The Poissonization is what makes the bootstrap
     distributed-friendly: instead of drawing n rows WITH replacement
     per replicate (a global operation), each row independently appears
     Poisson(1) times — row-local, one pass, the standard streaming-
@@ -569,13 +577,16 @@ def order_value_bootstrap_ci(spark: SparkSession, sf: str):
       FROM u CROSS JOIN reps r
       GROUP BY r.b
     ), od AS (
-      SELECT CAST(xa AS DOUBLE) / na AS rate_a,
-             CAST(xb AS DOUBLE) / nb AS rate_b,
-             ABS(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) AS ad
+      SELECT CASE WHEN na > 0 THEN CAST(xa AS DOUBLE) / na END AS rate_a,
+             CASE WHEN nb > 0 THEN CAST(xb AS DOUBLE) / nb END AS rate_b,
+             CASE WHEN na > 0 AND nb > 0
+                  THEN ABS(CAST(xa AS DOUBLE) / na
+                           - CAST(xb AS DOUBLE) / nb) END AS ad
       FROM obs
     ), ext AS (
-      SELECT CAST(SUM(CASE WHEN ABS(CAST(p.xa AS DOUBLE) / p.na
-                               - CAST(p.xb AS DOUBLE) / p.nb) >= o.ad
+      SELECT CAST(SUM(CASE WHEN p.na > 0 AND p.nb > 0
+                            AND ABS(CAST(p.xa AS DOUBLE) / p.na
+                                    - CAST(p.xb AS DOUBLE) / p.nb) >= o.ad
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
              CAST(COUNT(*) AS BIGINT) AS n_perms
       FROM perm p CROSS JOIN od o
@@ -583,7 +594,9 @@ def order_value_bootstrap_ci(spark: SparkSession, sf: str):
     SELECT o.rate_a, o.rate_b,
            o.rate_a - o.rate_b AS obs_diff,
            e.n_extreme, e.n_perms,
-           (1.0e0 + e.n_extreme) / (1.0e0 + e.n_perms) AS p_value
+           CASE WHEN o.ad IS NOT NULL
+                THEN (1.0e0 + e.n_extreme) / (1.0e0 + e.n_perms)
+           END AS p_value
     FROM od o CROSS JOIN ext e
     """,
 )
@@ -626,12 +639,25 @@ def ab_test_permutation_pvalue(spark: SparkSession, sf: str):
         F.sum(F.when(arm == 1, F.col("conv")).otherwise(0)).alias("xb"),
         F.sum(F.when(arm == 1, 1).otherwise(0)).alias("nb"),
     )
+    # Degenerate-arm guards (r10 ADVICE): an empty arm (a ~1-user corpus,
+    # or every user hashing to one arm) must go NULL-quiet identically on
+    # both engines, not DIVIDE_BY_ZERO on ANSI Spark — the same
+    # conditionally-evaluated CASE discipline as the r10 division audit.
+    # NULL then propagates: ad NULL -> no replicate counts as extreme and
+    # p_value is NULL (not a spuriously "significant" 1/41).
     od = obs.select(
-        (F.col("xa").cast("double") / F.col("na")).alias("rate_a"),
-        (F.col("xb").cast("double") / F.col("nb")).alias("rate_b"),
-        F.abs(
-            F.col("xa").cast("double") / F.col("na")
-            - F.col("xb").cast("double") / F.col("nb")
+        F.when(
+            F.col("na") > 0, F.col("xa").cast("double") / F.col("na")
+        ).alias("rate_a"),
+        F.when(
+            F.col("nb") > 0, F.col("xb").cast("double") / F.col("nb")
+        ).alias("rate_b"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.abs(
+                F.col("xa").cast("double") / F.col("na")
+                - F.col("xb").cast("double") / F.col("nb")
+            ),
         ).alias("ad"),
     )
     parm = hash_bucket(
@@ -656,9 +682,12 @@ def ab_test_permutation_pvalue(spark: SparkSession, sf: str):
             F.sum(F.when(parm == 1, 1).otherwise(0)).alias("nb"),
         )
     )
-    pd_ = F.abs(
-        F.col("xa").cast("double") / F.col("na")
-        - F.col("xb").cast("double") / F.col("nb")
+    pd_ = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.abs(
+            F.col("xa").cast("double") / F.col("na")
+            - F.col("xb").cast("double") / F.col("nb")
+        ),
     )
     ext = (
         perm.crossJoin(F.broadcast(od))
@@ -677,7 +706,10 @@ def ab_test_permutation_pvalue(spark: SparkSession, sf: str):
             (F.col("rate_a") - F.col("rate_b")).alias("obs_diff"),
             "n_extreme",
             "n_perms",
-            ((F.lit(1.0) + F.col("n_extreme")) / (F.lit(1.0) + F.col("n_perms")))
-            .alias("p_value"),
+            F.when(
+                F.col("ad").isNotNull(),
+                (F.lit(1.0) + F.col("n_extreme"))
+                / (F.lit(1.0) + F.col("n_perms")),
+            ).alias("p_value"),
         )
     )

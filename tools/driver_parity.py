@@ -122,15 +122,30 @@ def main() -> int:
             print(f"FAIL {name}: {results[name]}", file=sys.stderr)
 
     if not args.no_record:
+        # Compacted ledger (r10 ADVICE): keep ONE line per query — the
+        # latest record — rewriting the file on every recording run.
+        # Full history lives in git, not in the working file (it had
+        # grown past 2.5k lines for 283 entries).  "Later lines win"
+        # is preserved: this run's results overwrite prior records for
+        # the queries it ran, and untouched queries keep their line.
         stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
-        with open(os.path.join(REPO, "PARITY_GATES.jsonl"), "a") as fh:
-            for name, r in results.items():
-                fh.write(json.dumps({
-                    "name": name,
-                    "ok": r["ok"],
-                    "sf_dir": args.sf_dir,
-                    "ts": stamp,
-                }) + "\n")
+        ledger_path = os.path.join(REPO, "PARITY_GATES.jsonl")
+        latest: dict[str, dict] = {}
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    latest[rec["name"]] = rec
+        for name, r in results.items():
+            latest[name] = {
+                "name": name,
+                "ok": r["ok"],
+                "sf_dir": args.sf_dir,
+                "ts": stamp,
+            }
+        with open(ledger_path, "w") as fh:
+            for name in sorted(latest):
+                fh.write(json.dumps(latest[name]) + "\n")
 
     print(json.dumps({
         "sf_dir": args.sf_dir,
