@@ -181,3 +181,133 @@ def kmv_grouped(
         kth.alias("kth"),
         est.alias("distinct_est"),
     )
+
+
+def rank_sketch_grouped(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    id_col: str,
+    k: int = 256,
+    chunks: int = 64,
+) -> DataFrame:
+    """GROUPED MERGEABLE RANK/QUANTILE SKETCH over an unbounded value
+    domain — the missing rung of the percentile escalation path between
+    exact medians (affordable per bounded group) and the value-domain
+    histogram (``ship_latency_percentiles_scale_path``, which needs a
+    bounded INTEGER domain): per group, a deterministic bottom-k-BY-HASH
+    row sample carrying the VALUES, from which any quantile is estimated
+    with O(1/sqrt(k)) rank error.
+
+    Design note (why not KLL/GK): both are arrival-ORDER-dependent —
+    compaction decisions depend on which rows met which buffer first —
+    so two runs over different partitionings of the same rows give
+    different sketches, and no cross-engine oracle can gate them.  This
+    sketch is the KMV discipline applied to ranks instead: hash each
+    ROW's identity to a uniform 52-bit integer and keep the k smallest
+    per group — a uniform row sample WITHOUT replacement that is
+    content-deterministic, CHUNK-INVARIANT (the bottom-k of a union is
+    computable from per-part bottom-k's — see :func:`rank_sketch_merge`)
+    and spelled identically in SQL.  The price is the weaker sampling
+    rate (rank error ~1.13/sqrt(k) at the 50th percentile vs KLL's
+    ~1/k): determinism and oracle-ability are bought with sample
+    variance, and k is the dial.
+
+    Same chunked min-k plan as :func:`kmv_grouped` (one shuffle of the
+    data + one k-bounded merge, no group-sized reducer arrays): rows
+    chunk by ``pmod(xxhash64(hv), chunks)``, one window per
+    ``(keys..., chunk)`` ordered by ``(hv, id)`` emits each chunk's
+    bottom-k, and the final groupBy merges <= chunks*k candidates per
+    key.  Output per key: ``k_used`` and ``smp`` — the sample VALUES as
+    a value-sorted array, ready for :func:`rank_sketch_quantile`; plus
+    ``tail`` (struct array sorted by (hv, id)) for re-merging.
+
+    NULL values are excluded (a NULL has no rank).  ``id_col`` must be
+    row-unique; it is the hash input AND the tie-break, so the sample
+    is a pure function of row content, never of partitioning."""
+    if k < 2:
+        raise ValueError(f"rank_sketch_grouped needs k >= 2, got {k}")
+    if chunks < 1:
+        raise ValueError(f"rank_sketch_grouped needs chunks >= 1, got {chunks}")
+    from pyspark.sql import Window as W
+
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":rs"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = (
+        df.filter(F.col(value).isNotNull())
+        .select(
+            *keys,
+            hv.alias("_hv"),
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(value).cast("double").alias("_v"),
+        )
+        .withColumn("_ck", F.pmod(F.xxhash64("_hv"), F.lit(chunks)))
+    )
+    w = W.partitionBy(*keys, "_ck").orderBy("_hv", "_id")
+    cand = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_ck")
+    )
+    merged = cand.groupBy(*keys).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("_hv", "_id", "_v"))),
+            1,
+            k,
+        ).alias("tail")
+    )
+    return merged.select(
+        *keys,
+        F.size("tail").cast("long").alias("k_used"),
+        F.array_sort(F.expr("transform(tail, s -> s._v)")).alias("smp"),
+        "tail",
+    )
+
+
+def rank_sketch_merge(parts: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Merge per-part rank sketches (the ``tail`` column of
+    :func:`rank_sketch_grouped`) into the sketch of the union: explode,
+    re-take the global bottom-k by (hv, id).  Exactness: any of the k
+    smallest row hashes of the union is among its own part's k smallest,
+    so the union of part-tails contains the global bottom-k.  The merge
+    input is <= parts*k rows per key — bounded regardless of data size,
+    which is what makes the sketch usable for daily-partition rollups
+    (sketch each day once, merge 365 tails for the year)."""
+    ex = parts.select(*keys, F.explode("tail").alias("s"))
+    merged = ex.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("tail")
+    )
+    return merged.select(
+        *keys,
+        F.size("tail").cast("long").alias("k_used"),
+        F.array_sort(F.expr("transform(tail, s -> s._v)")).alias("smp"),
+        "tail",
+    )
+
+
+def rank_sketch_quantile(smp: str | Column, q_num: int, q_den: int) -> Column:
+    """The (q_num/q_den)-quantile estimate from a sketch's value-sorted
+    ``smp`` array: the ``max(1, ceil(q*n))``-th order statistic, with the
+    ceiling computed in INTEGER arithmetic —
+    ``(q_num*n + q_den - 1) DIV q_den`` — so the index (and therefore
+    the estimate, an actual sampled value, no interpolation) is
+    bit-identical cross-engine; a float q would ride IEEE rounding
+    (``0.9 * 130`` is 117.000…003, whose ceil is 118) into the pinned
+    convention.  Oracles spell the same integer form."""
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"need 0 < q_num <= q_den, got {q_num}/{q_den}")
+    c = F.col(smp) if isinstance(smp, str) else smp
+    n = F.size(c)
+    idx = F.greatest(
+        F.lit(1),
+        ((F.lit(q_num) * n + F.lit(q_den - 1)) / F.lit(q_den))
+        .cast("int"),
+    )
+    return F.element_at(c, idx)

@@ -1808,3 +1808,115 @@ def test_k_core_peel_known_graph(spark):
         for r in k_core_peel(df, k=10, rounds=2).collect()
     }
     assert empty == {0: (6, 8), 1: (0, 0), 2: (0, 0)}
+
+
+def test_rank_sketch_chunk_and_partition_invariance(spark):
+    """rank_sketch_grouped must be a pure function of row CONTENT: the
+    chunk parameter, the input partitioning, and row arrival order are
+    all invisible in the sketch (the property KLL/GK cannot offer and
+    the reason this sketch can sit under a cross-engine oracle gate).
+    Small groups keep every row; NULL values are excluded."""
+    from byte_convert_avro_spark.operators.sketch import rank_sketch_grouped
+
+    rows = [("a", i, float((i * 37) % 1000)) for i in range(500)]
+    rows += [("b", 1000 + i, float(i)) for i in range(10)]
+    rows += [("b", 2000, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    outs = {}
+    for c, reparted in ((1, False), (8, True), (64, False)):
+        d = df.repartition(13) if reparted else df
+        outs[(c, reparted)] = {
+            r.g: (r.k_used, tuple(r.smp))
+            for r in rank_sketch_grouped(
+                d, ["g"], "v", "id", k=32, chunks=c
+            ).collect()
+        }
+    vals = list(outs.values())
+    assert vals[0] == vals[1] == vals[2]
+    got = vals[0]
+    assert got["b"][0] == 10  # small group: every non-NULL row kept
+    assert got["b"][1] == tuple(sorted(float(i) for i in range(10)))
+    assert got["a"][0] == 32
+    assert list(got["a"][1]) == sorted(got["a"][1])  # smp is value-sorted
+
+
+def test_rank_sketch_merge_equals_whole(spark):
+    """Mergeability — the property that makes the sketch usable for
+    daily-partition rollups: sketch(part1) ++ sketch(part2) merged at
+    the same k must equal sketch(whole) exactly, for any split."""
+    from byte_convert_avro_spark.operators.sketch import (
+        rank_sketch_grouped,
+        rank_sketch_merge,
+    )
+
+    rows = [(f"g{i % 3}", i, float((i * 17) % 500)) for i in range(900)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    whole = {
+        r.g: (r.k_used, tuple(r.smp))
+        for r in rank_sketch_grouped(
+            df, ["g"], "v", "id", k=24, chunks=8
+        ).collect()
+    }
+    p1 = df.filter(F.col("id") % 2 == 0)
+    p2 = df.filter(F.col("id") % 2 == 1)
+    parts = rank_sketch_grouped(p1, ["g"], "v", "id", k=24, chunks=8).unionAll(
+        rank_sketch_grouped(p2, ["g"], "v", "id", k=24, chunks=8)
+    )
+    merged = {
+        r.g: (r.k_used, tuple(r.smp))
+        for r in rank_sketch_merge(parts, ["g"], k=24).collect()
+    }
+    assert merged == whole
+
+
+def test_rank_sketch_quantile_convention_and_error(spark):
+    """The integer order-statistic convention: idx = max(1, ceil(q*n))
+    computed as (q_num*n + q_den - 1) DIV q_den — checked against a
+    known sample — and the k=128 sketch's p50 rank error on a 10k-row
+    group stays inside 3x the one-sided binomial sd sqrt(.25/128) ~ 4.4%
+    (a seeded determinism check, not a probabilistic one: the hash is
+    fixed, so the error is a constant this test pins)."""
+    from byte_convert_avro_spark.operators.sketch import (
+        rank_sketch_grouped,
+        rank_sketch_quantile,
+    )
+
+    # convention: n=10 -> p50 idx 5, p90 idx 9; n=1 -> both idx 1
+    df = spark.createDataFrame(
+        [("x", i, float(i)) for i in range(1, 11)], "g string, id long, v double"
+    )
+    sk = rank_sketch_grouped(df, ["g"], "v", "id", k=32, chunks=1)
+    r = sk.select(
+        rank_sketch_quantile("smp", 1, 2).alias("p50"),
+        rank_sketch_quantile("smp", 9, 10).alias("p90"),
+    ).collect()[0]
+    assert (r.p50, r.p90) == (5.0, 9.0)
+    big = spark.createDataFrame(
+        [("x", i, float(i)) for i in range(10_000)], "g string, id long, v double"
+    )
+    est = (
+        rank_sketch_grouped(big, ["g"], "v", "id", k=128, chunks=8)
+        .select(rank_sketch_quantile("smp", 1, 2).alias("p50"))
+        .collect()[0]
+        .p50
+    )
+    assert abs(est / 10_000.0 - 0.5) < 3 * (0.25 / 128) ** 0.5
+
+
+def test_rank_sketch_validates_args(spark):
+    import pytest
+
+    from byte_convert_avro_spark.operators.sketch import (
+        rank_sketch_grouped,
+        rank_sketch_quantile,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, id long, v double")
+    with pytest.raises(ValueError):
+        rank_sketch_grouped(df, ["g"], "v", "id", k=1)
+    with pytest.raises(ValueError):
+        rank_sketch_grouped(df, ["g"], "v", "id", k=8, chunks=0)
+    with pytest.raises(ValueError):
+        rank_sketch_quantile("smp", 0, 10)
+    with pytest.raises(ValueError):
+        rank_sketch_quantile("smp", 11, 10)
