@@ -102,30 +102,61 @@ def _history_medians() -> tuple[str | None, dict[str, float]]:
     now (CC r7, avro_roundtrip r8) a >2x driver-median line was VM load
     noise proven only by out-of-band artifacts — the bench now carries
     that evidence itself."""
-    path = os.environ.get("SPARK_GRAFT_BENCH_HISTORY")
-    if not path:
-        here = os.path.dirname(os.path.abspath(__file__))
-        cands = []
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-            m = re.fullmatch(r"BENCH_r0*(\d+)\.json", os.path.basename(p))
-            if m:
-                cands.append((int(m.group(1)), p))
-        if not cands:
-            return None, {}
-        path = max(cands)[1]
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-    except (OSError, ValueError):
-        return None, {}
+    here = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
-    if doc.get("sf") != cur_sf:  # history at another SF is not comparable
-        return None, {}
-    return os.path.basename(path), {
-        k: float(v) for k, v in doc.get("queries", {}).items()
-    }
+
+    def load_queries(path: str) -> dict[str, float] | None:
+        """Per-query medians from either bench.py's own output or the
+        DRIVER's wrapper format ({n, rc, parsed, tail, sf}: ``parsed``
+        is our JSON line if the driver could parse it, ``tail`` the
+        last 2000 chars of stdout — the round-10 lesson: the r8-r10
+        adjudication blocks were silently empty because the wrapper has
+        no top-level "queries" and the old reader never looked inside,
+        so no history line ever got flagged)."""
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if doc.get("sf") != cur_sf:  # another SF is not comparable
+            return None
+        if isinstance(doc.get("queries"), dict):  # raw bench output
+            return {k: float(v) for k, v in doc["queries"].items()}
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            return {k: float(v) for k, v in parsed["queries"].items()}
+        tail = doc.get("tail")
+        if isinstance(tail, str):  # best-effort: find "queries" in tail
+            m = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
+            if m:
+                try:
+                    return {
+                        k: float(v) for k, v in json.loads(m.group(1)).items()
+                    }
+                except ValueError:
+                    return None
+        return None
+
+    path = os.environ.get("SPARK_GRAFT_BENCH_HISTORY")
+    if path:
+        return os.path.basename(path), load_queries(path) or {}
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r0*(\d+)\.json", os.path.basename(p))
+        if m:
+            cands.append((int(m.group(1)), p))
+    # newest driver artifact first, then the committed local sidecar
+    for _, p in sorted(cands, reverse=True)[:1]:
+        qs = load_queries(p)
+        if qs:
+            return os.path.basename(p), qs
+    sidecar = os.path.join(here, "BENCH_local_full.json")
+    qs = load_queries(sidecar)
+    if qs:
+        return os.path.basename(sidecar), qs
+    return None, {}
 
 
 def main() -> None:
@@ -233,27 +264,52 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": n_runs,
-                "aggregation": "median",
-                "mins": {k: round(min(v), 3) for k, v in runs.items()},
-                "all_runs": {k: [round(x, 3) for x in v] for k, v in runs.items()},
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-                "run_loadavg": run_load,
-                "history_file": hist_file,
-                "adjudication": adjudication,
-                "materialize": "noop-write (full column evaluation)",
-                "decode": decode,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    # The compact line the driver records (its artifact keeps only the
+    # parsed JSON or the LAST 2000 stdout chars — so the adjudicable
+    # fields stay small and late in the object) …
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "runs_per_query": n_runs,
+        "aggregation": "median",
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "history_file": hist_file,
+        "materialize": "noop-write (full column evaluation)",
+        "decode": decode,
+        # compact verdicts only — full rerun samples live in the sidecar
+        "adjudication": {
+            n: {
+                "history_median": a["history_median"],
+                "rerun_median": a["rerun_median"],
+                "rerun_min": a["rerun_min"],
+                "verdict": a["verdict"],
             }
-        )
+            for n, a in adjudication.items()
+        },
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # … and the full per-run diagnostics to the committed sidecar (also
+    # the history fallback when driver artifacts are unreadable).
+    full = dict(compact)
+    full.update(
+        {
+            "adjudication": adjudication,
+            "mins": {k: round(min(v), 3) for k, v in runs.items()},
+            "all_runs": {
+                k: [round(x, 3) for x in v] for k, v in runs.items()
+            },
+            "run_loadavg": run_load,
+        }
     )
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_local_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the result
+    print(json.dumps(compact))
     spark.stop()
 
 
