@@ -570,3 +570,29 @@ def test_subtree_rollup_is_single_pass_no_iteration(spark, sf_dir):
     assert count_exchanges(df) <= 4
     plan = explain_str(df, "formatted")
     assert "Generate" in plan  # the divisor explode is the closure
+
+
+def test_exclude_current_row_windows_share_one_exchange(spark, sf_dir):
+    """Both EXCLUDE-emulation windows (partition-wide peer sum and the
+    ordered ±3 frame) must ride ONE hash exchange on the segment — the
+    subtraction spelling costs zero extra shuffles over the frame sums
+    Spark computes anyway.  A second exchange would mean a window
+    stopped sharing the segment partitioning."""
+    df = Q["customer_peer_balance_excl_self"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = explain_str(df, "formatted")
+    assert plan.count("Window") >= 2
+
+
+def test_cube_gid_is_expand_plus_partial_aggregate(spark, sf_dir):
+    """The CUBE must plan as Expand (x4 strata, row-local) feeding a
+    map-side PARTIAL aggregate below ONE exchange — the single-pass
+    multi-stratum shape.  A plan with one exchange per stratum (4 scans)
+    or no partial aggregate (all expanded rows shuffled raw) loses the
+    property the docstring sells."""
+    df = Q["order_status_priority_cube_gid"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = explain_str(df, "formatted")
+    assert "Expand" in plan
+    # partial-then-final: two HashAggregates around the one exchange
+    assert plan.count("HashAggregate") >= 2
