@@ -193,3 +193,99 @@ def test_division_by_zero_is_loud_never_silent(spark):
         is None
     )
     con.close()
+
+
+def test_string_ordering_multibyte_matches(spark):
+    """EVERY limit/tie-break in the registry leans on ORDER BY over a
+    string column somewhere; pin that both engines order non-ASCII
+    strings identically (Spark compares UTF-8 bytes; DuckDB's default
+    binary collation does the same), so a future non-ASCII corpus can't
+    silently reorder a LIMIT result while hashes still match row-wise.
+    The probe set mixes ASCII, Latin-1 accents, CJK, and an emoji —
+    byte-wise and codepoint-wise orders AGREE for valid UTF-8 (a
+    property of the encoding), so agreement here is expected but now
+    pinned rather than assumed."""
+    vals = ["b", "a", "~", "é", "Z", "α", "日本", "🎛", "é", "É"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.s for r in sdf.orderBy("s").collect()]
+    con = duckdb.connect()
+    ref = [
+        r[0]
+        for r in con.execute(
+            "SELECT s FROM (VALUES "
+            + ", ".join(f"(?)" for _ in vals)
+            + ") t(s) ORDER BY s",
+            vals,
+        ).fetchall()
+    ]
+    con.close()
+    assert got == ref, (got, ref)
+
+
+def test_bigint_overflow_is_loud_never_silent(spark):
+    """The integer-cents discipline sums 10^2-scaled money into BIGINT;
+    pin that OVERFLOW is loud on both engines (ANSI Spark throws
+    ARITHMETIC_OVERFLOW, DuckDB throws OutOfRange) — never a silent
+    two's-complement wrap that could hash-match a wrong total.  This is
+    the same loudness guarantee the division audit pinned for /0: the
+    corpus can't overflow (sf0.01 sums ~10^9 cents), but at 100 TB a
+    global SUM(cents) crosses 2^63 around 9.2e16 cents = $920T — the
+    failure mode must be a crash, not a negative revenue line."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    big = 2**62
+    df = spark.createDataFrame([(big,), (big,)], "v long")
+    with pytest.raises(ArithmeticException):
+        df.agg(F.sum(F.col("v") + F.col("v"))).collect()  # 2^63 per row
+    con = duckdb.connect()
+    try:
+        import duckdb as _dd
+
+        raised = False
+        try:
+            con.execute(
+                f"SELECT CAST({big} AS BIGINT) + CAST({big} AS BIGINT)"
+            ).fetchone()
+        except _dd.Error:
+            raised = True
+        assert raised, "DuckDB silently wrapped a BIGINT overflow"
+    finally:
+        con.close()
+
+
+def test_nan_ordering_and_grouping_semantics_match(spark):
+    """NaN is the one double value whose comparison semantics engines
+    disagree about most; pin what the registry relies on: both engines
+    sort NaN LAST ascending (greater than +Inf) and both treat NaN as
+    EQUAL to itself in GROUP BY (one group).  The registry's corpora
+    contain no NaN (finite_elements expectation guards embeddings), so
+    this pin documents the behavior a NaN-carrying corpus would get
+    rather than leaving it to superstition."""
+    import math
+
+    nan, inf = float("nan"), float("inf")
+    sdf = spark.createDataFrame(
+        [(1.0,), (nan,), (inf,), (-1.0,), (nan,)], "v double"
+    )
+    got = [r.v for r in sdf.orderBy("v").collect()]
+    assert got[0] == -1.0 and got[1] == 1.0 and got[2] == inf
+    assert math.isnan(got[3]) and math.isnan(got[4])
+    assert sdf.groupBy("v").count().filter("isnan(v)").collect()[0]["count"] == 2
+    con = duckdb.connect()
+    ref = [
+        r[0]
+        for r in con.execute(
+            "SELECT v FROM (VALUES (1.0::DOUBLE), ('NaN'::DOUBLE),"
+            " ('Infinity'::DOUBLE), (-1.0::DOUBLE), ('NaN'::DOUBLE)) t(v)"
+            " ORDER BY v"
+        ).fetchall()
+    ]
+    assert ref[0] == -1.0 and ref[1] == 1.0 and ref[2] == inf
+    assert math.isnan(ref[3]) and math.isnan(ref[4])
+    (ng,) = con.execute(
+        "SELECT COUNT(*) FROM (SELECT v FROM (VALUES ('NaN'::DOUBLE),"
+        " ('NaN'::DOUBLE)) t(v) GROUP BY v)"
+    ).fetchone()
+    con.close()
+    assert ng == 1
