@@ -1127,3 +1127,98 @@ def streaming_session_window_dynamic_gap(spark: SparkSession, sf: str):
         )
     )
     return _run_complete(agg)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_rank_sketch_event_values",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(event_id AS VARCHAR) AS id, value AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), hk AS (
+      SELECT event_type, id, v,
+             ('0x' || substr(md5(id || ':rs'), 1, 13))::BIGINT AS hv
+      FROM e
+    ), r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hv, id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hk
+    ), kept AS (
+      SELECT event_type, v, MAX(n) OVER (PARTITION BY event_type) AS n
+      FROM r WHERE rn <= 64
+    ), s AS (
+      SELECT event_type, v, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+             COUNT(*) OVER (PARTITION BY event_type) AS ku
+      FROM kept
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_seen,
+           CAST(MAX(ku) AS BIGINT) AS k_used,
+           MAX(CASE WHEN vr = GREATEST(1, (1 * ku + 1) // 2)
+                    THEN v END) AS p50_est,
+           MAX(CASE WHEN vr = GREATEST(1, (9 * ku + 9) // 10)
+                    THEN v END) AS p90_est
+    FROM s GROUP BY event_type
+    """,
+)
+def streaming_rank_sketch_event_values(spark: SparkSession, sf: str):
+    """STREAMING QUANTILE SKETCH under the oracle gate — the cross-batch
+    twin of ``order_value_rank_sketch_vs_exact``: per event type, the
+    k=64 bottom-k-by-hash sample maintained INCREMENTALLY by
+    ``applyInPandasWithState`` (streaming/rank_sketch.py) across four
+    genuine micro-batches (hash-sharded files, one per trigger), each
+    batch merging into the k-bounded state — possible ONLY because the
+    sketch is mergeable (the bottom-k of a union is computable from the
+    parts' bottom-k's), the property KLL/GK buy with order-dependence
+    and this sketch gets deterministically.  The final emission per
+    type must equal the one-pass batch/SQL spelling bit-for-bit: same
+    md5 ``:rs`` hash, same (hv, id) sort key, same integer
+    order-statistic quantile indices.  n_seen strictly increases per
+    emission, so ``max(struct(...))`` selects the final state, exactly
+    the ``streaming_stateful_user_totals`` discipline.  Scale: state is
+    O(k) per group FOREVER — the streaming-percentile-monitoring shape
+    (a dashboard polls the latest emission) with none of the unbounded
+    state a naive running-percentile would carry."""
+    import shutil
+
+    from byte_convert_avro_spark.streaming import (
+        run_stream_to_memory,
+        streaming_rank_sketch,
+    )
+    from byte_convert_avro_spark.operators.sketch import rank_sketch_quantile
+
+    ev = t(spark, sf, "events")
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "rank_sketch_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        sk = streaming_rank_sketch(stream)
+        q, name = run_stream_to_memory(sk, output_mode="update")
+        q.stop()
+        emitted = spark.table(name)
+        final = F.max(F.struct("n_seen", "k_used", "smp")).alias("_f")
+        return (
+            emitted.groupBy("event_type")
+            .agg(final)
+            .select(
+                "event_type",
+                F.col("_f.n_seen").alias("n_seen"),
+                F.col("_f.k_used").alias("k_used"),
+                rank_sketch_quantile(F.col("_f.smp"), 1, 2).alias("p50_est"),
+                rank_sketch_quantile(F.col("_f.smp"), 9, 10).alias("p90_est"),
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

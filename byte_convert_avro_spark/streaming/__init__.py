@@ -27,6 +27,7 @@ from byte_convert_avro_spark.streaming.pipeline import (
     stream_records,
     use_rocksdb_state,
 )
+from byte_convert_avro_spark.streaming.rank_sketch import streaming_rank_sketch
 from byte_convert_avro_spark.streaming.sessions import (
     running_user_totals,
     sessionize_stateful,
@@ -47,5 +48,6 @@ __all__ = [
     "sessionize_stream",
     "running_user_totals",
     "sessionize_stateful",
+    "streaming_rank_sketch",
     "use_rocksdb_state",
 ]

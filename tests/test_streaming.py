@@ -913,3 +913,68 @@ def test_chained_agg_checkpoint_recovery_equals_uninterrupted(spark, tmp_path):
         (BASE + h * 3600, "view", 12, 4) for h in range(2)
     }
     assert recovered == want
+
+
+def test_streaming_rank_sketch_matches_batch_any_sharding(spark, tmp_path):
+    """The streaming sketch's final state must equal the batch
+    rank_sketch_grouped sketch EXACTLY for any micro-batch slicing —
+    the mergeability property driven through the real state store.  Two
+    different shardings (round-robin by id, and a skewed 90/10 split)
+    both converge to the batch answer."""
+    import pandas as pd
+
+    from byte_convert_avro_spark.operators.sketch import rank_sketch_grouped
+    from byte_convert_avro_spark.queries.streaming_queries import (
+        write_ordered_shards,
+    )
+    from byte_convert_avro_spark.streaming import (
+        run_stream_to_memory,
+        streaming_rank_sketch,
+    )
+    from byte_convert_avro_spark.streaming.rank_sketch import SKETCH_K
+
+    rows = [
+        (i, 1_000_000 + i * 7, ["view", "click", "purchase"][i % 3],
+         float((i * 131) % 997))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string, value double"
+    )
+    batch = {
+        r.event_type: (r.k_used, tuple(r.smp))
+        for r in rank_sketch_grouped(
+            df, ["event_type"], "value", "event_id", k=SKETCH_K, chunks=4
+        ).collect()
+    }
+    for label, shards in (
+        ("round-robin", [df.filter(F.col("event_id") % 3 == i) for i in range(3)]),
+        ("skewed", [df.filter(F.col("event_id") < 2700),
+                    df.filter(F.col("event_id") >= 2700)]),
+    ):
+        d = write_ordered_shards(shards, f"rs_{label}_")
+        try:
+            stream = (
+                spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            q, name = run_stream_to_memory(
+                streaming_rank_sketch(stream), output_mode="update"
+            )
+            q.stop()
+            emitted = spark.table(name)
+            final = (
+                emitted.groupBy("event_type")
+                .agg(F.max(F.struct("n_seen", "k_used", "smp")).alias("f"))
+                .select("event_type", "f.k_used", "f.smp")
+            )
+            got = {
+                r.event_type: (r.k_used, tuple(r.smp))
+                for r in final.collect()
+            }
+            assert got == batch, f"{label}: streaming != batch"
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
