@@ -243,7 +243,7 @@ def scenario_sessions(spark, tmp) -> dict:
     from byte_convert_avro_spark.queries import queries
 
     q = queries()["events_session_window_dynamic_gap"]
-    n = 2_000_000
+    n = int(os.environ.get("SKEW_SESSIONS_N", "2000000"))
     # Uniform: 20k users x 100 events over 60 days (mean per-user gap
     # ~14h -> almost every event is its own session).  One-user: the
     # SAME n spread at a mean gap of 1h (> the 30-min max session gap,
@@ -251,15 +251,18 @@ def scenario_sessions(spark, tmp) -> dict:
     # isolating the cost that matters: the hot corpus sorts and
     # session-merges ALL n rows in ONE task (partitioned by user_id),
     # while the uniform corpus fans across every core.
-    uni = gen_uniform_corpus(os.path.join(tmp, "uni"), 20_000, 100, 60)
-    hot = gen_one_user_corpus(
-        os.path.join(tmp, "one"), n, n * 3_600_000_000
-    )
+    uni = gen_uniform_corpus(os.path.join(tmp, "uni"), n // 100, 100, 60)
+    # horizon capped at ~250 years: the engine's ns-epoch longs overflow
+    # at +292y, so beyond ~2.2M events the one-user mean gap compresses
+    # below 1h (fewer session breaks — noted in the artifact; the cost
+    # under test, the single-task sort, is row-count-bound either way)
+    horizon = min(n * 3_600_000_000, 250 * 31_557_600 * 1_000_000)
+    hot = gen_one_user_corpus(os.path.join(tmp, "one"), n, horizon)
     q(spark, uni).limit(1).count()  # warm
     n_uni, s_uni = _timed_count(q(spark, uni))
     n_hot, s_hot = _timed_count(q(spark, hot))
     return {
-        "corpus": f"{n} events: 20000 users x 100  vs  ONE user at 1h mean gap",
+        "corpus": f"{n} events: {n // 100} users x 100  vs  ONE user at 1h mean gap",
         "uniform_sessions": n_uni,
         "uniform_sec": s_uni,
         "one_user_sessions": n_hot,
