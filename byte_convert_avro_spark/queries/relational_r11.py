@@ -5,9 +5,13 @@ sketch query (``operators/sketch.rank_sketch_grouped`` — the missing
 rung of the percentile escalation path, with exact-vs-estimate error
 columns under the oracle gate), the embeddings data-quality
 expectations that make the zero-norm crash-loud contract CHECKABLE,
-and the fresh driver-sample window shapes (EXCLUDE CURRENT ROW
-emulated cross-engine, DISTINCT window aggregates, ``grouping_id()``
-bit patterns over CUBE).
+and the fresh driver-sample window shapes — three ASYMMETRIC
+cross-engine pins where DuckDB runs a native SQL feature Spark lacks
+and the Spark spelling must derive identical values: EXCLUDE CURRENT
+ROW (subtraction), DISTINCT window aggregates (size(collect_set)),
+and INTERVAL RANGE frames (integer epoch-day rangeBetween) — plus
+``grouping_id()`` bit patterns over CUBE.  (The streaming twin of the
+rank sketch lives in ``streaming_queries.py``.)
 
 Same contract as every other query module: each entry is registered
 with a DuckDB oracle and the cross-engine determinism discipline from
@@ -456,4 +460,60 @@ def order_status_priority_cube_gid(spark: SparkSession, sf: str):
             "n_orders",
             "cents",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_trailing_30d_spend",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(cents) OVER w30 AS BIGINT) AS cents_30d,
+           CAST(COUNT(*) OVER w30 AS BIGINT) AS n_orders_30d
+    FROM o
+    WINDOW w30 AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 29 DAY PRECEDING
+                         AND CURRENT ROW)
+    """,
+)
+def customer_trailing_30d_spend(spark: SparkSession, sf: str):
+    """TIME-RANGE WINDOW FRAME emulated cross-engine — the third
+    asymmetric pin of the round: DuckDB runs its native
+    ``RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW`` over
+    the TIMESTAMP ordering; Spark has no interval RANGE frames, so the
+    Spark spelling orders by the integer EPOCH DAY and uses a numeric
+    ``rangeBetween(-29, 0)`` — value-equivalent because the order dates
+    are midnight-aligned and RANGE peers (same-day orders) land inside
+    the frame identically under both spellings.  This is the
+    windowed sibling of the rolling-median explode: when every row
+    needs the trailing aggregate, the RANGE frame does it in ONE sort
+    with zero fan-out (the explode trick is for aggregates per
+    DISTINCT day, where emitting per-row would over-count).  Exact
+    integer cents.  Scale: one hash exchange on custkey + one
+    partition-local sort; frame evaluation is the running two-pointer
+    pass, O(rows), state O(1)."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w30 = (
+        W.partitionBy("o_custkey")
+        .orderBy(day.alias("day"))
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.sum("cents").over(w30).cast("long").alias("cents_30d"),
+        F.count("*").over(w30).cast("long").alias("n_orders_30d"),
     )
