@@ -92,6 +92,13 @@ EXTENDED = [
     "minhash_r2_capped_candidates",
     # round-10: the batch merging-session-window operator — first history
     "events_session_window_dynamic_gap",
+    # round-11: the joinless rolling median (watch the respell), the
+    # mergeable rank sketch with its exact referee, the closed-form
+    # CUSUM, and the trailing-30d RANGE frame — first history
+    "user_rolling_7d_median_value",
+    "order_value_rank_sketch_vs_exact",
+    "events_cusum_value_drift",
+    "customer_trailing_30d_spend",
 ]
 
 
@@ -304,11 +311,12 @@ def main() -> None:
         }
     )
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "BENCH_local_full.json"), "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError:
-        pass  # read-only checkout: stdout still carries the result
+    if not subset:  # a subset run must not clobber the full history
+        try:
+            with open(os.path.join(here, "BENCH_local_full.json"), "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            pass  # read-only checkout: stdout still carries the result
     print(json.dumps(compact))
     spark.stop()
 

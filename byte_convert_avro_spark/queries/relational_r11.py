@@ -517,3 +517,97 @@ def customer_trailing_30d_spend(spark: SparkSession, sf: str):
         F.sum("cents").over(w30).cast("long").alias("cents_30d"),
         F.count("*").over(w30).cast("long").alias("n_orders_30d"),
     )
+
+
+# ---------------------------------------------------------------------------
+#: CUSUM reference drift k (cents) and alarm threshold h (cents): k sits
+#: above the corpus mean event value so the statistic resets often and
+#: alarms are a real tail event, not a foregone conclusion.
+_CUSUM_K = 26000
+_CUSUM_H = 400000
+
+
+@register(
+    "events_cusum_value_drift",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) - {_CUSUM_K} AS y
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), w AS (
+      SELECT event_type, event_id, ts_us,
+             SUM(y) OVER (PARTITION BY event_type
+                          ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS p
+      FROM e
+    ), c AS (
+      SELECT event_type, event_id, ts_us,
+             p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                                       ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING)) AS s
+      FROM w
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN s > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_points,
+           CAST(MAX(s) AS BIGINT) AS max_cusum,
+           MIN(CASE WHEN s > {_CUSUM_H} THEN ts_us END) AS first_alarm_us
+    FROM c
+    GROUP BY event_type
+    """,
+)
+def events_cusum_value_drift(spark: SparkSession, sf: str):
+    """CUSUM CHANGEPOINT DETECTOR as pure window algebra — the drift
+    statistic ``s_i = max(0, s_(i-1) + (x_i - k))`` looks like a
+    sequential recurrence (the chunked-fold family's territory), but
+    the max-clamp recurrence has an exact CLOSED FORM:
+    ``s_i = p_i - min(0, min_(j<=i) p_j)`` with p the prefix sum of
+    (x - k) — provable by induction, so the whole detector is ONE
+    running sum + ONE running min over the same window frame, no fold,
+    no UDF, no iteration.  Integer cents end to end: both engines
+    compute identical statistics bit-for-bit.  Per event type the query
+    reports how often the upward-drift statistic crossed the alarm
+    threshold, the maximum excursion, and the first alarm time — the
+    data-quality drift-monitoring shape (is the value distribution of
+    'purchase' events drifting up?).  Scale: one hash exchange on
+    event_type, one partition-local sort shared by both running
+    functions, O(1) frame state; on a hot type this is the same
+    per-key-serial profile as sessionization (measured in the skew
+    study) — and the detector composes with any finer partition key.
+    k={_CUSUM_K} h={_CUSUM_H} (cents) are pinned constants chosen so
+    alarms are tail events on the driver corpus, not constants."""
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            (
+                F.round(F.col("value") * 100, 0).cast("long")
+                - F.lit(_CUSUM_K)
+            ).alias("y"),
+        )
+    )
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = F.sum("y").over(wrun)
+    c = ev.select(
+        "event_type",
+        "ts_us",
+        (p - F.least(F.lit(0), F.min(p).over(wrun))).alias("s"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum(F.when(F.col("s") > _CUSUM_H, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_points"),
+        F.max("s").cast("long").alias("max_cusum"),
+        F.min(F.when(F.col("s") > _CUSUM_H, F.col("ts_us"))).alias(
+            "first_alarm_us"
+        ),
+    )

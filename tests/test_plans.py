@@ -596,3 +596,33 @@ def test_cube_gid_is_expand_plus_partial_aggregate(spark, sf_dir):
     assert "Expand" in plan
     # partial-then-final: two HashAggregates around the one exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_cusum_shares_one_sort_and_exchange(spark, sf_dir):
+    """The CUSUM closed form (prefix sum + running min + final agg) must
+    ride ONE hash exchange on event_type with ONE partition-local sort
+    shared by both running window functions — the plan property that
+    makes the 'sequential' detector a single-pass operator.  A second
+    exchange or sort means a window stopped sharing the frame."""
+    df = Q["events_cusum_value_drift"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = explain_str(df, "formatted")
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1
+    assert "Python" not in plan
+
+
+def test_rank_sketch_operator_is_two_bounded_exchanges(spark):
+    """rank_sketch_grouped's scale contract: the chunked bottom-k window
+    (one data shuffle on (keys, chunk)) plus the k-bounded merge groupBy
+    — exactly two exchanges, zero Python stages, no per-group driver
+    loop (plan built before any job runs)."""
+    from byte_convert_avro_spark.operators.sketch import rank_sketch_grouped
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, id long, v double")
+    out = rank_sketch_grouped(df, ["g"], "v", "id", k=8, chunks=16)
+    assert count_exchanges(out) <= 2
+    plan = explain_str(out)
+    assert "Window" in plan and "row_number" in plan
+    # no Python EXECUTION stage (the createDataFrame source mentions
+    # "applySchemaToPythonRDD", which is driver-side setup, not a stage)
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
