@@ -184,3 +184,37 @@ def shared_fingerprint_pairs(
             ).alias("containment"),
         )
     )
+
+
+#: PII patterns, deliberately restricted to the regex-dialect subset Java
+#: (Spark) and RE2 (DuckDB) agree on: char classes, counted repetition,
+#: \b word boundaries — no backrefs, no lookaround.  Heuristics, not
+#: validators (the training-data scrubbing trade: recall over precision).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b"
+PII_PHONE = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrubbing stage of a training-data
+    pipeline, as three staged regex passes whose ORDER is part of the
+    contract: emails first (their local parts may contain digit runs),
+    then IPv4 (dotted quads would otherwise match the phone heuristic),
+    then phones on the already-redacted text — each count is taken on
+    the stage's INPUT, so nothing is double-counted and the whole
+    pipeline is a deterministic pure function of the text that a SQL
+    twin spells identically (see ``documents_pii_redaction_stats``).
+    Adds: ``n_emails``, ``n_ipv4``, ``n_phones``, ``text_redacted``.
+    Scale: row-local narrow projections, zero shuffle, codegen'd
+    JVM-side regex — the same per-record profile as the decode
+    pipeline."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t0, F.lit(PII_EMAIL)))
+        .withColumn("n_ipv4", F.regexp_count(t1, F.lit(PII_IPV4)))
+        .withColumn("n_phones", F.regexp_count(t2, F.lit(PII_PHONE)))
+        .withColumn("text_redacted", t3)
+    )

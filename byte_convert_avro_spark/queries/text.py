@@ -1535,3 +1535,108 @@ def bm25_rational_top3(spark: SparkSession, sf: str):
             "qid", "did", F.round(F.col("score"), 4).alias("bm25"), "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "documents_pii_redaction_stats",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 3 <> 2
+                  THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-415-555-0'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM seeded
+    ), red2 AS (
+      SELECT doc_id, lang, n_emails,
+             len(regexp_extract_all(t1,
+                 '\b((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b'))
+               AS n_ipv4,
+             regexp_replace(t1,
+                 '\b((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b',
+                 '<IP>', 'g') AS t2
+      FROM red
+    ), red3 AS (
+      SELECT doc_id, lang, n_emails, n_ipv4,
+             len(regexp_extract_all(t2,
+                 '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) AS n_phones,
+             regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]',
+                 '<PHONE>', 'g') AS t3
+      FROM red2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_ipv4 + n_phones > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(length(t3)) AS BIGINT) AS redacted_chars
+    FROM red3 GROUP BY lang
+    """,
+)
+def documents_pii_redaction_stats(spark: SparkSession, sf: str):
+    """PII SCRUBBING under the oracle gate — the training-data stage the
+    surface lacked: detect + redact emails / IPv4 / phone heuristics
+    (``operators/text.redact_pii``; staged order is part of the
+    contract — emails, then dotted quads, then phones on the
+    already-redacted text, counts on each stage's input).  The driver
+    corpus contains NO digits at all, so the query first INJECTS
+    deterministic synthetic PII derived from doc_id into 2/3 of the
+    docs — identically in both spellings — making the gate compare the
+    two engines' regex ENGINES (Java vs RE2) on thousands of distinct
+    strings: per lang, doc/PII counts per class and the total redacted
+    text length (a character-exact replacement proof).  Patterns stay
+    in the dialect subset both engines share (classes, counted reps,
+    word boundaries; no lookaround/backrefs).  Scale: the whole
+    detector is row-local narrow projections — zero shuffle before the
+    final small groupBy; regex cost is linear in corpus bytes, the
+    same profile as quality_score."""
+    from byte_convert_avro_spark.operators.text import redact_pii
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    seeded = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 != 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-415-555-0"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = redact_pii(seeded, "text")
+    return red.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones") > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        F.sum(F.length("text_redacted")).cast("long").alias("redacted_chars"),
+    )

@@ -1920,3 +1920,45 @@ def test_rank_sketch_validates_args(spark):
         rank_sketch_quantile("smp", 0, 10)
     with pytest.raises(ValueError):
         rank_sketch_quantile("smp", 11, 10)
+
+
+def test_redact_pii_staged_order_and_edges(spark):
+    """The staged contract: emails go first (digit-heavy local parts),
+    dotted quads second (they'd otherwise match the phone heuristic),
+    phones last on redacted text — plus edge inputs: text with no PII
+    is unchanged, 256+ octets don't match IPv4, a bare 8-digit run DOES
+    match the phone heuristic (recall-over-precision, documented), and
+    counts are per-stage-input so nothing double-counts."""
+    from byte_convert_avro_spark.operators.text import redact_pii
+
+    rows = [
+        ("clean text, no identifiers here",),
+        ("a.b+c_1@x-y.co.uk and d@e.io",),
+        ("quad 10.0.3.7 but not 999.1.1.1 as an ip",),
+        ("call +1 (415) 555-0188 now",),
+        ("ids 12345678 kept but 123456789 trips",),
+        ("mix: u9@h.com at 192.168.0.1 tel 020-7946-0958",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    out = {r.t: r for r in redact_pii(df, "t").collect()}
+    r0 = out[rows[0][0]]
+    assert (r0.n_emails, r0.n_ipv4, r0.n_phones) == (0, 0, 0)
+    assert r0.text_redacted == rows[0][0]
+    assert out[rows[1][0]].n_emails == 2
+    r2 = out[rows[2][0]]
+    # 999.1.1.1 is NOT an IPv4 (octet > 255) — but the 9-char dotted
+    # run then falls through to the PHONE heuristic, the documented
+    # recall-over-precision cascade: nothing digit-dense survives.
+    assert r2.n_ipv4 == 1 and r2.n_phones == 1
+    assert r2.text_redacted == "quad <IP> but not <PHONE> as an ip"
+    r3 = out[rows[3][0]]
+    assert r3.n_phones == 1 and r3.text_redacted == "call <PHONE> now"
+    r4 = out[rows[4][0]]
+    # the phone heuristic's floor is 9 chars (digit + 7-of-class +
+    # digit): an 8-digit id survives, a 9-digit run is scrubbed — the
+    # documented recall trade at its exact boundary
+    assert r4.n_phones == 1
+    assert r4.text_redacted == "ids 12345678 kept but <PHONE> trips"
+    r5 = out[rows[5][0]]
+    assert (r5.n_emails, r5.n_ipv4, r5.n_phones) == (1, 1, 1)
+    assert r5.text_redacted == "mix: <EMAIL> at <IP> tel <PHONE>"
