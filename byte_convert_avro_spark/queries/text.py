@@ -1588,8 +1588,11 @@ def bm25_rational_top3(spark: SparkSession, sf: str):
     """,
 )
 def documents_pii_redaction_stats(spark: SparkSession, sf: str):
-    """PII SCRUBBING under the oracle gate — the training-data stage the
-    surface lacked: detect + redact emails / IPv4 / phone heuristics
+    """PII SCRUBBING under the oracle gate, the STRONG form — supersedes
+    the early ``pii_redaction_stats`` above, whose email+phone pass is
+    vacuous on this corpus (zero digits → zero matches; it stays
+    registered as the no-PII-baseline row): detect + redact emails /
+    IPv4 / phone heuristics
     (``operators/text.redact_pii``; staged order is part of the
     contract — emails, then dotted quads, then phones on the
     already-redacted text, counts on each stage's input).  The driver
