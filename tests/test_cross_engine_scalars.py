@@ -289,3 +289,78 @@ def test_nan_ordering_and_grouping_semantics_match(spark):
     ).fetchone()
     con.close()
     assert ng == 1
+
+
+def test_pii_regex_engines_agree_on_seeded_fuzz(spark):
+    """The PII patterns claim to live in the Java∩RE2 dialect subset;
+    claim != proof, so drive 400 seeded adversarial strings (digit runs,
+    @-clusters, dotted quads, mixed separators, boundary lengths)
+    through BOTH regex engines and require identical counts AND
+    identical redacted text.  A dialect divergence (greediness, \\b
+    semantics, class parsing) fails here before any corpus can hide
+    it."""
+    import numpy as np
+
+    from byte_convert_avro_spark.operators.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        redact_pii,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def seg():
+        kind = rng.integers(0, 6)
+        if kind == 0:  # digit run, straddling the 9-char phone floor
+            return "".join(
+                str(d) for d in rng.integers(0, 10, rng.integers(6, 13))
+            )
+        if kind == 1:  # dotted quad, octets 0..300 (some invalid)
+            return ".".join(str(int(o)) for o in rng.integers(0, 301, 4))
+        if kind == 2:  # email-ish, sometimes malformed
+            tld = ["co", "io", "x", "org"][int(rng.integers(0, 4))]
+            return f"u{int(rng.integers(0, 99))}@h{int(rng.integers(0, 9))}.{tld}"
+        if kind == 3:  # separator-heavy phone-ish
+            return "+%d (%d) %d-%d" % tuple(rng.integers(0, 999, 4))
+        if kind == 4:
+            return "plain words here"
+        return "@.-+() %"  # pattern-metacharacter soup
+    rows = []
+    for i in range(400):
+        s = " ".join(seg() for _ in range(int(rng.integers(1, 5))))
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r.i: (r.n_emails, r.n_ipv4, r.n_phones, r.text_redacted)
+        for r in redact_pii(df, "t").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fz (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO fz VALUES (?, ?)", rows)
+    ref_rows = con.execute(
+        f"""
+        WITH a AS (
+          SELECT i, len(regexp_extract_all(t, '{PII_EMAIL}')) AS ne,
+                 regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+          FROM fz
+        ), b AS (
+          SELECT i, ne, len(regexp_extract_all(t1, '{PII_IPV4}')) AS ni,
+                 regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+          FROM a
+        )
+        SELECT i, ne, ni, len(regexp_extract_all(t2, '{PII_PHONE}')) AS np,
+               regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS t3
+        FROM b
+        """
+    ).fetchall()
+    con.close()
+    ref = {r[0]: (r[1], r[2], r[3], r[4]) for r in ref_rows}
+    mismatches = {i: (got[i], ref[i]) for i in got if got[i] != ref[i]}
+    assert not mismatches, f"{len(mismatches)} dialect divergences: " + str(
+        list(mismatches.items())[:3]
+    )
+    # the fuzz must actually exercise every pattern, not just miss
+    assert sum(g[0] for g in got.values()) > 10  # emails hit
+    assert sum(g[1] for g in got.values()) > 10  # valid quads hit
+    assert sum(g[2] for g in got.values()) > 10  # phone-ish runs hit
