@@ -311,3 +311,83 @@ def rank_sketch_quantile(smp: str | Column, q_num: int, q_den: int) -> Column:
         .cast("int"),
     )
     return F.element_at(c, idx)
+
+
+def count_min_build(
+    df: DataFrame, item: str, d: int = 3, w: int = 256
+) -> DataFrame:
+    """COUNT-MIN SKETCH build: a d x w counter matrix as (i, pos, cnt)
+    rows — the heavy-hitter / frequency-estimation sketch, here in its
+    deterministic engine-portable form (md5-salted row hashes like every
+    sketch in this module; the classic pairwise-independent family is
+    swapped for content hashing so a SQL twin computes the byte-identical
+    matrix and the collision set is a pinnable fact, not a random
+    variable).
+
+    Mergeable by construction: matrices ADD cell-wise (sum per (i, pos)),
+    so per-partition sketches roll up in one k-bounded aggregation —
+    same discipline as kmv/rank tails.  Overestimate-only error: each
+    counter is count(item) + collisions, so min over the d rows never
+    underestimates; with w columns the expected collision mass per
+    counter is N/w, and d rows drive the chance all of them are
+    simultaneously unlucky down geometrically.
+
+    Scale: one explode(d) + one (i, pos) groupBy with map-side partials;
+    the matrix is d*w rows — broadcast-size for any real (d, w)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d} w={w}")
+    c = F.col(item).cast("string")
+    pos = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(c, F.lit(f":cm{i}"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(w),
+            )
+            for i in range(d)
+        ]
+    )
+    rows = df.filter(c.isNotNull()).select(
+        F.posexplode(pos).alias("i", "pos")
+    )
+    return rows.groupBy("i", "pos").agg(F.count("*").alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame, items: DataFrame, item: str, d: int = 3, w: int = 256
+) -> DataFrame:
+    """Point-frequency estimates: for each row of ``items``, min over
+    the d counters its hashes land in.  The sketch is d*w rows —
+    broadcast — so estimation is a narrow broadcast join however many
+    items are probed.  Items absent from the build get the pure
+    collision mass of their cells (the documented overestimate-only
+    contract: never an underestimate, zero only if all d cells are
+    empty)."""
+    c = F.col(item).cast("string")
+    probes = items.select(
+        item,
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(c, F.lit(f":cm{i}"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(w),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("i", "pos"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["i", "pos"], "left").select(
+        item, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(item).agg(F.min("cnt").cast("long").alias("est"))

@@ -1643,3 +1643,80 @@ def documents_pii_redaction_stats(spark: SparkSession, sf: str):
         F.sum("n_phones").cast("long").alias("total_phones"),
         F.sum(F.length("text_redacted")).cast("long").alias("redacted_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "token_count_min_vs_exact",
+    """
+    WITH tok AS (
+      SELECT t.token FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ), exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ), top AS (
+      SELECT token, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, token LIMIT 10
+    ), ds AS (
+      SELECT unnest([0, 1, 2]) AS i
+    ), cells AS (
+      SELECT d.i,
+             ('0x' || substr(md5(tok.token || ':cm' || CAST(d.i AS VARCHAR)),
+                             1, 8))::BIGINT % 32 AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok CROSS JOIN ds d
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT t.token, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+      FROM top t
+      CROSS JOIN ds d
+      JOIN cells c
+        ON c.i = d.i
+       AND c.pos = ('0x' || substr(md5(t.token || ':cm'
+                                       || CAST(d.i AS VARCHAR)), 1, 8))::BIGINT % 32
+      GROUP BY t.token
+    )
+    SELECT t.token, t.exact_cnt, e.est_cnt,
+           e.est_cnt - t.exact_cnt AS overestimate
+    FROM top t JOIN est e ON e.token = t.token
+    """,
+)
+def token_count_min_vs_exact(spark: SparkSession, sf: str):
+    """COUNT-MIN SKETCH vs EXACT — the heavy-hitter estimation sketch
+    under the gate (``operators/sketch.count_min_build/estimate``):
+    token frequencies from a deliberately UNDERSIZED 3x32 counter matrix
+    (the corpus vocabulary exceeds 32, so collisions are guaranteed and
+    the overestimate column is non-trivially positive) next to the
+    exact counts for the top-10 tokens.  The md5-salted hash family
+    makes the matrix byte-identical cross-engine, so the collision
+    pattern itself is pinned — the overestimate is a checked VALUE, not
+    a probabilistic bound.  The never-underestimate contract shows as
+    overestimate >= 0 on every row.  Scale: build is one explode(3) +
+    one (i, pos) groupBy with map-side partials into a 96-row matrix;
+    estimation is a broadcast join — the standard design for 'how often
+    does each of these million items appear in 100 TB' without a
+    per-item shuffle."""
+    from byte_convert_avro_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    exact = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(10)
+    sk = count_min_build(tok, "token", d=3, w=32)
+    est = count_min_estimate(sk, top.select("token"), "token", d=3, w=32)
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        F.col("est").alias("est_cnt"),
+        (F.col("est") - F.col("exact_cnt")).alias("overestimate"),
+    )

@@ -1962,3 +1962,59 @@ def test_redact_pii_staged_order_and_edges(spark):
     r5 = out[rows[5][0]]
     assert (r5.n_emails, r5.n_ipv4, r5.n_phones) == (1, 1, 1)
     assert r5.text_redacted == "mix: <EMAIL> at <IP> tel <PHONE>"
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    """Count-min contract: every estimate >= the true count (collisions
+    only ADD); per-partition matrices merged by cell-wise sum equal the
+    whole-corpus matrix; the matrix is a pure function of content (the
+    same rows re-partitioned build the identical sketch); absent items
+    get pure collision mass, never negative."""
+    from byte_convert_avro_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rows = [(i, f"t{i % 17}") for i in range(1700)] + [
+        (1700 + j, "rare") for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, "rid long, token string")
+    sk = count_min_build(df, "token", d=3, w=8)  # 18 items in 8 cols
+    items = spark.createDataFrame(
+        [(f"t{i}",) for i in range(17)] + [("rare",), ("absent",)],
+        "token string",
+    )
+    est = {
+        r.token: r.est
+        for r in count_min_estimate(sk, items, "token", d=3, w=8).collect()
+    }
+    exact = {f"t{i}": 100 for i in range(17)}
+    exact["rare"] = 3
+    for tk, true_cnt in exact.items():
+        assert est[tk] >= true_cnt, (tk, est[tk], true_cnt)
+    assert est["absent"] >= 0
+    # mergeability: sum of part matrices == whole matrix
+    p1 = df.filter(F.col("rid") < 850)
+    p2 = df.filter(F.col("rid") >= 850)
+    parts = count_min_build(p1, "token", d=3, w=8).unionAll(
+        count_min_build(p2, "token", d=3, w=8)
+    )
+    merged = parts.groupBy("i", "pos").agg(F.sum("cnt").alias("cnt"))
+    whole = {
+        (r.i, r.pos): r.cnt
+        for r in count_min_build(df, "token", d=3, w=8).collect()
+    }
+    got = {(r.i, r.pos): r.cnt for r in merged.collect()}
+    assert got == whole
+    # content determinism under re-partitioning
+    re13 = {
+        (r.i, r.pos): r.cnt
+        for r in count_min_build(df.repartition(13), "token", d=3, w=8).collect()
+    }
+    assert re13 == whole
+    import pytest
+
+    with pytest.raises(ValueError):
+        count_min_build(df, "token", d=0)
+    with pytest.raises(ValueError):
+        count_min_build(df, "token", w=1)
