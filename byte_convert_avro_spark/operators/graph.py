@@ -322,6 +322,68 @@ def bfs_min_hops(
     return visited.select(F.col("n").alias(node), "hop")
 
 
+def bellman_ford_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded WEIGHTED shortest path: exactly ``rounds`` Bellman-Ford
+    relaxation sweeps from a seed set over a directed weighted edge
+    table — the weighted twin of :func:`bfs_min_hops` (hops become edge
+    weights; MIN over a join replaces frontier set arithmetic).
+
+    Returns one row per node reachable within ``rounds`` edges, with
+    ``dist`` = the cheapest total weight over any path of <= ``rounds``
+    edges from any seed (0 for seeds; integer weights stay integer —
+    fully deterministic, no FP anywhere, so a CTE-chain oracle matches
+    bit-for-bit).  Negative weights are legal (this is Bellman-Ford,
+    not Dijkstra) but the <=rounds-edges semantics is the contract —
+    there is no negative-cycle detection inside a fixed budget.
+
+    Algorithm: per round ONE shuffle join of the current distance frame
+    against ``edges`` on the source key, then MIN per destination over
+    (previous distances UNION candidate relaxations).  The distance
+    frame is node-sized every round (never path-sized — the naive
+    closure enumerates degree^rounds paths); each round's result is
+    localCheckpointed lazily so lineage stays O(1) per round, with the
+    next round's join materializing it.  Unlike BFS there is no
+    visited/anti-join: a node's distance can IMPROVE in a later round
+    (a cheaper longer path), so every node stays live — the relaxation
+    sweep is the classic dynamic program, not a frontier walk.
+
+    Scale: state is |reached nodes| rows of (node, dist); per round one
+    equi-join on the edge source + one map-side-partial MIN groupBy.
+    Skewed out-degrees are ordinary join skew (AQE territory).  For
+    unreachable-heavy graphs the join output is bounded by edges out of
+    reached nodes, not |E|."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), F.col(weight).alias("__w")
+    )
+    dist = (
+        seeds.select(F.col(node).alias("n"))
+        .distinct()
+        .select("n", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        cand = dist.join(e, dist["n"] == e["__s"]).select(
+            F.col("__d").alias("n"), (F.col("dist") + F.col("__w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(F.col("n").alias(node), "dist")
+
+
 def k_core_peel(
     edges: DataFrame,
     k: int,

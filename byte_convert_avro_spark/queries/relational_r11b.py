@@ -330,3 +330,101 @@ def events_value_acf_by_type(spark: SparkSession, sf: str):
             F.col("sxx2"), F.col("syy2"), F.col("sxy2"),
         ).alias("acf_lag2"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "trade_cheapest_cost_3rounds",
+    """
+    WITH dir_e AS MATERIALIZED (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+             MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS w
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT a, b, w FROM dir_e
+      UNION ALL SELECT b AS a, a AS b, w FROM dir_e
+    ), d0 AS MATERIALIZED (
+      SELECT DISTINCT c_custkey * 2 AS n, CAST(0 AS BIGINT) AS dist
+      FROM customer WHERE c_nationkey = 1
+    ), d1 AS MATERIALIZED (
+      SELECT n, MIN(dist) AS dist FROM (
+        SELECT n, dist FROM d0
+        UNION ALL
+        SELECT e.b AS n, d0.dist + e.w AS dist FROM d0 JOIN e ON e.a = d0.n
+      ) GROUP BY n
+    ), d2 AS MATERIALIZED (
+      SELECT n, MIN(dist) AS dist FROM (
+        SELECT n, dist FROM d1
+        UNION ALL
+        SELECT e.b AS n, d1.dist + e.w AS dist FROM d1 JOIN e ON e.a = d1.n
+      ) GROUP BY n
+    ), d3 AS MATERIALIZED (
+      SELECT n, MIN(dist) AS dist FROM (
+        SELECT n, dist FROM d2
+        UNION ALL
+        SELECT e.b AS n, d2.dist + e.w AS dist FROM d2 JOIN e ON e.a = d2.n
+      ) GROUP BY n
+    )
+    SELECT CAST(n % 2 AS INT) AS node_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_reached,
+           MIN(dist) AS min_dist_c,
+           MAX(dist) AS max_dist_c,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist_c
+    FROM d3 GROUP BY 1
+    """,
+)
+def trade_cheapest_cost_3rounds(spark: SparkSession, sf: str):
+    """WEIGHTED SHORTEST PATH, bounded — 3 Bellman-Ford relaxation
+    sweeps from one nation's customers over the undirected
+    customer<->supplier trade graph, edge weight = the CHEAPEST line
+    item (exact cents) ever shipped between the pair: "what is the
+    cheapest <=3-edge trade route from nation 1 to every counterparty?"
+    The weighted twin of trade_reachability_3hop, against an unrolled
+    CTE-chain oracle (one CTE per sweep, every multiply-referenced CTE
+    AS MATERIALIZED — the DuckDB re-inline lesson) — all-integer
+    arithmetic, so Spark (``operators/graph.bellman_ford_rounds``) and
+    the oracle match bit-for-bit.
+
+    Unlike BFS there is no visited set: a node's distance can IMPROVE
+    in a later sweep (a cheaper 3-edge route beating a direct edge),
+    so every sweep re-relaxes the full distance frame — the dynamic
+    program, not a frontier walk.  Node encoding: customer k -> 2k,
+    supplier k -> 2k+1 (the pagerank discipline); output aggregates
+    per node kind (even=customer, odd=supplier) so the row count stays
+    fixed while every per-node distance still feeds the hash.
+
+    Scale: distance state is node-sized every round (the naive closure
+    is degree^rounds paths); per round one equi-join + one
+    map-side-partial MIN.  Parallel edges collapse to their min weight
+    BEFORE the walk — one edge per pair, the graph's true size."""
+    from byte_convert_avro_spark.operators.graph import bellman_ford_rounds
+
+    dir_e = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .join(
+            t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.min(cents("l_extendedprice")).alias("w"))
+    )
+    und = dir_e.unionByName(
+        dir_e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    seeds = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 1)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    d = bellman_ford_rounds(und, seeds, rounds=3, node="node", src="a", dst="b")
+    return d.groupBy((F.col("node") % 2).cast("int").alias("node_kind")).agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.min("dist").alias("min_dist_c"),
+        F.max("dist").alias("max_dist_c"),
+        F.sum("dist").cast("long").alias("sum_dist_c"),
+    )

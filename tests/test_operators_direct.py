@@ -2018,3 +2018,50 @@ def test_count_min_never_underestimates_and_merges(spark):
         count_min_build(df, "token", d=0)
     with pytest.raises(ValueError):
         count_min_build(df, "token", w=1)
+
+
+def test_bellman_ford_rounds_known_graph(spark):
+    """bellman_ford_rounds on a hand-built weighted graph: a cheaper
+    two-edge path must BEAT a direct edge (the no-visited-set property
+    BFS cannot express), distances improve in later rounds, the round
+    budget bounds path length, unreachable nodes are absent, and the
+    caller's column names survive."""
+    from byte_convert_avro_spark.operators.graph import bellman_ford_rounds
+
+    #  1 -10-> 4, but 1 -1-> 2 -1-> 4 is cheaper; 4 -1-> 5;
+    #  3-edge path 1->2->4->5 (cost 3); 9 unreachable island edge.
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 4, 1), (4, 5, 1), (9, 8, 1)],
+        "src int, dst int, w int",
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    out = bellman_ford_rounds(edges, seeds, 3)
+    assert out.columns == ["node", "dist"]
+    got = {r.node: r.dist for r in out.collect()}
+    assert got == {1: 0, 2: 1, 4: 2, 5: 3}
+    # one round: only direct edges relaxed — 4 still costs 10
+    r1 = {r.node: r.dist for r in bellman_ford_rounds(edges, seeds, 1).collect()}
+    assert r1 == {1: 0, 2: 1, 4: 10}
+    # two rounds: 4 improves to 2 (cheaper longer path), 5 appears via 4@10+1
+    r2 = {r.node: r.dist for r in bellman_ford_rounds(edges, seeds, 2).collect()}
+    assert r2 == {1: 0, 2: 1, 4: 2, 5: 11}
+    # zero rounds: seeds only
+    r0 = {r.node: r.dist for r in bellman_ford_rounds(edges, seeds, 0).collect()}
+    assert r0 == {1: 0}
+    renamed = bellman_ford_rounds(
+        edges.withColumnRenamed("src", "a")
+        .withColumnRenamed("dst", "b")
+        .withColumnRenamed("w", "cost"),
+        seeds.withColumnRenamed("node", "user"),
+        2,
+        node="user",
+        src="a",
+        dst="b",
+        weight="cost",
+    )
+    assert renamed.columns == ["user", "dist"]
+    assert {r.user: r.dist for r in renamed.collect()} == r2
+    import pytest
+
+    with pytest.raises(ValueError):
+        bellman_ford_rounds(edges, seeds, -1)
