@@ -1222,3 +1222,115 @@ def streaming_rank_sketch_event_values(spark: SparkSession, sf: str):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_count_min_user_heavy_hitters",
+    """
+    WITH u AS (
+      SELECT CAST(user_id AS VARCHAR) AS uid
+      FROM events WHERE user_id IS NOT NULL
+    ), exact AS (
+      SELECT uid, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM u GROUP BY uid
+    ), top AS (
+      SELECT uid, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, uid LIMIT 10
+    ), ds AS (
+      SELECT unnest([0, 1, 2]) AS i
+    ), cells AS (
+      SELECT d.i,
+             ('0x' || substr(md5(u.uid || ':cm' || CAST(d.i AS VARCHAR)),
+                             1, 8))::BIGINT % 32 AS pos,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM u CROSS JOIN ds d
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT t.uid, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+      FROM top t
+      CROSS JOIN ds d
+      JOIN cells c
+        ON c.i = d.i
+       AND c.pos = ('0x' || substr(md5(t.uid || ':cm'
+                                       || CAST(d.i AS VARCHAR)), 1, 8))::BIGINT % 32
+      GROUP BY t.uid
+    )
+    SELECT CAST(t.uid AS BIGINT) AS user_id, t.exact_cnt, e.est_cnt,
+           e.est_cnt - t.exact_cnt AS overestimate
+    FROM top t JOIN est e ON e.uid = t.uid
+    """,
+)
+def streaming_count_min_user_heavy_hitters(spark: SparkSession, sf: str):
+    """STREAMING COUNT-MIN SKETCH — the cross-batch twin of
+    ``token_count_min_vs_exact``, and the simplest possible streaming
+    sketch BECAUSE count-min is LINEAR: the matrix is a per-(row, pos)
+    SUM, so Spark's own stateful streaming aggregation IS the sketch
+    maintenance — no custom state function needed (contrast
+    ``streaming_rank_sketch_event_values``, whose bottom-k tail needs
+    applyInPandasWithState).  The events stream replays as four genuine
+    hash-sharded micro-batches (``maxFilesPerTrigger=1``); the
+    undersized 3x32 matrix accumulates across batches in complete mode,
+    and the drained final matrix must equal the one-pass batch build
+    byte-for-byte — linearity means cell-wise sums commute with ANY
+    batch slicing, the same mergeability the unit suite pins
+    part-vs-whole.  Estimates for the top-10 heaviest users then derive
+    from the drained matrix (batch post-processing, like the rank
+    twin's quantiles): est >= exact on every row by the
+    never-underestimate contract, with collisions pinned as VALUES
+    (150 users >> 32 columns).  Scale: streaming state is the d*w=96
+    cells FOREVER — the live heavy-hitter monitor shape (which users
+    dominate the last-N-batches window is the same plan plus a window
+    key); emission is matrix-sized, never corpus-sized."""
+    import shutil
+
+    from byte_convert_avro_spark.operators.sketch import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    ev = t(spark, sf, "events")
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "count_min_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        matrix_stream = count_min_build(
+            stream.filter(F.col("user_id").isNotNull()), "user_id", d=3, w=32
+        )
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            matrix_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        matrix = spark.table(name)
+        exact = (
+            ev.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("exact_cnt"))
+        )
+        top = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(10)
+        est = count_min_estimate(
+            matrix, top.select("user_id"), "user_id", d=3, w=32
+        )
+        return top.join(est, "user_id").select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "exact_cnt",
+            F.col("est").alias("est_cnt"),
+            (F.col("est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
