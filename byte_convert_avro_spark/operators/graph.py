@@ -384,6 +384,84 @@ def bellman_ford_rounds(
     return dist.select(F.col("n").alias(node), "dist")
 
 
+def neighborhood_kmv(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """NEIGHBORHOOD FUNCTION via per-node KMV sketches — the
+    HyperANF/HyperBall idea (Boldi-Rosa-Vigna) with the engine's
+    deterministic KMV sketch in place of HyperLogLog registers: every
+    node carries a bottom-k sketch of the node ids it has seen, and one
+    round replaces each sketch with the bottom-k of its own union with
+    all neighbors' sketches.  After r rounds a node's sketch is EXACTLY
+    the bottom-k of the md5 hashes of its r-hop neighborhood (bottom-k
+    of a union is computable from the parts' bottom-k's — the same
+    mergeability every KMV query leans on), so "how many nodes are
+    within r hops of v" is estimable for EVERY v at once in k-bounded
+    state per node — where the exact answer needs the (node, reached)
+    PAIR frame, which is the quadratic blowup this operator exists to
+    avoid at scale (the oracle-gated query carries the exact columns
+    anyway, as gate-side verification at toy scale).
+
+    Returns (radius, ``node``, k_used, kth) for radius 1..``rounds``:
+    ``k_used`` = sketch size (= exact neighborhood cardinality in HASH
+    space while < k), ``kth`` = largest retained hash — the caller
+    applies the standard (k-1)*2^32/kth estimator.  Hashing is the
+    module-wide md5-prefix 32-bit convention, and the sketch dedups BY
+    HASH (a 32-bit collision between two reachable ids counts once —
+    the documented KMV semantics; oracles must DISTINCT the hash too).
+
+    Per round: ONE shuffle join flowing each node's sketch rows to its
+    neighbors (|E|*k rows — pass BOTH directions for an undirected
+    graph), then the kmv_grouped one-window bottom-k (lag-first dedup +
+    dense_rank <= k: one spillable sort, zero aggregate buffers).
+    State is <= k rows per node per round, localCheckpointed so lineage
+    stays O(1).  Skew: a hub node RECEIVES deg*k rows — bounded by the
+    window's streaming sort (no per-group array), the same profile the
+    skew study measured for sessionization."""
+    from pyspark.sql import Window as W
+
+    if k < 2:
+        raise ValueError(f"neighborhood_kmv needs k >= 2, got {k}")
+    if rounds < 1:
+        raise ValueError(f"neighborhood_kmv needs rounds >= 1, got {rounds}")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    hv = F.conv(
+        F.substring(F.md5(F.col("__n").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    nodes = (
+        e.select(F.col("__s").alias("__n"))
+        .unionByName(e.select(F.col("__d").alias("__n")))
+        .distinct()
+    )
+    sketch = nodes.select("__n", hv.alias("__hv")).localCheckpoint(eager=False)
+    w = W.partitionBy("__n").orderBy("__hv")
+    prev = F.lag("__hv").over(w)
+    out = None
+    for r in range(1, rounds + 1):
+        incoming = sketch.join(e, sketch["__n"] == e["__s"]).select(
+            F.col("__d").alias("__n"), "__hv"
+        )
+        sketch = (
+            sketch.unionByName(incoming)
+            .withColumn("__first", prev.isNull() | (prev != F.col("__hv")))
+            .withColumn("__dr", F.dense_rank().over(w))
+            .filter(F.col("__first") & (F.col("__dr") <= k))
+            .select("__n", "__hv")
+            .localCheckpoint(eager=False)
+        )
+        snap = sketch.groupBy("__n").agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.max("__hv").cast("long").alias("kth"),
+        ).select(F.lit(r).cast("int").alias("radius"), F.col("__n").alias(node), "k_used", "kth")
+        out = snap if out is None else out.unionByName(snap)
+    return out
+
+
 def k_core_peel(
     edges: DataFrame,
     k: int,

@@ -428,3 +428,137 @@ def trade_cheapest_cost_3rounds(spark: SparkSession, sf: str):
         F.max("dist").alias("max_dist_c"),
         F.sum("dist").cast("long").alias("sum_dist_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "trade_neighborhood_function_kmv",
+    """
+    WITH dir_e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT a, b FROM dir_e UNION ALL SELECT b AS a, a AS b FROM dir_e
+    ), p0 AS MATERIALIZED (
+      SELECT n, n AS r FROM (SELECT DISTINCT a AS n FROM e)
+    ), p1 AS MATERIALIZED (
+      SELECT DISTINCT n, r FROM (
+        SELECT n, r FROM p0
+        UNION ALL SELECT p0.n, e.b AS r FROM p0 JOIN e ON e.a = p0.r
+      )
+    ), p2 AS MATERIALIZED (
+      SELECT DISTINCT n, r FROM (
+        SELECT n, r FROM p1
+        UNION ALL SELECT p1.n, e.b AS r FROM p1 JOIN e ON e.a = p1.r
+      )
+    ), pr AS (
+      SELECT 1 AS radius, n, r FROM p1
+      UNION ALL SELECT 2 AS radius, n, r FROM p2
+    ), ex AS (
+      SELECT radius, n, CAST(COUNT(*) AS BIGINT) AS exact_reached
+      FROM pr GROUP BY 1, 2
+    ), hv AS (
+      SELECT DISTINCT radius, n,
+             ('0x' || substr(md5(CAST(r AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM pr
+    ), rk AS (
+      SELECT radius, n, h,
+             ROW_NUMBER() OVER (PARTITION BY radius, n ORDER BY h) AS rn
+      FROM hv
+    ), sk AS (
+      SELECT radius, n,
+             CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(MAX(h) AS BIGINT) AS kth
+      FROM rk WHERE rn <= 16 GROUP BY 1, 2
+    ), j AS (
+      SELECT s.radius, s.n AS node, x.exact_reached, s.k_used, s.kth,
+             CASE WHEN s.k_used < 16 THEN CAST(s.k_used AS DOUBLE)
+                  ELSE CAST(15 AS DOUBLE) * 4294967296.0e0 / s.kth END AS est,
+             ROW_NUMBER() OVER (PARTITION BY s.radius
+                                ORDER BY x.exact_reached DESC, s.n) AS top_rn
+      FROM sk s JOIN ex x ON x.radius = s.radius AND x.n = s.n
+    )
+    SELECT CAST(radius AS INT) AS radius, node, exact_reached,
+           k_used, kth, est
+    FROM j WHERE top_rn <= 10
+    """,
+)
+def trade_neighborhood_function_kmv(spark: SparkSession, sf: str):
+    """NEIGHBORHOOD FUNCTION via mergeable KMV sketches — the
+    HyperANF/HyperBall pattern (operators/graph.neighborhood_kmv):
+    every node of the trade graph carries a bottom-16 sketch of the
+    node-id hashes within radius r, maintained by r sweeps that merge
+    each node's sketch with its neighbors' — k-bounded state per node,
+    NO pair frame.  The exact columns come from the (node, reached)
+    PAIR frame, which is precisely the quadratic object the sketch
+    avoids at 100 TB — here it is gate-side verification at toy scale
+    (the kmv_intersection_estimate discipline), and the oracle rederives
+    both: the pair counts exactly, and the sketch arithmetic as
+    rank-filtered md5 hashes of the same reach sets (legal because the
+    bottom-k of a union equals the bottom-k of the parts' bottom-k's —
+    r merge sweeps = one-shot bottom-k of the full r-hop set, the
+    invariant the unit test pins on a crafted graph).
+
+    Output: per radius 1 and 2, the ten best-connected nodes (exact
+    reach desc, node tiebreak) with exact cardinality, sketch fill,
+    k-th hash, and the (k-1)*2^32/kth estimate — per-node doubles,
+    never summed across nodes (double summation order is the one thing
+    the decimal discipline can't fix on computed estimates).
+
+    Scale: per sweep ONE |E|*k-row shuffle join + the kmv_grouped
+    one-window bottom-k; a 1000-executor run over a trillion-edge graph
+    is r sweeps of (join + window), each AQE-planned — the per-node
+    answer to 'how much of the graph is within r hops' that no exact
+    plan can provide at that size."""
+    from byte_convert_avro_spark.operators.graph import neighborhood_kmv
+
+    dir_e = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    und = dir_e.unionByName(dir_e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sk = neighborhood_kmv(und, k=16, rounds=2, node="node", src="a", dst="b")
+
+    # exact pair frames (gate-side verification only — see docstring)
+    nodes = (
+        und.select(F.col("a").alias("n")).distinct()
+    )
+    # fresh column names break the p<-und lineage self-join ambiguity
+    e2 = und.select(F.col("a").alias("ea"), F.col("b").alias("eb"))
+    p = nodes.select("n", F.col("n").alias("r"))
+    exacts = []
+    for radius in (1, 2):
+        p = (
+            p.unionByName(
+                p.join(e2, p["r"] == e2["ea"]).select("n", F.col("eb").alias("r"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        exacts.append(
+            p.groupBy("n").agg(F.count("*").cast("long").alias("exact_reached"))
+            .select(F.lit(radius).cast("int").alias("radius"), F.col("n").alias("node"), "exact_reached")
+        )
+    ex = exacts[0].unionByName(exacts[1])
+
+    est = F.when(F.col("k_used") < 16, F.col("k_used").cast("double")).otherwise(
+        F.lit(15.0) * F.lit(4294967296.0) / F.col("kth")
+    )
+    j = sk.join(ex, ["radius", "node"]).select(
+        "radius", "node", "exact_reached", "k_used", "kth", est.alias("est")
+    )
+    wtop = W.partitionBy("radius").orderBy(F.col("exact_reached").desc(), "node")
+    return (
+        j.withColumn("top_rn", F.row_number().over(wtop))
+        .filter(F.col("top_rn") <= 10)
+        .drop("top_rn")
+    )

@@ -2065,3 +2065,49 @@ def test_bellman_ford_rounds_known_graph(spark):
 
     with pytest.raises(ValueError):
         bellman_ford_rounds(edges, seeds, -1)
+
+
+def test_neighborhood_kmv_equals_bottomk_of_exact_reach(spark):
+    """neighborhood_kmv after r rounds must equal the bottom-k of the
+    md5 hashes of the EXACT r-hop neighborhood, for every node — the
+    mergeability invariant HyperBall-style sweeps rely on.  Crafted
+    path+branch graph, k=3 so saturation truncates some sketches."""
+    import hashlib
+
+    from byte_convert_avro_spark.operators.graph import neighborhood_kmv
+
+    #  1-2-3-4-5 path plus branch 3-6; undirected = both directions
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def reach(v, r):
+        seen = {v}
+        frontier = {v}
+        for _ in range(r):
+            frontier = {x for f in frontier for x in adj.get(f, ())} - set()
+            seen |= frontier
+        return seen
+
+    def h32(n):
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:8], 16)
+
+    out = neighborhood_kmv(edges, k=3, rounds=2)
+    got = {(r.radius, r.node): (r.k_used, r.kth) for r in out.collect()}
+    for v in adj:
+        for r in (1, 2):
+            hs = sorted(h32(x) for x in reach(v, r))
+            keep = hs[:3]
+            assert got[(r, v)] == (len(keep), keep[-1]), (v, r, keep, got[(r, v)])
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        neighborhood_kmv(edges, k=1, rounds=1)
+    with pytest.raises(ValueError):
+        neighborhood_kmv(edges, k=3, rounds=0)
