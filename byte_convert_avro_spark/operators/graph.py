@@ -462,6 +462,68 @@ def neighborhood_kmv(
     return out
 
 
+def label_propagation_rounds(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """SYNCHRONOUS LABEL PROPAGATION community detection, fixed rounds —
+    the modularity-free community member of the graph family (connected
+    components finds *reachability* classes; LPA finds *densely linked*
+    ones, splitting a connected graph along its sparse cuts).
+
+    ``edges`` holds each undirected edge once in either direction — the
+    symmetric closure and pair dedup happen inside (LPA is inherently
+    undirected; multi-edges would silently weight votes, so they are
+    removed).  Every node starts labeled with its own id; each round
+    every node adopts the label carried by the MOST of its neighbors,
+    ties broken toward the SMALLEST label — the tie rule that makes
+    classic LPA (randomized in the literature) fully deterministic and
+    therefore oracle-checkable; a fixed round budget replaces the
+    convergence test (the bounded-iteration contract shared by
+    pagerank/k-core/BFS).  Returns (node, label) after exactly
+    ``rounds`` synchronous sweeps.
+
+    Per round: ONE shuffle join flowing labels across edges, one
+    (node, label) count, one per-node integer argmax via max(struct) —
+    no arrays, no driver state; label frames are node-sized and
+    localCheckpointed so lineage stays O(1) per round.  Hub nodes
+    receive deg rows into a streaming count — ordinary agg skew."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e0 = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    und = (
+        e0.unionByName(e0.select(F.col("__b").alias("__a"), F.col("__a").alias("__b")))
+        .filter(F.col("__a") != F.col("__b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("__a").alias("__n"))
+        .distinct()
+        .select("__n", F.col("__n").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        votes = (
+            labels.join(und, labels["__n"] == und["__a"])
+            .select(F.col("__b").alias("__n"), "lbl")
+            .groupBy("__n", "lbl")
+            .agg(F.count("*").alias("__c"))
+        )
+        best = F.max(
+            F.struct(F.col("__c").alias("c"), (-F.col("lbl")).alias("nl"))
+        ).alias("__m")
+        labels = (
+            votes.groupBy("__n")
+            .agg(best)
+            .select("__n", (-F.col("__m.nl")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("__n").alias("node"), "lbl")
+
+
 def k_core_peel(
     edges: DataFrame,
     k: int,
