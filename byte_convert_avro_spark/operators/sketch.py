@@ -307,7 +307,7 @@ def rank_sketch_quantile(smp: str | Column, q_num: int, q_den: int) -> Column:
     n = F.size(c)
     idx = F.greatest(
         F.lit(1),
-        ((F.lit(q_num) * n + F.lit(q_den - 1)) / F.lit(q_den))
+        F.floor((F.lit(q_num) * n + F.lit(q_den - 1)) / F.lit(q_den))
         .cast("int"),
     )
     return F.element_at(c, idx)

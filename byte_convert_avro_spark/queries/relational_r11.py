@@ -141,7 +141,7 @@ def order_value_rank_sketch_vs_exact(spark: SparkSession, sf: str):
                 F.col("vr")
                 == F.greatest(
                     F.lit(1),
-                    ((F.col("n") + 1) / 2).cast("long"),
+                    F.floor((F.col("n") + 1) / 2).cast("long"),
                 ),
                 F.col("v"),
             )
@@ -151,7 +151,7 @@ def order_value_rank_sketch_vs_exact(spark: SparkSession, sf: str):
                 F.col("vr")
                 == F.greatest(
                     F.lit(1),
-                    ((F.col("n") * 9 + 9) / 10).cast("long"),
+                    F.floor((F.col("n") * 9 + 9) / 10).cast("long"),
                 ),
                 F.col("v"),
             )

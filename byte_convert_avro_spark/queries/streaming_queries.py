@@ -1236,7 +1236,7 @@ def streaming_rank_sketch_event_values(spark: SparkSession, sf: str):
       FROM u GROUP BY uid
     ), top AS (
       SELECT uid, exact_cnt FROM exact
-      ORDER BY exact_cnt DESC, uid LIMIT 10
+      ORDER BY exact_cnt DESC, CAST(uid AS BIGINT) LIMIT 10
     ), ds AS (
       SELECT unnest([0, 1, 2]) AS i
     ), cells AS (

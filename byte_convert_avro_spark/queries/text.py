@@ -38,18 +38,20 @@ N_BANDS = 8
 )
 def doc_stats(spark: SparkSession, sf: str):
     """Per-document stats: length, word count, vocabulary size, avg word
-    length — the quality-scoring primitives."""
-    d = t(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    length — the quality-scoring primitives, via
+    ``operators/text.text_stats`` (the registry gate for that operator;
+    the query previously inlined the identical expressions)."""
+    from byte_convert_avro_spark.operators.text import text_stats
+
+    d = text_stats(t(spark, sf, "documents"), "text")
     return d.select(
         "doc_id",
         "source",
         "lang",
-        F.length("text").alias("n_chars_calc"),
-        F.size("w").alias("n_words"),
-        F.size(F.array_distinct("w")).alias("n_distinct_words"),
-        (
-            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size("w")
-        ).alias("avg_word_len"),
+        "n_chars_calc",
+        "n_words",
+        "n_distinct_words",
+        "avg_word_len",
     )
 
 

@@ -114,3 +114,67 @@ def test_every_registry_entry_has_a_gate(entry):
     assert not ungated, f"registry entries with no parity-gate record: {ungated}"
     red = sorted(n for n in entry.queries() if latest.get(n) is False)
     assert not red, f"registry entries whose LATEST gate run failed: {red}"
+
+
+def test_every_public_operator_is_reachable():
+    """Orphan-operator backstop (round-11 postmortem: the gate-ledger
+    test walks REGISTRY ENTRIES, so ``label_propagation_rounds`` landed
+    ungated and untested without failing anything).  This test walks the
+    other direction: every PUBLIC top-level function in ``operators/``
+    must be genuinely referenced — imported or called, per AST, so a
+    docstring mention cannot satisfy it — from the queries/streaming/
+    functions packages, the tests, the tools, the entry module, or
+    another operator function.  A freshly added public operator with no
+    gate and no test fails HERE, in-suite."""
+    import ast
+    import pathlib
+
+    repo = pathlib.Path(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    opdir = repo / "byte_convert_avro_spark" / "operators"
+
+    def referenced_names(path: pathlib.Path) -> set[str]:
+        """All identifiers a module genuinely uses: Load-context names,
+        attribute accesses, and imported names — NOT string literals."""
+        tree = ast.parse(path.read_text())
+        out: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
+                out.add(node.id)
+            elif isinstance(node, ast.Attribute):
+                out.add(node.attr)
+            elif isinstance(node, (ast.ImportFrom,)):
+                out.update(a.name for a in node.names)
+        return out
+
+    public: dict[str, pathlib.Path] = {}
+    for f in sorted(opdir.rglob("*.py")):
+        for node in ast.parse(f.read_text()).body:
+            if isinstance(node, ast.FunctionDef) and not node.name.startswith("_"):
+                public[node.name] = f
+
+    consumers: set[str] = set()
+    for d in ("queries", "streaming", "functions"):
+        p = repo / "byte_convert_avro_spark" / d
+        if p.exists():
+            for f in p.rglob("*.py"):
+                consumers |= referenced_names(f)
+    for f in (repo / "tests").glob("*.py"):
+        consumers |= referenced_names(f)
+    for f in (repo / "tools").glob("*.py"):
+        consumers |= referenced_names(f)
+    for name in ("__spark_entry__.py", "bench.py", "bench_decode.py"):
+        p = repo / name
+        if p.exists():
+            consumers |= referenced_names(p)
+    # same-package call sites: an operator used by another (gated)
+    # operator is reachable too
+    for f in opdir.rglob("*.py"):
+        consumers |= referenced_names(f)
+
+    # referenced_names over an operator file includes truly-used names
+    # only; a function body always references its OWN callees, never
+    # itself unless recursive — so subtract nothing and just compare.
+    orphans = sorted(n for n in public if n not in consumers)
+    assert not orphans, (
+        f"public operators with no registry query, test, or caller: {orphans}"
+    )

@@ -2111,3 +2111,103 @@ def test_neighborhood_kmv_equals_bottomk_of_exact_reach(spark):
         neighborhood_kmv(edges, k=1, rounds=1)
     with pytest.raises(ValueError):
         neighborhood_kmv(edges, k=3, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_rounds — deterministic smallest-label tie rule
+# ---------------------------------------------------------------------------
+def test_label_propagation_two_cliques_hand_trace(spark):
+    """LPA on two triangles bridged by one edge, hand-traced for rounds
+    1 and 2: the smallest-label tie rule (argmax on (count, -label))
+    must reproduce the exact synchronous trajectory, and the internal
+    symmetric-closure + dedup must make duplicate edges, reversed
+    duplicates, and self-loops no-ops."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.graph import label_propagation_rounds
+
+    base = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(base, "src int, dst int")
+
+    # Round 1 from self-labels: every vote count is 1, so each node takes
+    # its smallest neighbor id.
+    r1 = {r.node: r.lbl for r in label_propagation_rounds(edges, 1).collect()}
+    assert r1 == {1: 2, 2: 1, 3: 1, 10: 3, 11: 10, 12: 10}
+
+    # Round 2 from r1's labels (hand-derived): node 1 sees {1: 2} -> 1;
+    # node 10 sees {10: 2, 1: 1} -> 10 (count beats smallness); 11 and 12
+    # tie {3: 1, 10: 1} -> 3 (smallest label on a count tie).
+    r2 = {r.node: r.lbl for r in label_propagation_rounds(edges, 2).collect()}
+    assert r2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+
+    # Multi-edges, reversed duplicates, and self-loops must not change
+    # the vote counts (dedup + a != b filter inside the operator).
+    noisy = spark.createDataFrame(
+        base + [(2, 1), (1, 2), (1, 1), (10, 11)], "src int, dst int"
+    )
+    r2n = {r.node: r.lbl for r in label_propagation_rounds(noisy, 2).collect()}
+    assert r2n == r2
+
+    # Renamed columns survive.
+    ren = label_propagation_rounds(
+        edges.withColumnRenamed("src", "a").withColumnRenamed("dst", "b"),
+        1,
+        src="a",
+        dst="b",
+    )
+    assert ren.columns == ["node", "lbl"]
+    assert {r.node: r.lbl for r in ren.collect()} == r1
+
+    with pytest.raises(ValueError):
+        label_propagation_rounds(edges, 0)
+
+
+# ---------------------------------------------------------------------------
+# language_id — marker scoring and the fixed tie-priority order
+# ---------------------------------------------------------------------------
+def test_language_id_crafted_docs(spark):
+    """language_id on crafted docs: each language's markers win their own
+    doc, an exact en/de score tie resolves to en (the documented fixed
+    priority es < fr < de < en), a shared marker (' la ' is in both fr
+    and es lists) does not flip a clear es doc, and a marker-free doc is
+    'unknown'."""
+    from byte_convert_avro_spark.operators.text import language_id
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of war"),
+            (2, "der hund und die katze"),
+            (3, "le chien et la maison"),
+            (4, "el gato y la casa"),
+            (5, "the und"),  # s_en == s_de == 1 -> tie -> en
+            (6, "zzz qqq"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.guessed_lang for r in language_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "en", 6: "unknown"}
+    # output contract: adds exactly the one column
+    assert language_id(docs).columns == ["doc_id", "text", "guessed_lang"]
+
+
+# ---------------------------------------------------------------------------
+# dot_col — the public sequential-fold dot product wrapper
+# ---------------------------------------------------------------------------
+def test_dot_col_sequential_fold(spark):
+    """dot_col computes the left-to-right IEEE fold of the elementwise
+    product — pinned on exact-representable values and on the empty
+    array (fold over nothing = the 0.0 seed)."""
+    from pyspark.sql import functions as F
+
+    from byte_convert_avro_spark.operators.similarity import dot_col
+
+    df = spark.createDataFrame(
+        [
+            ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0], 32.0),
+            ([0.5, -0.25], [8.0, 4.0], 3.0),
+            ([], [], 0.0),
+        ],
+        "a array<double>, b array<double>, want double",
+    )
+    rows = df.select(dot_col("a", "b").alias("got"), "want").collect()
+    assert all(r.got == r.want for r in rows), rows

@@ -626,3 +626,22 @@ def test_rank_sketch_operator_is_two_bounded_exchanges(spark):
     # no Python EXECUTION stage (the createDataFrame source mentions
     # "applySchemaToPythonRDD", which is driver-side setup, not a stage)
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_row_pattern_match_is_one_user_shuffle(spark, sf_dir):
+    """The MATCH_RECOGNIZE-style VIEW+ CLICK PURCHASE pattern must ride
+    ONE window partitioning: every building block (row numbers, the two
+    LEADs, the running island-start MAX) shares the (user_id) partition
+    and (ts_us, event_id) sort, so the whole pattern match costs exactly
+    one shuffle and one sort — a k-step pattern adds LEADs, never joins
+    or extra exchanges."""
+    df = Q["events_pattern_views_to_purchase"](spark, sf_dir)
+    assert join_strategies(df) == [], join_strategies(df)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    # exactly one exchange, hashed on user_id alone
+    assert count_exchanges(df) == 1, plan[:4000]
+    assert re.search(r"hashpartitioning\(user_id", plan), plan[:4000]
+    # one sort order serves both window specs: no duplicate Sort on the
+    # same child (two Sort nodes would mean the specs diverged)
+    assert plan.count("Sort [") <= 2, plan[:4000]
