@@ -99,6 +99,14 @@ EXTENDED = [
     "order_value_rank_sketch_vs_exact",
     "events_cusum_value_drift",
     "customer_trailing_30d_spend",
+    # round-12: the r11 heavies promoted per the verdict (their cost is
+    # gate-side exact referees / real micro-batch replay — tracked so a
+    # regression in them is adjudicable), plus the new LPA and
+    # row-pattern families — first history
+    "trade_neighborhood_function_kmv",
+    "streaming_count_min_user_heavy_hitters",
+    "copurchase_communities_lpa",
+    "events_pattern_views_to_purchase",
 ]
 
 

@@ -372,3 +372,63 @@ def events_pattern_views_to_purchase(spark: SparkSession, sf: str):
         F.col("p_ts_us").cast("long").alias("purchase_ts_us"),
         "p_val_c",
     ).withColumnRenamed("p_val_c", "purchase_value_c")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "mode_quantity_by_flag_status",
+    """
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem
+    ), cnt AS (
+      SELECT l_returnflag, l_linestatus, v, COUNT(*) AS c
+      FROM q GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT l_returnflag, l_linestatus, v, c,
+             MAX(c) OVER (PARTITION BY l_returnflag, l_linestatus) AS mc
+      FROM cnt
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(MIN(v) AS BIGINT) AS modal_quantity,
+           CAST(MAX(c) AS BIGINT) AS modal_count
+    FROM best WHERE c = mc
+    GROUP BY 1, 2
+    """,
+)
+def mode_quantity_by_flag_status(spark: SparkSession, sf: str):
+    """DETERMINISTIC MODE (ordered-set ``mode() WITHIN GROUP`` family):
+    per (returnflag, linestatus), the most frequent lineitem quantity —
+    ties broken toward the SMALLEST value, the pin that makes mode
+    oracle-checkable at all (both engines' native ``mode()`` leave ties
+    engine-defined, so NEITHER side uses it: Spark runs a count + one
+    ``max(struct(count, -value))`` argmax — the LPA vote rule applied to
+    an aggregate — and the oracle keeps the max-count rows and takes
+    MIN(v)).  Quantities are uniform integers 1..50, so real ties occur
+    at every scale factor and the tie rule is actually load-bearing.
+
+    Scale: two map-side-combinable aggregations (value counts, then a
+    per-group argmax over <= |distinct values| rows) — no sort, no
+    window over the raw rows; the intermediate is (groups x 50) rows at
+    any data size."""
+    q = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("v"),
+    )
+    cnt = q.groupBy("l_returnflag", "l_linestatus", "v").agg(
+        F.count("*").alias("c")
+    )
+    best = F.max(
+        F.struct(F.col("c").alias("c"), (-F.col("v")).alias("nv"))
+    ).alias("__m")
+    return (
+        cnt.groupBy("l_returnflag", "l_linestatus")
+        .agg(best)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (-F.col("__m.nv")).cast("long").alias("modal_quantity"),
+            F.col("__m.c").cast("long").alias("modal_count"),
+        )
+    )

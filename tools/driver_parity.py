@@ -62,7 +62,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--exclude", nargs="*", default=None,
+                    help="names to skip (recorded in the artifact as skipped "
+                         "— no silent caps)")
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--progress", action="store_true",
+                    help="print one stderr line per query as it completes "
+                         "(hang diagnosis on long runs)")
+    ap.add_argument("--driver-memory", default=None,
+                    help="JVM heap for the local session (e.g. 48g).  The "
+                         "default stays BARE (Spark's 1g) to mirror the "
+                         "driver harness at sf0.01; large-SF audit runs "
+                         "need a real heap because local mode runs all 32 "
+                         "executor threads inside the driver JVM.  Recorded "
+                         "in the artifact when set.")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -70,13 +83,15 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("driver_parity")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.driver_memory:
+        builder = builder.config("spark.driver.memory", args.driver_memory)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
@@ -92,10 +107,13 @@ def main() -> int:
     names = sorted(queries)
     if args.only:
         names = [n for n in names if n in set(args.only)]
+    skipped = sorted(set(args.exclude or ()) & set(names))
+    if skipped:
+        names = [n for n in names if n not in set(skipped)]
 
     results: dict[str, dict] = {}
     failed = 0
-    for name in names:
+    for i, name in enumerate(names):
         t0 = time.monotonic()
         try:
             sdf = queries[name](spark, args.sf_dir).toPandas()
@@ -120,6 +138,12 @@ def main() -> int:
         if not results[name]["ok"]:
             failed += 1
             print(f"FAIL {name}: {results[name]}", file=sys.stderr)
+        elif args.progress:
+            print(
+                f"[{i + 1}/{len(names)}] ok {name}"
+                f" ({results[name]['sec']}s)",
+                file=sys.stderr, flush=True,
+            )
 
     if not args.no_record:
         # Compacted ledger (r10 ADVICE): keep ONE line per query — the
@@ -147,12 +171,17 @@ def main() -> int:
             for name in sorted(latest):
                 fh.write(json.dumps(latest[name]) + "\n")
 
-    print(json.dumps({
+    out = {
         "sf_dir": args.sf_dir,
         "total": len(names),
         "failed": failed,
         "results": results,
-    }))
+    }
+    if args.driver_memory:
+        out["driver_memory"] = args.driver_memory
+    if skipped:
+        out["skipped"] = skipped
+    print(json.dumps(out))
     spark.stop()
     return 1 if failed else 0
 
