@@ -624,9 +624,13 @@ def connected_components(
     collapse to ONE keeper for {A,B,C}, which no single join can express.
 
     Scale: each iteration is one shuffle join (edges × labels on src) +
-    one partial-first min-agg on dst; rounds are bounded by component
-    DIAMETER, and near-dup clusters are shallow (a handful of hops), not
-    corpus-sized chains.  ``localCheckpoint`` truncates lineage each
+    one partial-first min-agg on dst + one node-sized POINTER-JUMPING
+    join (label <- label-of-label, path compression), so rounds are
+    bounded by LOG of the component diameter — long entity-resolution
+    chains (which grow with corpus size; a >25-diameter customer-match
+    chain appeared at sf0.1) converge in ~log2(d) rounds, and the
+    default budget of 25 covers diameters past 10^6.  ``localCheckpoint``
+    truncates lineage each
     round so plans don't grow with iterations — marked LAZY and triggered
     by the convergence aggregate, so materializing the new labels AND
     detecting the fixpoint is ONE action (one job launch) per round: the
@@ -687,12 +691,37 @@ def connected_components(
                 .groupBy(F.col("dst").alias("v"))
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # POINTER JUMPING (path compression): label(v) <- label(label(v)).
+            # label values are always ids of same-component nodes, so the
+            # jump stays inside the component and is monotone under least();
+            # combined with the neighbor-min step it makes the covered
+            # distance-to-min at least DOUBLE per round — convergence in
+            # O(log diameter) rounds instead of O(diameter).  This is what
+            # makes long-chain components (entity-resolution graphs grow
+            # them with scale: the sf0.1 audit caught a >25-diameter
+            # customer-match chain the sf0.01 corpus never built) converge
+            # inside any sane budget: diameter 10^6 needs ~20 rounds, not
+            # 10^6.  Cost: one extra node-sized merge join per round.
+            parent = labels.select(
+                F.col("v").alias("label"), F.col("label").alias("jump_label")
+            )
             new_labels = (
                 labels.join(nbr_min.hint("merge"), "v", "left")
+                .join(parent.hint("merge"), "label", "left")
                 .select(
                     "v",
-                    F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                    (F.coalesce("nbr_label", "label") < F.col("label"))
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("nbr_label", "label"),
+                        F.coalesce("jump_label", "label"),
+                    ).alias("label"),
+                    (
+                        F.least(
+                            F.coalesce("nbr_label", "label"),
+                            F.coalesce("jump_label", "label"),
+                        )
+                        < F.col("label")
+                    )
                     .cast("int")
                     .alias("_chg"),
                 )

@@ -632,9 +632,11 @@ def test_asof_rejects_bad_right_cols(spark):
 
 
 def test_connected_components_raises_on_budget_exhaustion(spark):
-    """A chain whose diameter exceeds max_iter must RAISE — silently
-    returning partially-propagated labels would merge dedup clusters
-    wrongly downstream (the documented contract in operators/dedup.py)."""
+    """A component that cannot converge within max_iter must RAISE —
+    silently returning partially-propagated labels would merge dedup
+    clusters wrongly downstream (the documented contract in
+    operators/dedup.py).  With pointer jumping a 9-node chain needs ~4
+    rounds plus the fixpoint-detection round, so max_iter=2 exhausts."""
     from byte_convert_avro_spark.operators.dedup import connected_components
 
     import pytest as _pytest
@@ -643,13 +645,33 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
         [(i, i + 1) for i in range(8)], "doc_a int, doc_b int"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=3)
+        connected_components(pairs, max_iter=2)
     # the same graph converges fine with an adequate budget
     got = {
         (r.v, r.component)
         for r in connected_components(pairs, max_iter=15).collect()
     }
     assert got == {(i, 0) for i in range(9)}
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """The sf0.1 regression pin: a 200-node chain (diameter 199) must
+    converge WITHIN the default 25-round budget — pointer jumping makes
+    rounds O(log diameter), where pure min-label propagation would need
+    199 rounds and raised on the sf0.1 entity-resolution graph.  Also
+    pins that path compression cannot cross components: two disjoint
+    chains keep distinct labels."""
+    from byte_convert_avro_spark.operators.dedup import connected_components
+
+    chain_a = [(i, i + 1) for i in range(199)]
+    chain_b = [(1000 + i, 1000 + i + 1) for i in range(50)]
+    pairs = spark.createDataFrame(chain_a + chain_b, "doc_a int, doc_b int")
+    got = {
+        (r.v, r.component)
+        for r in connected_components(pairs).collect()  # default max_iter=25
+    }
+    want = {(i, 0) for i in range(200)} | {(1000 + i, 1000) for i in range(51)}
+    assert got == want
 
 
 def test_multimodal_resize_and_features_contract(spark):
