@@ -241,3 +241,30 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     to make single-file inputs behave like partitioned ones."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(k) for k in keys]) if keys else df.repartition(n)
+
+
+def key_offset(df: DataFrame, key: str) -> DataFrame:
+    """1-row frame whose ``__off`` column is the smallest power of 10
+    with MORE digits than ``max(key)`` — the scale-safe namespacing
+    offset for synthetic re-insert/re-upload fixtures (CDC inserts,
+    snapshot re-inserts, re-uploaded duplicates).
+
+    The r11 subtree-width lesson applied to offsets: a fixed literal
+    like ``k + 10_000_000`` silently COLLIDES with real keys once the
+    corpus outgrows it, and because the oracle shares the literal the
+    parity gate can never see it — the bug class only a scale audit
+    catches.  Deriving the offset from the key's own width removes the
+    cliff at every scale factor.  Spelled in pure string/int arithmetic
+    (``'1' || repeat('0', width)``) — exact at any int64 width, bit-
+    identical cross-engine, no floating-point POWER.  Usage:
+    ``df.crossJoin(F.broadcast(key_offset(df, "k")))`` then
+    ``F.col("k") + F.col("__off")``; oracle twin:
+    ``(SELECT CAST('1' || repeat('0', LENGTH(CAST(MAX(k) AS VARCHAR)))
+    AS BIGINT) FROM t)``."""
+    return df.agg(
+        F.expr(
+            f"cast(concat('1', repeat('0', length(cast(max({key}) as string))))"
+            " as bigint)"
+        ).alias("__off")
+    )
+

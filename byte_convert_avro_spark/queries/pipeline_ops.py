@@ -13,7 +13,14 @@ from byte_convert_avro_spark.operators import dedup as D
 from byte_convert_avro_spark.operators import multimodal as M
 from byte_convert_avro_spark.operators import similarity as S
 from byte_convert_avro_spark.operators import text as X
-from byte_convert_avro_spark.queries.base import cents, hash_bucket, register, spread, t
+from byte_convert_avro_spark.queries.base import (
+    cents,
+    hash_bucket,
+    key_offset,
+    register,
+    spread,
+    t,
+)
 
 _HEXPOS = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
@@ -2119,7 +2126,7 @@ def basket_association_lift(spark: SparkSession, sf: str):
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, text FROM documents
+      SELECT doc_id + (SELECT CAST('1' || repeat('0', LENGTH(CAST(MAX(doc_id) AS VARCHAR))) AS BIGINT) FROM documents), text FROM documents
       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0
     )
     SELECT substr(md5(md5(text) || '|fp'), 1, 16) AS fingerprint,
@@ -2142,8 +2149,12 @@ def audio_fingerprint_dup_groups(spark: SparkSession, sf: str):
     base = t(spark, sf, "documents").select("doc_id", "text")
     # re-uploaded copies: a 20% hash slice re-ingested under new ids —
     # the duplicate regime the fingerprint key must collapse
-    dupes = base.filter(hash_bucket("doc_id", 5) == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    dupes = (
+        base.filter(hash_bucket("doc_id", 5) == 0)
+        # width-derived offset (see base.key_offset): a fixed literal
+        # collides with real doc_ids once the corpus outgrows it
+        .crossJoin(F.broadcast(key_offset(base, "doc_id")))
+        .select((F.col("doc_id") + F.col("__off")).alias("doc_id"), "text")
     )
     docs = spread(base.unionAll(dupes), "doc_id").select(
         "doc_id", F.col("text").cast("binary").alias("blob")

@@ -22,6 +22,7 @@ from byte_convert_avro_spark.queries.base import (
     cents,
     dsum,
     hash_bucket,
+    key_offset,
     register,
     revenue_sum,
     t,
@@ -1798,7 +1799,8 @@ def user_deletion_audit(spark: SparkSession, sf: str):
       SELECT k, st, CASE WHEN b = 1 THEN price_e2 + 100 ELSE price_e2 END AS price_e2
       FROM v1 WHERE b <> 0
       UNION ALL
-      SELECT k + 1000000000, st, price_e2 FROM v1 WHERE b = 2
+      SELECT k + (SELECT CAST('1' || repeat('0', LENGTH(CAST(MAX(o_orderkey) AS VARCHAR))) AS BIGINT) FROM orders),
+             st, price_e2 FROM v1 WHERE b = 2
     ), d AS (
       SELECT COALESCE(a.k, z.k) AS k,
              CASE WHEN a.k IS NULL THEN 'added'
@@ -1840,8 +1842,11 @@ def orders_snapshot_diff(spark: SparkSession, sf: str):
             .alias("price_e2"),
         )
         .unionAll(
-            v1.filter(F.col("b") == 2).select(
-                (F.col("k") + 1_000_000_000).alias("k"), "st", "price_e2"
+            v1.filter(F.col("b") == 2)
+            # width-derived offset (base.key_offset): scale-safe re-insert keys
+            .crossJoin(F.broadcast(key_offset(v1, "k")))
+            .select(
+                (F.col("k") + F.col("__off")).alias("k"), "st", "price_e2"
             )
         )
     )

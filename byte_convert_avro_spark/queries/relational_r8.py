@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import cents, register, t
+from byte_convert_avro_spark.queries.base import cents, key_offset, register, t
 
 
 # ---------------------------------------------------------------------------
@@ -1131,7 +1131,8 @@ def customer_cohort_ltv_curve(spark: SparkSession, sf: str):
       SELECT k, 'D', NULL FROM snap
       WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10 = 1
       UNION ALL
-      SELECT k + 10000000, 'I', k FROM snap
+      SELECT k + (SELECT CAST('1' || repeat('0', LENGTH(CAST(MAX(c_custkey) AS VARCHAR))) AS BIGINT) FROM customer),
+             'I', k FROM snap
       WHERE ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 10 = 2
     )
     SELECT COALESCE(s.k, c.k) AS k,
@@ -1171,10 +1172,15 @@ def customer_merge_apply_cdc(spark: SparkSession, sf: str):
     dele = snap.filter(bucket == 1).select(
         "k", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_bal")
     )
-    ins = snap.filter(bucket == 2).select(
-        (F.col("k") + 10_000_000).alias("k"),
-        F.lit("I").alias("op"),
-        F.col("k").alias("new_bal"),
+    ins = (
+        snap.filter(bucket == 2)
+        # width-derived offset (base.key_offset): scale-safe insert keys
+        .crossJoin(F.broadcast(key_offset(snap, "k")))
+        .select(
+            (F.col("k") + F.col("__off")).alias("k"),
+            F.lit("I").alias("op"),
+            F.col("k").alias("new_bal"),
+        )
     )
     changes = upd.unionByName(dele).unionByName(ins).select(
         F.col("k").alias("ck"), "op", "new_bal"
