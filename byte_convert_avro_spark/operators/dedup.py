@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from byte_convert_avro_spark.plans.stats_reset import reset_plan_stats
+
 
 def exact_dedup(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical contents; keeper = min id.
@@ -614,7 +616,7 @@ def cross_corpus_ngram_overlap(
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 25,
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50,
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into clusters: connected
     components by iterative min-label propagation.  -> (v, component)
@@ -625,12 +627,22 @@ def connected_components(
 
     Scale: each iteration is one shuffle join (edges × labels on src) +
     one partial-first min-agg on dst + one node-sized POINTER-JUMPING
-    join (label <- label-of-label, path compression), so rounds are
-    bounded by LOG of the component diameter — long entity-resolution
-    chains (which grow with corpus size; a >25-diameter customer-match
-    chain appeared at sf0.1) converge in ~log2(d) rounds, and the
-    default budget of 25 covers diameters past 10^6.  ``localCheckpoint``
-    truncates lineage each
+    join (label <- label-of-label, path compression).  The jump
+    compresses id-aligned chains exponentially (the 200-node path test
+    converges in ~9 rounds where pure propagation needs 199) and costs
+    one node-sized merge join; on adversarial id layouts it degrades
+    toward plain diameter-bounded propagation (the sf0.1 entity graph:
+    30 rounds for a ~32-diameter component, jump saving only ~2), hence
+    the default budget of 50 with the raise-on-exhaustion contract
+    below.  Every round the fed-back labels frame passes through
+    ``plans.reset_plan_stats`` — ``localCheckpoint`` preserves origin
+    plan STATISTICS, and because each round joins labels against two
+    labels-derived frames the size estimate SQUARES per round: a BigInt
+    whose bit-length doubles until plan-stats computation alone costs
+    minutes of single-threaded ``BigInteger.multiply`` (measured at
+    sf0.1: rounds flat at 0.6 s for 17 rounds, then 4 s, 10 s, 24 s,
+    66 s; with the reset, flat 0.6 s through convergence).
+    ``localCheckpoint`` truncates lineage each
     round so plans don't grow with iterations — marked LAZY and triggered
     by the convergence aggregate, so materializing the new labels AND
     detecting the fixpoint is ONE action (one job launch) per round: the
@@ -705,7 +717,10 @@ def connected_components(
             parent = labels.select(
                 F.col("v").alias("label"), F.col("label").alias("jump_label")
             )
-            new_labels = (
+            # reset_plan_stats: see docstring — without it the preserved
+            # origin statistics square per round and the driver drowns in
+            # BigInteger arithmetic by round ~20.
+            new_labels = reset_plan_stats(
                 labels.join(nbr_min.hint("merge"), "v", "left")
                 .join(parent.hint("merge"), "label", "left")
                 .select(

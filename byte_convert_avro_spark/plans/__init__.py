@@ -19,6 +19,7 @@ from byte_convert_avro_spark.plans.inspect import (
     pushed_filters,
     read_schemas,
 )
+from byte_convert_avro_spark.plans.stats_reset import reset_plan_stats
 
 __all__ = [
     "PlanFacts",
@@ -29,4 +30,5 @@ __all__ = [
     "count_exchanges",
     "join_strategies",
     "codegen_span_count",
+    "reset_plan_stats",
 ]

@@ -645,3 +645,53 @@ def test_row_pattern_match_is_one_user_shuffle(spark, sf_dir):
     # one sort order serves both window specs: no duplicate Sort on the
     # same child (two Sort nodes would mean the specs diverged)
     assert plan.count("Sort [") <= 2, plan[:4000]
+
+
+def test_reset_plan_stats_bounds_iterative_estimates(spark):
+    """plans.reset_plan_stats must hold a self-joining checkpoint loop's
+    size estimate CONSTANT: localCheckpoint preserves origin statistics,
+    and a round that joins the fed-back frame against two frames derived
+    from it SQUARES the estimate — after 8 rounds the raw loop's BigInt
+    estimate is thousands of bits wide (and by ~20 rounds plan-stats
+    computation alone dominates wall time), while the reset loop stays at
+    the constant defaultSizeInBytes fallback.  Data must be identical
+    through the reset."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from byte_convert_avro_spark.plans import reset_plan_stats
+
+    # the raw loop's estimate grows past Python's default int-parse limit
+    # (py4j converts the JVM BigInt through its decimal string) — itself
+    # evidence of the pathology this test pins
+    sys.set_int_max_str_digits(1_000_000)
+
+    def stat_bits(df):
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    def one_round(frame, reset):
+        derived_a = frame.select(F.col("v"), (F.col("x") + 1).alias("xa"))
+        derived_b = frame.select(F.col("v"), (F.col("x") * 2).alias("xb"))
+        nxt = (
+            frame.join(derived_a, "v").join(derived_b, "v")
+            .select("v", F.least("x", "xa", "xb").alias("x"))
+            .localCheckpoint(eager=False)
+        )
+        return reset_plan_stats(nxt) if reset else nxt
+
+    base = spark.range(100).select(
+        F.col("id").alias("v"), F.col("id").alias("x")
+    )
+    raw = reset = base
+    for _ in range(8):
+        raw = one_round(raw, reset=False)
+        reset = one_round(reset, reset=True)
+    assert stat_bits(raw) > 500, stat_bits(raw)  # the squaring regime
+    assert stat_bits(reset) < 128, stat_bits(reset)  # constant fallback
+    # the reset is data-transparent
+    assert sorted(r.x for r in reset.collect()) == sorted(
+        r.x for r in raw.collect()
+    )
