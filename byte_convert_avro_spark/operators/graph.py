@@ -18,6 +18,7 @@ from byte_convert_avro_spark.functions import (
     bounded_ordered_agg as _bounded_ordered_agg,
     ordered_fold as _ordered_fold,
 )
+from byte_convert_avro_spark.plans.stats_reset import reset_plan_stats
 
 
 def pagerank_fixed_rounds(
@@ -591,7 +592,12 @@ def k_core_peel(
         if r == rounds:
             break
         keep = deg.filter(F.col("_deg") >= k).select("a")
-        cur = (
+        # reset_plan_stats: cur is joined against TWO cur-derived frames,
+        # so the checkpoint-preserved size estimate would TRIPLE in bit-
+        # length every peel (the connected-components BigInteger lesson,
+        # plans/stats_reset.py) — harmless at the gated rounds=6, driver-
+        # melting at a user's rounds=20.
+        cur = reset_plan_stats(
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint(eager=False)

@@ -98,9 +98,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{args.sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table dir (tools/scale_data.py)
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     queries, oracles = entry.queries(), entry.oracle_sql()
