@@ -432,3 +432,56 @@ def mode_quantity_by_flag_status(spark: SparkSession, sf: str):
             F.col("__m.c").cast("long").alias("modal_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "order_value_percentile_cont",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           quantile_cont(v, 0.25) AS p25,
+           quantile_cont(v, 0.5)  AS p50,
+           quantile_cont(v, 0.9)  AS p90,
+           quantile_cont(v, 0.99) AS p99
+    FROM (SELECT o_orderpriority,
+                 CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+          FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentile_cont(spark: SparkSession, sf: str):
+    """PERCENTILE_CONT — the INTERPOLATED ordered-set aggregate, closing
+    the family next to the exact-rank disc duals
+    (order_price_percentiles), the deterministic mode, and this round's
+    hypothetical-set pins: per order priority, the 25/50/90/99th
+    interpolated percentiles of order value in cents.
+
+    Unlike every other float-adjacent query in the registry this pin is
+    SYMMETRIC: Spark's exact ``percentile(v, q)`` and DuckDB's
+    ``quantile_cont`` implement the identical SQL convention — position
+    ``q*(n-1)`` over the sorted values, linear interpolation
+    ``lo + (hi - lo) * frac`` — and with exact-integer cent inputs every
+    intermediate double is produced by the same IEEE operation sequence,
+    so the results match BITWISE (probed on all four quantiles across
+    all five groups before registering; the r11b percentile work had
+    assumed interpolation was unpinnable and shipped rank-exact duals
+    instead — both rungs now exist, and a PERCENTILE_CONT user migrating
+    SQL knows the values carry over exactly).
+
+    Scale: Spark's exact percentile is a sort-based aggregate whose
+    per-group state is the value multiset — the toy-scale/interactive
+    rung; at 100 TB use the mergeable rank sketch
+    (order_value_rank_sketch_vs_exact) whose error curve is measured, or
+    percentile_approx.  The contrast is the point: exact-cont for
+    dialect parity, sketch for scale."""
+    o = t(spark, sf, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("v")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("percentile(v, 0.25D)").alias("p25"),
+        F.expr("percentile(v, 0.5D)").alias("p50"),
+        F.expr("percentile(v, 0.9D)").alias("p90"),
+        F.expr("percentile(v, 0.99D)").alias("p99"),
+    )
