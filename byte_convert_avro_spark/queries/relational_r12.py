@@ -485,3 +485,142 @@ def order_value_percentile_cont(spark: SparkSession, sf: str):
         F.expr("percentile(v, 0.9D)").alias("p90"),
         F.expr("percentile(v, 0.99D)").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "part_price_w_pattern",
+    """
+    WITH s AS (
+      SELECT l_partkey AS p,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) OVER w AS pv
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ), st AS (
+      SELECT p, rn, v, pv,
+             CASE WHEN v > pv THEN 'U' WHEN v < pv THEN 'D' ELSE '=' END AS sgn
+      FROM s WHERE pv IS NOT NULL
+    ), mk AS (
+      SELECT p, rn, v, sgn,
+             CASE WHEN sgn = LAG(sgn) OVER (PARTITION BY p ORDER BY rn)
+                  THEN 0 ELSE 1 END AS chg
+      FROM st
+    ), isl AS (
+      SELECT p, rn, v, sgn,
+             SUM(chg) OVER (PARTITION BY p ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_id
+      FROM mk
+    ), runs AS (
+      SELECT p, run_id, MIN(sgn) AS sgn,
+             arg_max(v, rn) AS end_v
+      FROM isl GROUP BY p, run_id
+    ), wm AS (
+      SELECT p, sgn,
+             LEAD(sgn, 1) OVER w3 AS s1,
+             LEAD(sgn, 2) OVER w3 AS s2,
+             LEAD(sgn, 3) OVER w3 AS s3,
+             end_v AS b1,
+             LEAD(end_v, 1) OVER w3 AS peak,
+             LEAD(end_v, 2) OVER w3 AS b2
+      FROM runs WINDOW w3 AS (PARTITION BY p ORDER BY run_id)
+    )
+    SELECT p AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_w,
+           CAST(SUM(LEAST(peak - b1, peak - b2)) AS BIGINT) AS sum_depth_c,
+           CAST(MAX(LEAST(peak - b1, peak - b2)) AS BIGINT) AS max_depth_c
+    FROM wm WHERE sgn = 'D' AND s1 = 'U' AND s2 = 'D' AND s3 = 'U'
+    GROUP BY p
+    """,
+)
+def part_price_w_pattern(spark: SparkSession, sf: str):
+    """ROW-PATTERN MATCHING over NUMERIC DIRECTION RUNS — the W-shaped
+    price pattern (``DOWN+ UP+ DOWN+ UP+`` on per-part lineitem prices
+    in ship order), the classic MATCH_RECOGNIZE showcase, here with
+    AFTER MATCH SKIP TO NEXT ROW semantics (every W reported, overlap
+    allowed) — the complement of events_pattern_views_to_purchase's
+    maximal-island SKIP PAST LAST ROW.  Where the funnel pattern tests
+    row TYPE equality, this one defines its pattern variables by a
+    NUMERIC predicate on consecutive rows (strictly falling / strictly
+    rising steps; equal prices are '=' runs that correctly break any W).
+
+    Spelling: steps (lag), sign runs (gaps-and-islands over the sign
+    sequence), one run-level window of three LEADs — a k-leg pattern is
+    k LEADs over the RUNS frame, which is already |runs| << |rows|.
+    Per-part rollup (W count, summed and maximal W depth in exact
+    cents; depth = the shallower recovery of the two dips, the
+    double-bottom trader's number) keeps output part-sized.  All
+    arithmetic exact int64; max_by/arg_max on the unique step row
+    number pins run endpoints cross-engine.
+
+    Scale: two window partitions on the same key (steps, then runs) +
+    one (p, run_id) agg between them — run detection never leaves the
+    part's partition, and the runs frame the pattern window scans is
+    sign-compressed (bounded by the step count, typically far smaller).
+    A hot part is splittable by date-bucketing the same composite-key
+    way as the rolling-median respell."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p"),
+        cents("l_extendedprice").alias("v"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("p").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    s = li.select(
+        "p",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.lag("v").over(w).alias("pv"),
+    ).filter(F.col("pv").isNotNull())
+    sgn = (
+        F.when(F.col("v") > F.col("pv"), "U")
+        .when(F.col("v") < F.col("pv"), "D")
+        .otherwise("=")
+    )
+    w2 = W.partitionBy("p").orderBy("rn")
+    st = s.select("p", "rn", "v", sgn.alias("sgn"))
+    isl = st.select(
+        "p",
+        "rn",
+        "v",
+        "sgn",
+        F.sum(
+            F.when(F.col("sgn") == F.lag("sgn").over(w2), 0).otherwise(1)
+        )
+        .over(w2.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    runs = isl.groupBy("p", "run_id").agg(
+        F.min("sgn").alias("sgn"),
+        F.expr("max_by(v, rn)").alias("end_v"),
+    )
+    w3 = W.partitionBy("p").orderBy("run_id")
+    wm = runs.select(
+        "p",
+        "sgn",
+        F.lead("sgn", 1).over(w3).alias("s1"),
+        F.lead("sgn", 2).over(w3).alias("s2"),
+        F.lead("sgn", 3).over(w3).alias("s3"),
+        F.col("end_v").alias("b1"),
+        F.lead("end_v", 1).over(w3).alias("peak"),
+        F.lead("end_v", 2).over(w3).alias("b2"),
+    )
+    depth = F.least(F.col("peak") - F.col("b1"), F.col("peak") - F.col("b2"))
+    return (
+        wm.filter(
+            (F.col("sgn") == "D")
+            & (F.col("s1") == "U")
+            & (F.col("s2") == "D")
+            & (F.col("s3") == "U")
+        )
+        .groupBy(F.col("p").alias("partkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_w"),
+            F.sum(depth).cast("long").alias("sum_depth_c"),
+            F.max(depth).cast("long").alias("max_depth_c"),
+        )
+    )
