@@ -107,6 +107,8 @@ EXTENDED = [
     "streaming_count_min_user_heavy_hitters",
     "copurchase_communities_lpa",
     "events_pattern_views_to_purchase",
+    "part_price_w_pattern",
+    "order_value_percentile_cont",
 ]
 
 
