@@ -226,3 +226,19 @@ def test_ab_test_degenerate_arm_goes_null_quiet(spark, tmp_path):
     o = dict(zip(cols, orow))
     assert o["p_value"] is None and o["obs_diff"] is None
     assert o["n_extreme"] == 0 and o["n_perms"] == 40
+
+
+def test_key_offset_boundaries(spark):
+    """base.key_offset must return the smallest power of 10 with MORE
+    digits than max(key) — exactly the boundary where a fixed literal
+    starts colliding (the r11 subtree-width class).  9999 -> 10000,
+    10000 -> 100000, 1 -> 10, and a 9e8-scale key (the scaled-sf1
+    regime) -> 1e9."""
+    from byte_convert_avro_spark.queries.base import key_offset
+
+    for mx, want in [(9999, 10_000), (10_000, 100_000), (1, 10),
+                     (900_014_999, 1_000_000_000)]:
+        df = spark.range(1).selectExpr(f"{mx} AS k")
+        got = key_offset(df, "k").collect()[0]["__off"]
+        assert got == want, (mx, got, want)
+        assert got > mx
