@@ -112,20 +112,28 @@ EXTENDED = [
 ]
 
 
-def _history_medians() -> tuple[str | None, dict[str, float]]:
-    """Per-query medians from the most recent driver bench artifact
+def _history_medians() -> tuple[str | None, dict[str, float], dict[str, float]]:
+    """(description, per-query medians, decode history) merged from the
+    local sidecars and the most recent driver bench artifact
     (``BENCH_r{N}.json`` with the highest N; override with
     $SPARK_GRAFT_BENCH_HISTORY).  The drift-adjudication baseline: twice
     now (CC r7, avro_roundtrip r8) a >2x driver-median line was VM load
     noise proven only by out-of-band artifacts — the bench now carries
-    that evidence itself."""
+    that evidence itself.
+
+    Merge order (r12 verdict #1: the driver's 27-query wrapper output
+    must not blind the EXTENDED lines): local full sidecar, then the
+    extended sidecar, then the newest driver artifact — so headline
+    names get the newest driver medians while extended-only names keep
+    the last committed extended run.  Decode history takes the newest
+    source that has a decode block (driver artifact preferred)."""
     here = os.path.dirname(os.path.abspath(__file__))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cur_sf = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    def load_queries(path: str) -> dict[str, float] | None:
-        """Per-query medians from either bench.py's own output or the
+    def load_doc(path: str) -> tuple[dict[str, float], dict[str, float]]:
+        """(queries, decode) from either bench.py's own output or the
         DRIVER's wrapper format ({n, rc, parsed, tail, sf}: ``parsed``
         is our JSON line if the driver could parse it, ``tail`` the
         last 2000 chars of stdout — the round-10 lesson: the r8-r10
@@ -136,44 +144,65 @@ def _history_medians() -> tuple[str | None, dict[str, float]]:
             with open(path) as f:
                 doc = json.load(f)
         except (OSError, ValueError):
-            return None
+            return {}, {}
         if doc.get("sf") != cur_sf:  # another SF is not comparable
-            return None
-        if isinstance(doc.get("queries"), dict):  # raw bench output
-            return {k: float(v) for k, v in doc["queries"].items()}
-        parsed = doc.get("parsed")
-        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
-            return {k: float(v) for k, v in parsed["queries"].items()}
+            return {}, {}
+        for d in (doc, doc.get("parsed") or {}):
+            if isinstance(d.get("queries"), dict):
+                qs = {k: float(v) for k, v in d["queries"].items()}
+                dec = {
+                    k: float(v)
+                    for k, v in (d.get("decode") or {}).items()
+                    if isinstance(v, (int, float))
+                }
+                return qs, dec
         tail = doc.get("tail")
-        if isinstance(tail, str):  # best-effort: find "queries" in tail
+        if isinstance(tail, str):  # best-effort: find blocks in tail
+            qs, dec = {}, {}
             m = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
             if m:
                 try:
-                    return {
-                        k: float(v) for k, v in json.loads(m.group(1)).items()
+                    qs = {k: float(v) for k, v in json.loads(m.group(1)).items()}
+                except ValueError:
+                    qs = {}
+            m = re.search(r'"decode":\s*(\{[^{}]*\})', tail)
+            if m:
+                try:
+                    dec = {
+                        k: float(v)
+                        for k, v in json.loads(m.group(1)).items()
+                        if isinstance(v, (int, float))
                     }
                 except ValueError:
-                    return None
-        return None
+                    dec = {}
+            return qs, dec
+        return {}, {}
 
     path = os.environ.get("SPARK_GRAFT_BENCH_HISTORY")
     if path:
-        return os.path.basename(path), load_queries(path) or {}
+        qs, dec = load_doc(path)
+        return os.path.basename(path), qs, dec
     cands = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.fullmatch(r"BENCH_r0*(\d+)\.json", os.path.basename(p))
         if m:
             cands.append((int(m.group(1)), p))
-    # newest driver artifact first, then the committed local sidecar
-    for _, p in sorted(cands, reverse=True)[:1]:
-        qs = load_queries(p)
-        if qs:
-            return os.path.basename(p), qs
-    sidecar = os.path.join(here, "BENCH_local_full.json")
-    qs = load_queries(sidecar)
-    if qs:
-        return os.path.basename(sidecar), qs
-    return None, {}
+    driver = sorted(cands, reverse=True)[:1]
+    sources: list[str] = [
+        os.path.join(here, "BENCH_local_full.json"),
+        os.path.join(here, "BENCH_local_extended.json"),
+    ] + [p for _, p in driver]
+    merged_q: dict[str, float] = {}
+    decode_hist: dict[str, float] = {}
+    used: list[str] = []
+    for p in sources:
+        qs, dec = load_doc(p)
+        if qs or dec:
+            used.append(os.path.basename(p))
+        merged_q.update(qs)
+        if dec:
+            decode_hist = dec  # later (newer) sources win wholesale
+    return ("+".join(used) or None), merged_q, decode_hist
 
 
 def main() -> None:
@@ -233,7 +262,7 @@ def main() -> None:
     # --- self-adjudication (round-8 verdict #5): any line >1.5x over its
     # own history gets an immediate interleaved A/B re-run recorded in
     # the artifact, so a drift verdict never needs out-of-band evidence.
-    hist_file, hist = _history_medians()
+    hist_file, hist, decode_hist = _history_medians()
     flagged = [
         n for n in headline
         if n in hist and hist[n] > 0 and timings[n] > 1.5 * hist[n]
@@ -280,6 +309,34 @@ def main() -> None:
         "runs": n_runs,
     }
 
+    # decode self-adjudication (r12 verdict #5): the query rerun logic
+    # never covered the decode block, so r12's -18% single-thread drift
+    # went unadjudicated.  A decode line >1.5x SLOWER than history
+    # (rec/s < history/1.5) gets the same idle rerun + recorded verdict.
+    decode_adj: dict[str, dict] = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_ADJUDICATE"):
+        for key, runner in (
+            ("single_thread_rec_s", lambda: bench_decode.bench_single_thread(runs=1)),
+            ("spark_rec_s", lambda: bench_decode.bench_spark(spark=spark, runs=1)),
+        ):
+            h = decode_hist.get(key)
+            if not h or decode[key] * 1.5 >= h:
+                continue
+            reruns = [round(runner()) for _ in range(max(3, n_runs))]
+            decode_adj[key] = {
+                "history_rec_s": h,
+                "first_rec_s": decode[key],
+                "rerun_all": reruns,
+                "rerun_best": max(reruns),
+                "rerun_loadavg": round(os.getloadavg()[0], 2),
+                "verdict": (
+                    "noise" if max(reruns) * 1.5 >= h else "regression-suspect"
+                ),
+            }
+            print(f"# adjudicate decode {key}: {decode_adj[key]}", file=sys.stderr)
+    if decode_adj:
+        decode["adjudication"] = decode_adj
+
     total = round(sum(timings.values()), 3)
     # The compact line the driver records (its artifact keeps only the
     # parsed JSON or the LAST 2000 stdout chars — so the adjudicable
@@ -322,8 +379,17 @@ def main() -> None:
     )
     here = os.path.dirname(os.path.abspath(__file__))
     if not subset:  # a subset run must not clobber the full history
+        # EXTENDED runs write their own sidecar: the r12 driver run
+        # clobbered the 45-query extended history in BENCH_local_full
+        # with the 27-query wrapper output (r12 verdict finding #2) —
+        # the driver only ever runs plain, so the extended name is safe.
+        sidecar = (
+            "BENCH_local_extended.json"
+            if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED")
+            else "BENCH_local_full.json"
+        )
         try:
-            with open(os.path.join(here, "BENCH_local_full.json"), "w") as f:
+            with open(os.path.join(here, sidecar), "w") as f:
                 json.dump(full, f, indent=1)
         except OSError:
             pass  # read-only checkout: stdout still carries the result

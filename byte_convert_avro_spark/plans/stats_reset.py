@@ -43,8 +43,23 @@ def reset_plan_stats(df: DataFrame) -> DataFrame:
     """Rebuild ``df`` on a fresh ``LogicalRDD`` with default (constant)
     plan statistics, detaching whatever inflated estimate its plan
     carries.  The data and schema are unchanged; the returned frame
-    reads ``df``'s RDD (checkpointed or not) lazily."""
-    jdf = df._jdf
+    reads ``df``'s RDD (checkpointed or not) lazily.
+
+    CLASSIC JVM MODE ONLY: this reaches through private PySpark
+    internals (``df._jdf``, ``spark._jsparkSession``, the
+    ``DataFrame(jdf, session)`` constructor) and converts
+    InternalRow→Row→InternalRow once per round.  Under Spark Connect
+    ``_jdf`` does not exist — fail loudly here rather than deep inside
+    a py4j stack, so a future Connect migration sees THIS docstring
+    (the fix there would be server-side: e.g. a checkpoint that drops
+    ``originStats``, or cost-based stats invalidation)."""
+    jdf = getattr(df, "_jdf", None)
+    if jdf is None:  # Spark Connect / future API: no JVM handle
+        raise NotImplementedError(
+            "reset_plan_stats requires classic JVM mode (DataFrame._jdf); "
+            "not available under Spark Connect — see docstring for the "
+            "migration note"
+        )
     spark = df.sparkSession
     fresh = spark._jsparkSession.createDataFrame(jdf.javaRDD(), jdf.schema())
     return DataFrame(fresh, spark)

@@ -260,11 +260,29 @@ def key_offset(df: DataFrame, key: str) -> DataFrame:
     ``df.crossJoin(F.broadcast(key_offset(df, "k")))`` then
     ``F.col("k") + F.col("__off")``; oracle twin:
     ``(SELECT CAST('1' || repeat('0', LENGTH(CAST(MAX(k) AS VARCHAR)))
-    AS BIGINT) FROM t)``."""
+    AS BIGINT) FROM t)``.
+
+    CEILING: once ``max(key)`` has 19 digits (≥10^18) the computed
+    offset exceeds int64 — Spark's string→bigint cast yields NULL
+    (silently nulling every re-inserted key) while DuckDB errors, a
+    divergent silent-corruption edge.  The guard below turns that into
+    a loud failure on the Spark side too: the offset must be a
+    positive bigint.  Synthetic-fixture keys above 10^18 need a wider
+    type (decimal(38,0)) on BOTH engines — not supported here because
+    no driver fixture is within 10^8 of the cliff."""
+    off = (
+        f"cast(concat('1', repeat('0', length(cast(max({key}) as string))))"
+        " as bigint)"
+    )
+    # loud-failure guard (not a prunable side column: folded into the one
+    # output expression so Catalyst cannot optimize the check away)
     return df.agg(
         F.expr(
-            f"cast(concat('1', repeat('0', length(cast(max({key}) as string))))"
-            " as bigint)"
+            f"CASE WHEN {off} IS NULL OR {off} <= 0 THEN"
+            " CAST(raise_error('key_offset overflow: max(key) has >=19"
+            " digits, offset exceeds int64 — widen to decimal(38,0) on"
+            " both engines') AS BIGINT)"
+            f" ELSE {off} END"
         ).alias("__off")
     )
 

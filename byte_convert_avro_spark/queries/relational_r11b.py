@@ -512,7 +512,19 @@ def trade_neighborhood_function_kmv(spark: SparkSession, sf: str):
     one-window bottom-k; a 1000-executor run over a trillion-edge graph
     is r sweeps of (join + window), each AQE-planned — the per-node
     answer to 'how much of the graph is within r hops' that no exact
-    plan can provide at that size."""
+    plan can provide at that size.
+
+    Gate-cost disclosure (r12 ADVICE): the 1/16 node sample means the
+    referee verifies sketches for 1/16 of nodes only; the FULL-referee
+    twin ``trade_neighborhood_kmv_full_referee`` (sample_mod=1) runs in
+    every sf0.01 full-suite parity pass so the unsampled pin stays
+    periodically exercised where the pair frame is cheap, and
+    ``tools/driver_parity.py`` records this sampling in its artifact's
+    ``disclosed_caps`` block."""
+    return _neighborhood_kmv_with_referee(spark, sf, sample_mod=16)
+
+
+def _neighborhood_kmv_with_referee(spark: SparkSession, sf: str, sample_mod: int):
     from byte_convert_avro_spark.operators.graph import neighborhood_kmv
 
     dir_e = (
@@ -537,10 +549,9 @@ def trade_neighborhood_function_kmv(spark: SparkSession, sf: str):
     # the gate seeds it from hash-sampled nodes only (the sketch side
     # stays full-graph; top-10 is over the sampled nodes) — 16x less
     # referee work at every SF, same per-node exact-vs-sketch pin
-    nodes = (
-        und.select(F.col("a").alias("n")).distinct()
-        .filter(hash_bucket("n", 16) == 0)
-    )
+    nodes = und.select(F.col("a").alias("n")).distinct()
+    if sample_mod > 1:
+        nodes = nodes.filter(hash_bucket("n", sample_mod) == 0)
     # fresh column names break the p<-und lineage self-join ambiguity
     e2 = und.select(F.col("a").alias("ea"), F.col("b").alias("eb"))
     p = nodes.select("n", F.col("n").alias("r"))
@@ -571,3 +582,70 @@ def trade_neighborhood_function_kmv(spark: SparkSession, sf: str):
         .filter(F.col("top_rn") <= 10)
         .drop("top_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "trade_neighborhood_kmv_full_referee",
+    """
+    WITH dir_e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT a, b FROM dir_e UNION ALL SELECT b AS a, a AS b FROM dir_e
+    ), p0 AS MATERIALIZED (
+      SELECT n, n AS r FROM (SELECT DISTINCT a AS n FROM e)
+    ), p1 AS MATERIALIZED (
+      SELECT DISTINCT n, r FROM (
+        SELECT n, r FROM p0
+        UNION ALL SELECT p0.n, e.b AS r FROM p0 JOIN e ON e.a = p0.r
+      )
+    ), p2 AS MATERIALIZED (
+      SELECT DISTINCT n, r FROM (
+        SELECT n, r FROM p1
+        UNION ALL SELECT p1.n, e.b AS r FROM p1 JOIN e ON e.a = p1.r
+      )
+    ), pr AS (
+      SELECT 1 AS radius, n, r FROM p1
+      UNION ALL SELECT 2 AS radius, n, r FROM p2
+    ), ex AS (
+      SELECT radius, n, CAST(COUNT(*) AS BIGINT) AS exact_reached
+      FROM pr GROUP BY 1, 2
+    ), hv AS (
+      SELECT DISTINCT radius, n,
+             ('0x' || substr(md5(CAST(r AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM pr
+    ), rk AS (
+      SELECT radius, n, h,
+             ROW_NUMBER() OVER (PARTITION BY radius, n ORDER BY h) AS rn
+      FROM hv
+    ), sk AS (
+      SELECT radius, n,
+             CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(MAX(h) AS BIGINT) AS kth
+      FROM rk WHERE rn <= 16 GROUP BY 1, 2
+    ), j AS (
+      SELECT s.radius, s.n AS node, x.exact_reached, s.k_used, s.kth,
+             CASE WHEN s.k_used < 16 THEN CAST(s.k_used AS DOUBLE)
+                  ELSE CAST(15 AS DOUBLE) * 4294967296.0e0 / s.kth END AS est,
+             ROW_NUMBER() OVER (PARTITION BY s.radius
+                                ORDER BY x.exact_reached DESC, s.n) AS top_rn
+      FROM sk s JOIN ex x ON x.radius = s.radius AND x.n = s.n
+    )
+    SELECT CAST(radius AS INT) AS radius, node, exact_reached,
+           k_used, kth, est
+    FROM j WHERE top_rn <= 10
+    """,
+)
+def trade_neighborhood_kmv_full_referee(spark: SparkSession, sf: str):
+    """UNSAMPLED twin of ``trade_neighborhood_function_kmv`` — the exact
+    referee's pair frame is seeded from EVERY node (sample_mod=1), so
+    every node's sketch, including the true globally best-connected
+    ones, is pinned against its exact reach set.  This is the periodic
+    full-referee rung the r12 ADVICE asked for: it runs in every sf0.01
+    full-suite parity pass (pair frame cheap there: ~28 s), and is the
+    entry to ``--exclude`` (recorded, never silent) on sf>=0.1 full-
+    registry runs where the quadratic referee is exactly the object the
+    sketch exists to avoid (609.8 s at sf0.1, r12 NOTES).  The SAMPLED
+    entry stays the benched/driver-facing form."""
+    return _neighborhood_kmv_with_referee(spark, sf, sample_mod=1)

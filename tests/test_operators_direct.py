@@ -656,11 +656,14 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
 
 def test_connected_components_long_chain_logarithmic_rounds(spark):
     """The sf0.1 regression pin: a 200-node chain (diameter 199) must
-    converge WITHIN the default 25-round budget — pointer jumping makes
-    rounds O(log diameter), where pure min-label propagation would need
-    199 rounds and raised on the sf0.1 entity-resolution graph.  Also
-    pins that path compression cannot cross components: two disjoint
-    chains keep distinct labels."""
+    converge within an EXPLICIT 12-round budget — pointer jumping makes
+    rounds O(log diameter) (~9 observed), where pure min-label
+    propagation would need 199 rounds and raised on the sf0.1
+    entity-resolution graph.  The budget is passed explicitly rather
+    than relying on the default (now 50): a regression to linear
+    propagation must fail HERE, not hide inside a generous default.
+    Also pins that path compression cannot cross components: two
+    disjoint chains keep distinct labels."""
     from byte_convert_avro_spark.operators.dedup import connected_components
 
     chain_a = [(i, i + 1) for i in range(199)]
@@ -668,7 +671,7 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
     pairs = spark.createDataFrame(chain_a + chain_b, "doc_a int, doc_b int")
     got = {
         (r.v, r.component)
-        for r in connected_components(pairs).collect()  # default max_iter=25
+        for r in connected_components(pairs, max_iter=12).collect()
     }
     want = {(i, 0) for i in range(200)} | {(1000 + i, 1000) for i in range(51)}
     assert got == want

@@ -43,19 +43,59 @@ TABLES = (
 )
 
 
+#: queries whose gate intentionally bounds its own verification work;
+#: copied into the artifact for every run that includes them — the
+#: "no silent caps" rule made machine-readable (r12 ADVICE).
+DISCLOSED_CAPS = {
+    "trade_neighborhood_function_kmv": (
+        "exact referee seeded from a deterministic 1/16 md5 node sample "
+        "(sketch side full-graph); unsampled twin: "
+        "trade_neighborhood_kmv_full_referee (run at sf0.01)"
+    ),
+}
+
+
 def _canon(v) -> str:
+    """Engine-neutral canonical string for one cell.
+
+    Numeric canonicalization unifies int vs float spellings of the same
+    value ("1" == 1 == 1.0): the r12 compare path (``df.iterrows()``)
+    got this for free via pandas' per-row common-dtype upcast, but that
+    upcast was also the bottleneck (Series construction per row — 137 s
+    of the 147 s ``customer_running_total`` sf1 line was compare, not
+    engines).  The vectorized path maps per COLUMN, so cross-engine
+    int64-vs-float64 dtype drift must be absorbed here instead.  Floats
+    that are integral and exactly representable print as ints; ints
+    above 2^53 never round-trip through float (exactness preserved).
+    ``float(v)`` before ``repr`` normalizes numpy scalar reprs across
+    numpy versions.  None→"∅" vs NaN→"NaN" stays distinct (NULL and
+    NaN are different values in a DOUBLE column)."""
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        f = float(v)
+        if f.is_integer() and abs(f) <= 2.0**53:
+            return str(int(f))
+        return repr(f)
+    if isinstance(v, int):
+        return str(v)
     return str(v)
 
 
 def _table(df) -> list[tuple]:
+    """Order-insensitive canonical form: sorted rows of per-cell canon
+    strings.  Vectorized per column (``Series.map`` boxes datetime64
+    cells to Timestamps uniformly across ns/us units, unlike
+    ``.to_numpy()``); both engines' frames go through THIS same
+    function, which is the property that makes the compare trustworthy
+    — an engine-side SQL hash would hand float formatting to two
+    different printf implementations."""
     cols = sorted(df.columns)
-    return sorted(tuple(_canon(r[c]) for c in cols) for _, r in df.iterrows())
+    if not len(df):
+        return []
+    return sorted(zip(*(df[c].map(_canon) for c in cols)))
 
 
 def main() -> int:
@@ -183,6 +223,9 @@ def main() -> int:
         out["driver_memory"] = args.driver_memory
     if skipped:
         out["skipped"] = skipped
+    caps = {n: DISCLOSED_CAPS[n] for n in names if n in DISCLOSED_CAPS}
+    if caps:
+        out["disclosed_caps"] = caps
     print(json.dumps(out))
     spark.stop()
     return 1 if failed else 0
