@@ -26,6 +26,8 @@ Hashes are md5 throughout — deterministic, engine-portable, and uniform.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -616,7 +618,14 @@ def cross_corpus_ngram_overlap(
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 50,
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 50,
+    *,
+    _pointer_jump: bool = True,
+    _stats_reset: bool = True,
+    _instrument: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup candidate pairs into clusters: connected
     components by iterative min-label propagation.  -> (v, component)
@@ -696,7 +705,8 @@ def connected_components(
             .withColumn("label", F.col("v"))
             .localCheckpoint()
         )
-        for _ in range(max_iter):
+        for round_i in range(max_iter):
+            _t0 = _time.perf_counter() if _instrument is not None else 0.0
             nbr_min = (
                 edges.hint("merge")
                 .join(labels.select(F.col("v").alias("src"), "label"), "src")
@@ -714,39 +724,51 @@ def connected_components(
             # customer-match chain the sf0.01 corpus never built) converge
             # inside any sane budget: diameter 10^6 needs ~20 rounds, not
             # 10^6.  Cost: one extra node-sized merge join per round.
-            parent = labels.select(
-                F.col("v").alias("label"), F.col("label").alias("jump_label")
-            )
+            # (_pointer_jump/_stats_reset/_instrument are A/B ablation
+            # knobs for tools/cc_chain_stress.py ONLY — production
+            # callers never pass them; both ablations are known-slower
+            # forms kept callable so the SCALE.md knee numbers stay
+            # reproducible against the REAL operator, not a replica.)
+            joined = labels.join(nbr_min.hint("merge"), "v", "left")
+            if _pointer_jump:
+                parent = labels.select(
+                    F.col("v").alias("label"), F.col("label").alias("jump_label")
+                )
+                joined = joined.join(parent.hint("merge"), "label", "left")
+                least_new = F.least(
+                    F.coalesce("nbr_label", "label"),
+                    F.coalesce("jump_label", "label"),
+                )
+            else:
+                least_new = F.coalesce("nbr_label", "label")
             # reset_plan_stats: see docstring — without it the preserved
             # origin statistics square per round and the driver drowns in
             # BigInteger arithmetic by round ~20.
-            new_labels = reset_plan_stats(
-                labels.join(nbr_min.hint("merge"), "v", "left")
-                .join(parent.hint("merge"), "label", "left")
-                .select(
-                    "v",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce("nbr_label", "label"),
-                        F.coalesce("jump_label", "label"),
-                    ).alias("label"),
-                    (
-                        F.least(
-                            F.coalesce("nbr_label", "label"),
-                            F.coalesce("jump_label", "label"),
-                        )
-                        < F.col("label")
-                    )
-                    .cast("int")
-                    .alias("_chg"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            new_labels = joined.select(
+                "v",
+                F.least(F.col("label"), least_new).alias("label"),
+                (least_new < F.col("label")).cast("int").alias("_chg"),
+            ).localCheckpoint(eager=False)
+            if _stats_reset:
+                new_labels = reset_plan_stats(new_labels)
             # this aggregate is the round's ONE action: computing it runs
             # every partition of new_labels, materializing the lazy
             # checkpoint in the same job
             changed = new_labels.agg(F.sum("_chg")).first()[0]
             labels = new_labels.drop("_chg")
+            if _instrument is not None:
+                _instrument.setdefault("round_sec", []).append(
+                    round(_time.perf_counter() - _t0, 3)
+                )
+                _instrument["rounds"] = round_i + 1
+                stop_after = _instrument.get("abort_round_sec")
+                if (
+                    changed
+                    and stop_after
+                    and _instrument["round_sec"][-1] > stop_after
+                ):
+                    _instrument["aborted"] = True
+                    return labels.select("v", F.col("label").alias("component"))
             if not changed:
                 return labels.select("v", F.col("label").alias("component"))
         raise RuntimeError(

@@ -2236,3 +2236,47 @@ def test_dot_col_sequential_fold(spark):
     )
     rows = df.select(dot_col("a", "b").alias("got"), "want").collect()
     assert all(r.got == r.want for r in rows), rows
+
+
+def test_band_join_matches_brute_force_incl_negatives(spark):
+    """band_join == the naive |l-r|<=delta cross filter on a crafted set
+    spanning the sign boundary (truncation-toward-zero buckets), bucket
+    boundaries (values exactly delta apart), and duplicates (every pair
+    must appear exactly once — single-witness, no dedup pass)."""
+    from byte_convert_avro_spark.operators.intervals import band_join
+
+    lvals = [-1001, -1000, -999, -500, -1, 0, 1, 499, 500, 501, 1000, 7, 7]
+    rvals = [-1500, -1000, -501, -500, -499, 0, 250, 500, 999, 1000, 7]
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lvals)], "lid int, lv long"
+    )
+    right = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rvals)], "rid int, rv long"
+    )
+    for delta, bucket in ((500, None), (500, 100), (0, None), (3, 1000)):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in band_join(left, right, "lv", "rv", delta, bucket).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, lv in enumerate(lvals)
+            for j, rv in enumerate(rvals)
+            if abs(lv - rv) <= delta
+        )
+        assert got == want, (delta, bucket, got[:20], want[:20])
+
+
+def test_band_join_rejects_bad_args(spark):
+    from byte_convert_avro_spark.operators.intervals import band_join
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "v long")
+    df2 = spark.createDataFrame([(1,)], "w long")
+    with _pytest.raises(ValueError, match="delta"):
+        band_join(df, df2, "v", "w", delta=-1)
+    with _pytest.raises(ValueError, match="bucket"):
+        band_join(df, df2, "v", "w", delta=5, bucket=0)
+    with _pytest.raises(ValueError, match="disjoint"):
+        band_join(df, df.select(F.col("v")), "v", "v", delta=5)

@@ -695,3 +695,25 @@ def test_reset_plan_stats_bounds_iterative_estimates(spark):
     assert sorted(r.x for r in reset.collect()) == sorted(
         r.x for r in raw.collect()
     )
+
+
+def test_band_join_queries_no_nested_loop(spark, sf_dir):
+    """The banded-inequality family's scale contract: Spark's native plan
+    for ``v BETWEEN x - d AND x + d`` is BroadcastNestedLoopJoin
+    (quadratic work); band_join's bucket rewrite must plan as an EQUI
+    join on the bucket — no nested loop, no cartesian, at every SF,
+    because the bucket column is a join KEY, not a filter."""
+    for name in ("part_price_band_pairs", "customer_supplier_balance_band"):
+        df = Q[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:3000])
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+        strategies = join_strategies(df)
+        assert strategies, (name, plan[:3000])
+        assert all(
+            s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+            for s in strategies
+        ), (name, strategies)
+        # exact-band verification stays partition-local: the bucket is
+        # the only equi key, the band predicate a post-join condition
+        assert re.search(r"_bb#\d+L?\]?,? ?= ?_bb2|_bb", plan), plan[:3000]
