@@ -68,14 +68,22 @@ def jvm_cpu_sec(spark) -> float:
 
 
 def knee_round(round_sec: list[float]) -> int | None:
-    """First 1-based round >2x the median of the first 5 (None = flat)."""
+    """First 1-based round from which every round stays >2x the median
+    of the first 5 (None = flat).  SUSTAINED, not first-spike: a single
+    slow round is host-load noise (the first cut of this detector fired
+    on a lone 14s GC round in an otherwise-flat 48-round run); the
+    squaring regime never comes back down."""
     if len(round_sec) < 6:
         return None
     base = statistics.median(round_sec[:5])
+    knee = None
     for i, s in enumerate(round_sec[5:], start=6):
         if s > 2 * base:
-            return i
-    return None
+            if knee is None:
+                knee = i
+        else:
+            knee = None
+    return knee
 
 
 def main() -> None:
