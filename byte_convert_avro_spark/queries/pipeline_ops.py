@@ -1561,11 +1561,12 @@ def dedup_cluster_best_keeper(spark: SparkSession, sf: str):
 
 
 def _fix_best_keeper_oracle() -> None:
-    """Assign the oracle after import: the CC recursive CTE lives in
-    queries/text.py (_MINHASH_ORACLE) and the quality CTE above — both
-    composed verbatim so neither semantics can drift."""
+    """Assign the oracle after import: the minhash CTE and the unrolled
+    CC rounds live in queries/text.py (_MINHASH_ORACLE/_CC_COMP_ORACLE)
+    and the quality CTE above — all composed verbatim so none of the
+    semantics can drift."""
     from byte_convert_avro_spark.queries.base import ORACLES
-    from byte_convert_avro_spark.queries.text import _MINHASH_ORACLE
+    from byte_convert_avro_spark.queries.text import _CC_COMP_ORACLE, _MINHASH_ORACLE
 
     ORACLES["dedup_cluster_best_keeper"] = f"""
     WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
@@ -1575,17 +1576,12 @@ def _fix_best_keeper_oracle() -> None:
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
-    reach AS (
-      SELECT src AS v, src AS label FROM edges
-      UNION
-      SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
-    ),
-    comp AS (SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v),
+    {_CC_COMP_ORACLE},
     {_QUALITY_CTE.strip()},
     jj AS (
       SELECT c.component, c.doc_id, q.quality,

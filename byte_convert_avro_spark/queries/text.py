@@ -237,6 +237,51 @@ _MINHASH_ORACLE = f"""
 """
 
 
+#: One unrolled round of min-label propagation + pointer jump over an
+#: ``edges(src, dst)`` CTE that carries BOTH directions.  The r13 sf1
+#: audit lesson: the previous recursive ``reach`` CTE (every (v, label)
+#: reachability pair) is the TEXTBOOK spelling but its recursion joins a
+#: frontier of s^2 rows per size-s component against that component's
+#: edges — on the CLIQUE components an exact-dup corpus produces (10x
+#: replicated docs => complete subgraphs) the per-iteration intermediate
+#: is s^3 rows, and the sf1 run ballooned past 57 GB of DuckDB memory on
+#: a graph whose answer is 50k rows.  The unrolled form is the oracle
+#: twin of the operator's own loop: each round one LINEAR |E| neighbor-
+#: min pass + one |V| label-of-label jump, O(rounds x (|E|+|V|)) total.
+#: 16 rounds guarantee diameter <= 16 even with zero jump benefit
+#: (LSH dup-graph components are shallow — cliques chained by near-dup
+#: overlaps); a component deeper than the unroll FAILS THE GATE LOUDLY
+#: (labels short of the fixpoint differ from Spark's converged ones).
+_CC_ROUND = """
+    , v{r} AS MATERIALIZED (
+      SELECT l.n, LEAST(l.lbl, COALESCE(MIN(nb.lbl), l.lbl)) AS lbl
+      FROM l{p} l
+      LEFT JOIN edges e ON e.dst = l.n
+      LEFT JOIN l{p} nb ON nb.n = e.src
+      GROUP BY l.n, l.lbl
+    ), l{r} AS MATERIALIZED (
+      SELECT v.n, LEAST(v.lbl, COALESCE(p.lbl, v.lbl)) AS lbl
+      FROM v{r} v LEFT JOIN v{r} p ON p.n = v.lbl
+    )"""
+
+CC_UNROLL_ROUNDS = 16
+
+#: drop-in replacement for the old ``reach``/``comp`` pair: yields
+#: ``comp(doc_id, component)`` — component = min reachable id, the same
+#: fixpoint the operator converges to.
+_CC_COMP_ORACLE = (
+    """
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS n, src AS lbl FROM edges
+    )"""
+    + "".join(_CC_ROUND.format(r=i + 1, p=i) for i in range(CC_UNROLL_ROUNDS))
+    + f"""
+    , comp AS (
+      SELECT n AS doc_id, lbl AS component FROM l{CC_UNROLL_ROUNDS}
+    )"""
+)
+
+
 @register("minhash_signatures", _MINHASH_ORACLE)
 def minhash_signatures(spark: SparkSession, sf: str):
     """MinHash-LSH signatures: word 3-gram shingles -> per-band min-hash.
@@ -298,17 +343,12 @@ def minhash_dup_candidates(spark: SparkSession, sf: str):
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
-    reach AS (
-      SELECT src AS v, src AS label FROM edges
-      UNION
-      SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
-    ),
-    comp AS (SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v)
+    {_CC_COMP_ORACLE}
     SELECT doc_id, component,
            COUNT(*) OVER (PARTITION BY component) AS cluster_size
     FROM comp
@@ -1215,17 +1255,12 @@ def source_share_top3_others(spark: SparkSession, sf: str):
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
-    reach AS (
-      SELECT src AS v, src AS label FROM edges
-      UNION
-      SELECT e.dst AS v, r.label FROM reach r JOIN edges e ON e.src = r.v
-    ),
-    comp AS (SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v),
+    {_CC_COMP_ORACLE},
     sized AS (
       SELECT doc_id, component,
              COUNT(*) OVER (PARTITION BY component) AS cluster_size
