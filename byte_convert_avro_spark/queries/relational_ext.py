@@ -2247,12 +2247,21 @@ def order_value_gini(spark: SparkSession, sf: str):
     """GINI COEFFICIENT of order values — the inequality measure next to
     HHI/Pareto in the concentration family, from the exact rank formula
     ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` over values sorted ascending
-    (ties broken by key, so both engines rank identically).  Every sum
-    is exact int64 (rank·cents stays far below overflow at these SFs);
-    ONE final division.  Scale note: the global rank is the one
-    all-to-one window in this query — at 100 TB swap it for the
-    range-partitioned two-pass rank (per-partition counts -> offset
-    broadcast), same numbers."""
+    (ties broken by key, so both engines rank identically).
+
+    Accumulation width (r13 sf1 audit find): the per-row product
+    ``i·v`` fits int64 at any sane SF, but ``Σ i·v`` grows as
+    n²·mean(v)/2 — ~2×10^19 at sf1's 1.5M orders, PAST int64.  DuckDB
+    was always exact here (``SUM(BIGINT)`` returns hugeint); Spark's
+    long sum threw ``ArithmeticException`` at sf1 — the loud ANSI
+    overflow, but an engine-divergent failure the gate only caught
+    above toy scale.  The rank-weighted sums now accumulate in
+    ``decimal(38,0)`` (exact to 10^38 ≈ sf10^10) and convert to double
+    once at the end — both engines round the same exact integers to
+    the same nearest doubles.  ONE final division.  Scale note: the
+    global rank is the one all-to-one window in this query — at 100 TB
+    swap it for the range-partitioned two-pass rank (per-partition
+    counts -> offset broadcast), same numbers."""
     x = t(spark, sf, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
         "o_orderkey",
@@ -2262,13 +2271,14 @@ def order_value_gini(spark: SparkSession, sf: str):
         F.row_number().over(W.orderBy("v", "o_orderkey")).alias("i"),
         F.count("*").over(W.partitionBy()).alias("n"),
     )
+    s_iv = F.sum((F.col("i") * F.col("v")).cast("decimal(38,0)"))
+    s_v = F.sum(F.col("v").cast("decimal(38,0)"))
     return ranked.agg(
         F.max("n").cast("long").alias("n_orders"),
         F.sum("v").cast("long").alias("total_e2"),
         (
-            (2 * F.sum(F.col("i") * F.col("v")) - (F.max("n") + 1) * F.sum("v"))
-            .cast("double")
-            / (F.max("n") * F.sum("v")).cast("double")
+            (F.lit(2) * s_iv - (F.max("n") + 1) * s_v).cast("double")
+            / (F.max("n") * s_v).cast("double")
         ).alias("gini"),
     )
 
