@@ -19,6 +19,7 @@ sink for Kafka/Delta.  State is per (window × event_type): tiny.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,13 +68,26 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
     # schema comes from the stash t() fills at batch-load time (which also
     # sets the nanosAsLong + UTC confs) — no extra footer read per query.
     raw_schema = raw_events_schema(spark, sf)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        # file source wants a directory: stream the sf dir, globbed to the
-        # single events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
+    # Two on-disk layouts exist: the driver's testdata keeps ONE file
+    # literally named events.parquet inside the sf dir, while any
+    # Spark-written lake (tools/scale_data.py, production) makes
+    # events.parquet a DIRECTORY of part files.  pathGlobFilter matches
+    # LEAF file names only, so the glob spelling silently streams ZERO
+    # rows on the directory layout (r13 sf1 audit find — every
+    # streaming gate read an empty stream and the oracle side exposed
+    # it).  The directory branch is the production-shaped one: the
+    # file-stream source natively lists a directory.
+    table_path = os.path.join(sf, "events.parquet")
+    if os.path.isdir(table_path):
+        stream = spark.readStream.schema(raw_schema).parquet(table_path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            # file source wants a directory: stream the sf dir, globbed
+            # to the single events file
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
     return events_ts_to_ns(stream).withColumn(
         "ts_ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
