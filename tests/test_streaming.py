@@ -978,3 +978,31 @@ def test_streaming_rank_sketch_matches_batch_any_sharding(spark, tmp_path):
             import shutil
 
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_events_stream_reads_spark_written_directory_layout(spark, tmp_path):
+    """r13 sf1 audit pin: the file-stream source must read BOTH on-disk
+    layouts of the events table — the driver's single literal file
+    `sf/events.parquet`, and the Spark-written DIRECTORY of part files
+    every real lake produces.  The pre-fix glob spelling
+    (pathGlobFilter matches leaf names only) listed ZERO files on the
+    directory layout, so every streaming gate computed over an empty
+    stream — caught only because the oracle sat next to it at sf1."""
+    from byte_convert_avro_spark.queries.base import t
+    from byte_convert_avro_spark.queries.streaming_queries import _events_stream
+    from byte_convert_avro_spark.streaming import run_stream_to_memory
+
+    src = t(spark, "/root/testdata/sf0.001", "events")
+    sf_dir = str(tmp_path / "sfdir")
+    # directory layout: events.parquet/ with multiple part files
+    src.repartition(3).write.parquet(f"{sf_dir}/events.parquet")
+
+    stream = _events_stream(spark, sf_dir)
+    q, name = run_stream_to_memory(
+        stream.groupBy().count(), output_mode="complete"
+    )
+    try:
+        got = spark.table(name).collect()[0][0]
+    finally:
+        q.stop()
+    assert got == src.count()
