@@ -109,6 +109,11 @@ EXTENDED = [
     "events_pattern_views_to_purchase",
     "part_price_w_pattern",
     "order_value_percentile_cont",
+    # round-13: the banded-inequality join family — the bucket rewrite
+    # whose whole point is the plan shape, so its wall time is the
+    # regression signal for the equi-join staying equi
+    "part_price_band_pairs",
+    "customer_supplier_balance_band",
 ]
 
 
@@ -190,7 +195,9 @@ def _history_medians() -> tuple[str | None, dict[str, float], dict[str, float]]:
     driver = sorted(cands, reverse=True)[:1]
     sources: list[str] = [
         os.path.join(here, "BENCH_local_full.json"),
+        os.path.join(here, f"BENCH_local_full_sf{sf}.json"),
         os.path.join(here, "BENCH_local_extended.json"),
+        os.path.join(here, f"BENCH_local_extended_sf{sf}.json"),
     ] + [p for _, p in driver]
     merged_q: dict[str, float] = {}
     decode_hist: dict[str, float] = {}
@@ -383,11 +390,16 @@ def main() -> None:
         # clobbered the 45-query extended history in BENCH_local_full
         # with the 27-query wrapper output (r12 verdict finding #2) —
         # the driver only ever runs plain, so the extended name is safe.
+        # Non-default SFs get their own suffix for the same reason: an
+        # sf1 scaling run must not overwrite the sf0.1 history either
+        # (it did, once, in round 13 — restored from git).
         sidecar = (
             "BENCH_local_extended.json"
             if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED")
             else "BENCH_local_full.json"
         )
+        if sf_dir.rstrip("/") != "/root/testdata/sf0.1":
+            sidecar = sidecar.replace(".json", f"_sf{sf}.json")
         try:
             with open(os.path.join(here, sidecar), "w") as f:
                 json.dump(full, f, indent=1)
