@@ -114,6 +114,16 @@ EXTENDED = [
     # regression signal for the equi-join staying equi
     "part_price_band_pairs",
     "customer_supplier_balance_band",
+    # round-13b: HLL register sketch (one partial-agg shuffle — its wall
+    # time pins the no-DISTINCT property), the sort-pruned skyline (wall
+    # time pins windows-not-joins), and the prefix-filter exact Jaccard
+    # join (wall time is dominated by candidate fan-out — the regression
+    # signal for the prefix staying rare-token-only)
+    "hll_distinct_users_by_type",
+    "hll_weekly_merge_identity",
+    "part_skyline_price_size",
+    "part_skyline_per_brand",
+    "docs_jaccard_prefix_filter_pairs",
 ]
 
 

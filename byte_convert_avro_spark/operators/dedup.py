@@ -780,3 +780,99 @@ def connected_components(
         # the edge cache can always be released here (a no-op when the
         # small path already swapped edges for its checkpoint)
         edges.unpersist()
+
+
+def prefix_filter_jaccard(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "token",
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07): every unordered doc
+    pair with Jaccard(token sets) >= t_num/t_den — no false negatives,
+    unlike the MinHash-LSH ladder (``lsh_candidates``), whose recall is
+    probabilistic.  This is the third rung of the near-dup family:
+    exact-hash (identity), LSH (approximate, cheapest), prefix filter
+    (exact similarity join, still sub-quadratic on real corpora).
+
+    The filter: order the vocabulary rarest-first; if two sets with
+    sizes sa, sb have J >= t they share >= ceil(t/(1+t) * (sa+sb))
+    tokens, so each set's PREFIX of its (s - ceil(t*s) + 1) rarest
+    tokens must intersect — candidate pairs are an equi-join on prefix
+    tokens only.  Stopwords (the frequent tail) are never prefix
+    members, so the join's per-key fan-out is bounded by RARE-token
+    document frequency — the quadratic stopword blowup of a naive
+    token join never happens.  All threshold arithmetic is integer
+    (``ceil(t*s)`` = ``(t_num*s + t_den - 1) DIV t_den``; the verify is
+    ``inter * t_den >= union * t_num``) — no float crosses an engine
+    boundary.
+
+    Input: distinct (id, token) pairs.  Output: ``(id_a, id_b,
+    inter_sz, union_sz, jacc)`` with id_a < id_b.
+
+    Scale: the vocabulary rank is one vocab-sized global sort (row_
+    number over (df, token) — vocab, not corpus); per-doc prefix
+    selection is a doc-partitioned window; the candidate join shuffles
+    prefix tokens (a ~(1-t)-fraction of the corpus); the verify is one
+    groupBy(pair) count over candidate-pair token overlaps, never a
+    per-doc collected set.  Empty-string tokens count as members
+    (both engines split '' to [''] — the shared convention)."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
+    from pyspark.sql import Window as W
+
+    vocab = tokens.groupBy(tok_col).agg(F.count("*").alias("_df"))
+    vocab = vocab.withColumn(
+        "_trank", F.row_number().over(W.orderBy("_df", tok_col))
+    ).drop("_df")
+    tk = tokens.join(vocab, tok_col)
+    wdoc = W.partitionBy(id_col)
+    tk = tk.select(
+        id_col,
+        tok_col,
+        F.row_number().over(wdoc.orderBy("_trank")).alias("_pos"),
+        F.count("*").over(wdoc).alias("_s"),
+    )
+    # prefix length = s - ceil(t*s) + 1
+    plen = F.col("_s") - (
+        (F.lit(t_num) * F.col("_s") + F.lit(t_den - 1)) / F.lit(t_den)
+    ).cast("long") + 1
+    pre = tk.filter(F.col("_pos") <= plen)
+    a = pre.select(
+        F.col(id_col).alias("id_a"), tok_col, F.col("_s").alias("_sa")
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), tok_col, F.col("_s").alias("_sb")
+    )
+    cand = (
+        a.join(b, tok_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    # verify: count the full-set overlap per candidate pair (join the
+    # candidate's two ids back to the token stream — pair-keyed
+    # aggregation, no collected arrays)
+    ta = tokens.select(F.col(id_col).alias("id_a"), tok_col)
+    tb = tokens.select(F.col(id_col).alias("id_b"), tok_col)
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", tok_col])
+        .groupBy("id_a", "id_b", "_sa", "_sb")
+        .agg(F.count("*").alias("inter_sz"))
+    )
+    union = F.col("_sa") + F.col("_sb") - F.col("inter_sz")
+    return (
+        inter.filter(
+            F.col("inter_sz") * F.lit(t_den) >= union * F.lit(t_num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            union.cast("long").alias("union_sz"),
+            (F.col("inter_sz").cast("double") / union).alias("jacc"),
+        )
+    )

@@ -391,3 +391,164 @@ def count_min_estimate(
         item, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(item).agg(F.min("cnt").cast("long").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (register-based distinct sketch, p=6 / m=64 registers)
+#
+# The KMV family above keeps the k smallest hashes (O(k) values per
+# group); HLL keeps ONE byte per register (max leading-zero run) — the
+# industry-standard mergeable distinct sketch (Flajolet et al. 2007;
+# Spark's own approx_count_distinct is HLL++).  The built-in aggregate
+# can never sit under a value-hash oracle gate (engine-private hash and
+# serialization), so this is the ENGINE-PORTABLE spelling: the hash is
+# the md5-prefix discipline, the register/rank split is integer
+# shift/mask, the leading-zero count is string arithmetic over bin()
+# (probed identical in Spark and DuckDB), and every float in the
+# estimate is derived from EXACT int64 state by literal-constant
+# arithmetic — bit-identical cross-engine by construction.
+#
+# Determinism details (each probed this round):
+# - sum(2^-M_j) is kept scaled by 2^32 as an INT64 sum (M_j <= 27, so a
+#   register contributes 2^5..2^32; 64 registers < 2^38) — the one
+#   place textbook HLL sums doubles, made order-independent.
+# - alpha_m * m^2 * 2^32 is ONE Python-computed literal (HLL_NUMER_LIT)
+#   inlined into both engines, so the estimate is literal / int64.
+# - the small-range (linear-counting) branch needs ln(m/V), and JVM
+#   Math.log differs from libm in the last ulp on 6 of the 64 possible
+#   inputs (probed) — so the 64 possible corrections are PRECOMPUTED
+#   literals (HLL_LC), indexed by V in both engines.  No engine ln in
+#   the gated output.
+# - the large-range 32-bit-saturation correction is intentionally
+#   omitted: it matters only near 2^32 cardinalities, where the right
+#   fix is a 64-bit hash (HLL++), not the correction.
+#
+# Scale: hll_registers is one groupBy(keys, reg) with map-side combine
+# — state per group is exactly m rows of one byte of information, at
+# ANY cardinality; merging partial sketches (days -> weeks -> global)
+# is MAX per register, associative and idempotent, so re-aggregation
+# and backfill are free (the continuous-aggregate property).
+
+import math as _math
+
+HLL_P = 6
+HLL_M = 64  # 2**HLL_P
+HLL_W = 32 - HLL_P  # rank-bit width; rho in [1, HLL_W + 1]
+#: alpha_64 * m^2, scaled by 2^32 — numerator of the raw estimate.
+HLL_NUMER = (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 4294967296.0
+#: SQL spelling of HLL_NUMER.  The STRING-cast form is load-bearing: a
+#: bare numeric literal is DECIMAL in DuckDB, and its DECIMAL->DOUBLE
+#: cast lands one ulp off Python/Spark/strtod on this value (probed);
+#: CAST('<repr>' AS DOUBLE) is the correctly-rounded parse in every
+#: engine.
+HLL_NUMER_SQL = f"CAST('{HLL_NUMER!r}' AS DOUBLE)"
+#: linear-counting corrections m*ln(m/V) for V = 1..m, as literals.
+HLL_LC = [64.0 * _math.log(64.0 / v) for v in range(1, 65)]
+#: DuckDB list literal of HLL_LC (string-cast, same reason as above).
+HLL_LC_SQL = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in HLL_LC) + "]"
+#: raw-estimate threshold below which linear counting applies (2.5*m).
+HLL_SMALL_CUTOFF = 160.0
+
+
+def hll_reg_rho(value: Column) -> tuple[Column, Column]:
+    """(register, rho) for one value: 32-bit md5-prefix hash, low p bits
+    pick the register, and rho = 1 + leading zeros of the remaining
+    ``HLL_W`` bits (``instr(lpad(bin(w), 26, '0'), '1')``; w = 0 maps to
+    HLL_W + 1).  DuckDB twin: ``h % 64`` / ``h // 64`` and
+    ``POSITION('1' IN LPAD(BIN(w), 26, '0'))``."""
+    h = F.conv(F.substring(F.md5(value.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    reg = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), HLL_W, "0"), "1")
+    )
+    return reg, rho
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], value: str
+) -> DataFrame:
+    """Per-key HLL register table: ``(keys..., reg, rho)`` with
+    rho = max over the group's values.  NULLs excluded (not members).
+    No pre-dedup needed — max(rho) is duplicate-insensitive, so unlike
+    the KMV spelling there is no DISTINCT anywhere; one shuffle with
+    map-side combine, <= m rows of state per key."""
+    reg, rho = hll_reg_rho(F.col(value))
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(*keys, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(parts: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge partial register tables (e.g. per-day sketches rolled into
+    a global one): MAX per (keys, reg) — associative, idempotent,
+    commutative, so any merge tree gives the identical sketch."""
+    return parts.groupBy(*keys, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_finalize(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Registers -> ``(keys..., v_empty, sum_pow, hll_estimate)``.
+
+    ``sum_pow`` = 2^32 * sum_j 2^-M_j as an exact int64 (empty registers
+    contribute 2^32); ``hll_estimate`` = HLL_NUMER / sum_pow, replaced
+    by the literal linear-counting table when V > 0 and the raw
+    estimate is under 2.5m.  Both branches are literal/int64 arithmetic
+    — deterministic to the last bit in any engine."""
+    lc = F.array(*[F.lit(v) for v in HLL_LC])
+    agg = regs.groupBy(*keys).agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("v_empty"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - rho AS INT))"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(4294967296).cast("long")
+        )
+        .cast("long")
+        .alias("sum_pow"),
+    )
+    raw = F.lit(HLL_NUMER) / F.col("sum_pow")
+    est = F.when(
+        (F.col("v_empty") > 0) & (raw <= F.lit(HLL_SMALL_CUTOFF)),
+        F.element_at(lc, F.greatest(F.col("v_empty"), F.lit(1)).cast("int")),
+    ).otherwise(raw)
+    return agg.select(*keys, "v_empty", "sum_pow", est.alias("hll_estimate"))
+
+
+def hll_sql(table_expr: str, key_cols: str, value: str) -> str:
+    """DuckDB twin of hll_registers + hll_finalize as a SQL fragment:
+    SELECT ``key_cols``, v_empty, sum_pow, hll_estimate FROM
+    ``table_expr`` GROUP BY keys.  Shares the literal constants with
+    the Spark side by construction."""
+    keys_sel = f"{key_cols}, " if key_cols else ""
+    keys_grp = f"GROUP BY {key_cols}" if key_cols else ""
+    return f"""
+    SELECT {keys_sel}v_empty, sum_pow,
+           CASE WHEN v_empty > 0
+                 AND {HLL_NUMER_SQL} / sum_pow <= 160.0
+                THEN ({HLL_LC_SQL})[CAST(v_empty AS INT)]
+                ELSE {HLL_NUMER_SQL} / sum_pow
+           END AS hll_estimate
+    FROM (
+      SELECT {keys_sel}
+             CAST(64 - COUNT(*) AS BIGINT) AS v_empty,
+             CAST(SUM((1::BIGINT << (32 - rho)))
+                  + (64 - COUNT(*)) * 4294967296 AS BIGINT) AS sum_pow
+      FROM (
+        SELECT {keys_sel}reg, MAX(rho) AS rho
+        FROM (
+          SELECT {keys_sel}h % 64 AS reg,
+                 CASE WHEN h // 64 = 0 THEN 27
+                      ELSE POSITION('1' IN LPAD(BIN(h // 64), 26, '0'))
+                 END AS rho
+          FROM (
+            SELECT {keys_sel}
+                   ('0x' || substr(md5(CAST({value} AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM {table_expr} WHERE {value} IS NOT NULL
+          )
+        ) GROUP BY {keys_sel}reg
+      ) {keys_grp}
+    )
+    """

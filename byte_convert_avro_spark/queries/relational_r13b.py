@@ -1,0 +1,318 @@
+"""Round-13 second batch: three new first-class families.
+
+1. **HyperLogLog** (``operators/sketch.py`` HLL block) — the register
+   sketch next to the existing KMV rung: one byte of state per register,
+   merge = MAX, no pre-dedup needed.  Gated bit-exactly INCLUDING the
+   estimate floats, which no engine-builtin HLL can be (engine-private
+   hashes); the probe-driven determinism story (literal linear-counting
+   table because JVM ``ln`` differs from libm in the last ulp on 6/64
+   inputs) lives in the operator docstring.
+2. **Skyline / Pareto dominance** (``operators/skyline.py``) — the
+   classic "best tradeoff" operator, sort-pruned (two windows) instead
+   of the quadratic NOT EXISTS the SQL spelling implies; the oracle IS
+   that NOT EXISTS, a deliberately asymmetric pin.
+3. **Prefix-filter exact Jaccard join** (``operators/dedup.py``) — the
+   exact set-similarity join rung of the dedup ladder (AllPairs/PPJoin
+   family); the oracle is the brute-force all-pairs list intersection,
+   so a green gate literally proves NO FALSE NEGATIVES, the property
+   that separates this rung from MinHash-LSH.
+
+Reference parity note: the reference (AvroTransform.java, 337 LoC SMT)
+has none of these — they belong to the analytics/LLM-pipeline addendum
+SURVEY.md §2 requires on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.operators import sketch as SK
+from byte_convert_avro_spark.operators.dedup import prefix_filter_jaccard
+from byte_convert_avro_spark.operators.skyline import skyline_2d
+from byte_convert_avro_spark.queries.base import cents, register, t
+
+US_PER_WEEK = 7 * 86_400 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "hll_distinct_users_by_type",
+    f"""
+    WITH hll AS (
+      {SK.hll_sql("events", "event_type", "user_id")}
+    ), ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             ) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, v_empty, sum_pow, hll_estimate, exact_distinct
+    FROM hll JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf: str):
+    """HYPERLOGLOG distinct users per event type (p=6, m=64), fully
+    oracle-gated — registers, the exact int64 Z-sum, AND the float
+    estimate all hash-match DuckDB because every step is md5/integer
+    arithmetic plus literal-constant math (see the HLL block docstring
+    in operators/sketch.py; cf. the KMV twin
+    ``kmv_distinct_users_estimate``).  ``exact_distinct`` counts
+    distinct 32-bit hash values — the granularity the sketch itself
+    sees — so the artifact shows the sketch error directly.
+
+    Scale: ONE groupBy(type, reg) with map-side combine — state is 64
+    bytes-worth per group at any cardinality, vs KMV's k values; no
+    DISTINCT anywhere (max(rho) is duplicate-insensitive).  At 100 TB
+    the register table is |types| x 64 rows; the estimate never touches
+    the driver."""
+    ev = t(spark, sf, "events")
+    regs = SK.hll_registers(ev, ["event_type"], "user_id")
+    fin = SK.hll_finalize(regs, ["event_type"])
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ex = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", h.alias("h"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("h").cast("long").alias("exact_distinct"))
+    )
+    return fin.join(ex, "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "hll_weekly_merge_identity",
+    f"""
+    WITH rr AS (
+      SELECT epoch_us(ts) // {US_PER_WEEK} AS week,
+             h % 64 AS reg,
+             CASE WHEN h // 64 = 0 THEN 27
+                  ELSE POSITION('1' IN LPAD(BIN(h // 64), 26, '0'))
+             END AS rho
+      FROM (
+        SELECT ts,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+      )
+    ), weekly AS (
+      SELECT week, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2
+    ), merged AS (
+      SELECT reg, MAX(rho) AS rho FROM weekly GROUP BY 1
+    ), global AS (
+      SELECT reg, MAX(rho) AS rho FROM rr GROUP BY 1
+    ), fin AS (
+      SELECT CAST(64 - COUNT(*) AS BIGINT) AS v_empty,
+             CAST(SUM((1::BIGINT << (32 - rho)))
+                  + (64 - COUNT(*)) * 4294967296 AS BIGINT) AS sum_pow
+      FROM merged
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT week) AS BIGINT) FROM weekly) AS n_weeks,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_registers,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM merged m JOIN global g USING (reg)
+             WHERE m.rho <> g.rho) AS n_disagree,
+           v_empty AS v_empty_merged,
+           sum_pow AS sum_pow_merged,
+           CASE WHEN v_empty > 0
+                 AND {SK.HLL_NUMER_SQL} / sum_pow <= 160.0
+                THEN ({SK.HLL_LC_SQL})[CAST(v_empty AS INT)]
+                ELSE {SK.HLL_NUMER_SQL} / sum_pow
+           END AS hll_estimate_merged
+    FROM fin
+    """,
+)
+def hll_weekly_merge_identity(spark: SparkSession, sf: str):
+    """THE mergeability pin for the HLL family: per-week register
+    sketches rolled up with ``hll_merge`` (MAX per register) must equal
+    the sketch built over the whole stream in one pass —
+    ``n_disagree`` is gated to whatever both engines compute (0 by
+    max-associativity; a nonzero here means the register/rank split
+    drifted between build paths).  This is the continuous-aggregate
+    property that makes HLL the 100 TB distinct sketch: daily partial
+    sketches merge into weekly/monthly/global rollups with NO access to
+    the raw data, backfill is idempotent re-MAX, and the merged
+    estimate is gated bit-exactly alongside.
+
+    Scale: weekly state = |weeks| x 64 rows; the merge shuffles only
+    that."""
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    week = F.expr(f"(ts DIV 1000) DIV {US_PER_WEEK}").alias("week")
+    base = ev.select(week, F.col("user_id"))
+    weekly = SK.hll_registers(base, ["week"], "user_id")
+    merged = SK.hll_merge(weekly.drop("week").withColumn("_g", F.lit(1)), ["_g"]).drop(
+        "_g"
+    )
+    glob = SK.hll_registers(base.withColumn("_g", F.lit(1)), ["_g"], "user_id").drop(
+        "_g"
+    )
+    n_weeks = weekly.agg(
+        F.countDistinct("week").cast("long").alias("n_weeks")
+    )
+    n_regs = merged.agg(F.count("*").cast("long").alias("n_registers"))
+    n_dis = (
+        merged.withColumnRenamed("rho", "m_rho")
+        .join(glob.withColumnRenamed("rho", "g_rho"), "reg")
+        .filter(F.col("m_rho") != F.col("g_rho"))
+        .agg(F.count("*").cast("long").alias("n_disagree"))
+    )
+    fin = SK.hll_finalize(merged.withColumn("_g", F.lit(1)), ["_g"]).select(
+        F.col("v_empty").alias("v_empty_merged"),
+        F.col("sum_pow").alias("sum_pow_merged"),
+        F.col("hll_estimate").alias("hll_estimate_merged"),
+    )
+    return (
+        n_weeks.crossJoin(n_regs)
+        .crossJoin(n_dis)
+        .crossJoin(fin)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "part_skyline_price_size",
+    """
+    WITH pc AS (
+      SELECT p_partkey, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p_partkey, price_c, p_size
+    FROM pc a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pc b
+      WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    ORDER BY price_c, p_partkey
+    """,
+)
+def part_skyline_price_size(spark: SparkSession, sf: str):
+    """GLOBAL 2-D SKYLINE: the parts on the price/size Pareto frontier
+    (no other part is both cheaper-or-equal and larger-or-equal with
+    one strict).  Spark side is ``skyline_2d`` — per-bucket window
+    prune, then one window over the ~|skyline|-sized survivors; the
+    oracle is the textbook quadratic NOT EXISTS, so the pin is
+    deliberately asymmetric (sort-prune vs anti-join semantics).
+
+    Scale: stage 1 is embarrassingly parallel; stage 2's single
+    partition sees ~buckets x |skyline| rows (|skyline| of uniform 2-D
+    data ~ O(log n)) — the global sort never touches the full table.
+    Plan-pinned (tests/test_plans.py): no BroadcastNestedLoopJoin /
+    CartesianProduct."""
+    pc = t(spark, sf, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return skyline_2d(pc, "price_c", "p_size").orderBy(
+        "price_c", "p_partkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "part_skyline_per_brand",
+    """
+    WITH pc AS (
+      SELECT p_brand, p_partkey,
+             CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS skyline_n,
+           CAST(MIN(price_c) AS BIGINT) AS min_price_c,
+           CAST(MAX(p_size) AS BIGINT) AS max_size,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+           CAST(SUM(p_size) AS BIGINT) AS sum_size
+    FROM pc a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pc b
+      WHERE b.p_brand = a.p_brand
+        AND b.price_c <= a.price_c AND b.p_size >= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def part_skyline_per_brand(spark: SparkSession, sf: str):
+    """GROUPED skyline — the per-group form every window is naturally
+    partitioned by (one brand's frontier per group), aggregated
+    to frontier size and extent per brand.  This is the
+    parallel-by-construction spelling: with ``group_keys`` the operator
+    needs no global single-partition pass at all beyond the per-group
+    frontier (groups partition the data), so it scales linearly in
+    groups.  Oracle: correlated NOT EXISTS within the group."""
+    pc = t(spark, sf, "part").select(
+        "p_brand",
+        "p_partkey",
+        cents("p_retailprice").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    sky = skyline_2d(pc, "price_c", "p_size", group_keys=["p_brand"])
+    return (
+        sky.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("skyline_n"),
+            F.min("price_c").cast("long").alias("min_price_c"),
+            F.max("p_size").cast("long").alias("max_size"),
+            F.sum("price_c").cast("long").alias("sum_price_c"),
+            F.sum("p_size").cast("long").alias("sum_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "docs_jaccard_prefix_filter_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
+             LEN(list_distinct(string_split(text, ' '))) AS s
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_intersect(a.tk, b.tk)) AS inter_sz,
+             a.s + b.s - LEN(list_intersect(a.tk, b.tk)) AS union_sz
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(inter_sz AS BIGINT) AS inter_sz,
+           CAST(union_sz AS BIGINT) AS union_sz,
+           CAST(inter_sz AS DOUBLE) / union_sz AS jacc
+    FROM pairs
+    WHERE inter_sz * 5 >= union_sz * 3
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_jaccard_prefix_filter_pairs(spark: SparkSession, sf: str):
+    """EXACT Jaccard >= 0.6 self-join over document token sets via
+    PREFIX FILTERING (``prefix_filter_jaccard``; AllPairs/PPJoin
+    family) — the exact rung of the near-dup ladder.  The oracle is
+    the BRUTE-FORCE all-pairs list intersection, so a green gate
+    proves the prefix filter dropped NO qualifying pair (zero false
+    negatives) — exactly the guarantee MinHash-LSH
+    (``minhash_r2_capped_candidates``) trades away for cost.
+
+    Scale: candidates join only on each doc's (1-t)-fraction rarest
+    tokens, so frequent tokens (the quadratic blowup of a naive token
+    join) never key a join; the brute-force ORACLE is the quadratic
+    side and is the reason this gate's cost ceiling is the oracle, not
+    the operator (all-pairs at sf>=1 would need the disclosed-slice
+    treatment like the other brute-force referees).  All threshold
+    math integer; the one float (jacc) is a single exact-int division."""
+    toks = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    return (
+        prefix_filter_jaccard(toks, "doc_id", "token", t_num=3, t_den=5)
+        .withColumnRenamed("id_a", "id_a")
+        .orderBy("id_a", "id_b")
+    )

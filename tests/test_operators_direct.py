@@ -2280,3 +2280,214 @@ def test_band_join_rejects_bad_args(spark):
         band_join(df, df2, "v", "w", delta=5, bucket=0)
     with _pytest.raises(ValueError, match="disjoint"):
         band_join(df, df.select(F.col("v")), "v", "v", delta=5)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (operators/sketch.py HLL block)
+
+
+def test_hll_registers_merge_identity_and_bounds(spark):
+    """Splitting the input arbitrarily, sketching each split, and
+    hll_merge-ing must give the identical register table as one global
+    build (MAX associativity); rho stays within [1, 27]."""
+    from byte_convert_avro_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(i % 7, f"u{i}") for i in range(2000)], "g int, uid string"
+    )
+    whole = SK.hll_registers(df, ["g"], "uid")
+    parts = [
+        SK.hll_registers(df.filter(F.col("uid").substr(2, 9).cast("long") % 3 == k), ["g"], "uid")
+        for k in range(3)
+    ]
+    merged = SK.hll_merge(parts[0].union(parts[1]).union(parts[2]), ["g"])
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+    rhos = [r.rho for r in whole.collect()]
+    assert all(1 <= r <= 27 for r in rhos), sorted(set(rhos))
+
+
+def test_hll_linear_counting_branch_small_cardinality(spark):
+    """With n << m the raw estimator is biased; the finalize must take
+    the literal linear-counting branch: estimate == 64*ln(64/V) for the
+    observed V, and with distinct hashes mapping to distinct registers
+    the LC estimate is close to truth."""
+    import math
+
+    from byte_convert_avro_spark.operators import sketch as SK
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(5)], "uid string")
+    regs = SK.hll_registers(df.withColumn("g", F.lit(1)), ["g"], "uid")
+    row = SK.hll_finalize(regs, ["g"]).collect()[0]
+    v = row.v_empty
+    assert 59 <= v <= 64 - 1  # 5 values land in <= 5 registers
+    assert row.hll_estimate == SK.HLL_LC[v - 1]
+    assert row.hll_estimate == 64.0 * math.log(64.0 / v)
+    # LC at this density is essentially exact
+    assert abs(row.hll_estimate - (64 - v) * 1.0) < 1.0
+
+
+def test_hll_estimate_accuracy_midrange(spark):
+    """Raw-branch accuracy: at n=5000 with m=64 the standard error is
+    1.04/sqrt(64) = 13%; assert within 3 sigma."""
+    from byte_convert_avro_spark.operators import sketch as SK
+
+    df = spark.createDataFrame(
+        [(f"user-{i}",) for i in range(5000)], "uid string"
+    ).withColumn("g", F.lit(1))
+    row = SK.hll_finalize(SK.hll_registers(df, ["g"], "uid"), ["g"]).collect()[0]
+    assert row.v_empty == 0
+    assert 5000 * 0.61 < row.hll_estimate < 5000 * 1.39, row.hll_estimate
+
+
+def test_hll_duplicate_insensitive(spark):
+    """Feeding each value once vs 50x must give byte-identical state
+    (no DISTINCT needed anywhere — max(rho) absorbs duplicates)."""
+    from byte_convert_avro_spark.operators import sketch as SK
+
+    once = spark.createDataFrame([(f"v{i}",) for i in range(100)], "u string")
+    many = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100) for _ in range(50)], "u string"
+    )
+    a = sorted(
+        map(tuple, SK.hll_registers(once.withColumn("g", F.lit(1)), ["g"], "u").collect())
+    )
+    b = sorted(
+        map(tuple, SK.hll_registers(many.withColumn("g", F.lit(1)), ["g"], "u").collect())
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d (operators/skyline.py)
+
+
+def _brute_skyline(rows):
+    out = []
+    for x in rows:
+        dominated = any(
+            y[0] <= x[0]
+            and y[1] >= x[1]
+            and (y[0] < x[0] or y[1] > x[1])
+            for y in rows
+        )
+        if not dominated:
+            out.append(x)
+    return sorted(out)
+
+
+def test_skyline_2d_matches_brute_force_with_ties(spark):
+    """skyline_2d == NOT EXISTS brute force on a crafted set including
+    duplicate points (mutually non-dominating), same-x and same-y ties,
+    and a strictly-dominated chain; any bucket count gives same rows."""
+    from byte_convert_avro_spark.operators.skyline import skyline_2d
+
+    pts = [
+        (1, 10), (1, 10), (1, 9),  # duplicate frontier point + dominated
+        (2, 12), (2, 11),          # same-x tie: only (2,12) survives
+        (3, 12),                   # same-y as (2,12): dominated (worse x)
+        (0, 1), (5, 20), (4, 20),  # (5,20) dominated by (4,20)
+        (7, 3),                    # interior
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pts)], "id int, x long, y long"
+    )
+    want = _brute_skyline(pts)
+    for buckets in (1, 4, 32):
+        got = sorted(
+            (r.x, r.y)
+            for r in skyline_2d(df, "x", "y", buckets=buckets).collect()
+        )
+        assert got == want, (buckets, got, want)
+
+
+def test_skyline_2d_grouped_and_random(spark):
+    """Grouped skylines are independent per group; fuzz vs brute force."""
+    import random
+
+    from byte_convert_avro_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(13)
+    rows = [
+        (g, rng.randrange(20), rng.randrange(20))
+        for g in ("a", "b", "c")
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = sorted(
+        (r.g, r.x, r.y)
+        for r in skyline_2d(df, "x", "y", group_keys=["g"]).collect()
+    )
+    want = sorted(
+        (g, x, y)
+        for g in ("a", "b", "c")
+        for (x, y) in _brute_skyline(
+            [(x, y) for gg, x, y in rows if gg == g]
+        )
+    )
+    assert got == want
+
+
+def test_skyline_2d_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with _pytest.raises(ValueError, match="buckets"):
+        skyline_2d(df, "x", "y", buckets=0)
+    with _pytest.raises(ValueError, match="distinct"):
+        skyline_2d(df, "x", "x")
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard (operators/dedup.py)
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """Exact set-similarity join vs brute-force all-pairs on crafted
+    token sets: identical sets (J=1), threshold-boundary pairs, subsets,
+    disjoint sets, and a shared stopword that must never create a
+    candidate on its own."""
+    from byte_convert_avro_spark.operators.dedup import prefix_filter_jaccard
+
+    docs = {
+        1: {"the", "a", "cat", "sat"},
+        2: {"the", "a", "cat", "sat"},          # J=1 with 1
+        3: {"the", "a", "cat", "mat"},          # J=0.6 with 1 (3/5)
+        4: {"the", "a", "dog", "ran"},          # J(1,4)=2/6 < 0.6
+        5: {"the"},                              # stopword only
+        6: {"zebra", "yak"},                     # disjoint
+        7: {"the", "a", "cat", "sat", "mat"},   # J(1,7)=4/5
+    }
+    rows = [(d, t) for d, ts in docs.items() for t in ts]
+    tokens = spark.createDataFrame(rows, "doc_id int, token string")
+    got = sorted(
+        (r.id_a, r.id_b, r.inter_sz, r.union_sz)
+        for r in prefix_filter_jaccard(tokens, "doc_id", "token", 3, 5).collect()
+    )
+    want = []
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if inter * 5 >= union * 3:
+                want.append((a, b, inter, union))
+    assert got == sorted(want)
+    assert (1, 2, 4, 4) in got  # identical pair present
+    assert (1, 3, 3, 5) in got  # exactly-at-threshold pair present
+    assert all(not (p[0] == 5 or p[1] == 5) for p in got)  # stopword doc alone never pairs
+
+
+def test_prefix_filter_jaccard_rejects_bad_threshold(spark):
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators.dedup import prefix_filter_jaccard
+
+    tokens = spark.createDataFrame([(1, "x")], "doc_id int, token string")
+    with _pytest.raises(ValueError, match="t_num"):
+        prefix_filter_jaccard(tokens, "doc_id", "token", 0, 5)
+    with _pytest.raises(ValueError, match="t_num"):
+        prefix_filter_jaccard(tokens, "doc_id", "token", 6, 5)

@@ -717,3 +717,52 @@ def test_band_join_queries_no_nested_loop(spark, sf_dir):
         # exact-band verification stays partition-local: the bucket is
         # the only equi key, the band predicate a post-join condition
         assert re.search(r"_bb#\d+L?\]?,? ?= ?_bb2|_bb", plan), plan[:3000]
+
+
+def test_skyline_queries_no_nested_loop(spark, sf_dir):
+    """The skyline family's scale contract: the SQL spelling (NOT
+    EXISTS dominance) is a quadratic anti-join; skyline_2d must plan as
+    windows only — zero joins of any kind, no nested loop, no cartesian
+    — with the bucket-prune stage visible as a window partitioned by
+    the _bk hash bucket before the survivor pass."""
+    for name in ("part_skyline_price_size", "part_skyline_per_brand"):
+        df = Q[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:3000])
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+        assert not join_strategies(df), (name, join_strategies(df))
+        assert plan.count("Window") >= 4, (name, plan[:3000])  # 2 per stage
+        assert "_bk" in plan, (name, plan[:3000])
+
+
+def test_hll_register_agg_is_partial(spark, sf_dir):
+    """HLL's scale contract: the register build is ONE hash aggregate
+    with a map-side partial (HashAggregate appears in partial+final
+    pairs around a single exchange on the group keys) — state per key
+    is <= 64 rows regardless of cardinality, and no DISTINCT expansion
+    node appears anywhere in the register path."""
+    df = Q["hll_distinct_users_by_type"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan, plan[:3000]
+    # the exact_distinct referee is the only expand/distinct consumer;
+    # the register path itself (reg, max(rho)) must not expand rows
+    assert plan.count("Expand") <= 1, plan[:3000]
+
+
+def test_prefix_filter_jaccard_join_keys_are_tokens(spark, sf_dir):
+    """Prefix-filter Jaccard's scale contract: every join in the plan
+    is an equi join (candidate generation on prefix tokens, verify on
+    pair keys) — never a nested loop / cartesian, even though the
+    semantic result is an all-pairs similarity predicate."""
+    df = Q["docs_jaccard_prefix_filter_pairs"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
+    strategies = join_strategies(df)
+    assert strategies, plan[:3000]
+    assert all(
+        s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        for s in strategies
+    ), strategies
