@@ -121,6 +121,8 @@ EXTENDED = [
     # signal for the prefix staying rare-token-only)
     "hll_distinct_users_by_type",
     "hll_weekly_merge_identity",
+    "hll_intersection_viewers_purchasers",
+    "streaming_hll_distinct_users",
     "part_skyline_price_size",
     "part_skyline_per_brand",
     "docs_jaccard_prefix_filter_pairs",

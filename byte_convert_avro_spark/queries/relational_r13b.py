@@ -316,3 +316,88 @@ def docs_jaccard_prefix_filter_pairs(spark: SparkSession, sf: str):
         .withColumnRenamed("id_a", "id_a")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "hll_intersection_viewers_purchasers",
+    f"""
+    WITH a AS (
+      {SK.hll_sql("(SELECT * FROM events WHERE event_type = 'view')", "", "user_id")}
+    ), b AS (
+      {SK.hll_sql("(SELECT * FROM events WHERE event_type = 'purchase')", "", "user_id")}
+    ), u AS (
+      {SK.hll_sql("(SELECT * FROM events WHERE event_type IN ('view', 'purchase'))", "", "user_id")}
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+        INTERSECT
+        SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      )
+    )
+    SELECT a.hll_estimate AS est_viewers,
+           b.hll_estimate AS est_purchasers,
+           u.hll_estimate AS est_union,
+           (a.hll_estimate + b.hll_estimate) - u.hll_estimate AS est_intersection,
+           ex.exact_intersection
+    FROM a, b, u, ex
+    """,
+)
+def hll_intersection_viewers_purchasers(spark: SparkSession, sf: str):
+    """HLL SET ALGEBRA — inclusion-exclusion intersection from three
+    sketches (viewers, purchasers, and their MAX-merged union), the HLL
+    twin of ``kmv_intersection_estimate``.  HLL unions are EXACT at the
+    sketch level (max per register, the merge-identity pin), so the
+    only estimator error in |A∩B| = |A|+|B|-|A∪B| is the three raw
+    estimates' — and because each estimate is literal/int64 arithmetic,
+    the derived intersection float is gated bit-exactly too (one
+    fixed-association (a+b)-u in both engines).  Exact intersection
+    carried alongside as the error readout.  Scale: the three register
+    tables are 3 x m rows total; the union sketch needs NO access to
+    raw data — audience-overlap dashboards merge per-segment sketches
+    pairwise at query time, never re-scanning events."""
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    sides = {}
+    for key, flt in (
+        ("a", F.col("event_type") == "view"),
+        ("b", F.col("event_type") == "purchase"),
+    ):
+        sides[key] = SK.hll_registers(
+            ev.filter(flt).withColumn("_g", F.lit(1)), ["_g"], "user_id"
+        )
+    merged = SK.hll_merge(sides["a"].union(sides["b"]), ["_g"])
+    fins = {
+        k: SK.hll_finalize(regs, ["_g"]).select(
+            F.col("hll_estimate").alias(n)
+        )
+        for (k, regs), n in zip(
+            [("a", sides["a"]), ("b", sides["b"]), ("u", merged)],
+            ["est_viewers", "est_purchasers", "est_union"],
+        )
+    }
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ha = ev.filter(F.col("event_type") == "view").select(h.alias("h")).distinct()
+    hb = ev.filter(F.col("event_type") == "purchase").select(h.alias("h")).distinct()
+    ex = ha.join(hb, "h").agg(
+        F.count("*").cast("long").alias("exact_intersection")
+    )
+    return (
+        fins["a"]
+        .crossJoin(fins["b"])
+        .crossJoin(fins["u"])
+        .crossJoin(ex)
+        .select(
+            "est_viewers",
+            "est_purchasers",
+            "est_union",
+            (
+                (F.col("est_viewers") + F.col("est_purchasers"))
+                - F.col("est_union")
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

@@ -1348,3 +1348,88 @@ def streaming_count_min_user_heavy_hitters(spark: SparkSession, sf: str):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+def _hll_streaming_oracle() -> str:
+    from byte_convert_avro_spark.operators.sketch import hll_sql
+
+    return f"""
+    WITH hll AS (
+      {hll_sql("events", "event_type", "user_id")}
+    ), ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             ) AS BIGINT) AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, v_empty, sum_pow, hll_estimate, exact_distinct
+    FROM hll JOIN ex USING (event_type)
+    ORDER BY event_type
+    """
+
+
+@register("streaming_hll_distinct_users", _hll_streaming_oracle())
+def streaming_hll_distinct_users(spark: SparkSession, sf: str):
+    """STREAMING HYPERLOGLOG — the cross-batch twin of
+    ``hll_distinct_users_by_type``, completing the streaming sketch trio
+    (rank sketch = applyInPandasWithState bottom-k; count-min = stateful
+    SUM because the sketch is linear; HLL = stateful MAX because the
+    sketch is a per-register maximum).  Register maintenance IS Spark's
+    own streaming aggregation: ``groupBy(type, reg).max(rho)`` in
+    complete mode — max is associative/commutative/idempotent, so the
+    accumulated state after four genuine hash-sharded micro-batches
+    must equal the one-pass batch build register-for-register, and the
+    finalize over the drained registers is gated bit-exactly against
+    the SAME batch oracle as the batch twin (the gate's point: the
+    streaming path changes nothing).  Scale: streaming state is
+    |types| x m rows FOREVER — the live distinct-users dashboard shape;
+    idempotent MAX also makes at-least-once replay harmless, a property
+    the linear count-min does NOT have."""
+    import shutil
+
+    from byte_convert_avro_spark.operators.sketch import (
+        hll_finalize,
+        hll_registers,
+    )
+
+    ev = t(spark, sf, "events")
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "hll_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        regs_stream = hll_registers(stream, ["event_type"], "user_id")
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            regs_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        regs = spark.table(name)
+        fin = hll_finalize(regs, ["event_type"])
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        ex = (
+            ev.filter(F.col("user_id").isNotNull())
+            .select("event_type", h.alias("h"))
+            .groupBy("event_type")
+            .agg(F.countDistinct("h").cast("long").alias("exact_distinct"))
+        )
+        return fin.join(ex, "event_type").orderBy("event_type")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
