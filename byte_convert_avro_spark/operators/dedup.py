@@ -863,14 +863,48 @@ def prefix_filter_jaccard(
     ).cast("long") + 1
     pre = tk.filter(F.col("_pos") <= plen)
     a = pre.select(
-        F.col(id_col).alias("id_a"), tok_col, F.col("_s").alias("_sa")
+        F.col(id_col).alias("id_a"),
+        tok_col,
+        F.col("_s").alias("_sa"),
+        F.col("_pos").alias("_pa"),
     )
     b = pre.select(
-        F.col(id_col).alias("id_b"), tok_col, F.col("_s").alias("_sb")
+        F.col(id_col).alias("id_b"),
+        tok_col,
+        F.col("_s").alias("_sb"),
+        F.col("_pos").alias("_pb"),
     )
+    # PPJoin's two exactness-preserving candidate filters, applied
+    # witness-locally before the dedup shuffle:
+    # - LENGTH filter: J >= t forces t*max(sa,sb) <= min(sa,sb)
+    #   (overlap <= min and >= t*union >= t*max), so size-mismatched
+    #   pairs can never qualify;
+    # - POSITIONAL filter: with both docs' tokens in the SAME global
+    #   rank order, a pair's minimum-rank shared token at positions
+    #   (pa, pb) bounds the overlap by 1 + min(sa-pa, sb-pb); a
+    #   qualifying pair needs overlap >= alpha = ceil(t/(1+t)*(sa+sb)),
+    #   and its min-rank witness always passes the bound, so filtering
+    #   every witness row keeps at least one row per qualifying pair —
+    #   no false negatives, while witnesses deep in both prefixes (the
+    #   duplicated-corpus blowup) drop before the distinct.
+    alpha = (
+        F.lit(t_num) * (F.col("_sa") + F.col("_sb"))
+        + F.lit(t_num + t_den - 1)
+    ).cast("long") / F.lit(t_num + t_den)
     cand = (
         a.join(b, tok_col)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_sa") * t_den >= F.col("_sb") * t_num)
+            & (F.col("_sb") * t_den >= F.col("_sa") * t_num)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+                )
+                >= alpha.cast("long")
+            )
+        )
         .select("id_a", "id_b", "_sa", "_sb")
         .distinct()
     )
