@@ -431,51 +431,66 @@ def count_min_estimate(
 
 import math as _math
 
-HLL_P = 6
-HLL_M = 64  # 2**HLL_P
+HLL_P = 6  # default precision; all constants below derive from it
+
+
+def _hll_consts(p: int) -> tuple[int, float, list[float], float]:
+    """(m, numer, lc, cutoff) for precision ``p`` — every float the
+    estimate can emit, computed ONCE in Python and inlined as literals
+    into both engines.  alpha_m: the published small-m constants for
+    m=16/32, the 0.7213/(1+1.079/m) closed form for m >= 64 (Flajolet
+    et al. 2007, fig. 3).  p is capped at 12 so sum_pow stays far
+    inside int64 (m * 2^32 <= 2^44) and the lc literal table stays
+    reasonable (4096 entries)."""
+    if not 4 <= p <= 12:
+        raise ValueError(f"hll precision p must be in [4, 12], got {p}")
+    m = 1 << p
+    alpha = {4: 0.673, 5: 0.697}.get(p, 0.7213 / (1.0 + 1.079 / m))
+    numer = alpha * float(m * m) * 4294967296.0
+    lc = [float(m) * _math.log(m / v) for v in range(1, m + 1)]
+    return m, numer, lc, 2.5 * m
+
+
+HLL_M, HLL_NUMER, HLL_LC, HLL_SMALL_CUTOFF = _hll_consts(HLL_P)
 HLL_W = 32 - HLL_P  # rank-bit width; rho in [1, HLL_W + 1]
-#: alpha_64 * m^2, scaled by 2^32 — numerator of the raw estimate.
-HLL_NUMER = (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 4294967296.0
 #: SQL spelling of HLL_NUMER.  The STRING-cast form is load-bearing: a
 #: bare numeric literal is DECIMAL in DuckDB, and its DECIMAL->DOUBLE
 #: cast lands one ulp off Python/Spark/strtod on this value (probed);
 #: CAST('<repr>' AS DOUBLE) is the correctly-rounded parse in every
 #: engine.
 HLL_NUMER_SQL = f"CAST('{HLL_NUMER!r}' AS DOUBLE)"
-#: linear-counting corrections m*ln(m/V) for V = 1..m, as literals.
-HLL_LC = [64.0 * _math.log(64.0 / v) for v in range(1, 65)]
 #: DuckDB list literal of HLL_LC (string-cast, same reason as above).
 HLL_LC_SQL = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in HLL_LC) + "]"
-#: raw-estimate threshold below which linear counting applies (2.5*m).
-HLL_SMALL_CUTOFF = 160.0
 
 
-def hll_reg_rho(value: Column) -> tuple[Column, Column]:
+def hll_reg_rho(value: Column, p: int = HLL_P) -> tuple[Column, Column]:
     """(register, rho) for one value: 32-bit md5-prefix hash, low p bits
     pick the register, and rho = 1 + leading zeros of the remaining
-    ``HLL_W`` bits (``instr(lpad(bin(w), 26, '0'), '1')``; w = 0 maps to
-    HLL_W + 1).  DuckDB twin: ``h % 64`` / ``h // 64`` and
-    ``POSITION('1' IN LPAD(BIN(w), 26, '0'))``."""
+    ``32 - p`` bits (``instr(lpad(bin(w), 32-p, '0'), '1')``; w = 0 maps
+    to 32-p+1).  DuckDB twin: ``h % m`` / ``h // m`` and
+    ``POSITION('1' IN LPAD(BIN(w), 32-p, '0'))``."""
+    m, _, _, _ = _hll_consts(p)
+    wbits = 32 - p
     h = F.conv(F.substring(F.md5(value.cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
-    reg = h.bitwiseAND(F.lit(HLL_M - 1))
-    w = F.shiftright(h, HLL_P)
-    rho = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
-        F.instr(F.lpad(F.bin(w), HLL_W, "0"), "1")
+    reg = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), wbits, "0"), "1")
     )
     return reg, rho
 
 
 def hll_registers(
-    df: DataFrame, keys: list[str], value: str
+    df: DataFrame, keys: list[str], value: str, p: int = HLL_P
 ) -> DataFrame:
     """Per-key HLL register table: ``(keys..., reg, rho)`` with
     rho = max over the group's values.  NULLs excluded (not members).
     No pre-dedup needed — max(rho) is duplicate-insensitive, so unlike
     the KMV spelling there is no DISTINCT anywhere; one shuffle with
     map-side combine, <= m rows of state per key."""
-    reg, rho = hll_reg_rho(F.col(value))
+    reg, rho = hll_reg_rho(F.col(value), p)
     return (
         df.filter(F.col(value).isNotNull())
         .select(*keys, reg.alias("reg"), rho.alias("rho"))
@@ -491,57 +506,66 @@ def hll_merge(parts: DataFrame, keys: list[str]) -> DataFrame:
     return parts.groupBy(*keys, "reg").agg(F.max("rho").alias("rho"))
 
 
-def hll_finalize(regs: DataFrame, keys: list[str]) -> DataFrame:
+def hll_finalize(
+    regs: DataFrame, keys: list[str], p: int = HLL_P
+) -> DataFrame:
     """Registers -> ``(keys..., v_empty, sum_pow, hll_estimate)``.
 
     ``sum_pow`` = 2^32 * sum_j 2^-M_j as an exact int64 (empty registers
-    contribute 2^32); ``hll_estimate`` = HLL_NUMER / sum_pow, replaced
-    by the literal linear-counting table when V > 0 and the raw
-    estimate is under 2.5m.  Both branches are literal/int64 arithmetic
-    — deterministic to the last bit in any engine."""
-    lc = F.array(*[F.lit(v) for v in HLL_LC])
+    contribute 2^32); ``hll_estimate`` = numer / sum_pow, replaced by
+    the literal linear-counting table when V > 0 and the raw estimate
+    is under 2.5m.  Both branches are literal/int64 arithmetic —
+    deterministic to the last bit in any engine."""
+    m, numer, lc_vals, cutoff = _hll_consts(p)
+    lc = F.array(*[F.lit(v) for v in lc_vals])
     agg = regs.groupBy(*keys).agg(
-        (F.lit(HLL_M) - F.count("*")).cast("long").alias("v_empty"),
+        (F.lit(m) - F.count("*")).cast("long").alias("v_empty"),
         (
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - rho AS INT))"))
-            + (F.lit(HLL_M) - F.count("*")) * F.lit(4294967296).cast("long")
+            + (F.lit(m) - F.count("*")) * F.lit(4294967296).cast("long")
         )
         .cast("long")
         .alias("sum_pow"),
     )
-    raw = F.lit(HLL_NUMER) / F.col("sum_pow")
+    raw = F.lit(numer) / F.col("sum_pow")
     est = F.when(
-        (F.col("v_empty") > 0) & (raw <= F.lit(HLL_SMALL_CUTOFF)),
+        (F.col("v_empty") > 0) & (raw <= F.lit(cutoff)),
         F.element_at(lc, F.greatest(F.col("v_empty"), F.lit(1)).cast("int")),
     ).otherwise(raw)
     return agg.select(*keys, "v_empty", "sum_pow", est.alias("hll_estimate"))
 
 
-def hll_sql(table_expr: str, key_cols: str, value: str) -> str:
+def hll_sql(
+    table_expr: str, key_cols: str, value: str, p: int = HLL_P
+) -> str:
     """DuckDB twin of hll_registers + hll_finalize as a SQL fragment:
     SELECT ``key_cols``, v_empty, sum_pow, hll_estimate FROM
     ``table_expr`` GROUP BY keys.  Shares the literal constants with
-    the Spark side by construction."""
+    the Spark side by construction (same _hll_consts call)."""
+    m, numer, lc_vals, cutoff = _hll_consts(p)
+    wbits = 32 - p
+    numer_sql = f"CAST('{numer!r}' AS DOUBLE)"
+    lc_sql = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in lc_vals) + "]"
     keys_sel = f"{key_cols}, " if key_cols else ""
     keys_grp = f"GROUP BY {key_cols}" if key_cols else ""
     return f"""
     SELECT {keys_sel}v_empty, sum_pow,
            CASE WHEN v_empty > 0
-                 AND {HLL_NUMER_SQL} / sum_pow <= 160.0
-                THEN ({HLL_LC_SQL})[CAST(v_empty AS INT)]
-                ELSE {HLL_NUMER_SQL} / sum_pow
+                 AND {numer_sql} / sum_pow <= {cutoff!r}
+                THEN ({lc_sql})[CAST(v_empty AS INT)]
+                ELSE {numer_sql} / sum_pow
            END AS hll_estimate
     FROM (
       SELECT {keys_sel}
-             CAST(64 - COUNT(*) AS BIGINT) AS v_empty,
+             CAST({m} - COUNT(*) AS BIGINT) AS v_empty,
              CAST(SUM((1::BIGINT << (32 - rho)))
-                  + (64 - COUNT(*)) * 4294967296 AS BIGINT) AS sum_pow
+                  + ({m} - COUNT(*)) * 4294967296 AS BIGINT) AS sum_pow
       FROM (
         SELECT {keys_sel}reg, MAX(rho) AS rho
         FROM (
-          SELECT {keys_sel}h % 64 AS reg,
-                 CASE WHEN h // 64 = 0 THEN 27
-                      ELSE POSITION('1' IN LPAD(BIN(h // 64), 26, '0'))
+          SELECT {keys_sel}h % {m} AS reg,
+                 CASE WHEN h // {m} = 0 THEN {wbits + 1}
+                      ELSE POSITION('1' IN LPAD(BIN(h // {m}), {wbits}, '0'))
                  END AS rho
           FROM (
             SELECT {keys_sel}

@@ -2525,3 +2525,50 @@ def test_prefix_filter_jaccard_verify_modes_identical(spark):
     assert outs["join"] == outs["arrays"] and outs["join"]
     with _pytest.raises(ValueError, match="verify"):
         prefix_filter_jaccard(tokens, "doc_id", "token", 3, 5, verify="bogus")
+
+
+def test_hll_parameterized_precision_cross_engine(spark):
+    """The p-parameterized HLL pipeline hash-matches its DuckDB SQL
+    twin at precisions other than the gated default (p=4 exercises the
+    published small-m alpha constant and the LC branch; p=8 the
+    closed-form alpha and the raw branch) — backing the SCALE.md claim
+    that precision widens with the same probed-portable arithmetic."""
+    import duckdb
+    import pandas as pd
+
+    from byte_convert_avro_spark.operators import sketch as SK
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["x"] * 3000 + ["y"] * 8,
+            "uid": [f"user-{i}" for i in range(3000)]
+            + [f"tiny-{i}" for i in range(8)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("tbl", pdf)
+    for p in (4, 8):
+        got = sorted(
+            map(
+                tuple,
+                SK.hll_finalize(
+                    SK.hll_registers(df, ["g"], "uid", p), ["g"], p
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, con.sql(SK.hll_sql("tbl", "g", "uid", p)).fetchall())
+        )
+        assert got == want, (p, got, want)
+        # regime sanity: the tiny group takes the LC branch and is near
+        # exact; the big group's raw estimate is within 3 sigma
+        by_g = {r[0]: r for r in got}
+        m = 1 << p
+        assert by_g["y"][1] > 0  # v_empty > 0 on the tiny group
+        sigma = 1.04 / (m ** 0.5)
+        assert abs(by_g["x"][3] - 3000) < 3 * sigma * 3000, (p, by_g["x"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision"):
+        SK.hll_registers(df, ["g"], "uid", 13)
