@@ -123,6 +123,8 @@ EXTENDED = [
     "hll_weekly_merge_identity",
     "hll_intersection_viewers_purchasers",
     "streaming_hll_distinct_users",
+    "hll_rolling_7d_distinct_users",
+    "rank_join_top10_pairs_by_balance",
     "part_skyline_price_size",
     "part_skyline_per_brand",
     "docs_jaccard_prefix_filter_pairs",

@@ -401,3 +401,189 @@ def hll_intersection_viewers_purchasers(spark: SparkSession, sf: str):
             "exact_intersection",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+US_PER_DAY = 86_400 * 1_000_000
+
+
+@register(
+    "hll_rolling_7d_distinct_users",
+    f"""
+    WITH rr AS (
+      SELECT epoch_us(ts) // {US_PER_DAY} AS day,
+             h % 64 AS reg,
+             CASE WHEN h // 64 = 0 THEN 27
+                  ELSE POSITION('1' IN LPAD(BIN(h // 64), 26, '0'))
+             END AS rho,
+             h
+      FROM (
+        SELECT ts,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+      )
+    ), days AS (
+      SELECT DISTINCT day FROM rr
+    ), daily AS (
+      SELECT day, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2
+    ), rolled AS (
+      SELECT d.day + i.i AS anchor, reg, MAX(rho) AS rho
+      FROM daily d CROSS JOIN range(7) i(i)
+      WHERE d.day + i.i IN (SELECT day FROM days)
+      GROUP BY 1, 2
+    ), fin AS (
+      SELECT anchor,
+             CAST(64 - COUNT(*) AS BIGINT) AS v_empty,
+             CAST(SUM((1::BIGINT << (32 - rho)))
+                  + (64 - COUNT(*)) * 4294967296 AS BIGINT) AS sum_pow
+      FROM rolled GROUP BY 1
+    ), ex AS (
+      SELECT anchor, CAST(COUNT(*) AS BIGINT) AS exact_7d_distinct FROM (
+        SELECT DISTINCT rr.day + i.i AS anchor, rr.h
+        FROM rr CROSS JOIN range(7) i(i)
+        WHERE rr.day + i.i IN (SELECT day FROM days)
+      ) GROUP BY 1
+    )
+    SELECT CAST(fin.anchor AS BIGINT) AS day, v_empty, sum_pow,
+           CASE WHEN v_empty > 0
+                 AND {SK.HLL_NUMER_SQL} / sum_pow <= 160.0
+                THEN ({SK.HLL_LC_SQL})[CAST(v_empty AS INT)]
+                ELSE {SK.HLL_NUMER_SQL} / sum_pow
+           END AS hll_7d_estimate,
+           ex.exact_7d_distinct
+    FROM fin JOIN ex ON ex.anchor = fin.anchor
+    ORDER BY 1
+    """,
+)
+def hll_rolling_7d_distinct_users(spark: SparkSession, sf: str):
+    """ROLLING 7-DAY DISTINCT USERS from daily HLL sketches — the
+    continuous-aggregate dashboard shape the merge-identity pin exists
+    for: ONE pass builds |days| x m daily registers, then each daily
+    sketch EXPLODES to the <=7 trailing-window anchors it covers (the
+    ``user_rolling_7d_median_value`` fan-out discipline applied to
+    sketch state instead of rows) and MAX-merges per anchor — no
+    re-scan of events per window, no distinct-set state.  Exact
+    trailing-7d distinct carried alongside as the error referee
+    (test-scale only: the exact column re-explodes events; at 100 TB a
+    production job would keep ONLY the sketch path, whose per-day cost
+    is m rows).  Anchors restricted to observed days so both engines
+    agree on the output spine.
+
+    Scale: daily registers = |days| x 64 rows FOREVER; the rolling
+    merge shuffles 7x that.  Backfill/late data is idempotent re-MAX
+    into the affected anchors only."""
+    ev = t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    day = F.expr(f"(ts DIV 1000) DIV {US_PER_DAY}")
+    base = ev.select(day.alias("day"), "user_id")
+    daily = SK.hll_registers(base, ["day"], "user_id")
+    days = base.select("day").distinct()
+    rolled = (
+        daily.withColumn("anchor", F.explode(F.expr("sequence(day, day + 6)")))
+        .join(days.withColumnRenamed("day", "anchor"), "anchor")
+        .groupBy("anchor", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    fin = SK.hll_finalize(rolled, ["anchor"])
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ex = (
+        base.select("day", h.alias("h"))
+        .withColumn("anchor", F.explode(F.expr("sequence(day, day + 6)")))
+        .join(days.withColumnRenamed("day", "anchor"), "anchor")
+        .select("anchor", "h")
+        .distinct()
+        .groupBy("anchor")
+        .agg(F.count("*").cast("long").alias("exact_7d_distinct"))
+    )
+    return (
+        fin.join(ex, "anchor")
+        .select(
+            F.col("anchor").cast("long").alias("day"),
+            "v_empty",
+            "sum_pow",
+            F.col("hll_estimate").alias("hll_7d_estimate"),
+            "exact_7d_distinct",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "rank_join_top10_pairs_by_balance",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cb
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS sb
+      FROM supplier
+    )
+    SELECT c.c_nationkey AS nation, c.c_custkey, s.s_suppkey,
+           c.cb, s.sb, c.cb + s.sb AS pair_balance_c
+    FROM c JOIN s ON s.s_nationkey = c.c_nationkey
+    ORDER BY pair_balance_c DESC, c.c_custkey, s.s_suppkey
+    LIMIT 10
+    """,
+)
+def rank_join_top10_pairs_by_balance(spark: SparkSession, sf: str):
+    """TOP-K RANK JOIN (HRJN-style result, bounded-candidate plan): the
+    10 highest-combined-balance (customer, supplier) same-nation pairs
+    WITHOUT materializing the full equi-join.  The monotonicity
+    certificate: the pair score is strictly increasing in each side, so
+    any global top-k pair's customer must rank <= k among its nation's
+    customers (fixing the supplier, every better customer yields a
+    better pair in the SAME nation) — and symmetrically for suppliers.
+    Spark therefore window-truncates each side to its per-nation top-10
+    (one exchange per side, rank pushdown BELOW the join), joins the
+    10x10-per-nation candidate set, and takes the global top-10 with
+    full tie-breaks.  The oracle runs the naive full join + ORDER BY +
+    LIMIT — asymmetric by construction.
+
+    Scale: candidate rows = |nations| x k^2 regardless of table sizes —
+    at 100 TB the join input is thousands of rows where the naive plan
+    shuffles (|customers| x |suppliers|) / |nations|; the per-side
+    truncation is the classic top-k pushdown Spark cannot derive
+    itself because the LIMIT sits above the join."""
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        cents("c_acctbal").alias("cb"),
+    )
+    s = t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nation"),
+        cents("s_acctbal").alias("sb"),
+    )
+    topc = c.withColumn(
+        "_r",
+        F.row_number().over(
+            W.partitionBy("nation").orderBy(F.col("cb").desc(), "c_custkey")
+        ),
+    ).filter(F.col("_r") <= 10).drop("_r")
+    tops = s.withColumn(
+        "_r",
+        F.row_number().over(
+            W.partitionBy("nation").orderBy(F.col("sb").desc(), "s_suppkey")
+        ),
+    ).filter(F.col("_r") <= 10).drop("_r")
+    return (
+        topc.join(tops, "nation")
+        .select(
+            "nation",
+            "c_custkey",
+            "s_suppkey",
+            "cb",
+            "sb",
+            (F.col("cb") + F.col("sb")).alias("pair_balance_c"),
+        )
+        .orderBy(
+            F.col("pair_balance_c").desc(), "c_custkey", "s_suppkey"
+        )
+        .limit(10)
+    )

@@ -2572,3 +2572,58 @@ def test_hll_parameterized_precision_cross_engine(spark):
 
     with _pytest.raises(ValueError, match="precision"):
         SK.hll_registers(df, ["g"], "uid", 13)
+
+
+def test_rank_join_truncation_is_exact(spark):
+    """The per-group top-k truncation under a top-k join is exact: fuzz
+    a grouped two-sided rank join vs the full-join brute force,
+    including tie-dense scores (the monotonicity certificate's edge)."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    rng = random.Random(131)
+    cs = [(g, i, rng.randrange(6)) for g in range(4) for i in range(40)]
+    ss = [(g, i, rng.randrange(6)) for g in range(4) for i in range(40)]
+    c = spark.createDataFrame(cs, "g int, cid int, cv long")
+    s = spark.createDataFrame(ss, "g int, sid int, sv long")
+    k = 10
+    want = sorted(
+        (
+            (cg, ci, si, cv + sv)
+            for (cg, ci, cv) in cs
+            for (sg, si, sv) in ss
+            if cg == sg
+        ),
+        key=lambda r: (-r[3], r[1], r[2]),
+    )[:k]
+    topc = (
+        c.withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("g").orderBy(F.col("cv").desc(), "cid")
+            ),
+        )
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    tops = (
+        s.withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("g").orderBy(F.col("sv").desc(), "sid")
+            ),
+        )
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    got = [
+        (r.g, r.cid, r.sid, r.score)
+        for r in (
+            topc.join(tops, "g")
+            .select("g", "cid", "sid", (F.col("cv") + F.col("sv")).alias("score"))
+            .orderBy(F.col("score").desc(), "cid", "sid")
+            .limit(k)
+        ).collect()
+    ]
+    assert got == want, (got, want)

@@ -766,3 +766,21 @@ def test_prefix_filter_jaccard_join_keys_are_tokens(spark, sf_dir):
         s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
         for s in strategies
     ), strategies
+
+
+def test_rank_join_truncates_below_the_join(spark, sf_dir):
+    """Top-k rank join's scale contract: BOTH join inputs are
+    window-rank-truncated BEFORE the join (candidates = |groups| x k^2
+    regardless of table size), and the join itself is an equi join."""
+    df = Q["rank_join_top10_pairs_by_balance"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2, plan[:3000]
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        for s in strategies
+    ), strategies
+    # the rank filter must sit between each window and the join
+    assert plan.count("row_number") >= 2, plan[:3000]
