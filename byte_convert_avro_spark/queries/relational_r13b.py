@@ -313,7 +313,6 @@ def docs_jaccard_prefix_filter_pairs(spark: SparkSession, sf: str):
     )
     return (
         prefix_filter_jaccard(toks, "doc_id", "token", t_num=3, t_den=5)
-        .withColumnRenamed("id_a", "id_a")
         .orderBy("id_a", "id_b")
     )
 
