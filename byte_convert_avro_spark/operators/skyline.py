@@ -76,6 +76,12 @@ def skyline_2d(
         raise ValueError(f"skyline_2d needs buckets >= 1, got {buckets}")
     if min_col == max_col:
         raise ValueError("skyline_2d needs distinct min/max columns")
+    # Dominance against an unknown coordinate is undefined (SQL's NOT
+    # EXISTS would silently keep every NULL row because the comparison
+    # predicates are never true) — exclude them explicitly, matching
+    # set semantics where a row must have both coordinates to be on or
+    # off the frontier.
+    df = df.filter(F.col(min_col).isNotNull() & F.col(max_col).isNotNull())
     local = _prune(
         df.withColumn(
             "_bk", F.pmod(F.xxhash64(min_col, max_col), F.lit(buckets))

@@ -2627,3 +2627,20 @@ def test_rank_join_truncation_is_exact(spark):
         ).collect()
     ]
     assert got == want, (got, want)
+
+
+def test_skyline_2d_excludes_null_coordinates(spark):
+    """Rows with a NULL coordinate are excluded (dominance against an
+    unknown value is undefined; SQL NOT EXISTS would silently keep
+    them), and the non-null frontier is unaffected by their presence."""
+    from byte_convert_avro_spark.operators.skyline import skyline_2d
+
+    base = [(1, 1, 10), (2, 2, 20), (3, 3, 5)]
+    with_nulls = base + [(4, None, 99), (5, 0, None), (6, None, None)]
+    df = spark.createDataFrame(with_nulls, "id int, x long, y long")
+    got = sorted((r.id, r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+    want = sorted(
+        (i, x, y) for i, x, y in base
+        if (x, y) in _brute_skyline([(x, y) for _, x, y in base])
+    )
+    assert got == want, (got, want)
