@@ -586,3 +586,121 @@ def rank_join_top10_pairs_by_balance(spark: SparkSession, sf: str):
         )
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_pattern_view_alt_action_purchase",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS val_c
+      FROM events WHERE user_id IS NOT NULL
+    ), seq AS (
+      SELECT user_id, event_id, ts_us, event_type,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(event_type, 1) OVER w AS n1,
+             LEAD(event_type, 2) OVER w AS n2,
+             LEAD(ts_us, 2) OVER w AS p_ts_us,
+             LEAD(val_c, 2) OVER w AS p_val_c,
+             CASE WHEN event_type = 'view'
+                   AND COALESCE(LAG(event_type) OVER w, '') <> 'view'
+                  THEN 1 ELSE 0 END AS mstart
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), runs AS (
+      SELECT user_id, ts_us, event_type, rn, n1, n2, p_ts_us, p_val_c,
+             MAX(CASE WHEN mstart = 1 THEN rn END) OVER wr AS run_start_rn,
+             MAX(CASE WHEN mstart = 1 THEN ts_us END) OVER wr AS run_start_us
+      FROM seq
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(run_start_us AS BIGINT) AS match_start_us,
+           CAST(rn - run_start_rn + 1 AS BIGINT) AS n_views,
+           n1 AS matched_action,
+           CAST(p_ts_us AS BIGINT) AS purchase_ts_us,
+           p_val_c AS purchase_value_c
+    FROM runs
+    WHERE event_type = 'view' AND n1 IN ('click', 'signup')
+      AND n2 = 'purchase'
+    """,
+)
+def events_pattern_view_alt_action_purchase(spark: SparkSession, sf: str):
+    """ROW-PATTERN ALTERNATION: the MATCH_RECOGNIZE pattern
+    ``VIEW+ (CLICK | SIGNUP) PURCHASE`` — extending the family's
+    greedy-quantifier query (``events_pattern_views_to_purchase``,
+    relational_r12.py) with an ALTERNATION group, the remaining core
+    pattern-syntax feature.  In the window-chain spelling alternation
+    is free: the single-step branch is a set membership test on the
+    same LEAD (``n1 IN ('click','signup')``), and the branch that
+    matched is emitted as ``matched_action`` (MATCH_RECOGNIZE's
+    CLASSIFIER()).  Same greedy / skip-past-last-row semantics as the
+    base query: maximal view islands + two LEADs, one window partition,
+    ONE shuffle on user_id.
+
+    Scale: identical to the base pattern query — alternation adds a
+    predicate, not a join or an extra window; a k-branch alternation
+    of single-step legs is always one IN list.  Multi-step branches of
+    DIFFERENT lengths would need one LEAD chain per length — linear in
+    pattern size, never a blowup."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            "event_type",
+            cents(F.coalesce(F.col("value"), F.lit(0.0))).alias("val_c"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    is_start = (F.col("event_type") == "view") & (
+        F.coalesce(F.lag("event_type").over(w), F.lit("")) != "view"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+        F.lead("ts_us", 2).over(w).alias("p_ts_us"),
+        F.lead("val_c", 2).over(w).alias("p_val_c"),
+        is_start.alias("mstart"),
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        "rn",
+        "n1",
+        "n2",
+        "p_ts_us",
+        "p_val_c",
+        F.max(F.when(F.col("mstart"), F.col("rn"))).over(wr).alias(
+            "run_start_rn"
+        ),
+        F.max(F.when(F.col("mstart"), F.col("ts_us"))).over(wr).alias(
+            "run_start_us"
+        ),
+    )
+    return runs.filter(
+        (F.col("event_type") == "view")
+        & F.col("n1").isin("click", "signup")
+        & (F.col("n2") == "purchase")
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("run_start_us").cast("long").alias("match_start_us"),
+        (F.col("rn") - F.col("run_start_rn") + 1)
+        .cast("long")
+        .alias("n_views"),
+        F.col("n1").alias("matched_action"),
+        F.col("p_ts_us").cast("long").alias("purchase_ts_us"),
+        F.col("p_val_c").alias("purchase_value_c"),
+    )

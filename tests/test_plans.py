@@ -635,16 +635,21 @@ def test_row_pattern_match_is_one_user_shuffle(spark, sf_dir):
     and (ts_us, event_id) sort, so the whole pattern match costs exactly
     one shuffle and one sort — a k-step pattern adds LEADs, never joins
     or extra exchanges."""
-    df = Q["events_pattern_views_to_purchase"](spark, sf_dir)
-    assert join_strategies(df) == [], join_strategies(df)
-    plan = explain_str(df, "formatted")
-    assert "CartesianProduct" not in plan
-    # exactly one exchange, hashed on user_id alone
-    assert count_exchanges(df) == 1, plan[:4000]
-    assert re.search(r"hashpartitioning\(user_id", plan), plan[:4000]
-    # one sort order serves both window specs: no duplicate Sort on the
-    # same child (two Sort nodes would mean the specs diverged)
-    assert plan.count("Sort [") <= 2, plan[:4000]
+    for name in (
+        "events_pattern_views_to_purchase",
+        "events_pattern_view_alt_action_purchase",  # alternation adds a
+        # predicate, not an exchange — same one-shuffle contract
+    ):
+        df = Q[name](spark, sf_dir)
+        assert join_strategies(df) == [], (name, join_strategies(df))
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, name
+        # exactly one exchange, hashed on user_id alone
+        assert count_exchanges(df) == 1, (name, plan[:4000])
+        assert re.search(r"hashpartitioning\(user_id", plan), (name, plan[:4000])
+        # one sort order serves both window specs: no duplicate Sort on
+        # the same child (two Sort nodes would mean the specs diverged)
+        assert plan.count("Sort [") <= 2, (name, plan[:4000])
 
 
 def test_reset_plan_stats_bounds_iterative_estimates(spark):
