@@ -125,6 +125,8 @@ EXTENDED = [
     "streaming_hll_distinct_users",
     "hll_rolling_7d_distinct_users",
     "rank_join_top10_pairs_by_balance",
+    "hll_weekly_overlap_matrix",
+    "events_pattern_view_alt_action_purchase",
     "part_skyline_price_size",
     "part_skyline_per_brand",
     "docs_jaccard_prefix_filter_pairs",
