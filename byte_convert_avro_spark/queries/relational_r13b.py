@@ -859,3 +859,88 @@ def hll_weekly_overlap_matrix(spark: SparkSession, sf: str):
         )
         .orderBy("week_a", "week_b")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "rank_join_top3_pairs_per_nation",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cb
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS sb
+      FROM supplier
+    ), pairs AS (
+      SELECT c.c_nationkey AS nation, c.c_custkey, s.s_suppkey,
+             c.cb + s.sb AS pair_balance_c,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY c.cb + s.sb DESC, c.c_custkey, s.s_suppkey
+             ) AS rk
+      FROM c JOIN s ON s.s_nationkey = c.c_nationkey
+    )
+    SELECT nation, CAST(rk AS BIGINT) AS rk, c_custkey, s_suppkey,
+           pair_balance_c
+    FROM pairs WHERE rk <= 3
+    ORDER BY nation, rk
+    """,
+)
+def rank_join_top3_pairs_per_nation(spark: SparkSession, sf: str):
+    """GROUPED top-k rank join — the per-group form of
+    ``rank_join_top10_pairs_by_balance``: the 3 best customer/supplier
+    balance pairs WITHIN each nation.  The same monotonicity
+    certificate applies per group with k=3 (a pair in its nation's
+    top-3 must have both sides in their nation's top-3), so both
+    inputs window-truncate to per-nation top-3 before the join and the
+    final per-nation ranking runs over <= 9 candidates per nation.
+    The oracle is the QUALIFY-style spelling: full join + ROW_NUMBER
+    per nation <= 3.
+
+    Scale: like the global form, candidate rows = |nations| x k^2 at
+    any table size; the output window partitions by nation, so no
+    single-partition pass exists anywhere in the plan."""
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        cents("c_acctbal").alias("cb"),
+    )
+    s = t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nation"),
+        cents("s_acctbal").alias("sb"),
+    )
+    k = 3
+    topc = c.withColumn(
+        "_r",
+        F.row_number().over(
+            W.partitionBy("nation").orderBy(F.col("cb").desc(), "c_custkey")
+        ),
+    ).filter(F.col("_r") <= k).drop("_r")
+    tops = s.withColumn(
+        "_r",
+        F.row_number().over(
+            W.partitionBy("nation").orderBy(F.col("sb").desc(), "s_suppkey")
+        ),
+    ).filter(F.col("_r") <= k).drop("_r")
+    cand = topc.join(tops, "nation").select(
+        "nation",
+        "c_custkey",
+        "s_suppkey",
+        (F.col("cb") + F.col("sb")).alias("pair_balance_c"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("nation").orderBy(
+            F.col("pair_balance_c").desc(), "c_custkey", "s_suppkey"
+        )
+    )
+    return (
+        cand.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("nation", "rk", "c_custkey", "s_suppkey", "pair_balance_c")
+        .orderBy("nation", "rk")
+    )
