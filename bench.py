@@ -127,6 +127,7 @@ EXTENDED = [
     "rank_join_top10_pairs_by_balance",
     "hll_weekly_overlap_matrix",
     "events_pattern_view_alt_action_purchase",
+    "rank_join_top3_pairs_per_nation",
     "part_skyline_price_size",
     "part_skyline_per_brand",
     "docs_jaccard_prefix_filter_pairs",
