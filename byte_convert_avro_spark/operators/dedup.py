@@ -857,10 +857,14 @@ def prefix_filter_jaccard(
         F.row_number().over(wdoc.orderBy("_trank")).alias("_pos"),
         F.count("*").over(wdoc).alias("_s"),
     )
-    # prefix length = s - ceil(t*s) + 1
-    plen = F.col("_s") - (
-        (F.lit(t_num) * F.col("_s") + F.lit(t_den - 1)) / F.lit(t_den)
-    ).cast("long") + 1
+    # prefix length = s - ceil(t*s) + 1; ceil via integer floor-div
+    # ((a + b - 1) div b) so the arithmetic is exact at any magnitude
+    # (double division + cast would only truncate exactly below 2^52).
+    plen = (
+        F.col("_s")
+        - F.expr(f"({t_num}L * _s + {t_den - 1}L) div {t_den}L")
+        + 1
+    )
     pre = tk.filter(F.col("_pos") <= plen)
     a = pre.select(
         F.col(id_col).alias("id_a"),
@@ -887,10 +891,11 @@ def prefix_filter_jaccard(
     #   every witness row keeps at least one row per qualifying pair —
     #   no false negatives, while witnesses deep in both prefixes (the
     #   duplicated-corpus blowup) drop before the distinct.
-    alpha = (
-        F.lit(t_num) * (F.col("_sa") + F.col("_sb"))
-        + F.lit(t_num + t_den - 1)
-    ).cast("long") / F.lit(t_num + t_den)
+    # alpha = ceil(t/(1+t) * (sa+sb)) as an exact integer floor-div.
+    alpha = F.expr(
+        f"({t_num}L * (_sa + _sb) + {t_num + t_den - 1}L)"
+        f" div {t_num + t_den}L"
+    )
     cand = (
         a.join(b, tok_col)
         .filter(
@@ -902,7 +907,7 @@ def prefix_filter_jaccard(
                 + F.least(
                     F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
                 )
-                >= alpha.cast("long")
+                >= alpha
             )
         )
         .select("id_a", "id_b", "_sa", "_sb")

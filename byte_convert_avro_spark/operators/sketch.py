@@ -558,7 +558,7 @@ def hll_sql(
     FROM (
       SELECT {keys_sel}
              CAST({m} - COUNT(*) AS BIGINT) AS v_empty,
-             CAST(SUM((1::BIGINT << (32 - rho)))
+             CAST(COALESCE(SUM((1::BIGINT << (32 - rho))), 0)
                   + ({m} - COUNT(*)) * 4294967296 AS BIGINT) AS sum_pow
       FROM (
         SELECT {keys_sel}reg, MAX(rho) AS rho

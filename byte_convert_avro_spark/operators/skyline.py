@@ -76,6 +76,14 @@ def skyline_2d(
         raise ValueError(f"skyline_2d needs buckets >= 1, got {buckets}")
     if min_col == max_col:
         raise ValueError("skyline_2d needs distinct min/max columns")
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    min_type = df.schema[min_col].dataType
+    if not isinstance(min_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"skyline_2d needs an integral min_col for the RANGE frame; "
+            f"{min_col!r} is {min_type.simpleString()}"
+        )
     # Dominance against an unknown coordinate is undefined (SQL's NOT
     # EXISTS would silently keep every NULL row because the comparison
     # predicates are never true) — exclude them explicitly, matching

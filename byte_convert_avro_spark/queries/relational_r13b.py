@@ -367,9 +367,14 @@ def hll_intersection_viewers_purchasers(spark: SparkSession, sf: str):
             ev.filter(flt).withColumn("_g", F.lit(1)), ["_g"], "user_id"
         )
     merged = SK.hll_merge(sides["a"].union(sides["b"]), ["_g"])
+    # An empty side would make hll_registers -> groupBy emit ZERO rows
+    # while the keyless oracle emits one (the canonical empty sketch,
+    # estimate 0.0 = LC[m]); the seed left-join pins both engines to
+    # exactly one row per side regardless of data.
+    seed = spark.range(1).select(F.lit(1).alias("_g"))
     fins = {
-        k: SK.hll_finalize(regs, ["_g"]).select(
-            F.col("hll_estimate").alias(n)
+        k: seed.join(SK.hll_finalize(regs, ["_g"]), "_g", "left").select(
+            F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias(n)
         )
         for (k, regs), n in zip(
             [("a", sides["a"]), ("b", sides["b"]), ("u", merged)],

@@ -2359,6 +2359,54 @@ def test_hll_duplicate_insensitive(spark):
     assert a == b
 
 
+def test_hll_empty_input_canonical_sketch(spark):
+    """An EMPTY keyless input must yield the canonical empty sketch in
+    both engines — one row, v_empty=m, sum_pow=m*2^32, estimate 0.0
+    (= LC[m] = m*ln(1)) — not zero rows in one engine and NULLs in the
+    other (the r13 ADVICE divergence: hll_sql's keyless aggregate always
+    emits a row, while Spark's groupBy over empty input emits none)."""
+    import duckdb
+
+    from byte_convert_avro_spark.operators import sketch as SK
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev AS SELECT 1 AS uid WHERE false")
+    row = con.execute(
+        "SELECT * FROM (" + SK.hll_sql("ev", "", "uid") + ")"
+    ).fetchall()
+    assert row == [(SK.HLL_M, SK.HLL_M * 4294967296, 0.0)]
+    # Spark side: groupBy over empty -> zero rows, which is why query
+    # sites seed a left join; pin that the seed-coalesce spelling lands
+    # on the same 0.0.
+    empty = spark.createDataFrame([], "g int, uid string")
+    fin = SK.hll_finalize(SK.hll_registers(empty, ["g"], "uid"), ["g"])
+    assert fin.count() == 0
+    seeded = (
+        spark.range(1)
+        .select(F.lit(1).alias("g"))
+        .join(fin, "g", "left")
+        .select(F.coalesce(F.col("hll_estimate"), F.lit(0.0)).alias("est"))
+        .collect()
+    )
+    assert [r.est for r in seeded] == [0.0]
+
+
+def test_skyline_rejects_non_integral_min_col(spark):
+    """skyline_2d's RANGE frame needs an exact integer sort key; a
+    double min_col must raise instead of silently producing
+    engine-dependent boundary results (r13 ADVICE)."""
+    import pytest
+
+    from byte_convert_avro_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame([(1.0, 2)], "price double, sz int")
+    with pytest.raises(ValueError, match="integral"):
+        skyline_2d(df, "price", "sz")
+    # integral passes validation
+    ok = spark.createDataFrame([(1, 2)], "price int, sz int")
+    assert skyline_2d(ok, "price", "sz").count() == 1
+
+
 # ---------------------------------------------------------------------------
 # skyline_2d (operators/skyline.py)
 

@@ -109,6 +109,10 @@ def main() -> int:
     ap.add_argument("--progress", action="store_true",
                     help="print one stderr line per query as it completes "
                          "(hang diagnosis on long runs)")
+    ap.add_argument("--result-file", default=None,
+                    help="also write the result JSON to this path — a "
+                         "machine handoff for tools/run_full_parity.py that "
+                         "does not depend on scraping stdout")
     ap.add_argument("--driver-memory", default=None,
                     help="JVM heap for the local session (e.g. 48g).  The "
                          "default stays BARE (Spark's 1g) to mirror the "
@@ -227,6 +231,9 @@ def main() -> int:
     if caps:
         out["disclosed_caps"] = caps
     print(json.dumps(out))
+    if args.result_file:
+        with open(args.result_file, "w") as fh:
+            json.dump(out, fh)
     spark.stop()
     return 1 if failed else 0
 

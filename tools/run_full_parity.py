@@ -45,13 +45,45 @@ def main() -> int:
     ]
     merged: dict[str, dict] = {}
     t0 = time.monotonic()
+    out = args.out or f"PARITY_full_{int(time.time())}.json"
+
+    def write_artifact(incomplete_reason: str | None = None) -> list[str]:
+        failed = sorted(k for k, v in merged.items() if not v.get("ok"))
+        art = {
+            "sf_dir": args.sf_dir,
+            "total": len(merged),
+            "failed": len(failed),
+            "failed_names": failed,
+            "chunked": f"{len(chunks)} cold sessions of <= {args.chunk}",
+            "elapsed_sec": round(time.monotonic() - t0, 1),
+            "results": merged,
+        }
+        if incomplete_reason:
+            art["incomplete"] = incomplete_reason
+        with open(os.path.join(REPO, out), "w") as f:
+            json.dump(art, f, indent=1)
+        print(
+            f"WROTE {out}: {len(merged)} total, {len(failed)} failed"
+            + (f" [INCOMPLETE: {incomplete_reason}]" if incomplete_reason else ""),
+            flush=True,
+        )
+        return failed
+
     for ci, chunk in enumerate(chunks):
+        # File-based result handoff — the stdout JSON scrape stays as a
+        # fallback only (it is brittle against incidental output).
+        rf = os.path.join(REPO, ".scratch", f"_parity_chunk_{ci}.json")
+        os.makedirs(os.path.dirname(rf), exist_ok=True)
+        if os.path.exists(rf):
+            os.unlink(rf)
         cmd = [
             sys.executable,
             os.path.join(REPO, "tools", "driver_parity.py"),
             "--sf-dir",
             args.sf_dir,
             "--progress",
+            "--result-file",
+            rf,
             "--only",
             *chunk,
         ]
@@ -67,16 +99,29 @@ def main() -> int:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO
         )
-        m = re.findall(r'\{"sf_dir".*\}', proc.stdout)
-        if not m:
+        res = None
+        if os.path.exists(rf):
+            with open(rf) as fh:
+                res = json.load(fh)
+            os.unlink(rf)
+        else:
+            m = re.findall(r'\{"sf_dir".*\}', proc.stdout)
+            if m:
+                res = json.loads(m[-1])
+        if res is None:
             print(
                 f"[chunk {ci + 1}] NO RESULT JSON (rc={proc.returncode})\n"
                 + proc.stdout[-2000:]
                 + proc.stderr[-2000:],
                 flush=True,
             )
+            # Preserve the completed chunks' results in a flagged
+            # partial artifact rather than discarding them.
+            write_artifact(
+                f"chunk {ci + 1}/{len(chunks)} produced no result "
+                f"(rc={proc.returncode}); remaining chunks not run"
+            )
             return 1
-        res = json.loads(m[-1])
         merged.update(res["results"])
         nfail = sum(1 for v in res["results"].values() if not v.get("ok"))
         print(
@@ -84,20 +129,7 @@ def main() -> int:
             f"{nfail} failed, {time.monotonic() - t0:.0f}s elapsed",
             flush=True,
         )
-    failed = sorted(k for k, v in merged.items() if not v.get("ok"))
-    art = {
-        "sf_dir": args.sf_dir,
-        "total": len(merged),
-        "failed": len(failed),
-        "failed_names": failed,
-        "chunked": f"{len(chunks)} cold sessions of <= {args.chunk}",
-        "elapsed_sec": round(time.monotonic() - t0, 1),
-        "results": merged,
-    }
-    out = args.out or f"PARITY_full_{int(time.time())}.json"
-    with open(os.path.join(REPO, out), "w") as f:
-        json.dump(art, f, indent=1)
-    print(f"WROTE {out}: {len(merged)} total, {len(failed)} failed", flush=True)
+    failed = write_artifact()
     return 0 if not failed else 2
 
 
