@@ -229,6 +229,44 @@ def _history_medians() -> tuple[str | None, dict[str, float], dict[str, float]]:
     return ("+".join(used) or None), merged_q, decode_hist
 
 
+def _decode_best_ever() -> dict[str, dict]:
+    """Per-key BEST-EVER decode throughput over the committed DRIVER
+    artifact series (``BENCH_r{N}.json`` — the one harness that runs
+    identically every round; local sidecars vary runner config and
+    would poison the max).  The r13 verdict's ratchet fix: comparing
+    each round only to the NEWEST history let −18% (r12) + −27% (r13)
+    compound to −40% without ever crossing the per-round 1.5x band, so
+    decode lines are now additionally adjudicated against this
+    cumulative baseline.  Adjudication rerun bests inside the decode
+    blocks count — they are committed measurements of the same code."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, dict] = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        if not re.fullmatch(r"BENCH_r0*\d+\.json", os.path.basename(p)):
+            continue
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for d in (doc, doc.get("parsed") or {}):
+            dec = d.get("decode")
+            if not isinstance(dec, dict):
+                continue
+            for key in ("single_thread_rec_s", "spark_rec_s"):
+                vals = []
+                if isinstance(dec.get(key), (int, float)):
+                    vals.append(float(dec[key]))
+                rb = (dec.get("adjudication") or {}).get(key, {}).get("rerun_best")
+                if isinstance(rb, (int, float)):
+                    vals.append(float(rb))
+                for v in vals:
+                    if key not in best or v > best[key]["rec_s"]:
+                        best[key] = {"rec_s": v, "source": os.path.basename(p)}
+            break
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -338,26 +376,45 @@ def main() -> None:
     # went unadjudicated.  A decode line >1.5x SLOWER than history
     # (rec/s < history/1.5) gets the same idle rerun + recorded verdict.
     decode_adj: dict[str, dict] = {}
+    decode_best = _decode_best_ever()
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_ADJUDICATE"):
         for key, runner in (
             ("single_thread_rec_s", lambda: bench_decode.bench_single_thread(runs=1)),
             ("spark_rec_s", lambda: bench_decode.bench_spark(spark=spark, runs=1)),
         ):
             h = decode_hist.get(key)
-            if not h or decode[key] * 1.5 >= h:
+            b = decode_best.get(key, {}).get("rec_s")
+            # Fire on EITHER the per-round band (vs newest history) or
+            # the cumulative band (vs best-ever) — the latter is the
+            # anti-ratchet: slow drift can never stay under both.
+            vs_latest = bool(h and decode[key] * 1.5 < h)
+            vs_best = bool(b and decode[key] * 1.5 < b)
+            if not (vs_latest or vs_best):
                 continue
             reruns = [round(runner()) for _ in range(max(3, n_runs))]
+            ref = max(v for v in (h, b) if v)
             decode_adj[key] = {
                 "history_rec_s": h,
+                "best_ever_rec_s": b,
+                "best_ever_source": decode_best.get(key, {}).get("source"),
                 "first_rec_s": decode[key],
                 "rerun_all": reruns,
                 "rerun_best": max(reruns),
                 "rerun_loadavg": round(os.getloadavg()[0], 2),
                 "verdict": (
-                    "noise" if max(reruns) * 1.5 >= h else "regression-suspect"
+                    "noise" if max(reruns) * 1.5 >= ref
+                    else (
+                        "cumulative-drift-suspect"
+                        if h and max(reruns) * 1.5 >= h
+                        else "regression-suspect"
+                    )
                 ),
             }
             print(f"# adjudicate decode {key}: {decode_adj[key]}", file=sys.stderr)
+    if decode_best:  # the cumulative baseline, visible every round
+        decode["best_ever"] = {
+            k: v["rec_s"] for k, v in decode_best.items()
+        }
     if decode_adj:
         decode["adjudication"] = decode_adj
 
