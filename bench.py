@@ -131,6 +131,10 @@ EXTENDED = [
     "part_skyline_price_size",
     "part_skyline_per_brand",
     "docs_jaccard_prefix_filter_pairs",
+    # round-14: the capped rung — its wall time pins the cap window
+    # staying pair-set-sized (the 100 TB operating point of the exact
+    # similarity join)
+    "docs_jaccard_prefix_filter_capped",
 ]
 
 

@@ -956,3 +956,57 @@ def prefix_filter_jaccard(
             (F.col("inter_sz").cast("double") / union).alias("jacc"),
         )
     )
+
+
+def cap_pairs_per_doc(
+    pairs: DataFrame,
+    max_pairs_per_doc: int,
+    score_col: str = "jacc",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Bound an undirected pair set to each endpoint's top
+    ``max_pairs_per_doc`` partners — the ``lsh_candidates`` fan-out
+    discipline generalized to ANY scored pair stream (r13 verdict #5:
+    the EXACT prefix-filter join's plan is output-bound, ~100x pairs
+    per 10x data on a replicated corpus, so the 100 TB operating point
+    needs a capped rung like the LSH ladder's).
+
+    A pair survives iff it ranks within k on BOTH endpoints
+    (``score_col`` DESC, partner id ASC as the deterministic
+    tie-break); the both-endpoints rule hard-bounds every doc's degree
+    at k — an either-endpoint rule would leave hub fan-in unbounded
+    through its partners' lists.  All non-id columns ride along
+    unchanged.  Cost: one window shuffle over the doubled (directed)
+    pair stream — pair-set-sized, never corpus-sized."""
+    if max_pairs_per_doc < 1:
+        raise ValueError(
+            f"max_pairs_per_doc must be >= 1, got {max_pairs_per_doc}"
+        )
+    from pyspark.sql import Window as W
+
+    carry = [c for c in pairs.columns if c not in (id_a, id_b)]
+    directed = pairs.select(
+        F.col(id_a).alias("_doc"), F.col(id_b).alias("_partner"), *carry
+    ).unionByName(
+        pairs.select(
+            F.col(id_b).alias("_doc"), F.col(id_a).alias("_partner"), *carry
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("_doc").orderBy(F.desc(score_col), "_partner")
+    )
+    kept = directed.withColumn("_rk", rk).filter(
+        F.col("_rk") <= max_pairs_per_doc
+    )
+    return (
+        kept.select(
+            F.least("_doc", "_partner").alias(id_a),
+            F.greatest("_doc", "_partner").alias(id_b),
+            *carry,
+        )
+        .groupBy(id_a, id_b, *carry)
+        .agg(F.count("*").alias("_sides"))
+        .filter(F.col("_sides") == 2)
+        .drop("_sides")
+    )

@@ -1,0 +1,155 @@
+"""Round-14 additions.
+
+**Capped prefix-filter Jaccard join** (r13 verdict #5): the EXACT
+similarity join's PLAN is right (rare-token prefix equi-join, integer
+threshold math, plan-pinned) but its uncapped OUTPUT is the scale
+killer — on a replicated corpus qualifying pairs grow ~100x per 10x
+data (7.1M pairs / 113 s at sf0.1).  The capped rung applies the LSH
+ladder's ``max_pairs_per_doc`` discipline (``cap_pairs_per_doc``:
+top-k by similarity on BOTH endpoints) to the exact join's output, so
+every doc's degree — and therefore total output — is hard-bounded at
+k x |docs| / 2 regardless of corpus duplication.  Both the kept-pair
+set AND the cap's effect (pair counts, degree bound) are oracle-gated.
+
+Reference parity note: the reference (AvroTransform.java, 337 LoC SMT)
+has no similarity operators — this belongs to the analytics/LLM-
+pipeline addendum SURVEY.md §2 requires on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.operators.dedup import (
+    cap_pairs_per_doc,
+    prefix_filter_jaccard,
+)
+from byte_convert_avro_spark.queries.base import register, t
+
+# Shared oracle CTE chain: brute-force all-pairs Jaccard >= 3/5, then
+# the SAME both-endpoints top-k cap spelled as SQL windows.  The
+# brute-force side makes the gate a zero-false-negative proof for the
+# prefix filter AND a semantics pin for the cap; it is quadratic BY
+# DESIGN (the disclosed-cap treatment at sf >= 1, like its uncapped
+# sibling).
+_CAP_K = 5
+_CAPPED_CTES = f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
+             LEN(list_distinct(string_split(text, ' '))) AS s
+      FROM documents
+    ), rawpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_intersect(a.tk, b.tk)) AS inter_sz,
+             a.s + b.s - LEN(list_intersect(a.tk, b.tk)) AS union_sz
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             CAST(inter_sz AS BIGINT) AS inter_sz,
+             CAST(union_sz AS BIGINT) AS union_sz,
+             CAST(inter_sz AS DOUBLE) / union_sz AS jacc
+      FROM rawpairs
+      WHERE inter_sz * 5 >= union_sz * 3
+    ), directed AS (
+      SELECT id_a AS doc, id_b AS partner, inter_sz, union_sz, jacc
+      FROM pairs
+      UNION ALL
+      SELECT id_b AS doc, id_a AS partner, inter_sz, union_sz, jacc
+      FROM pairs
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc ORDER BY jacc DESC, partner
+             ) AS rk
+      FROM directed
+    ), kept AS (
+      SELECT LEAST(doc, partner) AS id_a, GREATEST(doc, partner) AS id_b,
+             inter_sz, union_sz, jacc
+      FROM ranked WHERE rk <= {_CAP_K}
+    ), surv AS (
+      SELECT id_a, id_b, inter_sz, union_sz, jacc
+      FROM kept GROUP BY ALL HAVING COUNT(*) = 2
+    )
+"""
+
+
+def _capped_pairs(spark: SparkSession, sf: str):
+    toks = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    pairs = prefix_filter_jaccard(toks, "doc_id", "token", t_num=3, t_den=5)
+    return pairs, cap_pairs_per_doc(pairs, _CAP_K)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "docs_jaccard_prefix_filter_capped",
+    _CAPPED_CTES
+    + """
+    SELECT id_a, id_b, inter_sz, union_sz, jacc
+    FROM surv
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_jaccard_prefix_filter_capped(spark: SparkSession, sf: str):
+    """The CAPPED rung of the exact Jaccard join: every pair with
+    J >= 0.6 that ranks within each endpoint's top-5 most-similar
+    partners (``cap_pairs_per_doc`` — similarity DESC, partner-id
+    tie-break, both-endpoints rule).  The gate proves the Spark window
+    cap and the SQL window cap keep the IDENTICAL pair set on top of a
+    zero-false-negative brute-force base.
+
+    Scale: this is the 100 TB operating point for the exact rung —
+    output <= k x |docs| / 2 rows BY CONSTRUCTION (vs ~quadratic in
+    corpus duplication uncapped; measured at sf0.01: 70,998 -> 127).
+    The disclosed trade (same as the LSH ladder's cap): a clique
+    larger than ~k collapses to its top-k-by-id band and far members
+    drop out — mega-duplicate clusters are the job of the CHEAPER
+    exact-hash rung run first, after which surviving near-dup degrees
+    are small and the cap is inert.  Cost on top of the uncapped join:
+    one window shuffle over the pair stream."""
+    _, capped = _capped_pairs(spark, sf)
+    return capped.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "docs_jaccard_capped_effect",
+    _CAPPED_CTES
+    + f"""
+    , deg AS (
+      SELECT doc, COUNT(*) AS d FROM (
+        SELECT id_a AS doc FROM surv
+        UNION ALL SELECT id_b AS doc FROM surv
+      ) GROUP BY doc
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS uncapped_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS capped_pairs,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree_capped,
+           CAST({_CAP_K} AS BIGINT) AS cap_k
+    """,
+)
+def docs_jaccard_capped_effect(spark: SparkSession, sf: str):
+    """The cap's EFFECT, oracle-gated (r13 verdict #5 asked for both
+    the kept pairs and the effect under a gate): uncapped vs capped
+    pair counts and the capped maximum degree, which the both-endpoints
+    rule bounds at ``cap_k`` BY CONSTRUCTION — a green gate plus
+    max_degree_capped <= cap_k is the output-boundedness certificate
+    for the 100 TB story."""
+    pairs, capped = _capped_pairs(spark, sf)
+    un = pairs.agg(F.count("*").cast("long").alias("uncapped_pairs"))
+    cp = capped.agg(F.count("*").cast("long").alias("capped_pairs"))
+    deg = (
+        capped.select(F.col("id_a").alias("doc"))
+        .unionByName(capped.select(F.col("id_b").alias("doc")))
+        .groupBy("doc")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").cast("long").alias("max_degree_capped"))
+    )
+    return (
+        un.crossJoin(cp)
+        .crossJoin(deg)
+        .withColumn("cap_k", F.lit(_CAP_K).cast("long"))
+    )

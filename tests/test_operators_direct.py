@@ -2529,6 +2529,45 @@ def test_prefix_filter_jaccard_matches_brute_force(spark):
     assert all(not (p[0] == 5 or p[1] == 5) for p in got)  # stopword doc alone never pairs
 
 
+def test_cap_pairs_per_doc_degree_bound_and_clique_band(spark):
+    """cap_pairs_per_doc (r14): the both-endpoints top-k rule —
+    (a) every doc's surviving degree <= k (a clique of 10 identical
+    docs collapses to its top-(k+1)-by-id band, far members drop out:
+    the disclosed trade), (b) carry columns ride along unchanged,
+    (c) k=1 on a simple chain keeps only mutual-best pairs, and
+    (d) k >= max degree is the identity."""
+    from collections import Counter
+
+    from byte_convert_avro_spark.operators.dedup import (
+        cap_pairs_per_doc,
+        prefix_filter_jaccard,
+    )
+
+    # clique of 10 identical docs + one isolated doc
+    rows = [(d, w) for d in range(10) for w in ("x", "y", "z")] + [(99, "q")]
+    tokens = spark.createDataFrame(rows, "doc_id int, token string")
+    pairs = prefix_filter_jaccard(tokens, "doc_id", "token", 3, 5)
+    assert pairs.count() == 45  # full clique
+    capped = cap_pairs_per_doc(pairs, 3).collect()
+    deg = Counter()
+    for r in capped:
+        deg[r.id_a] += 1
+        deg[r.id_b] += 1
+        assert (r.inter_sz, r.union_sz, r.jacc) == (3, 3, 1.0)  # carry cols
+    assert deg and max(deg.values()) <= 3
+    # ties rank by partner id: doc d's top-3 = 3 smallest other ids, so
+    # survivors are exactly the pairs within {0,1,2,3} — C(4,2) = 6
+    assert sorted((r.id_a, r.id_b) for r in capped) == [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)
+    ]
+    # identity when k >= max degree
+    assert cap_pairs_per_doc(pairs, 9).count() == 45
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_pairs_per_doc"):
+        cap_pairs_per_doc(pairs, 0)
+
+
 def test_prefix_filter_jaccard_rejects_bad_threshold(spark):
     import pytest as _pytest
 
