@@ -30,14 +30,26 @@ from pyspark.sql import functions as F
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str | None] = {}
+#: Alternate LINEAR/log-linear oracle spellings for queries whose primary
+#: oracle is deliberately brute-force (quadratic NOT EXISTS, all-pairs):
+#: the brute-force pin runs at small SFs where it is feasible; large-SF
+#: audits (tools/driver_parity.py --scale-oracle) swap in this spelling so
+#: the query can still be GATED cross-engine at 100x instead of
+#: Spark-side-timed only.  The asymmetry trade is disclosed in the
+#: artifact line ("oracle": "scale").
+SCALE_ORACLES: dict[str, str] = {}
 
 
-def register(name: str, oracle: str | None):
-    """Register a query + its DuckDB oracle (None -> rows-only check)."""
+def register(name: str, oracle: str | None, scale_oracle: str | None = None):
+    """Register a query + its DuckDB oracle (None -> rows-only check).
+    ``scale_oracle``: an equivalent sub-quadratic spelling for large-SF
+    gating (see SCALE_ORACLES)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = fn
         ORACLES[name] = oracle
+        if scale_oracle is not None:
+            SCALE_ORACLES[name] = scale_oracle
         return fn
 
     return deco

@@ -189,6 +189,23 @@ def hll_weekly_merge_identity(spark: SparkSession, sf: str):
     )
     ORDER BY price_c, p_partkey
     """,
+    scale_oracle="""
+    WITH pc AS (
+      SELECT p_partkey, CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    ), w AS (
+      SELECT *,
+             MAX(p_size) OVER (ORDER BY price_c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_lt,
+             MAX(p_size) OVER (PARTITION BY price_c) AS max_eq
+      FROM pc
+    )
+    SELECT p_partkey, price_c, p_size
+    FROM w
+    WHERE (max_lt IS NULL OR max_lt < p_size) AND max_eq <= p_size
+    ORDER BY price_c, p_partkey
+    """,
 )
 def part_skyline_price_size(spark: SparkSession, sf: str):
     """GLOBAL 2-D SKYLINE: the parts on the price/size Pareto frontier
@@ -235,6 +252,31 @@ def part_skyline_price_size(spark: SparkSession, sf: str):
         AND b.price_c <= a.price_c AND b.p_size >= a.p_size
         AND (b.price_c < a.price_c OR b.p_size > a.p_size)
     )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    scale_oracle="""
+    WITH pc AS (
+      SELECT p_brand, p_partkey,
+             CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    ), w AS (
+      SELECT *,
+             MAX(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_lt,
+             MAX(p_size) OVER (PARTITION BY p_brand, price_c) AS max_eq
+      FROM pc
+    ), sky AS (
+      SELECT * FROM w
+      WHERE (max_lt IS NULL OR max_lt < p_size) AND max_eq <= p_size
+    )
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS skyline_n,
+           CAST(MIN(price_c) AS BIGINT) AS min_price_c,
+           CAST(MAX(p_size) AS BIGINT) AS max_size,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+           CAST(SUM(p_size) AS BIGINT) AS sum_size
+    FROM sky
     GROUP BY p_brand
     ORDER BY p_brand
     """,

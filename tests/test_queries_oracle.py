@@ -69,6 +69,21 @@ def test_query_matches_oracle(name, spark, ddb):
     assert not mismatches, f"first value mismatches: {mismatches[:3]}"
 
 
+def test_scale_oracles_agree_with_primary(ddb):
+    """Every SCALE_ORACLES spelling (the sub-quadratic twin used for
+    large-SF gating) must produce the IDENTICAL table as its
+    deliberately-brute-force primary oracle — the equivalence that makes
+    the sf10 gate sound."""
+    from byte_convert_avro_spark.queries.base import SCALE_ORACLES
+
+    assert SCALE_ORACLES  # the r14 skyline twins at minimum
+    for name, scale_sql in SCALE_ORACLES.items():
+        assert name in SQLS, f"{name}: scale oracle without a primary"
+        a = _table(ddb.execute(SQLS[name]).df())
+        b = _table(ddb.execute(scale_sql).df())
+        assert a == b, f"{name}: scale oracle diverges from primary"
+
+
 def test_registry_contract_integrity():
     """Driver-contract invariants: every registered query has an oracle
     (no silent rows-only regressions) and every oracle reads at least one

@@ -109,6 +109,12 @@ def main() -> int:
     ap.add_argument("--progress", action="store_true",
                     help="print one stderr line per query as it completes "
                          "(hang diagnosis on long runs)")
+    ap.add_argument("--scale-oracle", action="store_true",
+                    help="for queries with a registered SCALE_ORACLES "
+                         "spelling (sub-quadratic twin of a deliberately "
+                         "brute-force primary oracle), gate against that "
+                         "instead — large-SF audits only; the swap is "
+                         "recorded per-line as oracle:'scale'")
     ap.add_argument("--result-file", default=None,
                     help="also write the result JSON to this path — a "
                          "machine handoff for tools/run_full_parity.py that "
@@ -164,6 +170,13 @@ def main() -> int:
         try:
             sdf = queries[name](spark, args.sf_dir).toPandas()
             sql = oracles.get(name)
+            oracle_kind = None
+            if args.scale_oracle:
+                from byte_convert_avro_spark.queries.base import SCALE_ORACLES
+
+                if name in SCALE_ORACLES:
+                    sql = SCALE_ORACLES[name]
+                    oracle_kind = "scale"
             if sql is None:
                 results[name] = {"ok": True, "mode": "rows-only", "rows": len(sdf)}
             else:
@@ -178,6 +191,8 @@ def main() -> int:
                     "cols_ok": cols_ok,
                     "vals_ok": vals_ok,
                 }
+                if oracle_kind:
+                    results[name]["oracle"] = oracle_kind
         except Exception as ex:  # noqa: BLE001 — harness boundary
             results[name] = {"ok": False, "err": repr(ex)[:400]}
         results[name]["sec"] = round(time.monotonic() - t0, 3)

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Standing sf10 (100x the driver's largest SF) cross-family parity
+sample — r13 verdict #6: one representative query per SURVEY family,
+GATED against DuckDB on the same parquet, in a repeatable runner.
+
+The set deliberately spans: TPC-H agg + multi-join, window, percentile
+scale path, as-of join, sessionization, structured streaming, wire-
+format decode, OCF file format, the dedup ladder (exact / capped LSH /
+cluster assignment), a fixed-round graph operator, sketches (KMV, HLL,
+count-min), text (TF-IDF), multimodal headers, interval overlaps, skew
+salting, ANN, the rank join's grouped form, skyline (via the registered
+linear scale-oracle twin — its primary oracle is the deliberately
+quadratic NOT EXISTS, infeasible at 2M parts), and both row-pattern
+queries (their window-chain oracles are O(n log n) and run at sf10).
+
+Queries whose ORACLE is quadratic/output-bound by design (brute-force
+Jaccard, winnowing all-pairs, the unsampled KMV referee) are NOT
+sampled here — they carry disclosed skips at sf>=1 already
+(PARITY_r13_sf1.json); nothing is silently omitted, the artifact lists
+the exclusion rule.
+
+Usage: python tools/run_sf10_sample.py [--sf-dir .scratch/sf10]
+       [--out PARITY_r14_sf10_sample.json] [--driver-memory 48g]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: family -> query (one per family; see module docstring)
+SAMPLE = {
+    "tpch-agg": "q1_pricing_summary",
+    "tpch-multijoin": "q5_local_supplier_volume",
+    "window": "customer_running_total",
+    "percentile-scale-path": "ship_latency_percentiles_scale_path",
+    "asof-join": "events_asof_purchase_view",
+    "sessionization": "events_sessionization",
+    "streaming": "streaming_hourly_tumbling",
+    "wire-decode": "avro_roundtrip_customers",
+    "ocf-format": "avro_ocf_roundtrip_customers",
+    "dedup-exact": "dedup_exact_groups",
+    "dedup-lsh-capped": "minhash_r2_capped_candidates",
+    "dedup-cluster-cc": "dedup_cluster_assignment",
+    "graph-fixed-rounds": "trade_reachability_3hop",
+    "sketch-kmv": "kmv_distinct_users_by_type",
+    "sketch-hll": "hll_distinct_users_by_type",
+    "sketch-countmin": "token_count_min_vs_exact",
+    "text-tfidf": "tfidf_top_terms",
+    "multimodal-headers": "multimodal_real_png_headers",
+    "intervals": "customer_order_interval_overlaps",
+    "skew-salting": "skew_salted_join_brand_revenue",
+    "ann-knn": "knn_cosine_top5",
+    "rank-join-grouped": "rank_join_top3_pairs_per_nation",
+    "skyline-global": "part_skyline_price_size",
+    "skyline-grouped": "part_skyline_per_brand",
+    "row-pattern": "events_pattern_views_to_purchase",
+    "row-pattern-alt": "events_pattern_view_alt_action_purchase",
+}
+
+EXCLUSION_RULE = (
+    "queries with deliberately brute-force oracles (all-pairs Jaccard, "
+    "winnowing all-pairs, unsampled KMV referee) keep their disclosed "
+    "sf>=1 skips from PARITY_r13_sf1.json and are not re-sampled here"
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=".scratch/sf10")
+    ap.add_argument("--out", default="PARITY_r14_sf10_sample.json")
+    ap.add_argument("--driver-memory", default="48g")
+    ap.add_argument("--chunk", type=int, default=7)
+    args = ap.parse_args()
+
+    names = sorted(SAMPLE.values())
+    chunks = [
+        names[i : i + args.chunk] for i in range(0, len(names), args.chunk)
+    ]
+    merged: dict[str, dict] = {}
+    t0 = time.monotonic()
+    for ci, chunk in enumerate(chunks):
+        rf = os.path.join(REPO, ".scratch", f"_sf10_chunk_{ci}.json")
+        if os.path.exists(rf):
+            os.unlink(rf)
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "tools", "driver_parity.py"),
+            "--sf-dir", args.sf_dir,
+            "--driver-memory", args.driver_memory,
+            "--no-record", "--progress", "--scale-oracle",
+            "--result-file", rf,
+            "--only", *chunk,
+        ]
+        print(f"[chunk {ci + 1}/{len(chunks)}] {chunk}", flush=True)
+        proc = subprocess.run(cmd, cwd=REPO)
+        if os.path.exists(rf):
+            with open(rf) as fh:
+                merged.update(json.load(fh)["results"])
+            os.unlink(rf)
+        else:
+            for n in chunk:
+                merged[n] = {"ok": False, "err": f"chunk died rc={proc.returncode}"}
+        done = sum(1 for v in merged.values() if v.get("ok"))
+        print(
+            f"[chunk {ci + 1}] cumulative {done}/{len(merged)} ok, "
+            f"{time.monotonic() - t0:.0f}s",
+            flush=True,
+        )
+    failed = sorted(k for k, v in merged.items() if not v.get("ok"))
+    art = {
+        "sf_dir": args.sf_dir,
+        "driver_memory": args.driver_memory,
+        "note": (
+            "standing sf10 cross-family sample (r14): one gated "
+            "representative per SURVEY family; skyline gated via its "
+            "registered linear scale-oracle twin (primary NOT EXISTS "
+            "oracle is quadratic by design, equivalence pinned by "
+            "tests/test_queries_oracle.py::test_scale_oracles_agree_"
+            "with_primary)"
+        ),
+        "families": SAMPLE,
+        "exclusions": EXCLUSION_RULE,
+        "total": len(merged),
+        "failed": len(failed),
+        "failed_names": failed,
+        "elapsed_sec": round(time.monotonic() - t0, 1),
+        "results": merged,
+    }
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"WROTE {args.out}: {len(merged)} total, {len(failed)} failed")
+    return 0 if not failed else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
