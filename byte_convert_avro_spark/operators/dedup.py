@@ -958,6 +958,99 @@ def prefix_filter_jaccard(
     )
 
 
+def overlap_join(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "token",
+    min_overlap: int = 2,
+) -> DataFrame:
+    """EXACT absolute-overlap self-join: every unordered doc pair
+    sharing at least ``min_overlap`` distinct tokens — the t-overlap
+    sibling of ``prefix_filter_jaccard`` (SSJoin, Chaudhuri et al.
+    ICDE'06): under a global token order, |A∩B| >= c forces the two
+    prefixes that DROP only the last c-1 tokens (keep s-c+1) to
+    intersect, so candidates are an equi-join on prefix tokens — never
+    all-pairs.  The positional filter carries over: a witness at ranks
+    (pa, pb) bounds the overlap by 1 + min(sa-pa, sb-pb), exactness
+    preserved by the same minimal-witness argument as the Jaccard form.
+
+    Absolute overlap is the right threshold for CONTAINMENT-style
+    dedup (a short doc embedded in a long one — Jaccard punishes the
+    size mismatch, shared-token count does not); the output carries
+    both directed containments as exact-int divisions.
+
+    Output: ``(id_a, id_b, inter_sz, cont_a, cont_b)`` with
+    id_a < id_b, cont_x = inter / |x|.  Input: distinct (id, token).
+
+    Scale: identical shape to ``prefix_filter_jaccard`` — vocab-sized
+    rank sort, doc-partitioned prefix window, prefix-token equi-join
+    with witness-local filtering, pair-keyed verify; all threshold
+    arithmetic integer."""
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    from pyspark.sql import Window as W
+
+    c = min_overlap
+    vocab = tokens.groupBy(tok_col).agg(F.count("*").alias("_df"))
+    vocab = vocab.withColumn(
+        "_trank", F.row_number().over(W.orderBy("_df", tok_col))
+    ).drop("_df")
+    tk = tokens.join(vocab, tok_col)
+    wdoc = W.partitionBy(id_col)
+    tk = tk.select(
+        id_col,
+        tok_col,
+        F.row_number().over(wdoc.orderBy("_trank")).alias("_pos"),
+        F.count("*").over(wdoc).alias("_s"),
+    )
+    pre = tk.filter(F.col("_pos") <= F.col("_s") - c + 1)
+    a = pre.select(
+        F.col(id_col).alias("id_a"),
+        tok_col,
+        F.col("_s").alias("_sa"),
+        F.col("_pos").alias("_pa"),
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"),
+        tok_col,
+        F.col("_s").alias("_sb"),
+        F.col("_pos").alias("_pb"),
+    )
+    cand = (
+        a.join(b, tok_col)
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # both sets must be at least c tokens; the positional bound
+            & (F.col("_sa") >= c)
+            & (F.col("_sb") >= c)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+                )
+                >= c
+            )
+        )
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    ta = tokens.select(F.col(id_col).alias("id_a"), tok_col)
+    tb = tokens.select(F.col(id_col).alias("id_b"), tok_col)
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", tok_col])
+        .groupBy("id_a", "id_b", "_sa", "_sb")
+        .agg(F.count("*").alias("inter_sz"))
+    )
+    return inter.filter(F.col("inter_sz") >= c).select(
+        "id_a",
+        "id_b",
+        F.col("inter_sz").cast("long").alias("inter_sz"),
+        (F.col("inter_sz").cast("double") / F.col("_sa")).alias("cont_a"),
+        (F.col("inter_sz").cast("double") / F.col("_sb")).alias("cont_b"),
+    )
+
+
 def cap_pairs_per_doc(
     pairs: DataFrame,
     max_pairs_per_doc: int,

@@ -23,8 +23,14 @@ from pyspark.sql import functions as F
 
 from byte_convert_avro_spark.operators.dedup import (
     cap_pairs_per_doc,
+    overlap_join,
     prefix_filter_jaccard,
 )
+from byte_convert_avro_spark.operators.sampling import (
+    weighted_bottom_k,
+    weighted_bottom_k_sql,
+)
+from byte_convert_avro_spark.operators.strsim import edit1_pairs
 from byte_convert_avro_spark.queries.base import register, t
 
 # Shared oracle CTE chain: brute-force all-pairs Jaccard >= 3/5, then
@@ -153,3 +159,130 @@ def docs_jaccard_capped_effect(spark: SparkSession, sf: str):
         .crossJoin(deg)
         .withColumn("cap_k", F.lit(_CAP_K).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_name_edit1_fastss",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def customer_name_edit1_fastss(spark: SparkSession, sf: str):
+    """TYPO-TOLERANT exact join, UNBLOCKED: every customer-name pair
+    within edit distance 1 over the WHOLE table, via FastSS
+    deletion-neighborhood blocking (``operators/strsim.edit1_pairs``) —
+    the scale upgrade of ``customer_fuzzy_match_pairs``, whose
+    nation-blocking runs |block|² comparisons inside each block and
+    misses cross-block matches by construction.  Candidates here are an
+    EQUI-JOIN on 1-deletion variants (the FastSS theorem: ed<=1 ⟹ a
+    shared variant), verified by the built-in ``levenshtein``; the
+    brute-force all-pairs oracle makes a green gate a
+    zero-false-negative proof.
+
+    Scale: the variant table is O(total chars) (len+1 variants per
+    string); candidate fan-out is bounded per variant key (the hub cap
+    ``max_strings_per_variant`` exists for adversarial corpora, unused
+    here); verification touches candidates only — no |block|² anywhere.
+    The ORACLE is the quadratic side (disclosed-skip treatment at
+    sf >= 1, like the other brute-force referees)."""
+    return edit1_pairs(
+        t(spark, sf, "customer"), "c_custkey", "c_name"
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+_OVERLAP_C = 28
+
+
+@register(
+    "docs_overlap_containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
+             LEN(list_distinct(string_split(text, ' '))) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(LEN(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter_sz,
+           CAST(LEN(list_intersect(a.tk, b.tk)) AS DOUBLE) / a.s AS cont_a,
+           CAST(LEN(list_intersect(a.tk, b.tk)) AS DOUBLE) / b.s AS cont_b
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE LEN(list_intersect(a.tk, b.tk)) >= {_OVERLAP_C}
+    ORDER BY id_a, id_b
+    """,
+)
+def docs_overlap_containment_pairs(spark: SparkSession, sf: str):
+    """ABSOLUTE-OVERLAP set join (``operators/dedup.overlap_join``,
+    SSJoin prefix theorem): every doc pair sharing >= 28 distinct
+    tokens, with both directed containments — the t-overlap sibling of
+    the Jaccard rung, and the right metric for SHORT-DOC-INSIDE-LONG-DOC
+    dedup where Jaccard's union denominator hides the containment.
+    Candidates come from an equi-join on each doc's (s - c + 1)
+    rarest-token prefix (the minimal common token is always a shared
+    prefix witness), witness-locally filtered by the positional bound,
+    verified pair-keyed — zero false negatives vs the brute-force
+    all-pairs oracle.
+
+    Scale: same shape as the Jaccard rung — the prefix for a
+    high-threshold overlap is TINY (s - c + 1 tokens per doc), so
+    candidate volume collapses as c grows; the quadratic side is the
+    ORACLE only (disclosed-skip treatment at sf >= 1)."""
+    toks = (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    return overlap_join(
+        toks, "doc_id", "token", min_overlap=_OVERLAP_C
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_weighted_sample_by_flag",
+    weighted_bottom_k_sql(
+        "(SELECT l_returnflag, "
+        " CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+        "   AS li_id, "
+        " CAST(l_quantity AS BIGINT) AS qty FROM lineitem)",
+        "l_returnflag",
+        "li_id",
+        "qty",
+        5,
+    )
+    + " ORDER BY l_returnflag, rank",
+)
+def lineitem_weighted_sample_by_flag(spark: SparkSession, sf: str):
+    """WEIGHTED SAMPLING without replacement, engine-exact: per return
+    flag, 5 line items drawn with probability proportional to quantity
+    (``operators/sampling.weighted_bottom_k`` — integer-weight
+    Efraimidis–Spirakis bottom-k with the float key u^(1/w) replaced
+    by an exact min of w md5 draws, so the whole sample is int64
+    arithmetic and the gate is bit-exact; the float form's JVM-vs-libm
+    ``pow`` ulp hazard is the documented reason).
+
+    Scale: expansion is Σ quantity <= 50x rows, collapsed by map-side
+    MIN before the one per-stratum window; state per item is one int64
+    key.  The sample is REPRODUCIBLE and mergeable (min-of-hash keys
+    compose across shards exactly like KMV), which is what makes it a
+    training-mix primitive: re-running on a grown corpus preserves
+    every previous draw decision."""
+    li = t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("li_id"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    return weighted_bottom_k(
+        li, ["l_returnflag"], "li_id", "qty", k=5
+    ).orderBy("l_returnflag", "rank")

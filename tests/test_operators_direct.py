@@ -2568,6 +2568,190 @@ def test_cap_pairs_per_doc_degree_bound_and_clique_band(spark):
         cap_pairs_per_doc(pairs, 0)
 
 
+def test_weighted_bottom_k_exact_semantics(spark):
+    """weighted_bottom_k (r14): keys recomputed independently with
+    Python hashlib must match Spark's md5 draw exactly; weight<=0 and
+    NULL rows excluded; rank respects (key, id) order; the expansion
+    guard raises on oversized weights."""
+    import hashlib
+
+    from byte_convert_avro_spark.operators.sampling import weighted_bottom_k
+
+    rows = [
+        ("s1", "a", 3), ("s1", "b", 1), ("s1", "c", 5), ("s1", "d", 0),
+        ("s2", "e", 2), ("s2", "f", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, id string, w int")
+    got = {
+        (r.g, r.id): (r.weight, r.sample_key, r.rank)
+        for r in weighted_bottom_k(df, ["g"], "id", "w", k=2).collect()
+    }
+
+    def key(i, w):
+        return min(
+            int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            for j in range(1, w + 1)
+        )
+
+    expect_keys = {i: key(i, w) for _, i, w in rows if w}
+    # per-stratum expected top-2 by (key, id)
+    s1 = sorted((expect_keys[i], i) for i in ("a", "b", "c"))[:2]
+    assert set(got) == {("s1", s1[0][1]), ("s1", s1[1][1]), ("s2", "e")}
+    for (g, i), (w, k_, rk) in got.items():
+        assert k_ == expect_keys[i]
+    assert got[("s2", "e")][2] == 1
+    # duplicate (stratum, id) observations SUM their weights — the
+    # determinism fix (unique ids per stratum -> total (key, id) order)
+    dup = spark.createDataFrame(
+        [("s", "a", 2), ("s", "a", 3)], "g string, id string, w int"
+    )
+    row = weighted_bottom_k(dup, ["g"], "id", "w", k=1).collect()[0]
+    assert (row.weight, row.sample_key) == (5, key("a", 5))
+    import pytest as _pytest
+
+    big = spark.createDataFrame([("s", "x", 5000)], "g string, id string, w int")
+    with _pytest.raises(ValueError, match="max_weight"):
+        weighted_bottom_k(big, ["g"], "id", "w", k=1)
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_bottom_k(df, ["g"], "id", "w", k=0)
+
+
+def test_weighted_bottom_k_merge_across_shards(spark):
+    """The min-of-hash key composes across shards exactly like KMV:
+    sampling each shard then re-sampling the union of shard samples
+    (with keys preserved) gives the same top-k as one global pass —
+    the property that makes the sample reproducible on a grown
+    corpus."""
+    from byte_convert_avro_spark.operators.sampling import weighted_bottom_k
+
+    rows = [("g", f"i{n}", (n % 7) + 1) for n in range(50)]
+    df = spark.createDataFrame(rows, "g string, id string, w int")
+    whole = sorted(
+        (r.id, r.sample_key)
+        for r in weighted_bottom_k(df, ["g"], "id", "w", k=5).collect()
+    )
+    shards = [
+        weighted_bottom_k(
+            df.filter(F.substring("id", 2, 9).cast("int") % 3 == m),
+            ["g"], "id", "w", k=5,
+        )
+        for m in range(3)
+    ]
+    u = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("g").orderBy("sample_key", "id"))
+    merged = sorted(
+        (r.id, r.sample_key)
+        for r in u.withColumn("rk2", rk).filter("rk2 <= 5").collect()
+    )
+    assert whole == merged
+
+
+def test_overlap_join_matches_brute_force(spark):
+    """overlap_join (r14): absolute-overlap threshold vs brute force on
+    crafted sets — containment (small set inside big), boundary
+    (exactly c shared), below-threshold, sets smaller than c, and the
+    c=1 degenerate (any shared token)."""
+    from itertools import combinations
+
+    from byte_convert_avro_spark.operators.dedup import overlap_join
+
+    docs = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c"},            # contained in 1: inter 3
+        3: {"a", "b", "x", "y", "z"},  # inter(1,3)=2, inter(2,3)=2
+        4: {"p", "q"},                 # smaller than c=3
+        5: {"a", "b", "c", "d", "q"},  # inter(1,5)=4, inter(2,5)=3
+    }
+    rows = [(d, w) for d, ws in docs.items() for w in ws]
+    tokens = spark.createDataFrame(rows, "doc_id int, token string")
+
+    for c in (1, 3):
+        got = sorted(
+            (r.id_a, r.id_b, r.inter_sz, r.cont_a, r.cont_b)
+            for r in overlap_join(tokens, min_overlap=c).collect()
+        )
+        want = sorted(
+            (
+                a,
+                b,
+                len(docs[a] & docs[b]),
+                len(docs[a] & docs[b]) / len(docs[a]),
+                len(docs[a] & docs[b]) / len(docs[b]),
+            )
+            for a, b in combinations(sorted(docs), 2)
+            if len(docs[a] & docs[b]) >= c
+        )
+        assert got == want, f"c={c}"
+    # containment readout: doc 2 fully inside doc 1
+    by_pair = {
+        (r.id_a, r.id_b): r
+        for r in overlap_join(tokens, min_overlap=3).collect()
+    }
+    assert by_pair[(1, 2)].cont_b == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_overlap"):
+        overlap_join(tokens, min_overlap=0)
+
+
+def test_edit1_pairs_fastss_matches_brute_force(spark):
+    """FastSS edit-distance-1 join (r14): candidates from the
+    1-deletion-variant equi-join, verified by levenshtein — vs
+    brute-force over crafted strings covering substitution, insertion/
+    deletion, exact duplicates, a distance-2 pair that SHARES a variant
+    ('ab'/'ba' both generate 'a' and 'b' — must be verified away), and
+    the hub cap."""
+    from itertools import combinations
+
+    from byte_convert_avro_spark.operators.strsim import edit1_pairs
+
+    words = {
+        1: "cat", 2: "cut",        # substitution
+        3: "cats",                 # insertion vs 1
+        4: "at",                   # deletion vs 1
+        5: "cat",                  # exact dup of 1
+        6: "dog",                  # unrelated
+        7: "ab", 8: "ba",          # dist 2 but shared deletion variants
+    }
+    df = spark.createDataFrame(list(words.items()), "id int, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit1_pairs(df, "id", "name").collect()
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = sorted(
+        (a, b, lev(words[a], words[b]))
+        for a, b in combinations(sorted(words), 2)
+        if lev(words[a], words[b]) <= 1
+    )
+    assert got == want
+    assert (7, 8, 2) not in got  # the shared-variant dist-2 pair verified away
+    assert (1, 5, 0) in got      # exact duplicates included at dist 0
+    # hub cap: with a cap of 2 the 'cat'-cluster variants shared by 3+
+    # strings drop; the surviving pair set is a subset
+    capped = sorted(
+        (r.id_a, r.id_b)
+        for r in edit1_pairs(df, "id", "name", max_strings_per_variant=2).collect()
+    )
+    assert set(capped) <= {(a, b) for a, b, _ in want}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_strings_per_variant"):
+        edit1_pairs(df, "id", "name", max_strings_per_variant=1)
+
+
 def test_prefix_filter_jaccard_rejects_bad_threshold(spark):
     import pytest as _pytest
 
