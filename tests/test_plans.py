@@ -789,3 +789,42 @@ def test_rank_join_truncates_below_the_join(spark, sf_dir):
     ), strategies
     # the rank filter must sit between each window and the join
     assert plan.count("row_number") >= 2, plan[:3000]
+
+
+def test_r14_similarity_joins_no_nested_loop(spark, sf_dir):
+    """Round-14 similarity family scale contract: the FastSS edit-1
+    join, the absolute-overlap join, and the capped Jaccard rung all
+    express an all-pairs PREDICATE as equi joins only (variant /
+    prefix-token / pair keys) — never a nested loop or cartesian; the
+    cap adds windows on top of the pair stream, not joins."""
+    for name in (
+        "customer_name_edit1_fastss",
+        "docs_overlap_containment_pairs",
+        "docs_jaccard_prefix_filter_capped",
+    ):
+        df = Q[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:3000])
+        assert "CartesianProduct" not in plan, (name, plan[:3000])
+        strategies = join_strategies(df)
+        assert strategies, (name, plan[:3000])
+        assert all(
+            s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+            for s in strategies
+        ), (name, strategies)
+    # the capped rung's both-endpoint window is present
+    plan = explain_str(Q["docs_jaccard_prefix_filter_capped"](spark, sf_dir), "formatted")
+    assert "row_number" in plan, plan[:3000]
+
+
+def test_r14_weighted_sample_one_window_no_join(spark, sf_dir):
+    """Weighted bottom-k scale contract: expansion collapses via a
+    partial MIN aggregate (HashAggregate pairs), then exactly one
+    rank window per stratum — no join anywhere in the plan."""
+    df = Q["lineitem_weighted_sample_by_flag"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert not join_strategies(df), join_strategies(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan, plan[:3000]
+    assert "row_number" in plan, plan[:3000]
