@@ -89,10 +89,78 @@ def _capped_pairs(spark: SparkSession, sf: str):
     return pairs, cap_pairs_per_doc(pairs, _CAP_K)
 
 
+# The sub-quadratic DuckDB twin of the whole ladder (vocab-rank ->
+# prefix -> candidates -> verify -> cap), used by large-SF audits where
+# the brute-force base cannot run; equivalence to the primary is pinned
+# by tests/test_queries_oracle.py::test_scale_oracles_agree_with_primary.
+# Integer threshold math: ceil(3s/5) = (3s+4)//5, alpha = ceil(3(sa+sb)/8).
+_CAPPED_SCALE_CTES = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*), token) AS trank
+      FROM toks GROUP BY token
+    ), tk AS (
+      SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY trank) AS pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS s
+      FROM toks JOIN vocab USING (token)
+    ), pre AS (
+      SELECT * FROM tk WHERE pos <= s - (3 * s + 4) // 5 + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.s AS sa, b.s AS sb
+      FROM pre a JOIN pre b USING (token)
+      WHERE a.doc_id < b.doc_id
+        AND a.s * 5 >= b.s * 3 AND b.s * 5 >= a.s * 3
+        AND 1 + LEAST(a.s - a.pos, b.s - b.pos)
+              >= (3 * (a.s + b.s) + 7) // 8
+    ), inter AS (
+      SELECT c.id_a, c.id_b, c.sa, c.sb, COUNT(*) AS i_sz
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b, c.sa, c.sb
+    ), pairs AS (
+      SELECT id_a, id_b,
+             CAST(i_sz AS BIGINT) AS inter_sz,
+             CAST(sa + sb - i_sz AS BIGINT) AS union_sz,
+             CAST(i_sz AS DOUBLE) / (sa + sb - i_sz) AS jacc
+      FROM inter WHERE i_sz * 5 >= (sa + sb - i_sz) * 3
+    ), directed AS (
+      SELECT id_a AS doc, id_b AS partner, inter_sz, union_sz, jacc
+      FROM pairs
+      UNION ALL
+      SELECT id_b AS doc, id_a AS partner, inter_sz, union_sz, jacc
+      FROM pairs
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc ORDER BY jacc DESC, partner
+             ) AS rk
+      FROM directed
+    ), kept AS (
+      SELECT LEAST(doc, partner) AS id_a, GREATEST(doc, partner) AS id_b,
+             inter_sz, union_sz, jacc
+      FROM ranked WHERE rk <= {_CAP_K}
+    ), surv AS (
+      SELECT id_a, id_b, inter_sz, union_sz, jacc
+      FROM kept GROUP BY ALL HAVING COUNT(*) = 2
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 @register(
     "docs_jaccard_prefix_filter_capped",
     _CAPPED_CTES
+    + """
+    SELECT id_a, id_b, inter_sz, union_sz, jacc
+    FROM surv
+    ORDER BY id_a, id_b
+    """,
+    scale_oracle=_CAPPED_SCALE_CTES
     + """
     SELECT id_a, id_b, inter_sz, union_sz, jacc
     FROM surv
@@ -121,10 +189,7 @@ def docs_jaccard_prefix_filter_capped(spark: SparkSession, sf: str):
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "docs_jaccard_capped_effect",
-    _CAPPED_CTES
-    + f"""
+_EFFECT_TAIL = f"""
     , deg AS (
       SELECT doc, COUNT(*) AS d FROM (
         SELECT id_a AS doc FROM surv
@@ -135,7 +200,13 @@ def docs_jaccard_prefix_filter_capped(spark: SparkSession, sf: str):
            (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS capped_pairs,
            (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree_capped,
            CAST({_CAP_K} AS BIGINT) AS cap_k
-    """,
+    """
+
+
+@register(
+    "docs_jaccard_capped_effect",
+    _CAPPED_CTES + _EFFECT_TAIL,
+    scale_oracle=_CAPPED_SCALE_CTES + _EFFECT_TAIL,
 )
 def docs_jaccard_capped_effect(spark: SparkSession, sf: str):
     """The cap's EFFECT, oracle-gated (r13 verdict #5 asked for both
@@ -170,6 +241,29 @@ def docs_jaccard_capped_effect(spark: SparkSession, sf: str):
            a.c_name AS name_a, b.c_name AS name_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
     FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+    scale_oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    vars AS (
+      SELECT c_custkey, c_name AS variant FROM c
+      UNION
+      SELECT c_custkey,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS variant
+      FROM (
+        SELECT c_custkey, c_name,
+               unnest(generate_series(1, length(c_name))) AS i
+        FROM c
+      )
+    ), cand AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM vars a JOIN vars b USING (variant)
+      WHERE a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b, a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM cand JOIN c a ON a.c_custkey = id_a JOIN c b ON b.c_custkey = id_b
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     ORDER BY id_a, id_b
     """,
@@ -215,6 +309,42 @@ _OVERLAP_C = 28
            CAST(LEN(list_intersect(a.tk, b.tk)) AS DOUBLE) / b.s AS cont_b
     FROM toks a JOIN toks b ON a.doc_id < b.doc_id
     WHERE LEN(list_intersect(a.tk, b.tk)) >= {_OVERLAP_C}
+    ORDER BY id_a, id_b
+    """,
+    scale_oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*), token) AS trank
+      FROM toks GROUP BY token
+    ), tk AS (
+      SELECT doc_id, token,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY trank) AS pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS s
+      FROM toks JOIN vocab USING (token)
+    ), pre AS (
+      SELECT * FROM tk WHERE pos <= s - {_OVERLAP_C} + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.s AS sa, b.s AS sb
+      FROM pre a JOIN pre b USING (token)
+      WHERE a.doc_id < b.doc_id
+        AND a.s >= {_OVERLAP_C} AND b.s >= {_OVERLAP_C}
+        AND 1 + LEAST(a.s - a.pos, b.s - b.pos) >= {_OVERLAP_C}
+    ), inter AS (
+      SELECT c.id_a, c.id_b, c.sa, c.sb, COUNT(*) AS i_sz
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.id_a
+      JOIN toks tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b, c.sa, c.sb
+    )
+    SELECT id_a, id_b,
+           CAST(i_sz AS BIGINT) AS inter_sz,
+           CAST(i_sz AS DOUBLE) / sa AS cont_a,
+           CAST(i_sz AS DOUBLE) / sb AS cont_b
+    FROM inter WHERE i_sz >= {_OVERLAP_C}
     ORDER BY id_a, id_b
     """,
 )
