@@ -416,3 +416,77 @@ def lineitem_weighted_sample_by_flag(spark: SparkSession, sf: str):
     return weighted_bottom_k(
         li, ["l_returnflag"], "li_id", "qty", k=5
     ).orderBy("l_returnflag", "rank")
+
+
+# ---------------------------------------------------------------------------
+EVENTS_WEIGHTED_SAMPLE_SQL = """
+    SELECT event_type, user_id, weight, sample_key, rank FROM (
+      SELECT event_type, user_id, weight, sample_key,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY sample_key, user_id) AS BIGINT) AS rank
+      FROM (
+        SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS weight,
+               MIN(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)
+                 AS sample_key
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+      )
+    ) WHERE rank <= 5
+    ORDER BY event_type, rank
+    """
+
+
+def _weighted_user_sample(ev):
+    """Occurrence-weighted user sample: each event is one draw (its
+    OWN unique id is the hash input), a user's key = min over their
+    events — min of w iid uniforms, the same distribution as the
+    explicit min-of-w-draws spelling but maintainable as an idempotent
+    MIN aggregate (the streaming-twin property)."""
+    from pyspark.sql import Window as W
+
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keyed = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").cast("long").alias("weight"),
+            F.min(h).alias("sample_key"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy("sample_key", "user_id")
+    )
+    return (
+        keyed.withColumn("rank", rk.cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "event_type",
+            F.col("user_id").cast("long").alias("user_id"),
+            "weight",
+            "sample_key",
+            "rank",
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+@register("events_weighted_user_sample", EVENTS_WEIGHTED_SAMPLE_SQL)
+def events_weighted_user_sample(spark: SparkSession, sf: str):
+    """ACTIVITY-WEIGHTED user sampling: per event type, 5 users drawn
+    with probability proportional to their event count — the
+    occurrence-keyed form of ``weighted_bottom_k`` (each event's own
+    unique id is the uniform draw; a user's key = MIN over their
+    events, which is min of w iid uniforms — the identical
+    distribution — with NO weight expansion and NO bound on w).
+
+    Scale: one groupBy with map-side MIN/COUNT combine (state: one
+    int64 + one count per (type, user)), one per-type rank window.
+    Because the key is an idempotent MIN over per-event draws, the
+    sample is replay-safe and has an exact streaming twin
+    (``streaming_weighted_user_sample``) whose state never grows past
+    |type x user| — the panel-selection primitive for live A/B
+    cohorts."""
+    return _weighted_user_sample(t(spark, sf, "events"))

@@ -1433,3 +1433,85 @@ def streaming_hll_distinct_users(spark: SparkSession, sf: str):
         return fin.join(ex, "event_type").orderBy("event_type")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+def _weighted_sample_oracle() -> str:
+    from byte_convert_avro_spark.queries.relational_r14 import (
+        EVENTS_WEIGHTED_SAMPLE_SQL,
+    )
+
+    return EVENTS_WEIGHTED_SAMPLE_SQL
+
+
+@register("streaming_weighted_user_sample", _weighted_sample_oracle())
+def streaming_weighted_user_sample(spark: SparkSession, sf: str):
+    """STREAMING activity-weighted user sampling — the cross-batch twin
+    of ``events_weighted_user_sample``, extending the streaming sketch
+    family (count-min = stateful SUM, HLL = stateful MAX) with a
+    stateful MIN: each event contributes one uniform draw keyed by its
+    own id, a user's sample key is the running MIN over their draws —
+    idempotent, so at-least-once replay is harmless — and COUNT rides
+    along as the exposed weight.  State per (type, user) is one int64 +
+    one count FOREVER, never the event history; after draining four
+    genuine hash-sharded micro-batches the drained state must produce
+    the identical top-5 weighted sample as the one-pass batch build,
+    gated against the SAME oracle — the streaming path changes
+    nothing."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf, "events")
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "wsample_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        h = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        keyed_stream = (
+            stream.filter(F.col("user_id").isNotNull())
+            .groupBy("event_type", "user_id")
+            .agg(
+                F.count("*").cast("long").alias("weight"),
+                F.min(h).alias("sample_key"),
+            )
+        )
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            keyed_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        keyed = spark.table(name)
+        rk = F.row_number().over(
+            W.partitionBy("event_type").orderBy("sample_key", "user_id")
+        )
+        return (
+            keyed.withColumn("rank", rk.cast("long"))
+            .filter(F.col("rank") <= 5)
+            .select(
+                "event_type",
+                F.col("user_id").cast("long").alias("user_id"),
+                "weight",
+                "sample_key",
+                "rank",
+            )
+            .orderBy("event_type", "rank")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
