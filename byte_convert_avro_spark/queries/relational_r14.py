@@ -31,7 +31,7 @@ from byte_convert_avro_spark.operators.sampling import (
     weighted_bottom_k_sql,
 )
 from byte_convert_avro_spark.operators.strsim import edit1_pairs
-from byte_convert_avro_spark.queries.base import register, t
+from byte_convert_avro_spark.queries.base import cents, register, t
 
 # Shared oracle CTE chain: brute-force all-pairs Jaccard >= 3/5, then
 # the SAME both-endpoints top-k cap spelled as SQL windows.  The
@@ -470,6 +470,121 @@ def _weighted_user_sample(ev):
             "rank",
         )
         .orderBy("event_type", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+US_PER_WEEK = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "events_pattern_bounded_views_within_7d",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS val_c
+      FROM events WHERE user_id IS NOT NULL
+    ), seq AS (
+      SELECT user_id, event_id, ts_us, event_type,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(event_type, 1) OVER w AS n1,
+             LEAD(event_type, 2) OVER w AS n2,
+             LEAD(ts_us, 2) OVER w AS p_ts_us,
+             LEAD(val_c, 2) OVER w AS p_val_c,
+             CASE WHEN event_type = 'view'
+                   AND COALESCE(LAG(event_type) OVER w, '') <> 'view'
+                  THEN 1 ELSE 0 END AS mstart
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), runs AS (
+      SELECT user_id, ts_us, event_type, rn, n1, n2, p_ts_us, p_val_c,
+             MAX(CASE WHEN mstart = 1 THEN rn END) OVER wr AS run_start_rn,
+             MAX(CASE WHEN mstart = 1 THEN ts_us END) OVER wr AS run_start_us
+      FROM seq
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(run_start_us AS BIGINT) AS run_start_us,
+           CAST(rn - run_start_rn + 1 AS BIGINT) AS run_len,
+           CAST(LEAST(rn - run_start_rn + 1, 4) AS BIGINT) AS n_views_matched,
+           CAST(p_ts_us AS BIGINT) AS purchase_ts_us,
+           p_val_c AS purchase_value_c
+    FROM runs
+    WHERE event_type = 'view' AND n1 = 'click' AND n2 = 'purchase'
+      AND rn - run_start_rn + 1 >= 2
+      AND p_ts_us - run_start_us <= {US_PER_WEEK}
+    """,
+)
+def events_pattern_bounded_views_within_7d(spark: SparkSession, sf: str):
+    """ROW-PATTERN with a BOUNDED quantifier and a WITHIN clause:
+    ``VIEW{2,4} CLICK PURCHASE WITHIN 7 days`` — the third member of
+    the pattern family (base ``VIEW+``, alternation, now {m,n} +
+    temporal constraint).  On a maximal view run of length L (the
+    island), anchored matching with skip-past-last-row admits a match
+    iff L >= 2, consuming the LAST min(4, L) views (starts before that
+    fail on the quantifier's upper bound and slide right) — so the
+    bounded quantifier is a FILTER + LEAST on the same island chain,
+    and WITHIN is one integer-µs predicate on the purchase lead vs the
+    run start (7 days — sized to the corpus inter-event cadence, whose
+    median view->purchase span is ~17 h).  Same one-shuffle contract as the base pattern
+    (everything rides one user_id window sort; plan-pinned with the
+    family)."""
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            "event_type",
+            cents(F.coalesce(F.col("value"), F.lit(0.0))).alias("val_c"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    is_start = (F.col("event_type") == "view") & (
+        F.coalesce(F.lag("event_type").over(w), F.lit("")) != "view"
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+        F.lead("ts_us", 2).over(w).alias("p_ts_us"),
+        F.lead("val_c", 2).over(w).alias("p_val_c"),
+        is_start.alias("mstart"),
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        "rn",
+        "n1",
+        "n2",
+        "p_ts_us",
+        "p_val_c",
+        F.max(F.when(F.col("mstart"), F.col("rn"))).over(wr).alias("run_start_rn"),
+        F.max(F.when(F.col("mstart"), F.col("ts_us"))).over(wr).alias("run_start_us"),
+    )
+    run_len = F.col("rn") - F.col("run_start_rn") + 1
+    return runs.filter(
+        (F.col("event_type") == "view")
+        & (F.col("n1") == "click")
+        & (F.col("n2") == "purchase")
+        & (run_len >= 2)
+        & (F.col("p_ts_us") - F.col("run_start_us") <= US_PER_WEEK)
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("run_start_us").cast("long").alias("run_start_us"),
+        run_len.cast("long").alias("run_len"),
+        F.least(run_len, F.lit(4)).cast("long").alias("n_views_matched"),
+        F.col("p_ts_us").cast("long").alias("purchase_ts_us"),
+        F.col("p_val_c").alias("purchase_value_c"),
     )
 
 

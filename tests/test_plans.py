@@ -639,6 +639,8 @@ def test_row_pattern_match_is_one_user_shuffle(spark, sf_dir):
         "events_pattern_views_to_purchase",
         "events_pattern_view_alt_action_purchase",  # alternation adds a
         # predicate, not an exchange — same one-shuffle contract
+        "events_pattern_bounded_views_within_7d",  # {m,n} quantifier +
+        # WITHIN are a filter and a LEAST on the same chain (r14)
     ):
         df = Q[name](spark, sf_dir)
         assert join_strategies(df) == [], (name, join_strategies(df))
