@@ -133,8 +133,17 @@ EXTENDED = [
     "docs_jaccard_prefix_filter_pairs",
     # round-14: the capped rung — its wall time pins the cap window
     # staying pair-set-sized (the 100 TB operating point of the exact
-    # similarity join)
+    # similarity join); the overlap join + FastSS pin their candidate
+    # joins staying prefix/variant-keyed; the weighted samples pin the
+    # expansion collapsing map-side; the bounded pattern rides the
+    # one-shuffle pattern chain
     "docs_jaccard_prefix_filter_capped",
+    "docs_overlap_containment_pairs",
+    "customer_name_edit1_fastss",
+    "lineitem_weighted_sample_by_flag",
+    "events_weighted_user_sample",
+    "streaming_weighted_user_sample",
+    "events_pattern_bounded_views_within_7d",
 ]
 
 

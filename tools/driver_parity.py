@@ -109,6 +109,13 @@ def main() -> int:
     ap.add_argument("--progress", action="store_true",
                     help="print one stderr line per query as it completes "
                          "(hang diagnosis on long runs)")
+    ap.add_argument("--rows-only", nargs="*", default=None,
+                    help="names to run WITHOUT their DuckDB oracle "
+                         "(recorded as mode:'rows-only-forced') — for "
+                         "large-SF audits where the oracle itself is "
+                         "resource-bound (e.g. a recursive-CTE closure "
+                         "that exhausts temp disk at sf10); never a "
+                         "silent skip, the mode is in the artifact line")
     ap.add_argument("--scale-oracle", action="store_true",
                     help="for queries with a registered SCALE_ORACLES "
                          "spelling (sub-quadratic twin of a deliberately "
@@ -171,14 +178,21 @@ def main() -> int:
             sdf = queries[name](spark, args.sf_dir).toPandas()
             sql = oracles.get(name)
             oracle_kind = None
-            if args.scale_oracle:
+            if args.rows_only and name in set(args.rows_only):
+                sql = None
+                oracle_kind = "rows-only-forced"
+            elif args.scale_oracle:
                 from byte_convert_avro_spark.queries.base import SCALE_ORACLES
 
                 if name in SCALE_ORACLES:
                     sql = SCALE_ORACLES[name]
                     oracle_kind = "scale"
             if sql is None:
-                results[name] = {"ok": True, "mode": "rows-only", "rows": len(sdf)}
+                results[name] = {
+                    "ok": True,
+                    "mode": oracle_kind or "rows-only",
+                    "rows": len(sdf),
+                }
             else:
                 odf = con.execute(sql).df()
                 cols_ok = sorted(sdf.columns) == sorted(odf.columns)
