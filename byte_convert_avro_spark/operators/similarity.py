@@ -571,3 +571,134 @@ def pca_power_two_components(
     return corpus.sparkSession.createDataFrame(
         rows, "component int, dim int, loading double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the vector-COMPRESSION rung of the ANN
+# family: split each D-dim vector into m subvectors, k-means each
+# subspace independently, store one small code per subspace.  A vector
+# becomes m log2(k)-bit codes; query distance is approximated by summing
+# per-subspace query->codeword distances (ADC).  At 100 TB this is what
+# makes billion-vector search RAM-resident: the corpus shrinks ~D*4 /
+# (m*ceil(log2 k)/8) bytes per vector, and search never touches raw
+# vectors — only the m-entry lookup tables, broadcast-sized.
+#
+# Engine determinism: training reuses kmeans_lloyd per subspace (fixed
+# seeds, fixed-order IEEE folds, lowest-cell tie-break), encoding is the
+# same literal-argmin spelling as assignment, and ADC sums the m partial
+# distances in subspace order — every float is a fixed-order fold, so
+# codebooks, codes AND estimated distances gate bit-exactly vs a DuckDB
+# unroll.
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    fold_chunk: int = 128,
+) -> DataFrame:
+    """Train per-subspace codebooks -> (sub, cell, ce array<double>).
+
+    Subspace ``s`` covers dims [s*D/m+1 .. (s+1)*D/m]; each is trained
+    with :func:`kmeans_lloyd` (seeds = the k smallest ids' subvectors,
+    so cell labels are the same id set in every subspace).  Driver
+    state: m * k * (D/m) floats — the codebook, broadcast-sized by
+    construction.  D must divide evenly by m (raises otherwise)."""
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    out = None
+    for s in range(m):
+        sub = corpus.select(
+            id_col,
+            F.slice(
+                F.col(vec_col).cast("array<double>"), s * sub_d + 1, sub_d
+            ).alias(vec_col),
+        )
+        c = kmeans_lloyd(
+            sub, vec_col, id_col, k=k, n_iter=n_iter, fold_chunk=fold_chunk
+        ).select(F.lit(s).alias("sub"), "cell", F.col(vec_col).alias("ce"))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def _sub_d2(sliced: Column, vec: list[float]) -> Column:
+    """Fixed-order squared-L2 between a sliced array column and a
+    literal subvector (the kmeans_lloyd distance spelling)."""
+    return F.aggregate(
+        F.zip_with(
+            sliced,
+            F.array(*[F.lit(float(v)) for v in vec]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[tuple[int, int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector -> (id, code_0..code_{m-1}) where code_s is
+    the nearest codeword's cell id in subspace s (ties to lowest cell —
+    the kmeans assignment rule).  ``codebook`` is the COLLECTED
+    pq_train output (m*k rows — bounded by construction); encoding is a
+    narrow row-local argmin over m*k literal expressions, no join, no
+    shuffle."""
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for sub, cell, ce in codebook:
+        by_sub.setdefault(int(sub), []).append((int(cell), [float(x) for x in ce]))
+    m = len(by_sub)
+    sub_d = len(next(iter(by_sub.values()))[0][1])
+    cols = []
+    for s in range(m):
+        cents = sorted(by_sub[s])
+        sliced = F.slice(
+            F.col(vec_col).cast("array<double>"), s * sub_d + 1, sub_d
+        )
+        d2s = F.array(*[_sub_d2(sliced, vec) for _, vec in cents])
+        cells = F.array(*[F.lit(c) for c, _ in cents]).cast("array<bigint>")
+        cols.append(
+            F.element_at(
+                cells, F.array_position(d2s, F.array_min(d2s)).cast("int")
+            ).alias(f"code_{s}")
+        )
+    return corpus.select(F.col(id_col).alias("id"), *cols)
+
+
+def pq_adc_estimates(
+    codes: DataFrame, codebook: list[tuple[int, int, list[float]]],
+    query: list[float],
+) -> DataFrame:
+    """Asymmetric-distance estimates: est_d2(v) = sum_s
+    d2(query_s, codeword[s][code_s]), summed in subspace order (fixed
+    IEEE fold).  Partial distances are computed ONCE driver-side from
+    the collected codebook (same left-to-right fold as the engines) and
+    applied as literal map lookups — per row the whole estimate is m
+    map lookups and m-1 additions, no join."""
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for sub, cell, ce in codebook:
+        by_sub.setdefault(int(sub), []).append((int(cell), [float(x) for x in ce]))
+    m = len(by_sub)
+    sub_d = len(next(iter(by_sub.values()))[0][1])
+    est = None
+    for s in range(m):
+        q_s = query[s * sub_d : (s + 1) * sub_d]
+        pairs = []
+        for cell, vec in sorted(by_sub[s]):
+            acc = 0.0
+            for a, b in zip(q_s, vec):
+                acc += (a - b) * (a - b)
+            pairs += [F.lit(cell), F.lit(acc)]
+        term = F.element_at(F.create_map(*pairs), F.col(f"code_{s}"))
+        est = term if est is None else est + term
+    return codes.withColumn("est_d2", est)

@@ -605,3 +605,239 @@ def events_weighted_user_sample(spark: SparkSession, sf: str):
     |type x user| — the panel-selection primitive for live A/B
     cohorts."""
     return _weighted_user_sample(t(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the vector-compression ANN rung). The oracle is
+# one CTE chain with the SUBSPACE as a column: per-round dist/assign/
+# chunk-fold/centroid CTEs keyed on (sub, ...) — the _kmeans_sql_cte
+# discipline generalized, same seeds (k smallest vec_ids), same
+# fixed-order folds, same lowest-cell tie-break.
+_PQ_M, _PQ_K, _PQ_ITER, _PQ_SUBD, _PQ_CHUNK = 4, 4, 2, 16, 128
+
+
+def _pq_sql_cte() -> str:
+    m, k, n_iter, sub_d, chunk = _PQ_M, _PQ_K, _PQ_ITER, _PQ_SUBD, _PQ_CHUNK
+    parts = [
+        f"""vsub AS (
+      SELECT vec_id, sub,
+             list_transform(generate_series(1, {sub_d}),
+                            i -> e[sub * {sub_d} + i]) AS e
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS sub))""",
+        f"""cent0 AS (
+      SELECT sub, vec_id AS cell, e AS ce FROM vsub
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for r in range(n_iter):
+        parts.append(
+            f"""dist{r} AS (
+      SELECT v.sub, v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, {sub_d}),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS d2
+      FROM vsub v JOIN cent{r} c ON c.sub = v.sub)"""
+        )
+        parts.append(
+            f"""assign{r} AS (
+      SELECT sub, vec_id, cell FROM (
+        SELECT sub, vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY sub, vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM dist{r})
+      WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cch{r} AS (
+      SELECT a.sub, a.cell, dd.dim, v.vec_id // {chunk} AS chk,
+             list_reduce(list(v.e[dd.dim] ORDER BY v.vec_id),
+                         (a2, b2) -> a2 + b2) AS csum,
+             COUNT(*) AS cnt
+      FROM assign{r} a
+      JOIN vsub v ON v.vec_id = a.vec_id AND v.sub = a.sub
+      CROSS JOIN (SELECT unnest(generate_series(1, {sub_d})) AS dim) dd
+      GROUP BY a.sub, a.cell, dd.dim, chk)"""
+        )
+        parts.append(
+            f"""cdim{r} AS (
+      SELECT sub, cell, dim,
+             list_reduce(list(csum ORDER BY chk), (x, y) -> x + y) / SUM(cnt) AS c
+      FROM cch{r} GROUP BY sub, cell, dim)"""
+        )
+        parts.append(
+            f"cent{r + 1} AS (SELECT sub, cell, list(c ORDER BY dim) AS ce "
+            f"FROM cdim{r} GROUP BY sub, cell)"
+        )
+    return ",\n    ".join(parts)
+
+
+_PQ_FINAL = f"cent{_PQ_ITER}"
+_PQ_ENCODE_CTES = f"""
+    , diste AS (
+      SELECT v.sub, v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, {_PQ_SUBD}),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS d2
+      FROM vsub v JOIN {_PQ_FINAL} c ON c.sub = v.sub
+    ), assigne AS (
+      SELECT sub, vec_id, cell FROM (
+        SELECT sub, vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY sub, vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM diste)
+      WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "pq_codebooks_m4k4",
+    f"""
+    WITH {_pq_sql_cte()}
+    SELECT sub, cell, CAST(dd.dim AS INT) AS dim, ce[dd.dim] AS c
+    FROM {_PQ_FINAL}
+    CROSS JOIN (SELECT unnest(generate_series(1, {_PQ_SUBD})) AS dim) dd
+    ORDER BY sub, cell, dim
+    """,
+)
+def pq_codebooks_m4k4(spark: SparkSession, sf: str):
+    """PRODUCT QUANTIZATION codebooks (m=4 subspaces x k=4 codewords
+    over the 64-dim embeddings, 2 Lloyd rounds per subspace) —
+    ``operators/similarity.pq_train``, the vector-COMPRESSION rung of
+    the ANN family next to IVF: a vector becomes m 2-bit codes, so a
+    billion-vector corpus fits in RAM and search reads codes + a
+    broadcast lookup table, never raw vectors.  Training reuses the
+    gated ``kmeans_lloyd`` per subspace (same seeds-by-smallest-id,
+    fixed-order IEEE folds, lowest-cell ties), so the full codebook —
+    every float — gates bit-exactly against the one-chain DuckDB unroll
+    with the subspace as a column.
+
+    Scale: per round, assignment is a narrow row-local argmin over
+    literal centroids; the only shuffle is the (sub, cell, dim)-keyed
+    bounded chunk fold; driver state is the m*k*(D/m)-float codebook."""
+    from byte_convert_avro_spark.operators import similarity as S
+    from byte_convert_avro_spark.queries.base import spread
+
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    cb = S.pq_train(emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K,
+                    n_iter=_PQ_ITER, fold_chunk=_PQ_CHUNK)
+    return (
+        cb.select("sub", "cell", F.posexplode("ce").alias("dim0", "c"))
+        .select("sub", "cell", (F.col("dim0") + 1).cast("int").alias("dim"), "c")
+        .orderBy("sub", "cell", "dim")
+    )
+
+
+@register(
+    "pq_codes_m4k4",
+    f"""
+    WITH {_pq_sql_cte()}{_PQ_ENCODE_CTES}
+    SELECT vec_id,
+           MAX(CASE WHEN sub = 0 THEN cell END) AS code_0,
+           MAX(CASE WHEN sub = 1 THEN cell END) AS code_1,
+           MAX(CASE WHEN sub = 2 THEN cell END) AS code_2,
+           MAX(CASE WHEN sub = 3 THEN cell END) AS code_3
+    FROM assigne GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def pq_codes_m4k4(spark: SparkSession, sf: str):
+    """Every vector's PQ CODES under the m4k4 codebooks
+    (``operators/similarity.pq_encode``): the compressed corpus itself,
+    gated row-for-row — the strongest possible pin that Spark's
+    literal-argmin encoder and the SQL unroll quantize identically.
+    Encoding is row-local (no join, no shuffle): m*k literal distance
+    expressions per row, ties to the lowest cell."""
+    from byte_convert_avro_spark.operators import similarity as S
+    from byte_convert_avro_spark.queries.base import spread
+
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    cb_rows = S.pq_train(emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K,
+                         n_iter=_PQ_ITER, fold_chunk=_PQ_CHUNK).collect()
+    cb = [(r.sub, r.cell, list(r.ce)) for r in cb_rows]
+    return (
+        S.pq_encode(emb, cb, "embedding", "vec_id")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "pq_adc_top5_vs_exact",
+    f"""
+    WITH {_pq_sql_cte()}{_PQ_ENCODE_CTES}
+    , q AS (
+      SELECT sub, e FROM vsub
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ), qfull AS (
+      SELECT embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ), pd AS (
+      SELECT c.sub, c.cell,
+             list_reduce(list_transform(generate_series(1, {_PQ_SUBD}),
+                         i -> (q.e[i] - c.ce[i]) * (q.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS pd2
+      FROM {_PQ_FINAL} c JOIN q ON q.sub = c.sub
+    ), est AS (
+      SELECT k.vec_id,
+             list_reduce(list(pd.pd2 ORDER BY pd.sub), (x, y) -> x + y)
+               AS est_d2
+      FROM assigne k JOIN pd ON pd.sub = k.sub AND pd.cell = k.cell
+      GROUP BY k.vec_id
+    ), exacts AS (
+      SELECT v.vec_id,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - qfull.e[i]) * (v.e[i] - qfull.e[i])),
+                         (a, b) -> a + b) AS d2
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v, qfull
+    ), extop AS (
+      SELECT vec_id FROM exacts ORDER BY d2, vec_id LIMIT 5
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY est_d2, vec_id) AS BIGINT) AS rank,
+           vec_id, est_d2,
+           CAST(vec_id IN (SELECT vec_id FROM extop) AS INT) AS in_exact_top5
+    FROM est ORDER BY est_d2, vec_id LIMIT 5
+    """,
+)
+def pq_adc_top5_vs_exact(spark: SparkSession, sf: str):
+    """ADC SEARCH under the gate: asymmetric-distance top-5 for the
+    min-id query vector — est_d2 = the m partial query->codeword
+    distances summed in subspace order (every float a fixed-order fold,
+    so the ESTIMATES themselves hash-match) — plus the exact-top-5
+    membership flag as the recall readout.  Search cost shape: m map
+    lookups + m-1 adds per vector over the CODES (no raw vectors
+    touched), the property that makes PQ the RAM-resident rung at
+    100 TB."""
+    from byte_convert_avro_spark.operators import similarity as S
+    from byte_convert_avro_spark.queries.base import spread
+
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    cb_rows = S.pq_train(emb, "embedding", "vec_id", m=_PQ_M, k=_PQ_K,
+                         n_iter=_PQ_ITER, fold_chunk=_PQ_CHUNK).collect()
+    cb = [(r.sub, r.cell, list(r.ce)) for r in cb_rows]
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    query = [float(x) for x in qrow.embedding]
+    codes = S.pq_encode(emb, cb, "embedding", "vec_id")
+    est = S.pq_adc_estimates(codes, cb, query)
+    full = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_e")
+    )
+    from byte_convert_avro_spark.operators.similarity import _sub_d2
+
+    exact_ids = [
+        r.vec_id
+        for r in full.withColumn("_d2", _sub_d2(F.col("_e"), query))
+        .orderBy("_d2", "vec_id")
+        .limit(5)
+        .collect()
+    ]
+    from pyspark.sql import Window as W
+
+    top5 = est.orderBy("est_d2", "id").limit(5)
+    rk = F.row_number().over(W.orderBy("est_d2", "id"))
+    return top5.select(
+        rk.cast("long").alias("rank"),
+        F.col("id").alias("vec_id"),
+        "est_d2",
+        F.col("id").isin(exact_ids).cast("int").alias("in_exact_top5"),
+    )
