@@ -934,6 +934,45 @@ def hll_weekly_overlap_matrix(spark: SparkSession, sf: str):
     FROM pairs WHERE rk <= 3
     ORDER BY nation, rk
     """,
+    # Scale twin (r14): the QUALIFY-style primary materializes the FULL
+    # per-nation product (quadratic by design — it exhausted DuckDB temp
+    # at sf10); this spelling applies the same per-group monotonicity
+    # certificate the operator uses — exact incl. lexicographic ties: a
+    # top-3 pair's customer must rank top-3 by (cb DESC, key), else the
+    # 3 better customers paired with the same supplier each beat it —
+    # fuzz-pinned in tests/test_operators_direct.py, equivalence to the
+    # primary pinned by test_scale_oracles_agree_with_primary.
+    scale_oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cb
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS sb
+      FROM supplier
+    ), tc AS (
+      SELECT * FROM (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                 ORDER BY cb DESC, c_custkey) AS r FROM c) WHERE r <= 3
+    ), ts AS (
+      SELECT * FROM (
+        SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                 ORDER BY sb DESC, s_suppkey) AS r FROM s) WHERE r <= 3
+    ), pairs AS (
+      SELECT tc.c_nationkey AS nation, tc.c_custkey, ts.s_suppkey,
+             tc.cb + ts.sb AS pair_balance_c,
+             ROW_NUMBER() OVER (
+               PARTITION BY tc.c_nationkey
+               ORDER BY tc.cb + ts.sb DESC, tc.c_custkey, ts.s_suppkey
+             ) AS rk
+      FROM tc JOIN ts ON ts.s_nationkey = tc.c_nationkey
+    )
+    SELECT nation, CAST(rk AS BIGINT) AS rk, c_custkey, s_suppkey,
+           pair_balance_c
+    FROM pairs WHERE rk <= 3
+    ORDER BY nation, rk
+    """,
 )
 def rank_join_top3_pairs_per_nation(spark: SparkSession, sf: str):
     """GROUPED top-k rank join — the per-group form of
