@@ -841,3 +841,87 @@ def pq_adc_top5_vs_exact(spark: SparkSession, sf: str):
         "est_d2",
         F.col("id").isin(exact_ids).cast("int").alias("in_exact_top5"),
     )
+
+
+# ---------------------------------------------------------------------------
+_E1_CAP = 3
+# Both-endpoint top-k cap over edit-1 pairs, shared between the
+# brute-force primary and the variant-join scale twin: rank partners by
+# (dist ASC, partner ASC) — exact duplicates outrank 1-typo matches.
+_E1_CAP_TAIL = f"""
+    , directed AS (
+      SELECT id_a AS doc, id_b AS partner, name_a, name_b, dist FROM pairs
+      UNION ALL
+      SELECT id_b AS doc, id_a AS partner, name_a, name_b, dist FROM pairs
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc ORDER BY dist, partner
+             ) AS rk
+      FROM directed
+    ), kept AS (
+      SELECT LEAST(doc, partner) AS id_a, GREATEST(doc, partner) AS id_b,
+             name_a, name_b, dist
+      FROM ranked WHERE rk <= {_E1_CAP}
+    ), surv AS (
+      SELECT id_a, id_b, name_a, name_b, dist
+      FROM kept GROUP BY ALL HAVING COUNT(*) = 2
+    )
+    SELECT id_a, id_b, name_a, name_b, dist FROM surv
+    ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "customer_name_edit1_capped",
+    """
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS name_a, b.c_name AS name_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )"""
+    + _E1_CAP_TAIL,
+    scale_oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    vars AS (
+      SELECT c_custkey, c_name AS variant FROM c
+      UNION
+      SELECT c_custkey,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS variant
+      FROM (
+        SELECT c_custkey, c_name,
+               unnest(generate_series(1, length(c_name))) AS i
+        FROM c
+      )
+    ), cand AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM vars a JOIN vars b USING (variant)
+      WHERE a.c_custkey < b.c_custkey
+    ), pairs AS (
+      SELECT id_a, id_b, a.c_name AS name_a, b.c_name AS name_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM cand JOIN c a ON a.c_custkey = id_a JOIN c b ON b.c_custkey = id_b
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )"""
+    + _E1_CAP_TAIL,
+)
+def customer_name_edit1_capped(spark: SparkSession, sf: str):
+    """The CAPPED rung of the edit-distance family: every customer's
+    top-3 nearest names (exact duplicates first, then 1-typo matches,
+    partner-id tie-break), a pair surviving only in BOTH endpoints'
+    top-3 — ``cap_pairs_per_doc`` applied to the FastSS join's output
+    with similarity = -dist.  On the replicated large-SF corpus the
+    UNCAPPED true pair set is output-bound (every replica pair matches
+    at distance 0, ~100x per 10x data); the cap bounds every name's
+    degree at 3, making this the sf >= 1 operating point — and because
+    the capped OUTPUT is small, the variant-join scale twin gates it at
+    sf10 where the uncapped form cannot run."""
+    from byte_convert_avro_spark.operators.dedup import cap_pairs_per_doc
+
+    pairs = edit1_pairs(t(spark, sf, "customer"), "c_custkey", "c_name")
+    capped = cap_pairs_per_doc(
+        pairs.withColumn("_sim", -F.col("dist")), _E1_CAP, score_col="_sim"
+    )
+    return capped.drop("_sim").orderBy("id_a", "id_b")
