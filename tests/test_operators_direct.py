@@ -2568,6 +2568,87 @@ def test_cap_pairs_per_doc_degree_bound_and_clique_band(spark):
         cap_pairs_per_doc(pairs, 0)
 
 
+def test_pq_train_encode_adc_match_python(spark):
+    """PQ operators (r14) vs a direct Python recompute on a tiny
+    corpus: per-subspace Lloyd centroids, nearest-codeword codes
+    (lowest-cell ties), and ADC estimates = sum of per-subspace partial
+    distances in subspace order.  Also: the dim % m validation."""
+    import pytest as _pytest
+
+    from byte_convert_avro_spark.operators import similarity as S
+
+    # 6 vectors, dim 4, m=2 subspaces of 2 dims, k=2, 1 iteration
+    vecs = {
+        0: [0.0, 0.0, 10.0, 10.0],
+        1: [1.0, 1.0, 11.0, 11.0],
+        2: [0.5, 0.0, 10.5, 10.0],
+        3: [9.0, 9.0, 0.0, 0.0],
+        4: [9.5, 9.0, 0.5, 0.0],
+        5: [10.0, 9.5, 1.0, 0.5],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    cb_df = S.pq_train(df, m=2, k=2, n_iter=1)
+    cb = [(r.sub, r.cell, list(r.ce)) for r in cb_df.collect()]
+
+    # python recompute: seeds = vectors 0,1 per subspace; 1 lloyd round
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    expect = {}
+    for s in range(2):
+        subs = {i: v[s * 2 : s * 2 + 2] for i, v in vecs.items()}
+        cents = {0: subs[0], 1: subs[1]}
+        assign = {
+            i: min(cents, key=lambda c: (d2(subs[i], cents[c]), c))
+            for i in subs
+        }
+        for c in set(assign.values()):
+            members = sorted(i for i in assign if assign[i] == c)
+            dims = []
+            for dd in range(2):
+                acc = 0.0
+                for i in members:
+                    acc += subs[i][dd]
+                dims.append(acc / len(members))
+            expect[(s, c)] = dims
+    got = {(s_, c_): ce for s_, c_, ce in cb}
+    assert got == expect
+    # codes
+    codes = {
+        r.id: (r.code_0, r.code_1)
+        for r in S.pq_encode(df, cb).collect()
+    }
+    for i, v in vecs.items():
+        want = tuple(
+            min(
+                (c for s2, c, _ in cb if s2 == s),
+                key=lambda c: (d2(v[s * 2 : s * 2 + 2], got[(s, c)]), c),
+            )
+            for s in range(2)
+        )
+        assert codes[i] == want, (i, codes[i], want)
+    # ADC estimate for query = vector 0
+    est = {
+        r.id: r.est_d2
+        for r in S.pq_adc_estimates(
+            S.pq_encode(df, cb), cb, vecs[0]
+        ).collect()
+    }
+    for i in vecs:
+        want = d2(vecs[0][0:2], got[(0, codes[i][0])]) + d2(
+            vecs[0][2:4], got[(1, codes[i][1])]
+        )
+        assert est[i] == want
+    bad = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="divisible"):
+        S.pq_train(bad, m=2, k=1, n_iter=1)
+
+
 def test_weighted_bottom_k_exact_semantics(spark):
     """weighted_bottom_k (r14): keys recomputed independently with
     Python hashlib must match Spark's md5 draw exactly; weight<=0 and
