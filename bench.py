@@ -144,6 +144,19 @@ EXTENDED = [
     "events_weighted_user_sample",
     "streaming_weighted_user_sample",
     "events_pattern_bounded_views_within_7d",
+    # round-14b: the SNN family's wall time pins the pair scan staying
+    # sample/cell-bounded (broadcast NLJ over ~5% rows, equi mutuality
+    # join); the two-stage rerank pins stage 2 touching only the
+    # 20-row shortlist; the changepoint pins the joinless two-exchange
+    # window chain; the bit-score pins its corpus joins staying
+    # hash-keyed; the KMV difference rides the k-row sketch scaffold
+    "mutual_knn_pairs",
+    "snn_shared_neighbor_edges",
+    "jarvis_patrick_clusters",
+    "pq_rerank_top3_recall",
+    "kmv_difference_estimate",
+    "events_value_changepoint",
+    "doc_bigram_lm_bitscore",
 ]
 
 

@@ -830,3 +830,56 @@ def test_r14_weighted_sample_one_window_no_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan, plan[:3000]
     assert "row_number" in plan, plan[:3000]
+
+
+def test_r14b_changepoint_two_exchanges_pruned(spark, sf_dir):
+    """Offline changepoint scale contract: the three null filters reach
+    the parquet scan, only (ts, event_type, value) load, and the whole
+    detector is the daily-rollup exchange + one event_type window
+    exchange — no joins anywhere."""
+    df = Q["events_value_changepoint"](spark, sf_dir)
+    pf = pushed_filters(df)["events"]
+    assert any("IsNotNull(value)" in f for f in pf), pf
+    assert any("IsNotNull(event_type)" in f for f in pf), pf
+    assert set(read_schemas(df)["events"]) == {"ts", "event_type", "value"}
+    assert count_exchanges(df) <= 2
+    assert not join_strategies(df)
+
+
+def test_r14b_bitscore_hash_joins_only(spark, sf_dir):
+    """Bigram LM bit-score scale contract: corpus-count joins are equi
+    (bigram / first-token keys), the ONLY nested loop is the deliberate
+    1-row vocabulary broadcast, and the documents scan prunes to
+    (doc_id, text)."""
+    df = Q["doc_bigram_lm_bitscore"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert strats.count("BroadcastNestedLoopJoin") == 1, strats
+    assert all(
+        s
+        in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+        )
+        for s in strats
+    ), strats
+    assert set(read_schemas(df)["documents"]) == {"doc_id", "text"}
+    assert "CartesianProduct" not in explain_str(df, "formatted")
+
+
+def test_r14b_mutual_knn_equi_mutuality(spark, sf_dir):
+    """Mutual-kNN scale contract: the pair scan is the DELIBERATE
+    broadcast nested loop over the bounded 5% sample (the IVF-blocked
+    cell scan at deployment), but the mutuality check itself must stay
+    an equi join — and the embeddings scan must prune the unused label
+    column."""
+    df = Q["mutual_knn_pairs"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert "BroadcastNestedLoopJoin" in strats, strats
+    assert any(
+        s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        for s in strats
+    ), strats
+    assert "CartesianProduct" not in explain_str(df, "formatted")
+    assert set(read_schemas(df)["embeddings"]) == {"vec_id", "embedding"}
