@@ -157,6 +157,13 @@ EXTENDED = [
     "kmv_difference_estimate",
     "events_value_changepoint",
     "doc_bigram_lm_bitscore",
+    # round-14b batch 2: the trend family pins the pair stage staying
+    # DAYS-bounded (aggregation-first); the Allen histogram rides the
+    # custkey-equi interval pair join
+    "events_theil_sen_daily_trend",
+    "events_mann_kendall_trend",
+    "events_isotonic_daily_value",
+    "order_interval_allen_histogram",
 ]
 
 

@@ -1071,7 +1071,15 @@ def cap_pairs_per_doc(
     at k — an either-endpoint rule would leave hub fan-in unbounded
     through its partners' lists.  All non-id columns ride along
     unchanged.  Cost: one window shuffle over the doubled (directed)
-    pair stream — pair-set-sized, never corpus-sized."""
+    pair stream — pair-set-sized, never corpus-sized.
+
+    The direction doubling is an EXPLODE of a 2-struct array, NOT a
+    self-union: a union references the ``pairs`` plan subtree twice and
+    Spark executes it twice — measured at 2x wall on the prefix-filter
+    join whose capped rung this operator exists for (extended bench:
+    209.7 s self-union vs ~1x join cost after the explode rewrite).
+    The explode reads the pair stream once and generates both
+    directions row-locally."""
     if max_pairs_per_doc < 1:
         raise ValueError(
             f"max_pairs_per_doc must be >= 1, got {max_pairs_per_doc}"
@@ -1080,11 +1088,21 @@ def cap_pairs_per_doc(
 
     carry = [c for c in pairs.columns if c not in (id_a, id_b)]
     directed = pairs.select(
-        F.col(id_a).alias("_doc"), F.col(id_b).alias("_partner"), *carry
-    ).unionByName(
-        pairs.select(
-            F.col(id_b).alias("_doc"), F.col(id_a).alias("_partner"), *carry
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(id_a).alias("_doc"), F.col(id_b).alias("_partner")
+                ),
+                F.struct(
+                    F.col(id_b).alias("_doc"), F.col(id_a).alias("_partner")
+                ),
+            )
+        ).alias("_dir"),
+        *carry,
+    ).select(
+        F.col("_dir._doc").alias("_doc"),
+        F.col("_dir._partner").alias("_partner"),
+        *carry,
     )
     rk = F.row_number().over(
         W.partitionBy("_doc").orderBy(F.desc(score_col), "_partner")

@@ -883,3 +883,32 @@ def test_r14b_mutual_knn_equi_mutuality(spark, sf_dir):
     ), strats
     assert "CartesianProduct" not in explain_str(df, "formatted")
     assert set(read_schemas(df)["embeddings"]) == {"vec_id", "embedding"}
+
+
+def test_r14b_trend_family_days_bounded_equi_joins(spark, sf_dir):
+    """Trend/shape family scale contract: the quadratic object is the
+    DAY-pair join keyed on event_type (equi join, inequality residual)
+    — never a cartesian — and the events scan prunes to
+    (ts, event_type, value)."""
+    for name in (
+        "events_theil_sen_daily_trend",
+        "events_mann_kendall_trend",
+        "events_isotonic_daily_value",
+    ):
+        df = Q[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:2000])
+        assert set(read_schemas(df)["events"]) == {"ts", "event_type", "value"}, name
+
+
+def test_r14b_allen_histogram_residual_on_equi(spark, sf_dir):
+    """Allen classification rides the same custkey-equi pair join as the
+    overlap entry: no nested loop, no cartesian, classification is a
+    projection CASE."""
+    df = Q["order_interval_allen_histogram"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    strats = join_strategies(df)
+    assert strats, plan[:2000]

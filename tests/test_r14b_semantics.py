@@ -273,3 +273,159 @@ def test_pq_rerank_recall_flags_match_python(spark, sf_dir):
     # the query vector itself is its own exact nearest neighbor — the
     # rerank must never lose it out of a 20-deep shortlist
     assert out[0].vec_id == qid and out[0].in_exact_top3 == 1
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: trend/shape statistics + Allen algebra vs Python recomputes.
+
+
+def _daily_cents_py(sf_dir):
+    """Per-type day series from DuckDB (the cents rollup primitive is
+    gated elsewhere); returns {event_type: [(day, cents), ...] sorted}."""
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY event_type, day ORDER BY event_type, day
+        """
+    ).fetchall()
+    by = {}
+    for et, d, c in rows:
+        by.setdefault(et, []).append((int(d), int(c)))
+    return by
+
+
+def test_theil_sen_matches_python(spark, sf_dir):
+    by = _daily_cents_py(sf_dir)
+    expected = {}
+    for et, series in by.items():
+        pairs = [
+            ((cb - ca) / (db - da), da, db)
+            for i, (da, ca) in enumerate(series)
+            for db, cb in series[i + 1 :]
+        ]
+        pairs.sort()
+        n = len(pairs)
+        slope, da, db = pairs[(n + 1) // 2 - 1]
+        expected[et] = (len(series), n, slope, da, db)
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.n_pairs,
+            r.ts_slope_cents_per_day,
+            r.med_day_a,
+            r.med_day_b,
+        )
+        for r in Q["events_theil_sen_daily_trend"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    by = _daily_cents_py(sf_dir)
+    expected = {}
+    for et, series in by.items():
+        vals = [c for _, c in series]
+        n = len(vals)
+        s = sum(
+            (1 if b > a else -1 if b < a else 0)
+            for i, a in enumerate(vals)
+            for b in vals[i + 1 :]
+        )
+        tie_counts = {}
+        for v in vals:
+            tie_counts[v] = tie_counts.get(v, 0) + 1
+        tie_term = sum(
+            t_ * (t_ - 1) * (2 * t_ + 5) for t_ in tie_counts.values() if t_ > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        denom = math.sqrt(var18 / 18.0)
+        z = (s - 1) / denom if s > 0 else (s + 1) / denom if s < 0 else 0.0
+        expected[et] = (n, s, var18, z)
+    got = {
+        r.event_type: (r.n_days, r.s_stat, r.var18, r.z_stat)
+        for r in Q["events_mann_kendall_trend"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_isotonic_matches_python_pava(spark, sf_dir):
+    """Classic sequential pool-adjacent-violators in exact Fractions vs
+    the engine's min-max-formula spelling — equality proves the closed
+    form, not just the SQL twin."""
+    from fractions import Fraction
+
+    by = _daily_cents_py(sf_dir)
+    expected = {}
+    for et, series in by.items():
+        blocks = []  # (sum, count)
+        for _, c in series:
+            blocks.append((c, 1))
+            while len(blocks) > 1:
+                s2, n2 = blocks[-1]
+                s1, n1 = blocks[-2]
+                if Fraction(s1, n1) >= Fraction(s2, n2):
+                    blocks[-2:] = [(s1 + s2, n1 + n2)]
+                else:
+                    break
+        fitted = []
+        for s_, n_ in blocks:
+            fitted.extend([float(Fraction(s_, n_))] * n_)
+        for (day, c), f in zip(series, fitted):
+            expected[(et, day)] = (c, f)
+    got = {
+        (r.event_type, r.day): (r.day_cents, r.iso_cents)
+        for r in Q["events_isotonic_daily_value"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_allen_histogram_matches_python(spark, sf_dir):
+    iv = duckdb.sql(
+        f"""
+        SELECT o_custkey, o_orderkey, o_orderdate, MAX(l_shipdate)
+        FROM read_parquet('{sf_dir}/orders.parquet') o
+        JOIN read_parquet('{sf_dir}/lineitem.parquet') l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    by_cust = {}
+    for ck, ok, d0, d1 in iv:
+        by_cust.setdefault(ck, []).append((ok, d0, d1))
+
+    def classify(a0, a1, b0, b1):
+        if a1 < b0:
+            return "precedes"
+        if b1 < a0:
+            return "preceded_by"
+        if a1 == b0 and a0 < b0 and b1 > b0:
+            return "meets"
+        if b1 == a0 and b0 < a0 and a1 > a0:
+            return "met_by"
+        if a0 == b0 and a1 == b1:
+            return "equals"
+        if a0 == b0:
+            return "starts" if a1 < b1 else "started_by"
+        if a1 == b1:
+            return "finishes" if a0 > b0 else "finished_by"
+        if a0 > b0 and a1 < b1:
+            return "during"
+        if a0 < b0 and a1 > b1:
+            return "contains"
+        return "overlaps" if a0 < b0 else "overlapped_by"
+
+    expected = {}
+    for ivs in by_cust.values():
+        for i, (ka, a0, a1) in enumerate(ivs):
+            for kb, b0, b1 in ivs:
+                if ka < kb:
+                    r = classify(a0, a1, b0, b1)
+                    expected[r] = expected.get(r, 0) + 1
+    got = {
+        r.relation: r.n_pairs
+        for r in Q["order_interval_allen_histogram"](spark, sf_dir).collect()
+    }
+    assert got == expected

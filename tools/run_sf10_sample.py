@@ -62,6 +62,26 @@ SAMPLE = {
     "skyline-grouped": "part_skyline_per_brand",
     "row-pattern": "events_pattern_views_to_purchase",
     "row-pattern-alt": "events_pattern_view_alt_action_purchase",
+    # round-14b families
+    "trend-robust": "events_theil_sen_daily_trend",
+    "changepoint": "events_value_changepoint",
+    "lm-quality": "doc_bigram_lm_bitscore",
+    "temporal-algebra": "order_interval_allen_histogram",
+    "sketch-kmv-diff": "kmv_difference_estimate",
+    "two-stage-rerank": "pq_rerank_top3_recall",
+    "ann-graph-snn": "mutual_knn_pairs",
+}
+
+#: sf10-only oracle concessions, recorded per-line as mode:
+#: 'rows-only-forced' — never a silent skip.
+ROWS_ONLY = {
+    # recursive-CTE closure exhausts DuckDB temp disk at 500k docs
+    # (oracle-gated at sf0.01/0.1/1 instead; Spark CC is the measured side)
+    "dedup_cluster_assignment",
+    # the brute-force kNN base is quadratic BY DESIGN (disclosed cap):
+    # at sf10 the 5% sample is 10k vectors -> 100M interpreted 64-dim
+    # list_reduce folds on the DuckDB side; gated at sf0.001/0.01/0.1
+    "mutual_knn_pairs",
 }
 
 EXCLUSION_RULE = (
@@ -98,6 +118,9 @@ def main() -> int:
             "--result-file", rf,
             "--only", *chunk,
         ]
+        ro = sorted(set(chunk) & ROWS_ONLY)
+        if ro:
+            cmd += ["--rows-only", *ro]
         print(f"[chunk {ci + 1}/{len(chunks)}] {chunk}", flush=True)
         proc = subprocess.run(cmd, cwd=REPO)
         if os.path.exists(rf):
