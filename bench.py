@@ -164,6 +164,19 @@ EXTENDED = [
     "events_mann_kendall_trend",
     "events_isotonic_daily_value",
     "order_interval_allen_histogram",
+    # round-14c: the association-statistics family — KS pins the
+    # cumulative stage staying distinct-cents-domain-bounded, Kendall
+    # pins the pair stage staying DAYS-bounded, Spearman pins the
+    # two rank windows (per-flag sort, no pair object), the chi2 cells
+    # / HHI / entropy ride single natural-key exchanges, and the Zipf
+    # fit pins the rank stage staying vocab-bounded
+    "events_ks_view_purchase",
+    "lineitem_spearman_qty_price",
+    "events_kendall_daily_taub",
+    "orders_priority_status_chi2_cells",
+    "nation_customer_order_hhi",
+    "events_user_type_entropy_bits",
+    "corpus_zipf_loglog_slope",
 ]
 
 

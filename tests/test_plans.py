@@ -912,3 +912,79 @@ def test_r14b_allen_histogram_residual_on_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     strats = join_strategies(df)
     assert strats, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# r14c: nonparametric association statistics + concentration indices.
+
+
+def test_r14c_ks_domain_bounded_no_joins(spark, sf_dir):
+    """KS scale contract: the two-type filter and the value null filter
+    reach the parquet scan, only (event_type, value) load, and the only
+    "join" is the deliberate 1-row totals broadcast — the cumulative
+    stage runs on the distinct-cents DOMAIN, never on events."""
+    df = Q["events_ks_view_purchase"](spark, sf_dir)
+    pf = pushed_filters(df)["events"]
+    assert any("event_type" in f and "In" in f for f in pf), pf
+    # the In(...[list]) bracket truncates the helper's filter split, so
+    # the null-filter pushdown is asserted on the raw plan text instead
+    plan = explain_str(df, "formatted")
+    assert re.search(r"PushedFilters: \[[^\n]*IsNotNull\(value\)", plan), pf
+    assert set(read_schemas(df)["events"]) == {"event_type", "value"}
+    strats = join_strategies(df)
+    assert strats.count("BroadcastNestedLoopJoin") == 1, strats
+    assert "CartesianProduct" not in explain_str(df, "formatted")
+
+
+def test_r14c_kendall_days_bounded_equi_join(spark, sf_dir):
+    """Kendall tau-b scale contract: the quadratic object is the
+    DAY-pair self-join keyed on event_type (equi, inequality residual)
+    — never a cartesian — and the events scan prunes to the three
+    touched columns."""
+    df = Q["events_kendall_daily_taub"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert strats, explain_str(df, "formatted")[:2000]
+    assert all(
+        s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        for s in strats
+    ), strats
+    assert "CartesianProduct" not in explain_str(df, "formatted")
+    assert set(read_schemas(df)["events"]) == {"ts", "event_type", "value"}
+
+
+def test_r14c_chi2_and_spearman_and_entropy_joinless(spark, sf_dir):
+    """The chi-squared cells, Spearman, and entropy entries are pure
+    aggregate/window pipelines: zero joins, scans pruned to exactly the
+    touched columns."""
+    cases = {
+        "orders_priority_status_chi2_cells": (
+            "orders", {"o_orderpriority", "o_orderstatus"}),
+        "lineitem_spearman_qty_price": (
+            "lineitem", {"l_returnflag", "l_quantity", "l_extendedprice"}),
+        "events_user_type_entropy_bits": (
+            "events", {"user_id", "event_type"}),
+    }
+    for name, (tbl, cols) in cases.items():
+        df = Q[name](spark, sf_dir)
+        assert not join_strategies(df), name
+        assert set(read_schemas(df)[tbl]) == cols, name
+
+
+def test_r14c_hhi_broadcasts_nation(spark, sf_dir):
+    """HHI scale contract: nation is hint-broadcast, the orders->customer
+    join is equi on the customer key, and both scans prune."""
+    df = Q["nation_customer_order_hhi"](spark, sf_dir)
+    strats = join_strategies(df)
+    assert "BroadcastHashJoin" in strats, strats
+    assert "CartesianProduct" not in explain_str(df, "formatted")
+    assert set(read_schemas(df)["orders"]) == {"o_custkey"}
+    assert set(read_schemas(df)["customer"]) == {"c_custkey", "c_nationkey"}
+
+
+def test_r14c_zipf_joinless_pruned(spark, sf_dir):
+    """Zipf fit scale contract: token counting + vocab-bounded rank +
+    one 5-sum fold — zero joins; the documents scan loads only
+    (doc_id, text)."""
+    df = Q["corpus_zipf_loglog_slope"](spark, sf_dir)
+    assert not join_strategies(df)
+    assert set(read_schemas(df)["documents"]) == {"doc_id", "text"}

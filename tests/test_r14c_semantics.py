@@ -1,0 +1,270 @@
+"""Round-14c families vs INDEPENDENT Python recomputes (the third
+engine next to Spark and the DuckDB oracle): KS from a pure-python
+pooled-ECDF scan, Spearman from sorted average ranks, Kendall tau-b
+from an explicit pair loop, the chi-squared cells from Counter margins,
+HHI / entropy from dict counters, and the Zipf fit from a python token
+Counter — so a shared misunderstanding between the two SQL spellings
+cannot hide.
+
+Float assertions are EXACT equality: every float in these entries is
+one fixed IEEE expression tree over exact integers, and python's
+arithmetic follows the same trees (int→float conversion and math.sqrt
+are correctly rounded), so any difference is a real semantics bug.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+
+from byte_convert_avro_spark.queries import queries
+
+Q = queries()
+
+
+def _cents_rows(sf_dir, sql):
+    """Raw rows via DuckDB — only the cents/epoch casts are delegated
+    (both are gated primitives elsewhere); all statistic logic below is
+    pure python."""
+    return duckdb.sql(sql.format(d=sf_dir)).fetchall()
+
+
+def test_ks_matches_python_ecdf_scan(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL",
+    )
+    cv, cp = Counter(), Counter()
+    for et, vc in rows:
+        (cv if et == "view" else cp)[int(vc)] += 1
+    n1, n2 = sum(cv.values()), sum(cp.values())
+    cum_v = cum_p = 0
+    best = None  # (d_num, vc)
+    for vc in sorted(set(cv) | set(cp)):
+        cum_v += cv.get(vc, 0)
+        cum_p += cp.get(vc, 0)
+        d = abs(cum_v * n2 - cum_p * n1)
+        if best is None or d > best[0]:
+            best = (d, vc)
+    [r] = Q["events_ks_view_purchase"](spark, sf_dir).collect()
+    assert (r.n_view, r.n_purchase) == (n1, n2)
+    assert (r.d_num, r.d_at_cents) == best
+    assert r.ks_d == float(best[0]) / float(n1 * n2)
+
+
+def _avg_ranks_x2(vals):
+    """2*average-rank per value (ties averaged), as exact ints."""
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    r2 = [0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        # ranks i+1 .. j  ->  2*avg = (i+1) + j
+        for k in range(i, j):
+            r2[order[k]] = (i + 1) + j
+        i = j
+    return r2
+
+
+def test_spearman_matches_python_ranks(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT l_returnflag, CAST(ROUND(l_quantity * 100, 0) AS BIGINT),"
+        " CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/lineitem.parquet')"
+        " WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL"
+        " AND l_extendedprice IS NOT NULL",
+    )
+    by = {}
+    for flag, qc, pc in rows:
+        by.setdefault(flag, []).append((int(qc), int(pc)))
+    expected = {}
+    for flag, pts in by.items():
+        rx2 = _avg_ranks_x2([q for q, _ in pts])
+        ry2 = _avg_ranks_x2([p for _, p in pts])
+        sum_d2_x4 = sum((a - b) * (a - b) for a, b in zip(rx2, ry2))
+        n = len(pts)
+        rho = (
+            1.0
+            - (6.0 * (float(sum_d2_x4) / 4.0))
+            / (float(n) * (float(n) * float(n) - 1.0))
+            if n >= 2
+            else None
+        )
+        expected[flag] = (n, sum_d2_x4, rho)
+    got = {
+        r.l_returnflag: (r.n, int(r.sum_d2_x4), r.spearman_rho)
+        for r in Q["lineitem_spearman_qty_price"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def _daily(sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT event_type, epoch_us(ts) // 86400000000 AS day,"
+        " CAST(COUNT(*) AS BIGINT),"
+        " CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE event_type IS NOT NULL AND value IS NOT NULL"
+        " AND ts IS NOT NULL GROUP BY event_type, day",
+    )
+    by = {}
+    for et, d, cnt, c in rows:
+        by.setdefault(et, []).append((int(d), int(cnt), int(c)))
+    for s in by.values():
+        s.sort()
+    return by
+
+
+def test_kendall_taub_matches_python_pairs(spark, sf_dir):
+    expected = {}
+    for et, series in _daily(sf_dir).items():
+        nc = nd = t1 = t2 = n0 = 0
+        for i, (_, xa, ya) in enumerate(series):
+            for _, xb, yb in series[i + 1 :]:
+                sx = (xb > xa) - (xb < xa)
+                sy = (yb > ya) - (yb < ya)
+                n0 += 1
+                if sx * sy > 0:
+                    nc += 1
+                elif sx * sy < 0:
+                    nd += 1
+                if sx == 0:
+                    t1 += 1
+                if sy == 0:
+                    t2 += 1
+        tau = (
+            float(nc - nd) / math.sqrt(float(n0 - t1) * float(n0 - t2))
+            if n0 - t1 > 0 and n0 - t2 > 0
+            else None
+        )
+        expected[et] = (len(series), nc, nd, t1, t2, n0, tau)
+    got = {
+        r.event_type: (r.n_days, r.nc, r.nd, r.ties_x, r.ties_y, r.n0, r.tau_b)
+        for r in Q["events_kendall_daily_taub"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_chi2_cells_match_python_margins(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    cells = Counter(rows)
+    rtot, ctot = Counter(), Counter()
+    for (p, s), o in cells.items():
+        rtot[p] += o
+        ctot[s] += o
+    n = sum(cells.values())
+    expected = {}
+    for (p, s), o in cells.items():
+        r, c = rtot[p], ctot[s]
+        diff = float(o * n - r * c)
+        expected[(p, s)] = (
+            o, r, c, n,
+            float(r) * float(c) / float(n),
+            (diff * diff) / (float(r) * float(c) * float(n)),
+        )
+    got = {
+        (r.priority, r.status): (
+            r.observed, r.row_total, r.col_total, r.grand_n,
+            r.expected, r.chi2_cell,
+        )
+        for r in Q["orders_priority_status_chi2_cells"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_hhi_matches_python_counters(spark, sf_dir):
+    orders = _cents_rows(
+        sf_dir, "SELECT o_custkey FROM read_parquet('{d}/orders.parquet')"
+    )
+    cust_nat = dict(
+        _cents_rows(
+            sf_dir,
+            "SELECT c_custkey, n_name"
+            " FROM read_parquet('{d}/customer.parquet') c"
+            " JOIN read_parquet('{d}/nation.parquet') n"
+            " ON n.n_nationkey = c.c_nationkey",
+        )
+    )
+    per_cust = Counter(k for (k,) in orders)
+    agg = {}
+    for ck, co in per_cust.items():
+        nat = cust_nat[ck]
+        cnt, tot, num = agg.get(nat, (0, 0, 0))
+        agg[nat] = (cnt + 1, tot + co, num + co * co)
+    expected = {
+        nat: (
+            cnt, tot, num,
+            float(num) / (float(tot) * float(tot)),
+            (float(tot) * float(tot)) / float(num),
+        )
+        for nat, (cnt, tot, num) in agg.items()
+    }
+    got = {
+        r.n_name: (
+            r.n_customers, r.total_orders, r.hhi_num, r.hhi,
+            r.effective_customers,
+        )
+        for r in Q["nation_customer_order_hhi"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_entropy_bits_match_python_counters(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT user_id, event_type FROM read_parquet('{d}/events.parquet')"
+        " WHERE user_id IS NOT NULL AND event_type IS NOT NULL",
+    )
+    per_user = {}
+    for u, et in rows:
+        per_user.setdefault(int(u), Counter())[et] += 1
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    expected = {}
+    for u, cc in per_user.items():
+        n = sum(cc.values())
+        surp = sum(c * (flog2(n) - flog2(c)) for c in cc.values())
+        expected[u] = (n, len(cc), surp, float(surp) / float(n))
+    got = {
+        r.user_id: (
+            r.n_events, r.n_types, r.surprisal_bits_num, r.bits_per_event
+        )
+        for r in Q["events_user_type_entropy_bits"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_zipf_slope_matches_python_counter(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir, "SELECT text FROM read_parquet('{d}/documents.parquet')"
+    )
+    freq = Counter()
+    for (text,) in rows:
+        freq.update(text.split(" "))
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [flog2(i + 1) for i in range(len(ranked))]
+    ys = [flog2(f) for _, f in ranked]
+    n = len(ranked)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    [r] = Q["corpus_zipf_loglog_slope"](spark, sf_dir).collect()
+    assert r.vocab_size == n
+    assert int(r.slope_num) == num
+    assert int(r.slope_den) == den
+    assert r.zipf_slope == (
+        float(num) / float(den) if n >= 2 and den != 0 else None
+    )
