@@ -177,6 +177,13 @@ EXTENDED = [
     "nation_customer_order_hhi",
     "events_user_type_entropy_bits",
     "corpus_zipf_loglog_slope",
+    # round-14c batch 2: PSI pins the events pass staying one pruned
+    # projection + domain-bounded folds; JSD pins the mixture staying
+    # vocab x sources (broadcast-built); HITS pins the six round joins
+    # staying equi with map-side-combining integer sums
+    "events_value_psi_halves",
+    "source_token_jsd_vs_corpus",
+    "trade_hits_hub_authority",
 ]
 
 

@@ -694,3 +694,370 @@ def corpus_zipf_loglog_slope(spark: SparkSession, sf: str):
             num.cast("double") / den.cast("double"),
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 — drift observability (PSI between time halves, per-source JSD
+# against the corpus) and exact-integer HITS link analysis.  PSI/JSD use
+# the floor-log2 surprisal discipline (bit-portable where libm ln is
+# not); HITS exploits that UNNORMALIZED hub/authority iterations from an
+# all-ones start stay INTEGER, so — unlike PageRank's ordered float
+# folds — plain map-side-combining SUMs are bit-exact by construction.
+
+
+@register(
+    "events_value_psi_halves",
+    """
+    WITH f AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), bounds AS (
+      SELECT MIN(vc) AS mn, MAX(vc) AS mx,
+             (MIN(day) + MAX(day)) // 2 AS mid
+      FROM f
+    ), lab AS (
+      SELECT ((vc - mn) * 10) // (mx - mn + 1) AS bucket,
+             CASE WHEN day <= mid THEN 1 ELSE 0 END AS early
+      FROM f CROSS JOIN bounds
+    ), cnt AS (
+      SELECT bucket,
+             CAST(SUM(early) AS BIGINT) AS n_early,
+             CAST(SUM(1 - early) AS BIGINT) AS n_late
+      FROM lab GROUP BY bucket
+    ), filled AS (
+      SELECT b.bucket,
+             COALESCE(n_early, 0) AS n_early, COALESCE(n_late, 0) AS n_late
+      FROM (SELECT unnest(generate_series(0, 9)) AS bucket) b
+      LEFT JOIN cnt ON cnt.bucket = b.bucket
+    ), tot AS (
+      SELECT CAST(SUM(n_early) + 10 AS BIGINT) AS na,
+             CAST(SUM(n_late) + 10 AS BIGINT) AS nb
+      FROM filled
+    )
+    SELECT bucket, n_early, n_late,
+           na AS total_early_smoothed, nb AS total_late_smoothed,
+           (n_early + 1) * nb - (n_late + 1) * na AS diff_num,
+           (length(bin((n_early + 1) * nb)) - 1)
+             - (length(bin((n_late + 1) * na)) - 1) AS ratio_bits,
+           CAST((n_early + 1) * nb - (n_late + 1) * na AS DOUBLE)
+             * CAST((length(bin((n_early + 1) * nb)) - 1)
+                    - (length(bin((n_late + 1) * na)) - 1) AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS psi_bits_cell
+    FROM filled CROSS JOIN tot
+    """,
+)
+def events_value_psi_halves(spark: SparkSession, sf: str):
+    """POPULATION STABILITY INDEX between the early and late halves of
+    the event timeline, per equal-width value-cents decile — THE
+    model-observability drift metric, made bit-portable: the classical
+    cell term (p_a - p_b)·ln(p_a/p_b) is respelled over add-1-smoothed
+    integer counts as diff_num·ratio_bits/(Na·Nb) where diff_num =
+    (n_a+1)Nb - (n_b+1)Na is exact int64 and ratio_bits is the exact
+    integer floor-log2 of the same smoothed ratio (the bigram-LM
+    discipline; each cell term is within 2 bits-vs-nats scaling of the
+    textbook value and every float is one fixed tree).  Emitted PER
+    BUCKET (the KS lesson: no cross-engine float-sum ordering), with
+    empty deciles materialized from a literal 0..9 frame so smoothing
+    is total.  Complements KS: PSI is the BINNED, production-monitoring
+    spelling of the same two-sample question, robust to distribution
+    tails and streamable from bucket counts.  Scale: two 1-row
+    broadcast folds (bounds, totals) + one groupBy on a 10-value
+    domain; the events pass is one projection — nothing grows with
+    rows.  Overflow: (n+1)·N <= (N+1)·N — int64-exact to ~2e9 events
+    per half."""
+    ev = t(spark, sf, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+    f = ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
+        cents("value").alias("vc"),
+        F.expr("ts_us DIV 86400000000").alias("day"),
+    )
+    bounds = f.agg(
+        F.min("vc").alias("mn"),
+        F.max("vc").alias("mx"),
+        F.expr("(MIN(day) + MAX(day)) DIV 2").alias("mid"),
+    )
+    lab = f.crossJoin(F.broadcast(bounds)).select(
+        F.expr("((vc - mn) * 10) DIV (mx - mn + 1)").alias("bucket"),
+        F.when(F.col("day") <= F.col("mid"), 1).otherwise(0).alias("early"),
+    )
+    cnt = lab.groupBy("bucket").agg(
+        F.sum("early").cast("long").alias("n_early"),
+        F.sum(F.lit(1) - F.col("early")).cast("long").alias("n_late"),
+    )
+    full = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("bucket"))
+        .join(cnt, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_early", F.lit(0)).alias("n_early"),
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        )
+    )
+    tot = full.agg(
+        (F.sum("n_early") + 10).cast("long").alias("na"),
+        (F.sum("n_late") + 10).cast("long").alias("nb"),
+    )
+    j = full.crossJoin(F.broadcast(tot))
+    x = (F.col("n_early") + 1) * F.col("nb")
+    y = (F.col("n_late") + 1) * F.col("na")
+    diff = x - y
+    bits = _flog2(x) - _flog2(y)
+    return j.select(
+        "bucket",
+        "n_early",
+        "n_late",
+        F.col("na").alias("total_early_smoothed"),
+        F.col("nb").alias("total_late_smoothed"),
+        diff.alias("diff_num"),
+        bits.alias("ratio_bits"),
+        (
+            diff.cast("double")
+            * bits.cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        ).alias("psi_bits_cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "source_token_jsd_vs_corpus",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cs AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    ), ns AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+             CAST(COUNT(*) AS BIGINT) AS vocab_s
+      FROM cs GROUP BY source
+    ), cg AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS cgl FROM cs GROUP BY tok
+    ), ng AS (
+      SELECT CAST(SUM(cgl) AS BIGINT) AS n_g FROM cg
+    ), hs AS (
+      SELECT cs.source,
+             CAST(SUM(c * ((length(bin(n.n_s)) - 1) - (length(bin(c)) - 1)))
+                  AS BIGINT) AS surp_s
+      FROM cs JOIN (SELECT source, n_s FROM ns) n ON n.source = cs.source
+      GROUP BY cs.source
+    ), hg AS (
+      SELECT CAST(SUM(cgl * ((length(bin(ng.n_g)) - 1)
+                             - (length(bin(cgl)) - 1))) AS BIGINT) AS surp_g
+      FROM cg CROSS JOIN ng
+    ), mix AS (
+      SELECT s.source,
+             COALESCE(cs.c, 0) * ng.n_g + cg.cgl * s.n_s AS m_num,
+             2 * s.n_s * ng.n_g AS m_tot
+      FROM (SELECT source, n_s FROM ns) s
+      CROSS JOIN ng
+      CROSS JOIN cg
+      LEFT JOIN cs ON cs.source = s.source AND cs.tok = cg.tok
+    ), hm AS (
+      SELECT source, CAST(MAX(m_tot) AS BIGINT) AS m_tot,
+             CAST(SUM(m_num * ((length(bin(m_tot)) - 1)
+                               - (length(bin(m_num)) - 1))) AS BIGINT)
+               AS surp_m
+      FROM mix GROUP BY source
+    )
+    SELECT ns.source, ns.n_s AS n_tok_source, ns.vocab_s,
+           ng.n_g AS n_tok_corpus,
+           hs.surp_s, hg.surp_g, hm.surp_m,
+           CAST(hm.surp_m AS DOUBLE) / CAST(hm.m_tot AS DOUBLE)
+             - (CAST(hs.surp_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
+                + CAST(hg.surp_g AS DOUBLE) / CAST(ng.n_g AS DOUBLE)) / 2.0
+             AS jsd_bits
+    FROM ns
+    JOIN hs ON hs.source = ns.source
+    JOIN hm ON hm.source = ns.source
+    CROSS JOIN ng CROSS JOIN hg
+    """,
+)
+def source_token_jsd_vs_corpus(spark: SparkSession, sf: str):
+    """JENSEN-SHANNON DIVERGENCE of each source's token distribution
+    against the whole corpus, in exact floor-log2 bits: JSD(p,g) =
+    H(m) - (H(p)+H(g))/2 with the mixture carried as the exact integer
+    numerators m_num = c_s·N_g + c_g·N_s over M = 2·N_s·N_g (they sum
+    to M exactly, so the mixture is a true distribution), and every
+    entropy the integer-surprisal form Σ cnt·(flog2(N)-flog2(cnt))/N.
+    The corpus-drift readout of the entropy family: high-JSD sources
+    are vocabulary outliers (template farms, wrong-language crawls) —
+    the between-slice twin of the per-user entropy.  Scale: token
+    counts aggregate map-side on (source, tok); the mixture frame is
+    |vocab| x |sources| rows (vocab-bounded x a small enumerable — the
+    disclosed fan-out, NOT events-bounded), built from a broadcast of
+    the 20-row per-source totals; everything else is 1-row folds.
+    Overflow: c·N products need N_s·N_g < 2^62 — shard sources past
+    ~1e9 tokens per side."""
+    d = spread(t(spark, sf, "documents"), "doc_id")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cs = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ns = cs.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s"),
+        F.count("*").cast("long").alias("vocab_s"),
+    )
+    cg = cs.groupBy("tok").agg(F.sum("c").cast("long").alias("cgl"))
+    ng = cg.agg(F.sum("cgl").cast("long").alias("n_g"))
+    hs = (
+        cs.join(F.broadcast(ns.select("source", "n_s")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("c") * (_flog2(F.col("n_s")) - _flog2(F.col("c")))
+            )
+            .cast("long")
+            .alias("surp_s")
+        )
+    )
+    hg = cg.crossJoin(F.broadcast(ng)).agg(
+        F.sum(F.col("cgl") * (_flog2(F.col("n_g")) - _flog2(F.col("cgl"))))
+        .cast("long")
+        .alias("surp_g")
+    )
+    mix = (
+        cg.crossJoin(F.broadcast(ng))
+        .crossJoin(F.broadcast(ns.select("source", "n_s")))
+        .join(cs, ["source", "tok"], "left")
+        .select(
+            "source",
+            (
+                F.coalesce(F.col("c"), F.lit(0)) * F.col("n_g")
+                + F.col("cgl") * F.col("n_s")
+            ).alias("m_num"),
+            (F.lit(2) * F.col("n_s") * F.col("n_g")).alias("m_tot"),
+        )
+    )
+    hm = mix.groupBy("source").agg(
+        F.max("m_tot").cast("long").alias("m_tot"),
+        F.sum(F.col("m_num") * (_flog2(F.col("m_tot")) - _flog2(F.col("m_num"))))
+        .cast("long")
+        .alias("surp_m"),
+    )
+    out = (
+        ns.join(hs, "source")
+        .join(hm, "source")
+        .crossJoin(F.broadcast(ng))
+        .crossJoin(F.broadcast(hg))
+    )
+    return out.select(
+        "source",
+        F.col("n_s").alias("n_tok_source"),
+        "vocab_s",
+        F.col("n_g").alias("n_tok_corpus"),
+        "surp_s",
+        "surp_g",
+        "surp_m",
+        (
+            F.col("surp_m").cast("double") / F.col("m_tot").cast("double")
+            - (
+                F.col("surp_s").cast("double") / F.col("n_s").cast("double")
+                + F.col("surp_g").cast("double") / F.col("n_g").cast("double")
+            )
+            / F.lit(2.0)
+        ).alias("jsd_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "trade_hits_hub_authority",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    a1 AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS a FROM e GROUP BY s),
+    h1 AS (SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+           FROM e JOIN a1 USING (s) GROUP BY c),
+    a2 AS (SELECT s, CAST(SUM(h) AS HUGEINT) AS a
+           FROM e JOIN h1 USING (c) GROUP BY s),
+    h2 AS (SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+           FROM e JOIN a2 USING (s) GROUP BY c),
+    a3 AS (SELECT s, CAST(SUM(h) AS HUGEINT) AS a
+           FROM e JOIN h2 USING (c) GROUP BY s),
+    h3 AS (SELECT c, CAST(SUM(a) AS HUGEINT) AS h
+           FROM e JOIN a3 USING (s) GROUP BY c),
+    u AS (
+      SELECT 's' || CAST(s AS VARCHAR) AS v, 'authority' AS role,
+             CAST(a AS DECIMAL(38,0)) AS score FROM a3
+      UNION ALL
+      SELECT 'c' || CAST(c AS VARCHAR) AS v, 'hub' AS role,
+             CAST(h AS DECIMAL(38,0)) AS score FROM h3
+    )
+    SELECT v, role, score,
+           CAST(score AS DOUBLE)
+             / CAST(SUM(score) OVER (PARTITION BY role) AS DOUBLE) AS share
+    FROM u
+    """,
+)
+def trade_hits_hub_authority(spark: SparkSession, sf: str):
+    """HITS (Kleinberg hubs & authorities, 3 fixed rounds) over the
+    directed customer -> supplier trade graph — the second link-analysis
+    member next to PageRank, and the natural one for a BIPARTITE graph
+    (hub customers buy from the important suppliers; authority suppliers
+    are bought from by the important customers).  Key spelling insight:
+    UNNORMALIZED iterations from the all-ones start stay INTEGER
+    (a1 = in-degree, h1 = Σ a1 of successors, ...), so unlike PageRank's
+    ordered float folds the per-round sums are plain map-side-combining
+    aggregates — order-independent and bit-exact by construction, in
+    DECIMAL(38,0) because scores grow like deg^round (int64 dies around
+    sf1 by round 3).  Rankings equal the normalized algorithm's (scores
+    are proportional); the normalized SHARE within each role is one
+    final double division against the exact decimal role total.  Scale:
+    the static distinct edge list drives every round; each round is one
+    shuffle join (scores onto edges by the opposite endpoint's key) +
+    one grouped sum — same exchange pattern as PageRank but with no
+    fold-order machinery to pay for.  Three rounds, six joins, plan
+    depth fixed."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = e.groupBy("s").agg(F.count("*").cast("decimal(38,0)").alias("a"))
+    h = (
+        e.join(a, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+    )
+    for _ in range(2):  # rounds 2 and 3
+        a = (
+            e.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+        )
+        h = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+        )
+    u = a.select(
+        F.concat(F.lit("s"), F.col("s").cast("string")).alias("v"),
+        F.lit("authority").alias("role"),
+        F.col("a").alias("score"),
+    ).unionByName(
+        h.select(
+            F.concat(F.lit("c"), F.col("c").cast("string")).alias("v"),
+            F.lit("hub").alias("role"),
+            F.col("h").alias("score"),
+        )
+    )
+    return u.select(
+        "v",
+        "role",
+        "score",
+        (
+            F.col("score").cast("double")
+            / F.sum("score")
+            .over(W.partitionBy("role"))
+            .cast("decimal(38,0)")
+            .cast("double")
+        ).alias("share"),
+    )

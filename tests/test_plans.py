@@ -988,3 +988,45 @@ def test_r14c_zipf_joinless_pruned(spark, sf_dir):
     df = Q["corpus_zipf_loglog_slope"](spark, sf_dir)
     assert not join_strategies(df)
     assert set(read_schemas(df)["documents"]) == {"doc_id", "text"}
+
+
+def test_r14c_psi_domain_bounded_broadcasts(spark, sf_dir):
+    """PSI scale contract: the events pass is one pruned projection
+    (ts, value); bounds and totals are the only nested-loop "joins"
+    (1-row broadcasts); the bucket fill is an equi join on the literal
+    0..9 frame."""
+    df = Q["events_value_psi_halves"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    strats = join_strategies(df)
+    # 1-row broadcasts only: bounds (appears twice — the totals branch
+    # re-evaluates the counts subtree) + totals
+    assert 2 <= strats.count("BroadcastNestedLoopJoin") <= 3, strats
+    assert set(read_schemas(df)["events"]) == {"ts", "value"}
+
+
+def test_r14c_jsd_vocab_bounded_hash_joins(spark, sf_dir):
+    """JSD scale contract: the mixture fan-out is vocab x sources built
+    from BROADCASTS of the 20-row per-source totals and 1-row corpus
+    folds — the token-count joins stay hash-keyed, never cartesian —
+    and the documents scan prunes to (doc_id, source, text)."""
+    df = Q["source_token_jsd_vs_corpus"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert set(read_schemas(df)["documents"]) == {"doc_id", "source", "text"}
+
+
+def test_r14c_hits_equi_rounds_pruned(spark, sf_dir):
+    """HITS scale contract: all six round joins are equi joins on the
+    endpoint keys (no nested loop anywhere — the integer spelling needs
+    no fold-order machinery), and both scans prune to the two key
+    columns."""
+    df = Q["trade_hits_hub_authority"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    strats = join_strategies(df)
+    assert len(strats) >= 7, strats  # edge build + 6 round joins
+    assert set(read_schemas(df)["orders"]) == {"o_orderkey", "o_custkey"}
+    assert set(read_schemas(df)["lineitem"]) == {"l_orderkey", "l_suppkey"}

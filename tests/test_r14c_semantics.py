@@ -268,3 +268,111 @@ def test_zipf_slope_matches_python_counter(spark, sf_dir):
     assert r.zipf_slope == (
         float(num) / float(den) if n >= 2 and den != 0 else None
     )
+
+
+def test_psi_matches_python_buckets(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT),"
+        " epoch_us(ts) // 86400000000"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE value IS NOT NULL AND ts IS NOT NULL",
+    )
+    vals = [(int(v), int(d)) for v, d in rows]
+    mn = min(v for v, _ in vals)
+    mx = max(v for v, _ in vals)
+    mid = (min(d for _, d in vals) + max(d for _, d in vals)) // 2
+    n_early = [0] * 10
+    n_late = [0] * 10
+    for v, d in vals:
+        b = ((v - mn) * 10) // (mx - mn + 1)
+        (n_early if d <= mid else n_late)[b] += 1
+    na, nb = sum(n_early) + 10, sum(n_late) + 10
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    expected = {}
+    for b in range(10):
+        x = (n_early[b] + 1) * nb
+        y = (n_late[b] + 1) * na
+        diff, bits = x - y, flog2(x) - flog2(y)
+        expected[b] = (
+            n_early[b], n_late[b], na, nb, diff, bits,
+            float(diff) * float(bits) / (float(na) * float(nb)),
+        )
+    got = {
+        r.bucket: (
+            r.n_early, r.n_late, r.total_early_smoothed,
+            r.total_late_smoothed, r.diff_num, r.ratio_bits,
+            r.psi_bits_cell,
+        )
+        for r in Q["events_value_psi_halves"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_jsd_matches_python_counters(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir, "SELECT source, text FROM read_parquet('{d}/documents.parquet')"
+    )
+    per_src = {}
+    for src, text in rows:
+        per_src.setdefault(src, Counter()).update(text.split(" "))
+    cg = Counter()
+    for cc in per_src.values():
+        cg.update(cc)
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    n_g = sum(cg.values())
+    surp_g = sum(c * (flog2(n_g) - flog2(c)) for c in cg.values())
+    expected = {}
+    for src, cc in per_src.items():
+        n_s = sum(cc.values())
+        surp_s = sum(c * (flog2(n_s) - flog2(c)) for c in cc.values())
+        m_tot = 2 * n_s * n_g
+        surp_m = 0
+        for tok, cgl in cg.items():
+            m_num = cc.get(tok, 0) * n_g + cgl * n_s
+            surp_m += m_num * (flog2(m_tot) - flog2(m_num))
+        jsd = float(surp_m) / float(m_tot) - (
+            float(surp_s) / float(n_s) + float(surp_g) / float(n_g)
+        ) / 2.0
+        expected[src] = (n_s, len(cc), n_g, surp_s, surp_g, surp_m, jsd)
+    got = {
+        r.source: (
+            r.n_tok_source, r.vocab_s, r.n_tok_corpus,
+            r.surp_s, r.surp_g, r.surp_m, r.jsd_bits,
+        )
+        for r in Q["source_token_jsd_vs_corpus"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_hits_matches_python_integer_rounds(spark, sf_dir):
+    edges = set(
+        _cents_rows(
+            sf_dir,
+            "SELECT DISTINCT o_custkey, l_suppkey"
+            " FROM read_parquet('{d}/orders.parquet') o"
+            " JOIN read_parquet('{d}/lineitem.parquet') l"
+            " ON l_orderkey = o_orderkey",
+        )
+    )
+    succ, pred = {}, {}
+    for c, s in edges:
+        succ.setdefault(c, []).append(s)
+        pred.setdefault(s, []).append(c)
+    h = {c: 1 for c in succ}
+    a = {}
+    for _ in range(3):
+        a = {s: sum(h[c] for c in cs) for s, cs in pred.items()}
+        h = {c: sum(a[s] for s in ss) for c, ss in succ.items()}
+    # query rounds: a1=indeg (h0=1), h1, a2, h2, a3, h3 — the loop above
+    # produces exactly (a3, h3)
+    ta, th = sum(a.values()), sum(h.values())
+    expected = {
+        **{f"s{s}": ("authority", v, float(v) / float(ta)) for s, v in a.items()},
+        **{f"c{c}": ("hub", v, float(v) / float(th)) for c, v in h.items()},
+    }
+    got = {
+        r.v: (r.role, int(r.score), r.share)
+        for r in Q["trade_hits_hub_authority"](spark, sf_dir).collect()
+    }
+    assert got == expected
