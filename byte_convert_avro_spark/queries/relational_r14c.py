@@ -207,7 +207,7 @@ def events_ks_view_purchase(spark: SparkSession, sf: str):
       FROM r GROUP BY flag
     )
     SELECT flag AS l_returnflag, n,
-           sum_d2_x4,
+           CAST(sum_d2_x4 AS VARCHAR) AS sum_d2_x4,
            CASE WHEN n >= 2 THEN
              1.0 - (6.0 * (CAST(sum_d2_x4 AS DOUBLE) / 4.0))
                      / (CAST(n AS DOUBLE)
@@ -265,7 +265,12 @@ def lineitem_spearman_qty_price(spark: SparkSession, sf: str):
     return g.select(
         F.col("flag").alias("l_returnflag"),
         "n",
-        "sum_d2_x4",
+        # conveyed as a STRING: above 2^53 a DECIMAL column round-trips
+        # exactly through Spark's pandas conversion but duckdb's .df()
+        # degrades DECIMAL to float64 — the gate would diff the
+        # CONVEYANCE, not the engines.  Both engines cast the exact
+        # decimal to plain digits instead.
+        F.col("sum_d2_x4").cast("string").alias("sum_d2_x4"),
         F.when(
             F.col("n") >= 2,
             F.lit(1.0)
@@ -989,7 +994,7 @@ def source_token_jsd_vs_corpus(spark: SparkSession, sf: str):
       SELECT 'c' || CAST(c AS VARCHAR) AS v, 'hub' AS role,
              CAST(h AS DECIMAL(38,0)) AS score FROM h3
     )
-    SELECT v, role, score,
+    SELECT v, role, CAST(score AS VARCHAR) AS score,
            CAST(score AS DOUBLE)
              / CAST(SUM(score) OVER (PARTITION BY role) AS DOUBLE) AS share
     FROM u
@@ -1052,7 +1057,9 @@ def trade_hits_hub_authority(spark: SparkSession, sf: str):
     return u.select(
         "v",
         "role",
-        "score",
+        # string conveyance: scores pass 2^53 around sf1 and duckdb's
+        # .df() degrades DECIMAL to float64 (see the Spearman note)
+        F.col("score").cast("string").alias("score"),
         (
             F.col("score").cast("double")
             / F.sum("score")
