@@ -184,6 +184,13 @@ EXTENDED = [
     "events_value_psi_halves",
     "source_token_jsd_vs_corpus",
     "trade_hits_hub_authority",
+    # round-14d: Fellegi-Sunter scoring — its wall time pins the
+    # candidate stage staying the variant equi-join (the FastSS
+    # property) with row-local integer scoring on top; the streaming
+    # PSI twin rides the micro-batch replay harness like the other
+    # streaming sketch members
+    "customer_linkage_fs_weights",
+    "streaming_psi_value_halves",
 ]
 
 

@@ -710,9 +710,9 @@ def corpus_zipf_loglog_slope(spark: SparkSession, sf: str):
 # folds — plain map-side-combining SUMs are bit-exact by construction.
 
 
-@register(
-    "events_value_psi_halves",
-    """
+#: shared with the streaming twin (streaming_psi_value_halves): the
+#: streaming path must gate against the IDENTICAL oracle.
+EVENTS_PSI_SQL = """
     WITH f AS (
       SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
              epoch_us(ts) // 86400000000 AS day
@@ -750,8 +750,10 @@ def corpus_zipf_loglog_slope(spark: SparkSession, sf: str):
                     - (length(bin((n_late + 1) * na)) - 1) AS DOUBLE)
              / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS psi_bits_cell
     FROM filled CROSS JOIN tot
-    """,
-)
+    """
+
+
+@register("events_value_psi_halves", EVENTS_PSI_SQL)
 def events_value_psi_halves(spark: SparkSession, sf: str):
     """POPULATION STABILITY INDEX between the early and late halves of
     the event timeline, per equal-width value-cents decile — THE
@@ -789,6 +791,15 @@ def events_value_psi_halves(spark: SparkSession, sf: str):
         F.sum("early").cast("long").alias("n_early"),
         F.sum(F.lit(1) - F.col("early")).cast("long").alias("n_late"),
     )
+    return psi_finalize(spark, cnt)
+
+
+def psi_finalize(spark: SparkSession, cnt) -> DataFrame:
+    """Shared PSI tail over (bucket, n_early, n_late) counts: fill the
+    0..9 domain, add-1 smooth, emit the per-cell integer parts + the
+    one fixed-tree float — used by both the batch entry and the
+    streaming twin so the two paths cannot diverge in the arithmetic,
+    only in how the counts were accumulated."""
     full = (
         spark.range(0, 10)
         .select(F.col("id").alias("bucket"))

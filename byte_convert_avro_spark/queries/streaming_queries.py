@@ -1515,3 +1515,101 @@ def streaming_weighted_user_sample(spark: SparkSession, sf: str):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+def _psi_streaming_oracle() -> str:
+    from byte_convert_avro_spark.queries.relational_r14c import EVENTS_PSI_SQL
+
+    return EVENTS_PSI_SQL
+
+
+@register("streaming_psi_value_halves", _psi_streaming_oracle())
+def streaming_psi_value_halves(spark: SparkSession, sf: str):
+    """STREAMING POPULATION STABILITY INDEX — the cross-batch twin of
+    ``events_value_psi_halves`` and the FIFTH streaming sketch family
+    member (count-min = stateful SUM, HLL = stateful MAX, rank sketch =
+    bottom-k state, weighted sample = stateful MIN; PSI = stateful SUM
+    over a 10-bucket DOMAIN against a static reference histogram).  The
+    production monitoring shape: the reference (early-half) histogram
+    and the bucket bounds are computed once batch-side and broadcast;
+    the live stream joins the bounds on a constant key (a supported
+    stream-static equi join), labels each event's decile row-locally,
+    and the ONLY streaming state is 10 ever-growing counts.  After
+    draining four genuine hash-sharded micro-batches the accumulated
+    late-half counts feed the SAME shared finalize (psi_finalize) and
+    must reproduce the batch entry's cells bit-for-bit against the SAME
+    oracle — the streaming path changes nothing.  Linear state means
+    at-least-once replay WOULD double-count (the count-min caveat, not
+    the HLL one) — exactly-once file-source semantics carry the gate."""
+    import shutil
+
+    from byte_convert_avro_spark.queries.base import cents
+    from byte_convert_avro_spark.queries.relational_r14c import psi_finalize
+
+    ev = t(spark, sf, "events")
+    f = ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
+        cents("value").alias("vc"),
+        F.expr("(ts DIV 1000) DIV 86400000000").alias("day"),
+    )
+    bounds = f.agg(
+        F.min("vc").alias("mn"),
+        F.max("vc").alias("mx"),
+        F.expr("(MIN(day) + MAX(day)) DIV 2").alias("mid"),
+    )
+    bucket = F.expr("((vc - mn) * 10) DIV (mx - mn + 1)").alias("bucket")
+    early_cnt = (
+        f.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day") <= F.col("mid"))
+        .groupBy(bucket)
+        .agg(F.count("*").cast("long").alias("n_early"))
+    )
+    # the stream side joins the same 1-row bounds on a constant key —
+    # the supported stream-static EQUI join spelling of a broadcast
+    keyed_bounds = bounds.withColumn("_k", F.lit(1))
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "psi_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        labeled = (
+            stream.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+            .select(
+                cents("value").alias("vc"),
+                F.expr("(ts DIV 1000) DIV 86400000000").alias("day"),
+                F.lit(1).alias("_k"),
+            )
+            .join(F.broadcast(keyed_bounds), "_k")
+            .filter(F.col("day") > F.col("mid"))
+            .select(bucket)
+        )
+        late_stream = labeled.groupBy("bucket").agg(
+            F.count("*").cast("long").alias("n_late")
+        )
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            late_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        late = spark.table(name)
+        cnt = early_cnt.join(late, "bucket", "full").select(
+            "bucket",
+            F.coalesce("n_early", F.lit(0)).alias("n_early"),
+            F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        )
+        return psi_finalize(spark, cnt)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

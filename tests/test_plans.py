@@ -1030,3 +1030,24 @@ def test_r14c_hits_equi_rounds_pruned(spark, sf_dir):
     assert len(strats) >= 7, strats  # edge build + 6 round joins
     assert set(read_schemas(df)["orders"]) == {"o_orderkey", "o_custkey"}
     assert set(read_schemas(df)["lineitem"]) == {"l_orderkey", "l_suppkey"}
+
+
+def test_r14d_fs_linkage_variant_equi_broadcast_us(spark, sf_dir):
+    """Fellegi-Sunter scale contract: candidates come from the FastSS
+    VARIANT equi-join (never all-pairs — no cartesian), the three
+    u-probability folds and N are 1-row broadcasts, and the customer
+    scans prune to the four touched columns."""
+    df = Q["customer_linkage_fs_weights"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    strats = join_strategies(df)
+    # 4 1-row broadcast folds (N + three u's) ride as nested loops
+    assert strats.count("BroadcastNestedLoopJoin") == 4, strats
+    assert any(
+        s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for s in strats
+    ), strats
+    # several customer scans exist (variant table, both pair sides, the
+    # u folds) and read_schemas keeps only the last; assert pruning on
+    # the raw plan instead: no scan loads the untouched acctbal column
+    assert "c_acctbal" not in plan

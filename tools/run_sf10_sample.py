@@ -70,6 +70,15 @@ SAMPLE = {
     "sketch-kmv-diff": "kmv_difference_estimate",
     "two-stage-rerank": "pq_rerank_top3_recall",
     "ann-graph-snn": "mutual_knn_pairs",
+    # round-14c/14d families
+    "stat-ks-two-sample": "events_ks_view_purchase",
+    "stat-kendall-taub": "events_kendall_daily_taub",
+    "stat-chi2-cells": "orders_priority_status_chi2_cells",
+    "concentration-hhi": "nation_customer_order_hhi",
+    "drift-psi": "events_value_psi_halves",
+    "drift-jsd": "source_token_jsd_vs_corpus",
+    "link-analysis-hits": "trade_hits_hub_authority",
+    "linkage-fs": "customer_linkage_fs_summary",
 }
 
 #: sf10-only oracle concessions, recorded per-line as mode:
