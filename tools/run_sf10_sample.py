@@ -78,7 +78,11 @@ SAMPLE = {
     "drift-psi": "events_value_psi_halves",
     "drift-jsd": "source_token_jsd_vs_corpus",
     "link-analysis-hits": "trade_hits_hub_authority",
-    "linkage-fs": "customer_linkage_fs_summary",
+    # linkage-fs (customer_linkage_fs_*) is deliberately NOT sampled at
+    # sf10: scale_data replicates names, so the true edit<=1 pair set
+    # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
+    # sf10.  The family is gated at sf1 via its variant-join scale twin
+    # (PARITY_r14d_sf1.json) instead.
 }
 
 #: sf10-only oracle concessions, recorded per-line as mode:
