@@ -191,6 +191,10 @@ EXTENDED = [
     # streaming sketch members
     "customer_linkage_fs_weights",
     "streaming_psi_value_halves",
+    # round-14c batch 3: both pin the domain-bounded (never row-sorted)
+    # two-sample spelling
+    "events_mannwhitney_view_purchase",
+    "events_value_qq_deciles_halves",
 ]
 
 

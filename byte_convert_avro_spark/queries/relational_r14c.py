@@ -1079,3 +1079,252 @@ def trade_hits_hub_authority(spark: SparkSession, sf: str):
             .cast("double")
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 — the remaining two-sample tools: Mann-Whitney U (stochastic
+# dominance, the rank-sum test next to KS's shape test and Welch's mean
+# test) and the QQ decile drift table (the quantile-level view PSI's
+# binning summarizes away).  Both reuse the KS insight: every statistic
+# here is computable from the DISTINCT-VALUE DOMAIN (counts + one
+# ordered cumulative pass), never from row-level ranks — the spelling
+# that survives 100 TB.
+
+
+@register(
+    "events_mannwhitney_view_purchase",
+    """
+    WITH f AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ), g AS (
+      SELECT vc,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t2
+      FROM f GROUP BY vc
+    ), c AS (
+      SELECT vc, t1, t2, t1 + t2 AS t,
+             COALESCE(CAST(SUM(t1 + t2) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS w
+      FROM g
+    ), s AS (
+      SELECT CAST(SUM(t1) AS BIGINT) AS n1, CAST(SUM(t2) AS BIGINT) AS n2,
+             CAST(SUM(t1 * (2 * w + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      FROM c
+    )
+    SELECT n1 AS n_view, n2 AS n_purchase,
+           r1_x2 - n1 * (n1 + 1) AS u_view_x2,
+           2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u_purchase_x2,
+           tie_term,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
+                     AND (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                               * CAST(n1 + n2 AS DOUBLE)
+                               * (CAST(n1 + n2 AS DOUBLE) - 1.0)
+                             - CAST(tie_term AS DOUBLE)))
+                         / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                            * (CAST(n1 + n2 AS DOUBLE) - 1.0)) > 0
+           THEN
+             CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+               / (2.0 * sqrt(
+                   (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                         * CAST(n1 + n2 AS DOUBLE)
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0)
+                       - CAST(tie_term AS DOUBLE)))
+                     / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+           END AS mw_z,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+               / CAST(n1 * n2 AS DOUBLE)
+           END AS cliffs_delta
+    FROM s
+    """,
+)
+def events_mannwhitney_view_purchase(spark: SparkSession, sf: str):
+    """MANN-WHITNEY U (Wilcoxon rank-sum) between 'view' and 'purchase'
+    values — the stochastic-dominance member completing the two-sample
+    toolkit (Welch = means, KS = shape, MW = does one distribution sit
+    above the other), plus CLIFF'S DELTA as the distribution-free effect
+    size (delta = 2U/(n1·n2) − 1, one division).  Everything derives
+    from the DISTINCT-VALUE domain: with per-value counts (t1, t2) and
+    the exclusive running total w, the doubled average rank of a tied
+    block is 2w + t + 1, so the doubled rank sum is Σ t1·(2w+t+1) —
+    exact int64, no row-level rank anywhere (the KS treatment; U in
+    doubled units stays integral under tie-averaged ranks).  The
+    normal-approximation z carries the full tie correction via the
+    exact integer Σ(t³−t); both floats are single fixed trees over
+    exact integers, guarded against the all-tied degenerate variance.
+    Scale: one map-side-combined groupBy to the value domain + one
+    domain-bounded cumulative pass + a 1-row fold.  Overflow: t1·2w ≤
+    2n² — int64 to ~2e9 pooled events; Σ(t³−t) ≤ n·max_t² bounds the
+    tie term the same way."""
+    ev = t(spark, sf, "events")
+    g = (
+        ev.filter(
+            F.col("event_type").isin("view", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(cents("value").alias("vc"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("t1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("t2"),
+        )
+    )
+    wprev = W.orderBy("vc").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "t1",
+        "t2",
+        (F.col("t1") + F.col("t2")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("t1") + F.col("t2")).over(wprev).cast("long"),
+            F.lit(0),
+        ).alias("w"),
+    )
+    s = c.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t2").cast("long").alias("n2"),
+        F.sum(F.col("t1") * (2 * F.col("w") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    n_d = (n1 + n2).cast("double")
+    var = (
+        n1.cast("double")
+        * n2.cast("double")
+        * ((n_d + F.lit(1.0)) * n_d * (n_d - F.lit(1.0))
+           - F.col("tie_term").cast("double"))
+    ) / (F.lit(12.0) * n_d * (n_d - F.lit(1.0)))
+    return s.select(
+        n1.alias("n_view"),
+        n2.alias("n_purchase"),
+        u1_x2.alias("u_view_x2"),
+        (2 * n1 * n2 - u1_x2).alias("u_purchase_x2"),
+        "tie_term",
+        F.when(
+            (n1 > 0) & (n2 > 0) & (n1 + n2 >= 2),
+            F.when(
+                var > 0,
+                (u1_x2 - n1 * n2).cast("double")
+                / (F.lit(2.0) * F.sqrt(var)),
+            ),
+        ).alias("mw_z"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            (u1_x2 - n1 * n2).cast("double") / (n1 * n2).cast("double"),
+        ).alias("cliffs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_qq_deciles_halves",
+    """
+    WITH f AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), mid AS (
+      SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM f
+    ), lab AS (
+      SELECT vc, CASE WHEN day <= mid THEN 1 ELSE 0 END AS early
+      FROM f CROSS JOIN mid
+    ), g AS (
+      SELECT early, vc, CAST(COUNT(*) AS BIGINT) AS t
+      FROM lab GROUP BY early, vc
+    ), c AS (
+      SELECT early, vc,
+             CAST(SUM(t) OVER (PARTITION BY early ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             CAST(SUM(t) OVER (PARTITION BY early) AS BIGINT) AS n
+      FROM g
+    ), q AS (SELECT unnest(generate_series(1, 9)) AS decile
+    ), pick AS (
+      SELECT q.decile, c.early,
+             MIN(c.vc) AS v
+      FROM q JOIN c
+        ON c.cum >= (q.decile * c.n + 9) // 10
+      GROUP BY q.decile, c.early
+    )
+    SELECT e.decile,
+           e.v AS v_early_cents, l.v AS v_late_cents,
+           l.v - e.v AS qq_shift_cents
+    FROM (SELECT decile, v FROM pick WHERE early = 1) e
+    JOIN (SELECT decile, v FROM pick WHERE early = 0) l
+      ON l.decile = e.decile
+    """,
+)
+def events_value_qq_deciles_halves(spark: SparkSession, sf: str):
+    """QQ DECILE DRIFT TABLE between the early and late timeline halves:
+    for each decile 1..9 the percentile_disc value of each half (exact
+    integer rank pick k = ceil(q·n/10), smallest value with cum ≥ k)
+    and the quantile shift in cents — the quantile-level drift view
+    that PSI's fixed binning summarizes away and KS reduces to one max
+    (a production drift triage reads all three: KS says IF, PSI says
+    WHERE in probability mass, QQ says HOW MUCH in value units).  All
+    integer: no interpolation, no floats anywhere.  Scale: per-half
+    counts on the value domain (map-side combine), one domain-bounded
+    cumulative window per half, and a 9-row decile frame joined by a
+    range predicate + MIN — never a row-level sort.  The range join is
+    9 × |domain| worst-case (domain-bounded, the banded-join
+    treatment)."""
+    ev = t(spark, sf, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+    f = ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull()).select(
+        cents("value").alias("vc"),
+        F.expr("ts_us DIV 86400000000").alias("day"),
+    )
+    mid = f.agg(F.expr("(MIN(day) + MAX(day)) DIV 2").alias("mid"))
+    lab = f.crossJoin(F.broadcast(mid)).select(
+        "vc",
+        F.when(F.col("day") <= F.col("mid"), 1).otherwise(0).alias("early"),
+    )
+    g = lab.groupBy("early", "vc").agg(F.count("*").cast("long").alias("t"))
+    wc = W.partitionBy("early").orderBy("vc").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = g.select(
+        "early",
+        "vc",
+        F.sum("t").over(wc).cast("long").alias("cum"),
+        F.sum("t").over(W.partitionBy("early")).cast("long").alias("n"),
+    )
+    q = spark.range(1, 10).select(F.col("id").alias("decile"))
+    pick = (
+        F.broadcast(q)
+        .join(
+            c,
+            F.col("cum") >= F.expr("(decile * n + 9) DIV 10"),
+        )
+        .groupBy("decile", "early")
+        .agg(F.min("vc").alias("v"))
+    )
+    e = pick.filter(F.col("early") == 1).select(
+        "decile", F.col("v").alias("v_early_cents")
+    )
+    late = pick.filter(F.col("early") == 0).select(
+        "decile", F.col("v").alias("v_late_cents")
+    )
+    return e.join(late, "decile").select(
+        "decile",
+        "v_early_cents",
+        "v_late_cents",
+        (F.col("v_late_cents") - F.col("v_early_cents")).alias(
+            "qq_shift_cents"
+        ),
+    )

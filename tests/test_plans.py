@@ -1051,3 +1051,15 @@ def test_r14d_fs_linkage_variant_equi_broadcast_us(spark, sf_dir):
     # u folds) and read_schemas keeps only the last; assert pruning on
     # the raw plan instead: no scan loads the untouched acctbal column
     assert "c_acctbal" not in plan
+
+
+def test_r14c_mw_and_qq_domain_bounded(spark, sf_dir):
+    """Mann-Whitney and the QQ table must live on the distinct-value
+    DOMAIN: pruned events scans, and no row-level global sort — the
+    only ordered passes are the domain-bounded cumulative windows."""
+    mw = Q["events_mannwhitney_view_purchase"](spark, sf_dir)
+    assert set(read_schemas(mw)["events"]) == {"event_type", "value"}
+    assert not join_strategies(mw)
+    qq = Q["events_value_qq_deciles_halves"](spark, sf_dir)
+    assert set(read_schemas(qq)["events"]) == {"ts", "value"}
+    assert "CartesianProduct" not in explain_str(qq, "formatted")

@@ -376,3 +376,70 @@ def test_hits_matches_python_integer_rounds(spark, sf_dir):
         for r in Q["trade_hits_hub_authority"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_mannwhitney_matches_python_ranks(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL",
+    )
+    views = sorted(int(v) for et, v in rows if et == "view")
+    purch = sorted(int(v) for et, v in rows if et == "purchase")
+    pooled = sorted(views + purch)
+    n1, n2, n = len(views), len(purch), len(views) + len(purch)
+    # doubled tie-averaged pooled ranks via value -> 2*avg_rank
+    from collections import Counter as C
+    cnt = C(pooled)
+    r2 = {}
+    cum = 0
+    tie_term = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        r2[v] = 2 * cum + t + 1
+        tie_term += t * t * t - t
+        cum += t
+    r1_x2 = sum(r2[v] for v in views)
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
+    n_d = float(n)
+    var = (
+        float(n1) * float(n2)
+        * ((n_d + 1.0) * n_d * (n_d - 1.0) - float(tie_term))
+    ) / (12.0 * n_d * (n_d - 1.0))
+    z = float(u1_x2 - n1 * n2) / (2.0 * math.sqrt(var))
+    delta = float(u1_x2 - n1 * n2) / float(n1 * n2)
+    [r] = Q["events_mannwhitney_view_purchase"](spark, sf_dir).collect()
+    assert (r.n_view, r.n_purchase) == (n1, n2)
+    assert (r.u_view_x2, r.u_purchase_x2) == (u1_x2, 2 * n1 * n2 - u1_x2)
+    assert r.tie_term == tie_term
+    assert r.mw_z == z
+    assert r.cliffs_delta == delta
+
+
+def test_qq_deciles_match_python_picks(spark, sf_dir):
+    rows = _cents_rows(
+        sf_dir,
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT),"
+        " epoch_us(ts) // 86400000000"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE value IS NOT NULL AND ts IS NOT NULL",
+    )
+    vals = [(int(v), int(d)) for v, d in rows]
+    mid = (min(d for _, d in vals) + max(d for _, d in vals)) // 2
+    early = sorted(v for v, d in vals if d <= mid)
+    late = sorted(v for v, d in vals if d > mid)
+
+    def pick(arr, q):
+        k = (q * len(arr) + 9) // 10
+        return arr[k - 1]
+
+    expected = {
+        q: (pick(early, q), pick(late, q), pick(late, q) - pick(early, q))
+        for q in range(1, 10)
+    }
+    got = {
+        r.decile: (r.v_early_cents, r.v_late_cents, r.qq_shift_cents)
+        for r in Q["events_value_qq_deciles_halves"](spark, sf_dir).collect()
+    }
+    assert got == expected
