@@ -195,6 +195,9 @@ EXTENDED = [
     # two-sample spelling
     "events_mannwhitney_view_purchase",
     "events_value_qq_deciles_halves",
+    # round-14d: per-node triangle attribution — wall time pins the
+    # corner explode staying output-bounded on the oriented enumeration
+    "copurchase_clustering_coefficient",
 ]
 
 

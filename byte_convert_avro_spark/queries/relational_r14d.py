@@ -332,3 +332,82 @@ def customer_linkage_fs_summary(spark: SparkSession, sf: str):
         F.sum("nation_agree").cast("long").alias("n_nation_agree"),
         F.sum("segment_agree").cast("long").alias("n_segment_agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_clustering_coefficient",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY n
+    ),
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS n FROM tris
+      UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris
+    ),
+    tcnt AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY n)
+    SELECT deg.n AS part, deg.d AS degree,
+           COALESCE(tcnt.t, 0) AS triangles,
+           CASE WHEN deg.d >= 2 THEN
+             CAST(2 * COALESCE(tcnt.t, 0) AS DOUBLE)
+               / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+    """,
+)
+def copurchase_clustering_coefficient(spark: SparkSession, sf: str):
+    """LOCAL CLUSTERING COEFFICIENT per part on the co-purchase graph:
+    c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    neighborhood is to a clique, THE community-structure readout next
+    to the global triangle count (same graph, same degree-oriented
+    enumeration — ``operators/graph.triangle_counts_per_node`` — but
+    each triangle credited to all three corners via an OUTPUT-bounded
+    explode).  High-coefficient parts sit in tight "bought-together"
+    cliques (bundle candidates); degree-heavy low-coefficient parts are
+    hubs bridging unrelated baskets.  Exact integer degree/triangle
+    columns; the coefficient is one fixed tree, guarded for deg < 2.
+    The oracle enumerates the same triangles via the naive ordered
+    triple join and attributes corners identically — same numbers,
+    different algorithm.  Scale: inherits triangle_count's arboricity
+    bound; the corner explode adds 3 rows per triangle, output-bounded
+    at any size."""
+    from byte_convert_avro_spark.operators.graph import (
+        triangle_counts_per_node,
+    )
+
+    li = t(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = os_.select(F.col("ok"), F.col("p").alias("p2"))
+    edges = (
+        os_.join(b, "ok")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+    )
+    pn = triangle_counts_per_node(edges, "src", "dst")
+    d_d = F.col("degree").cast("double")
+    return pn.select(
+        F.col("n").alias("part"),
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.col("triangles")).cast("double")
+            / (d_d * (d_d - F.lit(1.0))),
+        ).alias("clustering_coeff"),
+    )

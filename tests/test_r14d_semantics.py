@@ -125,3 +125,31 @@ def test_fs_summary_matches_python(spark, sf_dir):
         for r in Q["customer_linkage_fs_summary"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_clustering_coefficient_matches_python(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM"
+        f" read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    by_order = {}
+    for ok, p in rows:
+        by_order.setdefault(int(ok), set()).add(int(p))
+    adj = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    expected = {}
+    for v, ns in adj.items():
+        tri = sum(len(ns & adj[w]) for w in ns) // 2
+        d = len(ns)
+        coeff = 2.0 * float(tri) / (float(d) * (float(d) - 1.0)) if d >= 2 else None
+        expected[v] = (d, tri, coeff)
+    got = {
+        r.part: (r.degree, r.triangles, r.clustering_coeff)
+        for r in Q["copurchase_clustering_coefficient"](spark, sf_dir).collect()
+    }
+    assert got == expected
