@@ -1,0 +1,377 @@
+"""Round-14 session-5 additions: multi-group rank statistics, lead-lag
+series association, and graph-level degree correlation.
+
+Families and why they are NEW surface, not respellings:
+
+- **Kruskal-Wallis cells** (``events_kruskal_wallis_cells``): the
+  K-group generalization of Mann-Whitney — the existing two-sample
+  entries (Welch, KS, MW) compare exactly TWO slices; KW asks "do ANY
+  of the k event types differ in value distribution", the one-way
+  nonparametric ANOVA every segmentation pass runs first.  It reuses
+  the MW machinery verbatim (tie-averaged ranks from the DISTINCT-VALUE
+  domain: a tied block's doubled average rank is ``2w + t + 1``) and
+  the chi2-cells emission discipline: one row per group with its exact
+  doubled rank sum, so no cross-row float sum exists anywhere in the
+  compare surface.
+- **Daily lead-lag cross-correlation**
+  (``events_daily_crosscorr_view_purchase``): ``events_value_acf_by_-
+  type`` correlates a series WITH ITSELF; this correlates two DIFFERENT
+  daily series (views vs purchases) at lags −3..+3 — the standard
+  "does marketing activity lead conversions, and by how many days"
+  readout.  All five moment sums are exact int64 per lag; Pearson r is
+  one fixed expression tree over them.
+- **Degree assortativity** (``trade_degree_assortativity``): the graph
+  family has per-NODE statistics (degree histogram, clustering
+  coefficient, k-core) and per-GRAPH spectra (PageRank, HITS); this is
+  the per-EDGE mixing statistic — the Pearson correlation of endpoint
+  degrees across edges (Newman 2002), answering "do high-degree
+  customers trade with high-degree suppliers (assortative) or with
+  niche ones (disassortative)".  The moment sums stay exact int64 on
+  the uniform TPC-H degree profile; the cross products m·Σ (which pass
+  2^63 at sf10) are one fixed DOUBLE tree over those gated exact sums.
+
+Cross-engine float discipline (the welch_t/changepoint rules): every
+float is produced by ONE identical expression tree over exact-integer
+inputs, with divisions guarded by conditionally-evaluated CASE.
+
+Reference parity note: the reference (AvroTransform.java, 337-LoC
+Kafka-Connect SMT) has none of these operators — all belong to the
+analytics/LLM-pipeline addendum SURVEY.md §2 mandates on top of the
+decode pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import (
+    cents,
+    register,
+    t,
+)
+
+_DAY_US = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_kruskal_wallis_cells",
+    """
+    WITH f AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), g1 AS (
+      SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS tg
+      FROM f GROUP BY event_type, vc
+    ), g0 AS (
+      SELECT vc, CAST(SUM(tg) AS BIGINT) AS t FROM g1 GROUP BY vc
+    ), gt AS (
+      SELECT vc, t,
+             COALESCE(CAST(SUM(t) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS w
+      FROM g0
+    ), pg AS (
+      SELECT g1.event_type,
+             CAST(SUM(g1.tg) AS BIGINT) AS n_g,
+             CAST(SUM(g1.tg * (2 * gt.w + gt.t + 1)) AS BIGINT) AS r2_g
+      FROM g1 JOIN gt USING (vc)
+      GROUP BY g1.event_type
+    ), tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      FROM gt
+    )
+    SELECT pg.event_type, pg.n_g,
+           CAST(CAST(pg.r2_g AS DECIMAL(38,0)) AS VARCHAR) AS r2_g,
+           CASE WHEN pg.n_g > 0 THEN
+             CAST(pg.r2_g AS DOUBLE) / (2.0 * CAST(pg.n_g AS DOUBLE))
+           END AS mean_rank,
+           CASE WHEN tot.n > 0 THEN
+             (3.0 * CAST(pg.r2_g AS DOUBLE) * CAST(pg.r2_g AS DOUBLE))
+               / (CAST(pg.n_g AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  * (CAST(tot.n AS DOUBLE) + 1.0))
+           END AS h_contrib,
+           tot.n AS n_total, tot.tie_term,
+           CASE WHEN tot.n >= 2 THEN
+             1.0 - CAST(tot.tie_term AS DOUBLE)
+               / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  * CAST(tot.n AS DOUBLE) - CAST(tot.n AS DOUBLE))
+           END AS tie_correction
+    FROM pg CROSS JOIN tot
+    """,
+)
+def events_kruskal_wallis_cells(spark: SparkSession, sf: str):
+    """KRUSKAL-WALLIS H cells across ALL event types on value — the
+    K-group rank test (one-way nonparametric ANOVA).  Emission follows
+    the chi2-cells rule: one row PER GROUP carrying its exact doubled
+    rank sum ``r2_g = Σ tg·(2w+t+1)`` (tie-averaged ranks from the
+    distinct-value domain, the MW spelling) plus the per-group H
+    contribution ``12·R_g²/(n_g·N·(N+1)) = 3·r2_g²/(n_g·N·(N+1))`` as
+    one fixed float tree — H itself is Σ h_contrib − 3(N+1), divided by
+    tie_correction, a reader-side fold over ≤|event types| rows, so no
+    cross-row float sum ever crosses the compare boundary.  r2_g
+    conveys as a digit string (the round-14c DECIMAL rule: it passes
+    2^53 near 7e7 pooled rows).  Scale: one map-side-combined groupBy
+    to the (type, value) domain, one domain-bounded cumulative pass,
+    one K-row fold — the single-partition window runs over the DISTINCT
+    value domain, never rows (the KS/MW/QQ discipline)."""
+    ev = t(spark, sf, "events")
+    f = ev.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select("event_type", cents("value").alias("vc"))
+    g1 = f.groupBy("event_type", "vc").agg(
+        F.count("*").cast("long").alias("tg")
+    )
+    wprev = W.orderBy("vc").rowsBetween(W.unboundedPreceding, -1)
+    gt = (
+        g1.groupBy("vc")
+        .agg(F.sum("tg").cast("long").alias("t"))
+        .select(
+            "vc",
+            "t",
+            F.coalesce(
+                F.sum("t").over(wprev).cast("long"), F.lit(0)
+            ).alias("w"),
+        )
+    )
+    pg = (
+        g1.join(gt, "vc")
+        .groupBy("event_type")
+        .agg(
+            F.sum("tg").cast("long").alias("n_g"),
+            F.sum(F.col("tg") * (2 * F.col("w") + F.col("t") + 1))
+            .cast("long")
+            .alias("r2_g"),
+        )
+    )
+    tot = gt.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    n_d = F.col("n").cast("double")
+    r2_d = F.col("r2_g").cast("double")
+    return pg.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_g",
+        F.col("r2_g").cast("decimal(38,0)").cast("string").alias("r2_g"),
+        F.when(
+            F.col("n_g") > 0,
+            r2_d / (F.lit(2.0) * F.col("n_g").cast("double")),
+        ).alias("mean_rank"),
+        F.when(
+            F.col("n") > 0,
+            (F.lit(3.0) * r2_d * r2_d)
+            / (
+                F.col("n_g").cast("double")
+                * n_d
+                * (n_d + F.lit(1.0))
+            ),
+        ).alias("h_contrib"),
+        F.col("n").alias("n_total"),
+        "tie_term",
+        F.when(
+            F.col("n") >= 2,
+            F.lit(1.0)
+            - F.col("tie_term").cast("double")
+            / (n_d * n_d * n_d - n_d),
+        ).alias("tie_correction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_crosscorr_view_purchase",
+    f"""
+    WITH f AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day, event_type
+      FROM events WHERE ts IS NOT NULL
+    ), daily AS (
+      SELECT day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p
+      FROM f GROUP BY day
+    ), lags AS (
+      SELECT unnest(generate_series(-3, 3)) AS lag
+    ), s AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(a.v) AS BIGINT) AS sx,
+             CAST(SUM(b.p) AS BIGINT) AS sy,
+             CAST(SUM(a.v * b.p) AS BIGINT) AS sxy,
+             CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+             CAST(SUM(b.p * b.p) AS BIGINT) AS syy
+      FROM lags l
+      CROSS JOIN daily a
+      JOIN daily b ON b.day = a.day + l.lag
+      GROUP BY l.lag
+    )
+    SELECT lag, n_days,
+           n_days * sxy - sx * sy AS cov_num,
+           CASE WHEN n_days * sxx - sx * sx > 0
+                 AND n_days * syy - sy * sy > 0
+           THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+           END AS crosscorr
+    FROM s ORDER BY lag
+    """,
+)
+def events_daily_crosscorr_view_purchase(spark: SparkSession, sf: str):
+    """LEAD-LAG CROSS-CORRELATION between the daily view series and the
+    daily purchase series at lags −3..+3 days: ``crosscorr`` at lag L
+    is the Pearson correlation of (views on day d, purchases on day
+    d+L), so a peak at L>0 reads "views lead purchases by L days" —
+    the attribution-window diagnostic next to the ACF family's
+    self-correlation.  Per lag, the five moment sums over the aligned
+    day pairs are exact int64 (daily counts squared times the
+    day-domain size stays far under 2^63 at any plausible SF) and r is
+    one fixed float tree over them, guarded against zero variance; the
+    exact covariance numerator ``n·sxy − sx·sy`` is emitted alongside
+    so the float's integer provenance is itself gated.  Scale: the day
+    domain is |days|-bounded (one map-side-combined groupBy from rows
+    to days), the 7-lag self-join is |days|×7 — constant-sized
+    downstream of the first aggregation, the aggregation-first
+    discipline of the trend family."""
+    ev = t(spark, sf, "events").withColumn("ts_us", F.expr("ts DIV 1000"))
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(F.expr("ts_us DIV 86400000000").alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("v"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("p"))
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    s = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b_day") == F.col("a_day") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("v").cast("long").alias("sx"),
+            F.sum("p").cast("long").alias("sy"),
+            F.sum(F.col("v") * F.col("p")).cast("long").alias("sxy"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+            F.sum(F.col("p") * F.col("p")).cast("long").alias("syy"),
+        )
+    )
+    n = F.col("n_days")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "lag",
+        "n_days",
+        cov.alias("cov_num"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            cov.cast("double")
+            / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+        ).alias("crosscorr"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "trade_degree_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    dc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dx FROM e GROUP BY c),
+    ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dy FROM e GROUP BY s),
+    ej AS (
+      SELECT dc.dx, ds.dy FROM e JOIN dc USING (c) JOIN ds USING (s)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+      FROM ej
+    )
+    SELECT m AS m_edges, sx AS sum_dc, sy AS sum_ds, sxy AS sum_dcds,
+           sxx AS sum_dc_sq, syy AS sum_ds_sq,
+           CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+           THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS r_assortativity
+    FROM m
+    """,
+)
+def trade_degree_assortativity(spark: SparkSession, sf: str):
+    """DEGREE ASSORTATIVITY of the bipartite customer→supplier trade
+    graph (Newman 2002): the Pearson correlation of (deg(c), deg(s))
+    across distinct trade EDGES — positive means busy customers buy
+    from busy suppliers, negative means hubs serve the periphery.  The
+    graph family's per-EDGE mixing statistic, complementing per-node
+    (degree histogram, clustering coefficient) and per-graph (PageRank,
+    HITS) members.  The six moment SUMS stay exact int64 (Σdx·dy over
+    4.5e7 sf10 edges with typical degrees 40×450 is ~8e11; the TPC-H
+    degree distribution is uniform, and each sum's bound Σ ≤ m·max_deg²
+    is documented here so a skewed deployment knows the DECIMAL upgrade
+    point); the CROSS products m·Σ — which DO pass 2^63 at sf10 — are
+    computed in DOUBLE as one fixed tree over the exact sums, with
+    every exact sum emitted alongside so the float's provenance is
+    itself gated.  Scale: degrees are two map-side-combined groupBys of
+    the edge list; the decoration join ships two node-sized tables onto
+    edges; the fold is one row.  Same static edge-list backbone as
+    PageRank/HITS — no iteration here at all."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = e.groupBy("c").agg(F.count("*").cast("long").alias("dx"))
+    ds = e.groupBy("s").agg(F.count("*").cast("long").alias("dy"))
+    ej = e.join(dc, "c").join(ds, "s").select("dx", "dy")
+    m = ej.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    m_d = F.col("m").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    varx = m_d * F.col("sxx").cast("double") - sx_d * sx_d
+    vary = m_d * F.col("syy").cast("double") - sy_d * sy_d
+    cov = m_d * F.col("sxy").cast("double") - sx_d * sy_d
+    return m.select(
+        F.col("m").alias("m_edges"),
+        F.col("sx").alias("sum_dc"),
+        F.col("sy").alias("sum_ds"),
+        F.col("sxy").alias("sum_dcds"),
+        F.col("sxx").alias("sum_dc_sq"),
+        F.col("syy").alias("sum_ds_sq"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            cov / (F.sqrt(varx) * F.sqrt(vary)),
+        ).alias("r_assortativity"),
+    )

@@ -1063,3 +1063,43 @@ def test_r14c_mw_and_qq_domain_bounded(spark, sf_dir):
     qq = Q["events_value_qq_deciles_halves"](spark, sf_dir)
     assert set(read_schemas(qq)["events"]) == {"ts", "value"}
     assert "CartesianProduct" not in explain_str(qq, "formatted")
+
+
+def test_r14e_crosscorr_daily_rollup_before_lag_join(spark, sf_dir):
+    """Lead-lag cross-correlation scale contract: the 7-lag self-join
+    is an EQUI-join on the computed day key over the |days|-bounded
+    daily rollup (the only nested loop is the 7-row lag literal
+    broadcast), and the events scan prunes to (ts, event_type)."""
+    df = Q["events_daily_crosscorr_view_purchase"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    strats = join_strategies(df)
+    assert strats.count("BroadcastNestedLoopJoin") == 1, strats
+    assert any(
+        s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for s in strats
+    ), strats
+    assert set(read_schemas(df)["events"]) == {"ts", "event_type"}
+
+
+def test_r14e_kruskal_domain_bounded_and_assortativity_pruned(
+    spark, sf_dir
+):
+    """Kruskal-Wallis lives on the distinct (type, value) domain (the
+    MW discipline): pruned events scan, no row-level join other than
+    the 1-row totals broadcast.  Assortativity decorates the distinct
+    edge list with two grouped degree tables — equi-joins only, scans
+    pruned to the two key columns per table."""
+    kw = Q["events_kruskal_wallis_cells"](spark, sf_dir)
+    assert set(read_schemas(kw)["events"]) == {"event_type", "value"}
+    plan = explain_str(kw, "formatted")
+    assert "CartesianProduct" not in plan
+    da = Q["trade_degree_assortativity"](spark, sf_dir)
+    rs = read_schemas(da)
+    assert set(rs["orders"]) == {"o_orderkey", "o_custkey"}
+    assert set(rs["lineitem"]) == {"l_orderkey", "l_suppkey"}
+    assert "CartesianProduct" not in explain_str(da, "formatted")
+    assert all(
+        s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for s in join_strategies(da)
+    ), join_strategies(da)

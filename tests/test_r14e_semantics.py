@@ -1,0 +1,155 @@
+"""Round-14e families vs INDEPENDENT Python recomputes (the third
+engine next to Spark and the DuckDB oracle): Kruskal-Wallis cells from
+a pure-python tie-averaged rank scan over the value domain, the daily
+lead-lag cross-correlation from dict day counters and an explicit lag
+loop, and degree assortativity from Counter degrees over the distinct
+edge set — so a shared misunderstanding between the two SQL spellings
+cannot hide.
+
+Float assertions are EXACT equality: every float in these entries is
+one fixed IEEE expression tree over exact integers, and python's
+arithmetic follows the same trees (int→float conversion and math.sqrt
+are correctly rounded), so any difference is a real semantics bug.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+
+from byte_convert_avro_spark.queries import queries
+
+Q = queries()
+
+
+def _rows(sf_dir, sql):
+    """Raw rows via DuckDB — only the cents/epoch casts are delegated
+    (both are gated primitives elsewhere); all statistic logic below is
+    pure python."""
+    return duckdb.sql(sql.format(d=sf_dir)).fetchall()
+
+
+def test_kruskal_wallis_cells_match_python_ranks(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE value IS NOT NULL AND event_type IS NOT NULL",
+    )
+    per_gv: Counter = Counter()
+    per_v: Counter = Counter()
+    for et, vc in rows:
+        per_gv[(et, int(vc))] += 1
+        per_v[int(vc)] += 1
+    n = sum(per_v.values())
+    tie = sum(t * t * t - t for t in per_v.values())
+    # exclusive running total per domain value -> doubled avg rank
+    w: dict[int, int] = {}
+    run = 0
+    for vc in sorted(per_v):
+        w[vc] = run
+        run += per_v[vc]
+    r2: Counter = Counter()
+    n_g: Counter = Counter()
+    for (et, vc), tg in per_gv.items():
+        r2[et] += tg * (2 * w[vc] + per_v[vc] + 1)
+        n_g[et] += tg
+    got = {
+        r.event_type: r
+        for r in Q["events_kruskal_wallis_cells"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(n_g)
+    for et, row in got.items():
+        assert row.n_g == n_g[et]
+        assert row.r2_g == str(r2[et])
+        assert row.n_total == n
+        assert row.tie_term == tie
+        assert row.mean_rank == float(r2[et]) / (2.0 * float(n_g[et]))
+        assert row.h_contrib == (3.0 * float(r2[et]) * float(r2[et])) / (
+            float(n_g[et]) * float(n) * (float(n) + 1.0)
+        )
+        assert row.tie_correction == 1.0 - float(tie) / (
+            float(n) * float(n) * float(n) - float(n)
+        )
+    # the reader-side fold reproduces scipy-style H on this data shape:
+    h_unc = sum(r.h_contrib for r in got.values()) - 3.0 * (n + 1)
+    assert math.isfinite(h_unc)
+
+
+def test_daily_crosscorr_matches_python_lag_loop(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT epoch_us(ts) // 86400000000, event_type"
+        " FROM read_parquet('{d}/events.parquet') WHERE ts IS NOT NULL",
+    )
+    v: Counter = Counter()
+    p: Counter = Counter()
+    days = set()
+    for day, et in rows:
+        day = int(day)
+        days.add(day)
+        if et == "view":
+            v[day] += 1
+        if et == "purchase":
+            p[day] += 1
+    got = {
+        r.lag: r
+        for r in Q["events_daily_crosscorr_view_purchase"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(got) == list(range(-3, 4))
+    for lag in range(-3, 4):
+        pairs = [
+            (v.get(d, 0), p.get(d + lag, 0)) for d in days if d + lag in days
+        ]
+        nd = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        r = got[lag]
+        assert (r.n_days, r.cov_num) == (nd, nd * sxy - sx * sy)
+        varx, vary = nd * sxx - sx * sx, nd * syy - sy * sy
+        if varx > 0 and vary > 0:
+            assert r.crosscorr == float(nd * sxy - sx * sy) / (
+                math.sqrt(float(varx)) * math.sqrt(float(vary))
+            )
+        else:
+            assert r.crosscorr is None
+
+
+def test_degree_assortativity_matches_python_counters(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT DISTINCT o_custkey, l_suppkey"
+        " FROM read_parquet('{d}/orders.parquet') o"
+        " JOIN read_parquet('{d}/lineitem.parquet') l"
+        " ON l.l_orderkey = o.o_orderkey",
+    )
+    dc: Counter = Counter()
+    ds: Counter = Counter()
+    for c, s in rows:
+        dc[c] += 1
+        ds[s] += 1
+    m = len(rows)
+    sx = sum(dc[c] for c, _ in rows)
+    sy = sum(ds[s] for _, s in rows)
+    sxy = sum(dc[c] * ds[s] for c, s in rows)
+    sxx = sum(dc[c] * dc[c] for c, _ in rows)
+    syy = sum(ds[s] * ds[s] for _, s in rows)
+    [r] = Q["trade_degree_assortativity"](spark, sf_dir).collect()
+    assert (r.m_edges, r.sum_dc, r.sum_ds) == (m, sx, sy)
+    assert (r.sum_dcds, r.sum_dc_sq, r.sum_ds_sq) == (sxy, sxx, syy)
+    varx = float(m) * float(sxx) - float(sx) * float(sx)
+    vary = float(m) * float(syy) - float(sy) * float(sy)
+    cov = float(m) * float(sxy) - float(sx) * float(sy)
+    if varx > 0 and vary > 0:
+        assert r.r_assortativity == cov / (
+            math.sqrt(varx) * math.sqrt(vary)
+        )
+    else:
+        assert r.r_assortativity is None

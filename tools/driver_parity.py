@@ -133,6 +133,23 @@ def main() -> int:
                          "need a real heap because local mode runs all 32 "
                          "executor threads inside the driver JVM.  Recorded "
                          "in the artifact when set.")
+    ap.add_argument("--duck-memory", default=None,
+                    help="DuckDB memory_limit (e.g. 32GB).  The default "
+                         "stays BARE (DuckDB's ~80%% of RAM) to mirror the "
+                         "driver harness at sf0.01 — but large-SF runs MUST "
+                         "set it: the oracle shares one process with the "
+                         "Spark JVM, and DuckDB planning against memory the "
+                         "JVM already holds dies in malloc instead of "
+                         "spilling (the r14c sf10 OOM sextet).  Recorded in "
+                         "the artifact when set.")
+    ap.add_argument("--duck-temp", default=None,
+                    help="DuckDB temp_directory for larger-than-memory "
+                         "spill, with --duck-temp-max as its size cap — "
+                         "without a cap one runaway oracle fills the disk "
+                         "(the r14c sf10 HITS line).")
+    ap.add_argument("--duck-temp-max", default="60GiB",
+                    help="max_temp_directory_size when --duck-temp is set "
+                         "(default 60GiB)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -154,6 +171,14 @@ def main() -> int:
     import __spark_entry__ as entry
 
     con = duckdb.connect()
+    if args.duck_memory:
+        con.execute(f"SET memory_limit='{args.duck_memory}'")
+    if args.duck_temp:
+        os.makedirs(args.duck_temp, exist_ok=True)
+        con.execute(f"SET temp_directory='{args.duck_temp}'")
+        con.execute(
+            f"SET max_temp_directory_size='{args.duck_temp_max}'"
+        )
     for t in TABLES:
         path = f"{args.sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # Spark-written table dir (tools/scale_data.py)
@@ -254,6 +279,10 @@ def main() -> int:
     }
     if args.driver_memory:
         out["driver_memory"] = args.driver_memory
+    if args.duck_memory:
+        out["duck_memory"] = args.duck_memory
+    if args.duck_temp:
+        out["duck_temp_max"] = args.duck_temp_max
     if skipped:
         out["skipped"] = skipped
     caps = {n: DISCLOSED_CAPS[n] for n in names if n in DISCLOSED_CAPS}
