@@ -576,3 +576,115 @@ def hll_sql(
       ) {keys_grp}
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter summary (deterministic frequency sketch)
+#
+# Count-min above answers point queries with a PROBABILISTIC overcount;
+# Misra-Gries is its deterministic dual: a k-entry summary whose
+# estimates UNDERCOUNT by at most N/(k+1) total occurrences, so every
+# item with true frequency > N/(k+1) is guaranteed present — the
+# classical heavy-hitters contract (Misra & Gries 1982).  The summary
+# is MERGEABLE (Agarwal, Cormode, Huang, Phillips, Wei, Yi — PODS'12):
+# merging two k-summaries by summing matching counts and then
+# subtracting the (k+1)-th largest count from every entry (dropping
+# non-positives) preserves the N/(k+1) bound for the combined stream
+# under ANY merge tree.  That theorem is what makes the sketch
+# distributable: each hash chunk reduces its exact counts to a
+# k-summary independently, and one union+reduce merges them — two
+# shuffles total, no sequential scan anywhere.
+#
+# Determinism: "the (k+1)-th largest" is the count at row_number k+1
+# under ORDER BY (count DESC, item) — a pure integer pick, so the kept
+# entry set and every estimate are bit-identical cross-engine.
+
+
+def mg_reduce(
+    cnts: DataFrame, item: str, cnt: str, k: int, part: str | None = None
+) -> DataFrame:
+    """One Misra-Gries reduce: subtract the (k+1)-th largest count from
+    every entry (per ``part`` chunk if given) and keep positive
+    remainders — at most k entries survive, since only counts strictly
+    above the pivot stay positive.  Input counts must be per-item
+    EXACT within their chunk (each item in one chunk only)."""
+    from pyspark.sql import Window as W
+
+    pw = W.partitionBy(part) if part else W.partitionBy(F.lit(1))
+    ow = pw.orderBy(F.col(cnt).desc(), F.col(item))
+    r = cnts.withColumn("_rn", F.row_number().over(ow))
+    s = r.withColumn(
+        "_s",
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col(cnt))).over(pw),
+            F.lit(0),
+        ),
+    )
+    out = s.filter(F.col(cnt) - F.col("_s") > 0).select(
+        *( [part] if part else [] ),
+        F.col(item),
+        (F.col(cnt) - F.col("_s")).cast("long").alias(cnt),
+    )
+    return out
+
+
+def misra_gries_summary(
+    df: DataFrame, item: str, k: int, chunks: int = 8
+) -> DataFrame:
+    """Distributed Misra-Gries k-summary of ``df[item]`` occurrences:
+    hash-chunk the DOMAIN (md5-salted ``:mg`` bucket, so each item's
+    exact count lands wholly in one chunk), reduce each chunk's exact
+    counts to a k-summary, then merge the <= chunks*k survivors with
+    one final reduce.  Returns (item, est) with the PODS'12 guarantee
+    exact_count - N/(k+1) <= est <= exact_count.  Scale: one
+    map-side-combined groupBy to the item domain, a per-chunk window
+    over domain/chunks rows, and a single-partition window over
+    <= chunks*k rows — state is k-bounded at every level, and the
+    guarantee is scale-free because it is relative to N."""
+    salted = F.concat(F.col(item).cast("string"), F.lit(":mg"))
+    ch = (
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+        % chunks
+    )
+    exact = (
+        df.filter(F.col(item).isNotNull())
+        .groupBy(item)
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("_ch", ch)
+    )
+    lvl1 = mg_reduce(exact, item, "c", k, part="_ch")
+    merged = mg_reduce(lvl1.drop("_ch"), item, "c", k)
+    return merged.select(F.col(item), F.col("c").alias("est"))
+
+
+def mg_sql(table_expr: str, item: str, k: int, chunks: int = 8) -> str:
+    """DuckDB twin of :func:`misra_gries_summary` — same md5 ``:mg``
+    chunking, same (count DESC, item) pivot rule, same two-level
+    reduce; returns SQL yielding (item, est)."""
+    return f"""
+    SELECT {item}, CAST(c AS BIGINT) AS est FROM (
+      SELECT {item}, c - COALESCE(MAX(CASE WHEN rn = {k + 1} THEN c END)
+                                  OVER (), 0) AS c
+      FROM (
+        SELECT {item}, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, {item}) AS rn
+        FROM (
+          SELECT {item}, c - COALESCE(MAX(CASE WHEN rn = {k + 1} THEN c END)
+                                      OVER (PARTITION BY ch), 0) AS c
+          FROM (
+            SELECT {item}, ch, c,
+                   ROW_NUMBER() OVER (PARTITION BY ch
+                                      ORDER BY c DESC, {item}) AS rn
+            FROM (
+              SELECT {item},
+                     ('0x' || substr(md5(CAST({item} AS VARCHAR) || ':mg'),
+                                     1, 8))::BIGINT % {chunks} AS ch,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM {table_expr} WHERE {item} IS NOT NULL
+              GROUP BY 1, 2
+            )
+          ) WHERE c > 0
+        ) WHERE c > 0
+      )
+    ) WHERE c > 0
+    """

@@ -983,7 +983,11 @@ def source_token_jsd_vs_corpus(spark: SparkSession, sf: str):
 @register(
     "trade_hits_hub_authority",
     """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing at large SF: six round-joins
+      -- reference e, and re-deriving the 45M-row (sf10) distinct join
+      -- per reference spilled >60 GiB of DuckDB temp; materialized
+      -- once it is ~720 MB (r14 session-5 sf10 adjudication)
       SELECT DISTINCT o_custkey AS c, l_suppkey AS s
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ),

@@ -375,3 +375,102 @@ def trade_degree_assortativity(spark: SparkSession, sf: str):
             cov / (F.sqrt(varx) * F.sqrt(vary)),
         ).alias("r_assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+def _mg_oracle() -> str:
+    from byte_convert_avro_spark.operators.sketch import mg_sql
+
+    mg = mg_sql(
+        "(SELECT t.token FROM documents, LATERAL (SELECT"
+        " unnest(string_split(text, ' ')) AS token) t WHERE t.token <> '')",
+        "token",
+        16,
+        8,
+    )
+    return f"""
+    WITH tok AS (
+      SELECT t.token FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ), exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+    mg AS ({mg}),
+    missed AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS missed_heavy
+      FROM exact CROSS JOIN n
+      WHERE exact_cnt * 17 > n_total
+        AND token NOT IN (SELECT token FROM mg)
+    ),
+    top AS (
+      SELECT token, est FROM mg ORDER BY est DESC, token LIMIT 10
+    )
+    SELECT top.token, top.est AS est_cnt, exact.exact_cnt,
+           exact.exact_cnt - top.est AS deficit,
+           n.n_total,
+           (exact.exact_cnt - top.est) * 17 <= n.n_total AS bound_ok,
+           missed.missed_heavy
+    FROM top JOIN exact USING (token)
+    CROSS JOIN n CROSS JOIN missed
+    """
+
+
+@register("token_misra_gries_vs_exact", _mg_oracle())
+def token_misra_gries_vs_exact(spark: SparkSession, sf: str):
+    """MISRA-GRIES HEAVY-HITTER SUMMARY vs exact — the DETERMINISTIC
+    dual of the count-min entry (``token_count_min_vs_exact``):
+    count-min OVERcounts probabilistically; a Misra-Gries k-summary
+    UNDERcounts by at most N/(k+1) total, so every token with true
+    frequency > N/(k+1) is guaranteed kept (Misra & Gries 1982), and
+    the summary is MERGEABLE under any merge tree (Agarwal et al.,
+    PODS'12) — the property ``operators/sketch.misra_gries_summary``
+    exploits to distribute it: per-hash-chunk exact counts reduce to
+    k-summaries independently, one union+reduce merges them.  k=16 on
+    a vocabulary far beyond 16 makes the deficit column non-trivially
+    positive, and the md5-chunked + (count DESC, token)-pivot spelling
+    makes every estimate a pinned VALUE cross-engine.  The gate checks
+    the top-10 estimates, each row's exact integer bound
+    ``deficit·(k+1) <= N``, and ``missed_heavy = 0`` (no guaranteed
+    heavy hitter absent from the summary).  Scale: the sketch is
+    k-bounded at every level (per-chunk window over domain/chunks
+    rows, final window over <= chunks·k rows); the guarantee is
+    relative to N, so the design is scale-free."""
+    from byte_convert_avro_spark.operators.sketch import misra_gries_summary
+
+    k = 16
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    exact = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    n = tok.agg(F.count("*").cast("long").alias("n_total"))
+    mg = misra_gries_summary(tok, "token", k=k, chunks=8)
+    missed = (
+        exact.crossJoin(F.broadcast(n))
+        .join(mg, "token", "left_anti")
+        .filter(F.col("exact_cnt") * (k + 1) > F.col("n_total"))
+        .agg(F.count("*").cast("long").alias("missed_heavy"))
+    )
+    top = mg.orderBy(F.col("est").desc(), "token").limit(10)
+    return (
+        top.join(exact, "token")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "token",
+            F.col("est").alias("est_cnt"),
+            "exact_cnt",
+            (F.col("exact_cnt") - F.col("est")).alias("deficit"),
+            "n_total",
+            (
+                (F.col("exact_cnt") - F.col("est")) * (k + 1)
+                <= F.col("n_total")
+            ).alias("bound_ok"),
+            "missed_heavy",
+        )
+    )

@@ -1613,3 +1613,124 @@ def streaming_psi_value_halves(spark: SparkSession, sf: str):
         return psi_finalize(spark, cnt)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+def _mg_streaming_oracle() -> str:
+    k = 16
+
+    def red(src: str) -> str:
+        """One Misra-Gries reduce over (token, c) rows: subtract the
+        (k+1)-th largest count (ORDER BY c DESC, token), keep
+        positives — the exact rule of streaming/misra_gries.py."""
+        return f"""(
+          SELECT token, c FROM (
+            SELECT token, c - COALESCE(MAX(CASE WHEN rn = {k + 1} THEN c END)
+                                       OVER (), 0) AS c
+            FROM (
+              SELECT token, c,
+                     ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rn
+              FROM {src}
+            )
+          ) WHERE c > 0
+        )"""
+
+    def cnt(i: int) -> str:
+        return f"""(
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok WHERE sh = {i} GROUP BY token
+        )"""
+
+    def merge(state: str, batch: str) -> str:
+        return f"""(
+          SELECT token, CAST(SUM(c) AS BIGINT) AS c
+          FROM (SELECT * FROM {state} UNION ALL SELECT * FROM {batch})
+          GROUP BY token
+        )"""
+
+    s = red(cnt(0))
+    for i in (1, 2, 3):
+        s = red(merge(s, cnt(i)))
+    return f"""
+    WITH tok AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 4 AS sh,
+             t.token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ), final AS (SELECT * FROM {s}),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seen FROM tok),
+    ku AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used FROM final)
+    SELECT final.token, final.c AS est_cnt, n.n_seen, ku.k_used
+    FROM final CROSS JOIN n CROSS JOIN ku
+    """
+
+
+@register("streaming_misra_gries_tokens", _mg_streaming_oracle())
+def streaming_misra_gries_tokens(spark: SparkSession, sf: str):
+    """STREAMING MISRA-GRIES — the cross-batch twin of
+    ``token_misra_gries_vs_exact`` and the SIXTH streaming sketch
+    family member (rank sketch = bottom-k state, count-min = stateful
+    SUM, HLL = stateful MAX, weighted sample = stateful MIN, PSI =
+    stateful SUM over a fixed domain; MG needs a genuine FOLD — merge
+    then conditional decrement — so it runs in
+    ``applyInPandasWithState`` like the rank sketch).  Each of the four
+    genuine micro-batches folds its exact token counts into the
+    k=16-bounded state by the PODS'12 merge rule (sum matching counts,
+    subtract the (k+1)-th largest under (count DESC, token), keep
+    positives).  The sequential fold is a DIFFERENT merge tree than the
+    batch entry's chunk-union — same N/(k+1) guarantee, different
+    pinned values — and the oracle replays the identical fold as a
+    4-stage unrolled SQL chain, so the drained final state is
+    value-gated entry for entry.  Scale: state is k entries FOREVER —
+    the live trending-tokens monitor; emission is k-sized, never
+    corpus-sized."""
+    import shutil
+
+    from byte_convert_avro_spark.streaming import run_stream_to_memory
+    from byte_convert_avro_spark.streaming.misra_gries import (
+        streaming_misra_gries,
+    )
+
+    docs = t(spark, sf, "documents")
+    shard = hash_bucket("doc_id", 4).cast("int")
+    raw = docs.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "mg_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        tok = stream.select(
+            F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.col("token") != "")
+        sk = streaming_misra_gries(tok)
+        q, name = run_stream_to_memory(sk, output_mode="update")
+        q.stop()
+        emitted = spark.table(name)
+        final = F.max(F.struct("n_seen", "k_used", "tokens", "ests")).alias(
+            "_f"
+        )
+        picked = emitted.agg(final).select(
+            F.col("_f.n_seen").alias("n_seen"),
+            F.col("_f.k_used").alias("k_used"),
+            F.arrays_zip("_f.tokens", "_f.ests").alias("z"),
+        )
+        return (
+            picked.select(
+                "n_seen", "k_used", F.explode("z").alias("e")
+            )
+            .select(
+                F.col("e.tokens").alias("token"),
+                F.col("e.ests").alias("est_cnt"),
+                "n_seen",
+                "k_used",
+            )
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1103,3 +1103,17 @@ def test_r14e_kruskal_domain_bounded_and_assortativity_pruned(
         s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         for s in join_strategies(da)
     ), join_strategies(da)
+
+
+def test_r14e_misra_gries_chunked_windows(spark, sf_dir):
+    """Misra-Gries scale contract: the documents scan prunes to the
+    text column, no cartesian product exists (the single-row n/missed
+    folds ride as broadcast nested loops by design), and the domain
+    window is CHUNK-partitioned — only the final <= chunks*k merge may
+    run single-partition."""
+    df = Q["token_misra_gries_vs_exact"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert set(read_schemas(df)["documents"]) == {"text"}
+    # the level-1 window carries the chunk key in its partition spec
+    assert "_ch" in plan

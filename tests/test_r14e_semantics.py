@@ -153,3 +153,82 @@ def test_degree_assortativity_matches_python_counters(spark, sf_dir):
         )
     else:
         assert r.r_assortativity is None
+
+
+def _mg_reduce_py(counts: dict, k: int) -> dict:
+    """The exact reduce rule of operators/sketch.mg_reduce and
+    streaming/misra_gries.mg_fold_reduce, re-derived independently."""
+    if len(counts) <= k:
+        return dict(counts)
+    pivot = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[k][1]
+    return {t: c - pivot for t, c in counts.items() if c - pivot > 0}
+
+
+def test_misra_gries_matches_python_two_level(spark, sf_dir):
+    import hashlib
+
+    rows = _rows(
+        sf_dir,
+        "SELECT t.token FROM read_parquet('{d}/documents.parquet'),"
+        " LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t"
+        " WHERE t.token <> ''",
+    )
+    k, chunks = 16, 8
+    exact: Counter = Counter(tok for (tok,) in rows)
+    n = sum(exact.values())
+    by_ch: dict[int, dict] = {}
+    for tok, c in exact.items():
+        ch = int(hashlib.md5(f"{tok}:mg".encode()).hexdigest()[:8], 16) % chunks
+        by_ch.setdefault(ch, {})[tok] = c
+    merged: dict = {}
+    for ch in by_ch:
+        merged.update(_mg_reduce_py(by_ch[ch], k))
+    summary = _mg_reduce_py(merged, k)
+    got = Q["token_misra_gries_vs_exact"](spark, sf_dir).collect()
+    top = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.token, r.est_cnt) for r in got] == sorted(
+        top, key=lambda kv: kv[0]
+    ) or {(r.token, r.est_cnt) for r in got} == set(top)
+    for r in got:
+        assert r.exact_cnt == exact[r.token]
+        assert r.deficit == exact[r.token] - summary[r.token]
+        assert 0 <= r.deficit
+        assert r.deficit * (k + 1) <= n
+        assert r.n_total == n
+        assert bool(r.bound_ok) is True
+        assert r.missed_heavy == 0
+    # the full-summary guarantee, on EVERY vocab token (the heavy-hitter
+    # contract the entry's missed_heavy column summarizes):
+    for tok, c in exact.items():
+        est = summary.get(tok, 0)
+        assert est <= c and (c - est) * (k + 1) <= n
+
+
+def test_misra_gries_streaming_fold_rule():
+    from byte_convert_avro_spark.streaming.misra_gries import mg_fold_reduce
+
+    # textbook example: k=2, stream with one dominant item
+    counts = {"a": 10, "b": 4, "c": 3, "d": 1}
+    red = mg_fold_reduce(counts, 2)
+    # pivot = 3rd largest count under (-c, token) = c's 3
+    assert red == {"a": 7, "b": 1}
+    # <= k entries never reduced
+    assert mg_fold_reduce({"x": 5, "y": 1}, 2) == {"x": 5, "y": 1}
+    # tie block at the pivot drops entirely
+    assert mg_fold_reduce({"a": 5, "b": 5, "c": 5}, 2) == {}
+    # guarantee across a random-ish sequential fold
+    import random
+
+    rng = random.Random(14)
+    stream = [rng.choice("abcdefghij") for _ in range(500)] + ["a"] * 200
+    state: dict = {}
+    for i in range(0, len(stream), 100):
+        batch = Counter(stream[i : i + 100])
+        m = Counter(state)
+        m.update(batch)
+        state = mg_fold_reduce(dict(m), 4)
+    exact = Counter(stream)
+    for tok, c in exact.items():
+        est = state.get(tok, 0)
+        assert est <= c and (c - est) * 5 <= len(stream)
+    assert "a" in state  # freq("a") > N/(k+1) -> guaranteed present
