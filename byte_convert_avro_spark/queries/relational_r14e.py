@@ -474,3 +474,252 @@ def token_misra_gries_vs_exact(spark: SparkSession, sf: str):
             "missed_heavy",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-engineering family: the two workhorse encodings an ML data
+# pipeline applies before training — the HASHING TRICK (project an
+# unbounded token vocabulary into a fixed B-dim feature space, signed to
+# debias collisions) and SMOOTHED TARGET ENCODING (replace a
+# high-cardinality categorical with a shrunk per-category target mean).
+# Both are pure relational algebra here, exactly gateable.
+
+
+@register(
+    "doc_feature_hashing_load",
+    """
+    WITH tok AS (
+      SELECT t.token FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    ), cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), h AS (
+      SELECT token, c,
+             ('0x' || substr(md5(token || ':fh'), 1, 8))::BIGINT % 256
+               AS bucket,
+             1 - 2 * (('0x' || substr(md5(token || ':sg'), 1, 8))::BIGINT
+                      % 2) AS sign
+      FROM cnt
+    ), b AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_occurrences,
+             CAST(SUM(sign * c) AS BIGINT) AS signed_net
+      FROM h GROUP BY bucket
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS buckets_used,
+             CAST(MAX(n_tokens) AS BIGINT) AS max_tokens_per_bucket,
+             CAST(SUM(n_tokens) AS BIGINT) AS vocab_size
+      FROM b
+    )
+    SELECT b.bucket, b.n_tokens, b.n_occurrences, b.signed_net,
+           g.buckets_used, g.max_tokens_per_bucket, g.vocab_size
+    FROM b CROSS JOIN g
+    ORDER BY b.n_occurrences DESC, b.bucket LIMIT 10
+    """,
+)
+def doc_feature_hashing_load(spark: SparkSession, sf: str):
+    """FEATURE HASHING (the hashing trick, Weinberger et al. 2009) over
+    the document vocabulary: every token maps to one of B=256 buckets
+    by the md5 ``:fh`` hash, with a second independent ``:sg`` hash
+    choosing a ±1 sign so colliding tokens cancel in expectation
+    instead of stacking (the signed variant's unbiasedness argument).
+    The gate pins the 10 heaviest buckets' load (distinct tokens,
+    occurrences, signed net) plus the global collision profile
+    (buckets_used, max_tokens_per_bucket, vocab_size) — i.e. the
+    entire materialized feature-space layout is a checked VALUE.
+    Scale: one map-side-combined groupBy to the vocab domain, one
+    256-ary groupBy after a narrow hash projection; B is a constant, so
+    the feature space never grows with the corpus — that is the trick's
+    point, and why this is THE encoding for 100 TB text features."""
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("token"), F.lit(":fh"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    sign = 1 - 2 * (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("token"), F.lit(":sg"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    b = (
+        cnt.select("token", "c", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.sum(F.col("sign") * F.col("c")).cast("long").alias("signed_net"),
+        )
+    )
+    g = b.agg(
+        F.count("*").cast("long").alias("buckets_used"),
+        F.max("n_tokens").cast("long").alias("max_tokens_per_bucket"),
+        F.sum("n_tokens").cast("long").alias("vocab_size"),
+    )
+    return (
+        b.crossJoin(F.broadcast(g))
+        .orderBy(F.col("n_occurrences").desc(), "bucket")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_target_encoding_smoothed",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM o
+    ), c AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM o GROUP BY o_custkey
+    )
+    SELECT c.o_custkey, c.n_orders, c.sum_cents,
+           CAST(c.sum_cents AS DOUBLE) / CAST(c.n_orders AS DOUBLE) / 100.0
+             AS raw_mean,
+           (CAST(c.sum_cents AS DOUBLE)
+            + 10.0 * (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)))
+             / (CAST(c.n_orders AS DOUBLE) + 10.0) / 100.0
+             AS enc_smoothed,
+           g.n AS n_total
+    FROM c CROSS JOIN g
+    ORDER BY c.n_orders DESC, c.o_custkey LIMIT 20
+    """,
+)
+def customer_target_encoding_smoothed(spark: SparkSession, sf: str):
+    """SMOOTHED TARGET ENCODING of the high-cardinality ``o_custkey``
+    column against order value — the mean-encoding every tabular-ML
+    pipeline applies where one-hot would explode: enc = (Σy_c + m·ȳ) /
+    (n_c + m) with m=10, shrinking rare clerks toward the global prior
+    (empirical-Bayes form).  All sums are exact integer cents (Σ cents
+    < 2^53 through sf100); both means are fixed float trees over them
+    (the exact-sum/count division discipline), so every encoding is a
+    pinned value.  The full-data prior is DISCLOSED leakage: the
+    leakage-safe deployment computes g on the TRAIN split only (the
+    ``leakage_safe_split_by_content`` assignment composes directly);
+    out-of-fold encoding is the same plan per fold.  Scale: one
+    map-side-combined groupBy to the customer domain + a 1-row
+    broadcast prior — nothing row-scaled
+    downstream of the first aggregation."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("cents")
+    )
+    g = o.agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    c = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    sc_d = F.col("sum_cents").cast("double")
+    no_d = F.col("n_orders").cast("double")
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "o_custkey",
+            "n_orders",
+            "sum_cents",
+            (sc_d / no_d / F.lit(100.0)).alias("raw_mean"),
+            (
+                (
+                    sc_d
+                    + F.lit(10.0)
+                    * (F.col("s").cast("double") / F.col("n").cast("double"))
+                )
+                / (no_d + F.lit(10.0))
+                / F.lit(100.0)
+            ).alias("enc_smoothed"),
+            F.col("n").alias("n_total"),
+        )
+        .orderBy(F.col("n_orders").desc(), "o_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_colocated_segment_revenue",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def bucketed_colocated_segment_revenue(spark: SparkSession, sf: str):
+    """BUCKETED CO-LOCATED JOIN — the storage-layout scale lever as a
+    gated query: both join sides are written as 8-bucket tables on the
+    join key (``sources/sinks.write_bucketed`` → catalog bucketing
+    metadata), so the orders↔customer join plans with ZERO shuffle
+    exchange under the SortMergeJoin (pinned by
+    ``tests/test_plans.py::test_r14e_bucketed_join_zero_exchange``) —
+    the one exchange left in the whole plan is the final 5-row segment
+    rollup.  The ``merge`` hint forces SMJ so the pin is not at the
+    mercy of the broadcast threshold at small SF; on a 100 TB lake this
+    layout turns every recurring key-join against the same tables from
+    a full two-sided shuffle into a local merge — THE standard warehouse
+    design for fact↔dimension co-location.  Values are gated against
+    the plain (layout-free) SQL join, proving the layout changes the
+    PLAN and never the result.  Table names carry an sf-dir tag;
+    rewrite is idempotent (mode=overwrite)."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    from byte_convert_avro_spark.sources.sinks import write_bucketed
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    ot, ct = f"bca_orders_{tag}", f"bca_customer_{tag}"
+    # cross-process leftovers: a prior session's managed-table location
+    # survives in the warehouse dir while THIS session's catalog has no
+    # such table, and saveAsTable then refuses (LOCATION_ALREADY_EXISTS).
+    # Drop both the catalog entry and the directory before writing.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in (ot, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    o = t(spark, sf, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("cents")
+    )
+    c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(o, ot, "o_custkey", 8, sort_by="o_custkey")
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        ct,
+        "o_custkey",
+        8,
+        sort_by="o_custkey",
+    )
+    ob, cb = spark.table(ot), spark.table(ct)
+    return (
+        ob.join(cb.hint("merge"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1117,3 +1117,40 @@ def test_r14e_misra_gries_chunked_windows(spark, sf_dir):
     assert set(read_schemas(df)["documents"]) == {"text"}
     # the level-1 window carries the chunk key in its partition spec
     assert "_ch" in plan
+
+
+def test_r14e_bucketed_join_zero_exchange(spark, sf_dir):
+    """Bucketed co-located join scale contract: both sides carry
+    catalog bucketing on the join key, so the SortMergeJoin consumes
+    the scans DIRECTLY — the only Exchange in the whole plan is the
+    final 5-row segment rollup."""
+    df = Q["bucketed_colocated_segment_revenue"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "SortMergeJoin" in plan, plan[:2000]
+    # post-join exchanges exist (segment rollup + final sort) — the pin
+    # is that NO exchange partitions on the JOIN key: bucketing already
+    # satisfies the join's distribution requirement on both sides.
+    import re
+
+    assert not re.search(
+        r"Exchange hashpartitioning\(o_custkey", plan
+    ), plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_r14e_feature_encoding_aggregation_first(spark, sf_dir):
+    """Feature hashing reduces to the vocab domain before the 256-ary
+    bucket rollup (documents scan pruned to text); target encoding is
+    one grouped pass + a 1-row broadcast prior (orders scan pruned to
+    the two touched columns)."""
+    fh = Q["doc_feature_hashing_load"](spark, sf_dir)
+    assert set(read_schemas(fh)["documents"]) == {"text"}
+    assert "CartesianProduct" not in explain_str(fh, "formatted")
+    te = Q["customer_target_encoding_smoothed"](spark, sf_dir)
+    # two orders scans exist (per-customer groups + the 1-row prior,
+    # which reads only o_totalprice) and read_schemas keeps the last;
+    # assert pruning on the raw plan: no untouched column is read
+    te_plan = explain_str(te, "formatted")
+    for col in ("o_orderdate", "o_orderstatus", "o_orderpriority"):
+        assert col not in te_plan
+    assert "CartesianProduct" not in te_plan

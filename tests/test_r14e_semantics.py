@@ -232,3 +232,69 @@ def test_misra_gries_streaming_fold_rule():
         est = state.get(tok, 0)
         assert est <= c and (c - est) * 5 <= len(stream)
     assert "a" in state  # freq("a") > N/(k+1) -> guaranteed present
+
+
+def test_feature_hashing_matches_python_md5(spark, sf_dir):
+    import hashlib
+
+    rows = _rows(
+        sf_dir,
+        "SELECT t.token FROM read_parquet('{d}/documents.parquet'),"
+        " LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t"
+        " WHERE t.token <> ''",
+    )
+    cnt: Counter = Counter(tok for (tok,) in rows)
+    buckets: dict[int, list] = {}
+    for tok, c in cnt.items():
+        b = int(hashlib.md5(f"{tok}:fh".encode()).hexdigest()[:8], 16) % 256
+        s = 1 - 2 * (
+            int(hashlib.md5(f"{tok}:sg".encode()).hexdigest()[:8], 16) % 2
+        )
+        buckets.setdefault(b, []).append((c, s))
+    prof = {
+        b: (
+            len(v),
+            sum(c for c, _ in v),
+            sum(s * c for c, s in v),
+        )
+        for b, v in buckets.items()
+    }
+    got = Q["doc_feature_hashing_load"](spark, sf_dir).collect()
+    top = sorted(prof.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10]
+    assert [(r.bucket, r.n_tokens, r.n_occurrences, r.signed_net)
+            for r in got] == [(b, *p) for b, p in top]
+    for r in got:
+        assert r.buckets_used == len(prof)
+        assert r.max_tokens_per_bucket == max(p[0] for p in prof.values())
+        assert r.vocab_size == len(cnt)
+
+
+def test_target_encoding_matches_python_shrinkage(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    n_c: Counter = Counter()
+    s_c: Counter = Counter()
+    for ck, cents_v in rows:
+        n_c[ck] += 1
+        s_c[ck] += int(cents_v)
+    n, s = len(rows), sum(s_c.values())
+    got = Q["customer_target_encoding_smoothed"](spark, sf_dir).collect()
+    expect = sorted(n_c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.o_custkey, r.n_orders) for r in got] == expect
+    for r in got:
+        assert r.sum_cents == s_c[r.o_custkey]
+        assert r.n_total == n
+        assert r.raw_mean == float(s_c[r.o_custkey]) / float(
+            n_c[r.o_custkey]
+        ) / 100.0
+        assert r.enc_smoothed == (
+            float(s_c[r.o_custkey]) + 10.0 * (float(s) / float(n))
+        ) / (float(n_c[r.o_custkey]) + 10.0) / 100.0
+        # shrinkage direction: the encoding sits between the raw mean
+        # and the global prior
+        prior = float(s) / float(n) / 100.0
+        lo, hi = sorted((r.raw_mean, prior))
+        assert lo <= r.enc_smoothed <= hi
