@@ -198,6 +198,28 @@ EXTENDED = [
     # round-14d: per-node triangle attribution — wall time pins the
     # corner explode staying output-bounded on the oriented enumeration
     "copurchase_clustering_coefficient",
+    # round-14e: KW and the crosscorr pin their single-partition stages
+    # staying DOMAIN-bounded (distinct values / days); assortativity
+    # rides the HITS edge-list backbone with zero iteration; both MG
+    # forms pin the summary staying k-bounded at every level (batch:
+    # chunked windows; streaming: the 4-batch stateful fold); the
+    # feature encodings pin aggregation-first (vocab / customer
+    # domains); the bucketed join's wall time INCLUDES the two
+    # bucketed-table writes — the layout amortization trade is the
+    # number to watch
+    "events_kruskal_wallis_cells",
+    "events_daily_crosscorr_view_purchase",
+    "trade_degree_assortativity",
+    "token_misra_gries_vs_exact",
+    "streaming_misra_gries_tokens",
+    "doc_feature_hashing_load",
+    "customer_target_encoding_smoothed",
+    "bucketed_colocated_segment_revenue",
+    # round-14e batch 2: k-anonymity pins the QI-class rollup staying
+    # domain-bounded; NDCG rides the broadcast all-pairs baseline with
+    # literal-constant discounts
+    "orders_k_anonymity_profile",
+    "truncated_dim_ndcg_at5",
 ]
 
 

@@ -723,3 +723,105 @@ def bucketed_colocated_segment_revenue(spark: SparkSession, sf: str):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-governance family member: k-anonymity / l-diversity profiling —
+# the privacy-risk audit next to PII redaction (documents_pii_
+# redaction_stats) and right-to-be-forgotten propagation
+# (user_deletion_audit).
+
+
+@register(
+    "orders_k_anonymity_profile",
+    """
+    WITH q AS (
+      SELECT o_orderpriority AS qi1, o_orderstatus AS qi2,
+             CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS qi3,
+             (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1000000)
+               // 5000000 AS sens
+      FROM orders
+    ), cls AS (
+      SELECT qi1, qi2, qi3,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l
+      FROM q GROUP BY qi1, qi2, qi3
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(k) AS BIGINT) AS min_k,
+             CAST(MIN(l) AS BIGINT) AS min_l,
+             CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+               AS records_below_k5,
+             CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_l3
+      FROM cls
+    ), h AS (
+      SELECT CASE WHEN k = 1 THEN '1' WHEN k < 5 THEN '2-4'
+                  WHEN k < 10 THEN '5-9' WHEN k < 100 THEN '10-99'
+                  ELSE '100+' END AS k_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_classes_in_bucket,
+             CAST(SUM(k) AS BIGINT) AS n_records_in_bucket
+      FROM cls GROUP BY 1
+    )
+    SELECT h.k_bucket, h.n_classes_in_bucket, h.n_records_in_bucket,
+           g.n_classes, g.min_k, g.min_l, g.records_below_k5,
+           g.classes_below_l3
+    FROM h CROSS JOIN g ORDER BY h.k_bucket
+    """,
+)
+def orders_k_anonymity_profile(spark: SparkSession, sf: str):
+    """K-ANONYMITY / L-DIVERSITY PROFILE (Sweeney 2002; Machanavajjhala
+    et al. 2007) of orders under the quasi-identifier (priority, status,
+    order month) with the $50k-banded total as the sensitive attribute:
+    every QI equivalence class's size k and sensitive-diversity l,
+    rolled into the class-size histogram plus the audit globals a
+    privacy review reads first (min k, min l, records in classes below
+    k=5, classes below l=3).  The data-governance member next to PII
+    redaction and deletion-audit: those scrub and propagate; this
+    MEASURES re-identification risk before release.  All counts exact
+    integers; the sensitive band uses an offset integer division so
+    truncation equals floor on both engines despite negative-capable
+    inputs.  Scale: one map-side-combined groupBy to the QI-class
+    domain (bounded by the QI value product, not rows) + one
+    histogram rollup + a 1-row broadcast of the globals."""
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("qi1"),
+        F.col("o_orderstatus").alias("qi2"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("qi3"),
+        F.expr(
+            "(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1000000)"
+            " DIV 5000000"
+        ).alias("sens"),
+    )
+    cls = o.groupBy("qi1", "qi2", "qi3").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("sens").cast("long").alias("l"),
+    )
+    g = cls.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("records_below_k5"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_l3"),
+    )
+    h = (
+        cls.select(
+            F.when(F.col("k") == 1, "1")
+            .when(F.col("k") < 5, "2-4")
+            .when(F.col("k") < 10, "5-9")
+            .when(F.col("k") < 100, "10-99")
+            .otherwise("100+")
+            .alias("k_bucket"),
+            "k",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_classes_in_bucket"),
+            F.sum("k").cast("long").alias("n_records_in_bucket"),
+        )
+    )
+    return h.crossJoin(F.broadcast(g)).orderBy("k_bucket")

@@ -319,3 +319,176 @@ def truncated_dim_recall_at3(spark: SparkSession, sf: str):
             "recall_at_3"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+#: position discount literals 1/log2(i+1) spelled as log2(i+1) divisors —
+#: Python-computed ONCE and inlined into both engines (the HLL
+#: literal-constant discipline), so no engine log() is ever called.
+_NDCG_LOG2 = ["1.0", "1.584962500721156", "2.0",
+              "2.321928094887362", "2.584962500721156"]
+#: ideal DCG for graded relevance (5,4,3,2,1) at positions 1..5 —
+#: sum((6-i)/log2(i+1)), one Python literal
+_NDCG_IDCG = "10.271924937667158"
+
+
+@register(
+    "truncated_dim_ndcg_at5",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, e[1:16] AS p,
+                 sqrt({_DOT_SQL.format(n=DIM, a='e', b='e')}) AS nrm,
+                 sqrt({_DOT_SQL.format(n=16, a='e', b='e')}) AS pnrm
+          FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, p AS qp, nrm AS qn, pnrm AS qpn
+          FROM n WHERE vec_id < 5),
+    c AS (SELECT vec_id, e, p, nrm, pnrm FROM n WHERE vec_id >= 5),
+    sims AS (
+      SELECT q.qid, c.vec_id,
+             ROUND({_DOT_SQL.format(n=DIM, a='c.e', b='q.qe')} / (c.nrm * q.qn), 4)
+               AS sim_full,
+             ROUND({_DOT_SQL.format(n=16, a='c.p', b='q.qp')} / (c.pnrm * q.qpn), 4)
+               AS sim_trunc
+      FROM c CROSS JOIN q
+    ),
+    rf AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim_full DESC, vec_id) AS r
+           FROM sims),
+    rt AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim_trunc DESC, vec_id) AS r
+           FROM sims),
+    j AS (
+      SELECT t.qid, t.r AS pos,
+             CAST(COALESCE(CASE WHEN f.r <= 5 THEN 6 - f.r END, 0)
+                  AS BIGINT) AS rel
+      FROM rt t
+      LEFT JOIN rf f ON f.qid = t.qid AND f.vec_id = t.vec_id
+      WHERE t.r <= 5
+    ),
+    d AS (
+      SELECT qid,
+             CAST(COALESCE(MAX(CASE WHEN pos = 1 THEN rel END), 0) AS BIGINT) AS r1,
+             CAST(COALESCE(MAX(CASE WHEN pos = 2 THEN rel END), 0) AS BIGINT) AS r2,
+             CAST(COALESCE(MAX(CASE WHEN pos = 3 THEN rel END), 0) AS BIGINT) AS r3,
+             CAST(COALESCE(MAX(CASE WHEN pos = 4 THEN rel END), 0) AS BIGINT) AS r4,
+             CAST(COALESCE(MAX(CASE WHEN pos = 5 THEN rel END), 0) AS BIGINT) AS r5,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap
+      FROM j GROUP BY qid
+    )
+    SELECT qid, n_overlap, r1, r2, r3, r4, r5,
+           CAST(r1 AS DOUBLE) / {_NDCG_LOG2[0]}
+             + CAST(r2 AS DOUBLE) / {_NDCG_LOG2[1]}
+             + CAST(r3 AS DOUBLE) / {_NDCG_LOG2[2]}
+             + CAST(r4 AS DOUBLE) / {_NDCG_LOG2[3]}
+             + CAST(r5 AS DOUBLE) / {_NDCG_LOG2[4]} AS dcg_at_5,
+           (CAST(r1 AS DOUBLE) / {_NDCG_LOG2[0]}
+             + CAST(r2 AS DOUBLE) / {_NDCG_LOG2[1]}
+             + CAST(r3 AS DOUBLE) / {_NDCG_LOG2[2]}
+             + CAST(r4 AS DOUBLE) / {_NDCG_LOG2[3]}
+             + CAST(r5 AS DOUBLE) / {_NDCG_LOG2[4]}) / {_NDCG_IDCG}
+             AS ndcg_at_5
+    FROM d ORDER BY qid
+    """,
+)
+def truncated_dim_ndcg_at5(spark: SparkSession, sf: str):
+    """NDCG@5 of truncated-embedding retrieval — the GRADED companion of
+    ``truncated_dim_recall_at3``: recall counts overlap; NDCG also asks
+    whether the prefix ranking puts the most-relevant results FIRST
+    (relevance = 6 − exact full-dim rank for the exact top-5, 0
+    otherwise; discounts 1/log2(pos+1)).  The retrieval-evaluation
+    primitive every RAG/search pipeline reports.  Bit-portability: the
+    five discount divisors and the ideal DCG are PYTHON-COMPUTED
+    LITERALS inlined into both engines (the HLL literal-constant
+    discipline), relevance grades are exact integers from the
+    rank join, and the 5-term DCG sum is one fixed left-associated
+    expression tree — never a float aggregation across rows.  Scale:
+    same broadcast-query all-pairs correctness baseline as the recall
+    entry; at 100 TB the prefix ranking is the prefilter and this is
+    its quality gauge."""
+    e = _emb(spark, sf).select(
+        "vec_id",
+        "e",
+        F.slice("e", 1, 16).alias("p"),
+        F.sqrt(F.expr(_DOT.format(a="e", b="e"))).alias("nrm"),
+        F.sqrt(
+            F.expr(_DOT.format(a="slice(e, 1, 16)", b="slice(e, 1, 16)"))
+        ).alias("pnrm"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("p").alias("qp"),
+        F.col("nrm").alias("qn"),
+        F.col("pnrm").alias("qpn"),
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.expr(_DOT.format(a="e", b="qe")) / (F.col("nrm") * F.col("qn")),
+            4,
+        ).alias("sim_full"),
+        F.round(
+            F.expr(_DOT.format(a="p", b="qp"))
+            / (F.col("pnrm") * F.col("qpn")),
+            4,
+        ).alias("sim_trunc"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("sim_full").desc(), "vec_id")
+    wt = W.partitionBy("qid").orderBy(F.col("sim_trunc").desc(), "vec_id")
+    rf = sims.select("qid", "vec_id", F.row_number().over(wf).alias("r"))
+    rt = sims.select("qid", "vec_id", F.row_number().over(wt).alias("r"))
+    j = (
+        rt.filter(F.col("r") <= 5)
+        .alias("t")
+        .join(
+            rf.alias("f"),
+            (F.col("f.qid") == F.col("t.qid"))
+            & (F.col("f.vec_id") == F.col("t.vec_id")),
+            "left",
+        )
+        .select(
+            F.col("t.qid").alias("qid"),
+            F.col("t.r").alias("pos"),
+            F.coalesce(
+                F.when(F.col("f.r") <= 5, 6 - F.col("f.r")), F.lit(0)
+            )
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    d = j.groupBy("qid").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("pos") == i, F.col("rel"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"r{i}")
+            for i in range(1, 6)
+        ],
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    dcg = (
+        F.col("r1").cast("double") / F.lit(float(_NDCG_LOG2[0]))
+        + F.col("r2").cast("double") / F.lit(float(_NDCG_LOG2[1]))
+        + F.col("r3").cast("double") / F.lit(float(_NDCG_LOG2[2]))
+        + F.col("r4").cast("double") / F.lit(float(_NDCG_LOG2[3]))
+        + F.col("r5").cast("double") / F.lit(float(_NDCG_LOG2[4]))
+    )
+    return d.select(
+        "qid",
+        "n_overlap",
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+        "r5",
+        dcg.alias("dcg_at_5"),
+        (dcg / F.lit(float(_NDCG_IDCG))).alias("ndcg_at_5"),
+    ).orderBy("qid")

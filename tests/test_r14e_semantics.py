@@ -298,3 +298,62 @@ def test_target_encoding_matches_python_shrinkage(spark, sf_dir):
         prior = float(s) / float(n) / 100.0
         lo, hi = sorted((r.raw_mean, prior))
         assert lo <= r.enc_smoothed <= hi
+
+
+def test_k_anonymity_matches_python_classes(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus,"
+        " strftime(o_orderdate, '%Y-%m'),"
+        " (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1000000)"
+        " // 5000000"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    cls: dict = {}
+    for p, st, mo, band in rows:
+        c = cls.setdefault((p, st, mo), [0, set()])
+        c[0] += 1
+        c[1].add(int(band))
+    ks = [c[0] for c in cls.values()]
+    ls = [len(c[1]) for c in cls.values()]
+    buckets: Counter = Counter()
+    recs: Counter = Counter()
+    for k in ks:
+        b = ("1" if k == 1 else "2-4" if k < 5 else "5-9" if k < 10
+             else "10-99" if k < 100 else "100+")
+        buckets[b] += 1
+        recs[b] += k
+    got = Q["orders_k_anonymity_profile"](spark, sf_dir).collect()
+    assert sorted(r.k_bucket for r in got) == sorted(buckets)
+    for r in got:
+        assert r.n_classes_in_bucket == buckets[r.k_bucket]
+        assert r.n_records_in_bucket == recs[r.k_bucket]
+        assert r.n_classes == len(cls)
+        assert r.min_k == min(ks)
+        assert r.min_l == min(ls)
+        assert r.records_below_k5 == sum(k for k in ks if k < 5)
+        assert r.classes_below_l3 == sum(1 for l in ls if l < 3)
+
+
+def test_ndcg_matches_python_rank_math(spark, sf_dir):
+    got = {r.qid: r for r in Q["truncated_dim_ndcg_at5"](spark, sf_dir).collect()}
+    rec = {
+        r.qid: r
+        for r in Q["truncated_dim_recall_at3"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(rec) == {0, 1, 2, 3, 4}
+    log2 = [1.0, 1.584962500721156, 2.0, 2.321928094887362,
+            2.584962500721156]
+    idcg = 10.271924937667158
+    for qid, r in got.items():
+        rels = [r.r1, r.r2, r.r3, r.r4, r.r5]
+        # grades are a subset of {0..5} with no positive grade repeated
+        pos = [x for x in rels if x > 0]
+        assert len(pos) == len(set(pos)) == r.n_overlap
+        assert all(0 <= x <= 5 for x in rels)
+        dcg = (float(rels[0]) / log2[0] + float(rels[1]) / log2[1]
+               + float(rels[2]) / log2[2] + float(rels[3]) / log2[3]
+               + float(rels[4]) / log2[4])
+        assert r.dcg_at_5 == dcg
+        assert r.ndcg_at_5 == dcg / idcg
+        assert 0.0 <= r.ndcg_at_5 <= 1.0
