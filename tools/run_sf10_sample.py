@@ -78,6 +78,16 @@ SAMPLE = {
     "drift-psi": "events_value_psi_halves",
     "drift-jsd": "source_token_jsd_vs_corpus",
     "link-analysis-hits": "trade_hits_hub_authority",
+    # round-14e families
+    "stat-kruskal-wallis": "events_kruskal_wallis_cells",
+    "series-crosscorr": "events_daily_crosscorr_view_purchase",
+    "graph-assortativity": "trade_degree_assortativity",
+    "sketch-misra-gries": "token_misra_gries_vs_exact",
+    "feature-hashing": "doc_feature_hashing_load",
+    "target-encoding": "customer_target_encoding_smoothed",
+    "layout-bucketed-join": "bucketed_colocated_segment_revenue",
+    "governance-k-anonymity": "orders_k_anonymity_profile",
+    "retrieval-ndcg": "truncated_dim_ndcg_at5",
     # linkage-fs (customer_linkage_fs_*) is deliberately NOT sampled at
     # sf10: scale_data replicates names, so the true edit<=1 pair set
     # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
@@ -109,6 +119,8 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=".scratch/sf10")
     ap.add_argument("--out", default="PARITY_r14_sf10_sample.json")
     ap.add_argument("--driver-memory", default="48g")
+    ap.add_argument("--duck-memory", default="40GB")
+    ap.add_argument("--duck-temp-max", default="60GiB")
     ap.add_argument("--chunk", type=int, default=7)
     args = ap.parse_args()
 
@@ -127,6 +139,14 @@ def main() -> int:
             os.path.join(REPO, "tools", "driver_parity.py"),
             "--sf-dir", args.sf_dir,
             "--driver-memory", args.driver_memory,
+            # DuckDB resource envelope (r14 session-5): without an
+            # explicit memory_limit the oracle plans against RAM the
+            # co-resident Spark JVM already holds and dies in malloc
+            # instead of spilling; without a capped temp dir one
+            # runaway oracle fills the disk.
+            "--duck-memory", args.duck_memory,
+            "--duck-temp", os.path.join(REPO, ".scratch", "duck_tmp"),
+            "--duck-temp-max", args.duck_temp_max,
             "--no-record", "--progress", "--scale-oracle",
             "--result-file", rf,
             "--only", *chunk,
@@ -153,6 +173,8 @@ def main() -> int:
     art = {
         "sf_dir": args.sf_dir,
         "driver_memory": args.driver_memory,
+        "duck_memory": args.duck_memory,
+        "duck_temp_max": args.duck_temp_max,
         "note": (
             "standing sf10 cross-family sample (r14): one gated "
             "representative per SURVEY family; skyline gated via its "
