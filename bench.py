@@ -220,6 +220,10 @@ EXTENDED = [
     # literal-constant discounts
     "orders_k_anonymity_profile",
     "truncated_dim_ndcg_at5",
+    # round-14e batch 3: kappa rides the langid CTE + |labels|-domain
+    # folds; IG pins the domain-median pick + enumerable-level groupBys
+    "langid_cohens_kappa",
+    "orders_feature_information_gain",
 ]
 
 

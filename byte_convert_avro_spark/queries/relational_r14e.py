@@ -825,3 +825,269 @@ def orders_k_anonymity_profile(spark: SparkSession, sf: str):
         )
     )
     return h.crossJoin(F.broadcast(g)).orderBy("k_bucket")
+
+
+# ---------------------------------------------------------------------------
+def _kappa_oracle() -> str:
+    from byte_convert_avro_spark.queries.text import _LANGID_CTE
+
+    return f"""
+    {_LANGID_CTE}
+    , r AS (
+      SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS rn
+      FROM pred GROUP BY lang
+    ), c AS (
+      SELECT guessed_lang AS lbl, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM pred GROUP BY guessed_lang
+    ), m AS (
+      SELECT CAST(SUM(COALESCE(r.rn, 0) * COALESCE(c.cn, 0)) AS BIGINT)
+               AS pe_num
+      FROM r FULL OUTER JOIN c USING (lbl)
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = guessed_lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM pred
+    )
+    SELECT g.n AS n_docs, g.agree AS agree_docs, m.pe_num,
+           CASE WHEN g.n > 0 THEN
+             CAST(g.agree AS DOUBLE) / CAST(g.n AS DOUBLE)
+           END AS po,
+           CASE WHEN g.n > 0 THEN
+             CAST(m.pe_num AS DOUBLE)
+               / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE))
+           END AS pe,
+           CASE WHEN g.n * g.n - m.pe_num <> 0 THEN
+             CAST(g.n * g.agree - m.pe_num AS DOUBLE)
+               / CAST(g.n * g.n - m.pe_num AS DOUBLE)
+           END AS kappa
+    FROM g CROSS JOIN m
+    """
+
+
+@register("langid_cohens_kappa", _kappa_oracle())
+def langid_cohens_kappa(spark: SparkSession, sf: str):
+    """COHEN'S KAPPA between the langid heuristic and the labeled
+    ``lang`` column — chance-corrected agreement, the
+    classifier-evaluation statistic the raw confusion matrix
+    (``langid_confusion_matrix``) and accuracy miss: a classifier that
+    always guesses the majority language scores high accuracy but
+    kappa ~ 0.  The exact-integer insight: kappa = (p_o − p_e)/(1 −
+    p_e) clears its denominators as (N·agree − Σ_l r_l·c_l)/(N² −
+    Σ_l r_l·c_l) — BOTH numerator and denominator exact int64 (bound:
+    N² < 2^63 to N ~ 3e9 docs), so the statistic is one guarded
+    division.  Marginal products use a full outer join over the label
+    union with COALESCE 0, so one-sided labels (a language never
+    guessed, or a guess absent from truth) contribute exactly zero.
+    Scale: the prediction pass is the langid CTE (one pruned documents
+    scan); everything after lives on the |labels|-sized domain."""
+    from byte_convert_avro_spark.queries.text import lang_id_heuristic
+
+    pred = lang_id_heuristic(spark, sf).select("lang", "guessed_lang")
+    r = pred.groupBy(F.col("lang").alias("lbl")).agg(
+        F.count("*").cast("long").alias("rn")
+    )
+    c = pred.groupBy(F.col("guessed_lang").alias("lbl")).agg(
+        F.count("*").cast("long").alias("cn")
+    )
+    m = (
+        r.join(c, "lbl", "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("rn"), F.lit(0))
+                * F.coalesce(F.col("cn"), F.lit(0))
+            ).alias("p")
+        )
+        .agg(F.sum("p").cast("long").alias("pe_num"))
+    )
+    g = pred.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("guessed_lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    n, agree, pe = F.col("n"), F.col("agree"), F.col("pe_num")
+    return g.crossJoin(F.broadcast(m)).select(
+        n.alias("n_docs"),
+        agree.alias("agree_docs"),
+        "pe_num",
+        F.when(n > 0, agree.cast("double") / n.cast("double")).alias("po"),
+        F.when(
+            n > 0, pe.cast("double") / (n.cast("double") * n.cast("double"))
+        ).alias("pe"),
+        F.when(
+            n * n - pe != 0,
+            (n * agree - pe).cast("double") / (n * n - pe).cast("double"),
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_feature_information_gain",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS f_priority, o_orderstatus AS f_status,
+             CAST(strftime(o_orderdate, '%m') AS VARCHAR) AS f_month,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders
+    ), dom AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM o GROUP BY vc
+    ), med AS (
+      SELECT MIN(vc) AS med FROM dom
+      CROSS JOIN (SELECT CAST(SUM(t) AS BIGINT) AS n FROM dom)
+      WHERE cum * 2 >= n + 1
+    ), lab AS (
+      SELECT f_priority, f_status, f_month,
+             CASE WHEN vc > med THEN 1 ELSE 0 END AS y
+      FROM o CROSS JOIN med
+    ), u AS (
+      SELECT 'priority' AS feature, f_priority AS level, y FROM lab
+      UNION ALL
+      SELECT 'status' AS feature, f_status AS level, y FROM lab
+      UNION ALL
+      SELECT 'month' AS feature, f_month AS level, y FROM lab
+    ), vc_counts AS (
+      SELECT feature, level, y, CAST(COUNT(*) AS BIGINT) AS nvc
+      FROM u GROUP BY feature, level, y
+    ), v_counts AS (
+      SELECT feature, level, CAST(SUM(nvc) AS BIGINT) AS nv
+      FROM vc_counts GROUP BY feature, level
+    ), cond AS (
+      SELECT vc_counts.feature,
+             CAST(SUM(nvc * ((LENGTH(BIN(nv)) - 1)
+                             - (LENGTH(BIN(nvc)) - 1))) AS BIGINT)
+               AS cond_num,
+             CAST(COUNT(DISTINCT vc_counts.level) AS BIGINT) AS n_levels
+      FROM vc_counts JOIN v_counts USING (feature, level)
+      GROUP BY vc_counts.feature
+    ), yc AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS nc FROM lab GROUP BY y
+    ), hy AS (
+      SELECT CAST(SUM(nc * ((LENGTH(BIN(n)) - 1)
+                            - (LENGTH(BIN(nc)) - 1))) AS BIGINT) AS hy_num,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM yc CROSS JOIN (SELECT CAST(SUM(nc) AS BIGINT) AS n FROM yc)
+    )
+    SELECT cond.feature, cond.n_levels, hy.hy_num, cond.cond_num,
+           hy.hy_num - cond.cond_num AS ig_num, hy.n AS n_total,
+           CASE WHEN hy.n > 0 THEN
+             CAST(hy.hy_num - cond.cond_num AS DOUBLE)
+               / CAST(hy.n AS DOUBLE)
+           END AS ig_floorbits
+    FROM cond CROSS JOIN hy ORDER BY cond.feature
+    """,
+)
+def orders_feature_information_gain(spark: SparkSession, sf: str):
+    """INFORMATION GAIN per candidate feature (priority, status, order
+    month) on the binary target "order above the exact median total" —
+    the decision-tree / feature-selection scoring pass, spelled in the
+    engine's exact floor-log2 surprisal system (the
+    ``events_user_type_entropy_bits`` discipline): every per-class term
+    is ``n·(flog2(group) − flog2(class))`` with ``flog2 x =
+    length(bin(x)) − 1``, so H(Y), the conditional entropy, and IG all
+    carry EXACT integer numerators over the shared denominator N —
+    ig_floorbits is one guarded division.  The median label boundary is
+    the exact order statistic at position ceil((N+1)/2) picked from the
+    distinct-cents DOMAIN cumulative (the MW/QQ machinery), never a row
+    sort.  Scale: one
+    domain cumulative + three feature-level groupBys over enumerable
+    (feature, level, y) domains; the union triples the projection
+    width, not the shuffle depth — each branch reduces map-side."""
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.col("o_orderstatus").alias("f_status"),
+        F.date_format("o_orderdate", "MM").alias("f_month"),
+        cents("o_totalprice").alias("vc"),
+    )
+    wcum = W.orderBy("vc").rowsBetween(W.unboundedPreceding, 0)
+    dom = (
+        o.groupBy("vc")
+        .agg(F.count("*").cast("long").alias("t"))
+        .select(
+            "vc", "t", F.sum("t").over(wcum).cast("long").alias("cum")
+        )
+    )
+    ntot = dom.agg(F.sum("t").cast("long").alias("n"))
+    med = (
+        dom.crossJoin(F.broadcast(ntot))
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .agg(F.min("vc").alias("med"))
+    )
+    lab = o.crossJoin(F.broadcast(med)).select(
+        "f_priority",
+        "f_status",
+        "f_month",
+        F.when(F.col("vc") > F.col("med"), 1).otherwise(0).alias("y"),
+    )
+    u = (
+        lab.select(
+            F.lit("priority").alias("feature"),
+            F.col("f_priority").alias("level"),
+            "y",
+        )
+        .unionByName(
+            lab.select(
+                F.lit("status").alias("feature"),
+                F.col("f_status").alias("level"),
+                "y",
+            )
+        )
+        .unionByName(
+            lab.select(
+                F.lit("month").alias("feature"),
+                F.col("f_month").alias("level"),
+                "y",
+            )
+        )
+    )
+    vc_counts = u.groupBy("feature", "level", "y").agg(
+        F.count("*").cast("long").alias("nvc")
+    )
+    v_counts = vc_counts.groupBy("feature", "level").agg(
+        F.sum("nvc").cast("long").alias("nv")
+    )
+    flog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    cond = (
+        vc_counts.join(v_counts, ["feature", "level"])
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                F.col("nvc")
+                * (flog2(F.col("nv")) - flog2(F.col("nvc")))
+            )
+            .cast("long")
+            .alias("cond_num"),
+            F.countDistinct("level").cast("long").alias("n_levels"),
+        )
+    )
+    yc = lab.groupBy("y").agg(F.count("*").cast("long").alias("nc"))
+    hy = yc.crossJoin(
+        F.broadcast(yc.agg(F.sum("nc").cast("long").alias("n")))
+    ).agg(
+        F.sum(F.col("nc") * (flog2(F.col("n")) - flog2(F.col("nc"))))
+        .cast("long")
+        .alias("hy_num"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return (
+        cond.crossJoin(F.broadcast(hy))
+        .select(
+            "feature",
+            "n_levels",
+            "hy_num",
+            "cond_num",
+            (F.col("hy_num") - F.col("cond_num")).alias("ig_num"),
+            F.col("n").alias("n_total"),
+            F.when(
+                F.col("n") > 0,
+                (F.col("hy_num") - F.col("cond_num")).cast("double")
+                / F.col("n").cast("double"),
+            ).alias("ig_floorbits"),
+        )
+        .orderBy("feature")
+    )

@@ -357,3 +357,58 @@ def test_ndcg_matches_python_rank_math(spark, sf_dir):
         assert r.dcg_at_5 == dcg
         assert r.ndcg_at_5 == dcg / idcg
         assert 0.0 <= r.ndcg_at_5 <= 1.0
+
+
+def test_cohens_kappa_matches_python_marginals(spark, sf_dir):
+    pred = [
+        (r.lang, r.guessed_lang)
+        for r in Q["lang_id_heuristic"](spark, sf_dir)
+        .select("lang", "guessed_lang")
+        .collect()
+    ]
+    n = len(pred)
+    agree = sum(1 for a, g in pred if a == g)
+    ra: Counter = Counter(a for a, _ in pred)
+    ca: Counter = Counter(g for _, g in pred)
+    pe_num = sum(ra[l] * ca.get(l, 0) for l in ra)
+    [r] = Q["langid_cohens_kappa"](spark, sf_dir).collect()
+    assert (r.n_docs, r.agree_docs, r.pe_num) == (n, agree, pe_num)
+    assert r.po == float(agree) / float(n)
+    assert r.pe == float(pe_num) / (float(n) * float(n))
+    assert r.kappa == float(n * agree - pe_num) / float(n * n - pe_num)
+    # chance-corrected: kappa <= accuracy, and kappa == 1 iff perfect
+    assert r.kappa <= r.po + 1e-15
+
+
+def test_information_gain_matches_python_floorbits(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus, strftime(o_orderdate, '%m'),"
+        " CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    vals = sorted(vc for *_, vc in rows)
+    n = len(vals)
+    # exact median pick from the domain cumulative: min vc with
+    # 2*cum >= n+1 == sorted element at position ceil((n+1)/2)
+    med = vals[(n + 2) // 2 - 1]
+    lab = [(p, s, m, 1 if vc > med else 0) for p, s, m, vc in rows]
+    yc: Counter = Counter(y for *_, y in lab)
+    hy_num = sum(c * (flog2(n) - flog2(c)) for c in yc.values())
+    got = {
+        r.feature: r
+        for r in Q["orders_feature_information_gain"](spark, sf_dir).collect()
+    }
+    for feat, idx in (("priority", 0), ("status", 1), ("month", 2)):
+        nvc: Counter = Counter((row[idx], row[3]) for row in lab)
+        nv: Counter = Counter(row[idx] for row in lab)
+        cond = sum(
+            c * (flog2(nv[lv]) - flog2(c)) for (lv, _), c in nvc.items()
+        )
+        r = got[feat]
+        assert r.n_levels == len(nv)
+        assert (r.hy_num, r.cond_num) == (hy_num, cond)
+        assert r.ig_num == hy_num - cond
+        assert r.n_total == n
+        assert r.ig_floorbits == float(hy_num - cond) / float(n)
