@@ -224,6 +224,11 @@ EXTENDED = [
     # folds; IG pins the domain-median pick + enumerable-level groupBys
     "langid_cohens_kappa",
     "orders_feature_information_gain",
+    # round-14e batch 4: rich-club pins the threshold fold staying ONE
+    # conditional-sum pass over decorated edges; PMI pins the candidate
+    # set staying bigram-vocab-sized
+    "copurchase_rich_club",
+    "bigram_pmi_collocations",
 ]
 
 

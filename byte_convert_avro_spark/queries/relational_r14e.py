@@ -1091,3 +1091,232 @@ def orders_feature_information_gain(spark: SparkSession, sf: str):
         )
         .orderBy("feature")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_rich_club",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+    ), nodes AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+      ) GROUP BY n
+    ), na AS (
+      SELECT CAST(SUM(CASE WHEN deg > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN deg > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN deg > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(SUM(CASE WHEN deg > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+             CAST(SUM(CASE WHEN deg > 16 THEN 1 ELSE 0 END) AS BIGINT) AS n16
+      FROM nodes
+    ), dec AS (
+      SELECT da.deg AS dega, db.deg AS degb
+      FROM e JOIN nodes da ON da.n = e.a JOIN nodes db ON db.n = e.b
+    ), ea AS (
+      SELECT CAST(SUM(CASE WHEN dega > 1 AND degb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+             CAST(SUM(CASE WHEN dega > 2 AND degb > 2 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+             CAST(SUM(CASE WHEN dega > 4 AND degb > 4 THEN 1 ELSE 0 END) AS BIGINT) AS e4,
+             CAST(SUM(CASE WHEN dega > 8 AND degb > 8 THEN 1 ELSE 0 END) AS BIGINT) AS e8,
+             CAST(SUM(CASE WHEN dega > 16 AND degb > 16 THEN 1 ELSE 0 END) AS BIGINT) AS e16
+      FROM dec
+    ), u AS (
+      SELECT 1 AS k, n1 AS n_k, e1 AS e_k FROM na CROSS JOIN ea
+      UNION ALL
+      SELECT 2 AS k, n2 AS n_k, e2 AS e_k FROM na CROSS JOIN ea
+      UNION ALL
+      SELECT 4 AS k, n4 AS n_k, e4 AS e_k FROM na CROSS JOIN ea
+      UNION ALL
+      SELECT 8 AS k, n8 AS n_k, e8 AS e_k FROM na CROSS JOIN ea
+      UNION ALL
+      SELECT 16 AS k, n16 AS n_k, e16 AS e_k FROM na CROSS JOIN ea
+    )
+    SELECT k, n_k, e_k,
+           CASE WHEN n_k >= 2 THEN
+             2.0 * CAST(e_k AS DOUBLE)
+               / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0))
+           END AS phi
+    FROM u ORDER BY k
+    """,
+)
+def copurchase_rich_club(spark: SparkSession, sf: str):
+    """RICH-CLUB COEFFICIENT of the part co-purchase graph (Zhou &
+    Mondragón 2004): at each degree threshold k, the density φ(k) =
+    2·E_k / (n_k·(n_k−1)) among the nodes with degree > k — do the
+    hubs form a club?  The graph-STRUCTURE companion of assortativity
+    (assortativity is one correlation over all edges; φ(k) profiles
+    the hub core specifically) and the degree histogram.  All counts
+    exact int64; φ is one guarded fixed float tree per threshold row
+    (thresholds are a 5-row literal frame).  Scale: degrees are one
+    union+groupBy over the edge list; E_k decorates edges with both
+    endpoint degrees (two node-sized equi joins — same decoration
+    backbone as assortativity) and folds ONCE into 5 conditional
+    sums (no threshold join at all); nothing grows beyond |edges|."""
+    li = t(spark, sf, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = op.select("ok", F.col("p").alias("p2"))
+    e = (
+        op.join(b, "ok")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ks = [1, 2, 4, 8, 16]
+    na = nodes.agg(
+        *[
+            F.sum(F.when(F.col("deg") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{k}")
+            for k in ks
+        ]
+    )
+    dec = (
+        e.join(
+            nodes.select(F.col("n").alias("a"), F.col("deg").alias("dega")),
+            "a",
+        )
+        .join(
+            nodes.select(F.col("n").alias("b"), F.col("deg").alias("degb")),
+            "b",
+        )
+        .select("dega", "degb")
+    )
+    ea = dec.agg(
+        *[
+            F.sum(
+                F.when((F.col("dega") > k) & (F.col("degb") > k), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"e{k}")
+            for k in ks
+        ]
+    )
+    u = (
+        na.crossJoin(F.broadcast(ea))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("k"),
+                            F.col(f"n{k}").alias("n_k"),
+                            F.col(f"e{k}").alias("e_k"),
+                        )
+                        for k in ks
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.k", "r.n_k", "r.e_k")
+    )
+    nk_d = F.col("n_k").cast("double")
+    return u.select(
+        "k",
+        "n_k",
+        "e_k",
+        F.when(
+            F.col("n_k") >= 2,
+            F.lit(2.0) * F.col("e_k").cast("double")
+            / (nk_d * (nk_d - F.lit(1.0))),
+        ).alias("phi"),
+    ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_pmi_collocations",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words)
+    ), cab AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY a, b
+    ), ca AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS n_a FROM bg GROUP BY a
+    ), cb AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM bg GROUP BY b
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+    scored AS (
+      SELECT cab.a || ' ' || cab.b AS bigram, cab.c_ab, ca.n_a, cb.n_b,
+             n.n_bg,
+             CAST((LENGTH(BIN(cab.c_ab * n.n_bg)) - 1)
+                  - (LENGTH(BIN(ca.n_a * cb.n_b)) - 1) AS BIGINT)
+               AS pmi_floorbits
+      FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+      WHERE cab.c_ab >= 5
+    )
+    SELECT bigram, c_ab, n_a, n_b, n_bg, pmi_floorbits
+    FROM scored
+    ORDER BY pmi_floorbits DESC, c_ab DESC, bigram LIMIT 20
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf: str):
+    """COLLOCATION EXTRACTION by pointwise mutual information over the
+    corpus bigram table: PMI(a,b) = log2( c_ab·N / (n_a·n_b) ) with
+    first-position/second-position marginals — high-PMI pairs are
+    phrases (tokens that co-occur far above chance), the classic
+    collocation detector next to the bigram LM's conditional scoring
+    (bitscore asks "how surprising is b AFTER a"; PMI asks "are a and b
+    ASSOCIATED at all").  Spelled in exact floor-log2 bits as
+    flog2(c_ab·N) − flog2(n_a·n_b) — two integer products (each
+    ≤ N² < 2^63 to ~3e9 bigrams) and two exact bin-length logs, so the
+    score, the min-support filter (c_ab ≥ 5, the standard collocation
+    floor), and the (score, support, bigram) ordering are all pinned
+    values.  Scale: three map-side-combined groupBys on their own
+    natural keys + a 1-row broadcast total; the candidate set is the
+    bigram VOCABULARY (Heaps-sublinear), never occurrences."""
+    docs = t(spark, sf, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = (
+        words.select(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> named_struct('a', a, 'b', b))"
+            ).alias("ps")
+        )
+        .select(F.explode("ps").alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    cab = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    ca = bg.groupBy("a").agg(F.count("*").cast("long").alias("n_a"))
+    cb = bg.groupBy("b").agg(F.count("*").cast("long").alias("n_b"))
+    n = bg.agg(F.count("*").cast("long").alias("n_bg"))
+    flog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    scored = (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            "n_a",
+            "n_b",
+            "n_bg",
+            (
+                flog2(F.col("c_ab") * F.col("n_bg"))
+                - flog2(F.col("n_a") * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("pmi_floorbits"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_floorbits").desc(), F.col("c_ab").desc(), "bigram"
+    ).limit(20)

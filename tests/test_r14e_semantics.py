@@ -412,3 +412,69 @@ def test_information_gain_matches_python_floorbits(spark, sf_dir):
         assert r.ig_num == hy_num - cond
         assert r.n_total == n
         assert r.ig_floorbits == float(hy_num - cond) / float(n)
+
+
+def test_rich_club_matches_python_counters(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT DISTINCT a.p, b.p FROM"
+        " (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p"
+        "  FROM read_parquet('{d}/lineitem.parquet')) a"
+        " JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p"
+        "  FROM read_parquet('{d}/lineitem.parquet')) b"
+        " ON a.ok = b.ok AND a.p < b.p",
+    )
+    deg: Counter = Counter()
+    for a, b in rows:
+        deg[a] += 1
+        deg[b] += 1
+    got = {r.k: r for r in Q["copurchase_rich_club"](spark, sf_dir).collect()}
+    assert sorted(got) == [1, 2, 4, 8, 16]
+    for k, r in got.items():
+        n_k = sum(1 for d in deg.values() if d > k)
+        e_k = sum(1 for a, b in rows if deg[a] > k and deg[b] > k)
+        assert (r.n_k, r.e_k) == (n_k, e_k)
+        if n_k >= 2:
+            assert r.phi == 2.0 * float(e_k) / (float(n_k) * (float(n_k) - 1.0))
+            assert 0.0 <= r.phi <= 1.0
+        else:
+            assert r.phi is None
+    # monotone club sizes: raising the bar never grows the club
+    ns = [got[k].n_k for k in (1, 2, 4, 8, 16)]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_pmi_collocations_match_python_counters(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT string_split(text, ' ')"
+        " FROM read_parquet('{d}/documents.parquet')",
+    )
+    cab: Counter = Counter()
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    n_bg = 0
+    for (w,) in rows:
+        for a, b in zip(w, w[1:]):
+            cab[(a, b)] += 1
+            ca[a] += 1
+            cb[b] += 1
+            n_bg += 1
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    scored = [
+        (
+            flog2(c * n_bg) - flog2(ca[a] * cb[b]),
+            c,
+            f"{a} {b}",
+            ca[a],
+            cb[b],
+        )
+        for (a, b), c in cab.items()
+        if c >= 5
+    ]
+    top = sorted(scored, key=lambda s: (-s[0], -s[1], s[2]))[:20]
+    got = Q["bigram_pmi_collocations"](spark, sf_dir).collect()
+    assert [(r.pmi_floorbits, r.c_ab, r.bigram, r.n_a, r.n_b) for r in got] \
+        == top
+    for r in got:
+        assert r.n_bg == n_bg
