@@ -1097,12 +1097,16 @@ def orders_feature_information_gain(spark: SparkSession, sf: str):
 @register(
     "copurchase_rich_club",
     """
-    WITH op AS (
+    WITH op AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-    ), e AS (
+    ), e AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing at large SF (the HITS lesson):
+      -- e is referenced three times (both endpoint-degree scans + the
+      -- decoration join); re-deriving the ~30M-pair (sf1) self-join
+      -- per reference spilled >60 GiB of DuckDB temp
       SELECT DISTINCT a.p AS a, b.p AS b
       FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
       ) GROUP BY n

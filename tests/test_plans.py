@@ -1154,3 +1154,39 @@ def test_r14e_feature_encoding_aggregation_first(spark, sf_dir):
     for col in ("o_orderdate", "o_orderstatus", "o_orderpriority"):
         assert col not in te_plan
     assert "CartesianProduct" not in te_plan
+
+
+def test_r14e_kappa_ig_domain_bounded(spark, sf_dir):
+    """Kappa folds on the |labels| domain (documents scan pruned to the
+    langid inputs); information gain never row-sorts — the only global
+    window is the distinct-cents domain cumulative for the median pick,
+    and the orders scan prunes to the four touched columns."""
+    ka = Q["langid_cohens_kappa"](spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(ka, "formatted")
+    ig = Q["orders_feature_information_gain"](spark, sf_dir)
+    plan = explain_str(ig, "formatted")
+    assert "CartesianProduct" not in plan
+    for col in ("o_custkey", "o_orderkey"):
+        assert col not in plan  # untouched columns stay unread
+
+
+def test_r14e_rich_club_single_fold_and_pmi_vocab_bounded(spark, sf_dir):
+    """Rich-club's thresholds ride ONE conditional-sum fold over the
+    degree-decorated edge list (equi joins only, no threshold join);
+    PMI's joins are keyed on the bigram vocabulary (first/second token
+    marginals), documents scan pruned to (doc_id, text) or less."""
+    rc = Q["copurchase_rich_club"](spark, sf_dir)
+    plan = explain_str(rc, "formatted")
+    assert "CartesianProduct" not in plan
+    strats = join_strategies(rc)
+    # the 1-row na x ea fold rides one broadcast nested loop
+    assert strats.count("BroadcastNestedLoopJoin") == 1, strats
+    assert all(
+        s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin")
+        for s in strats
+    ), strats
+    pmi = Q["bigram_pmi_collocations"](spark, sf_dir)
+    p2 = explain_str(pmi, "formatted")
+    assert "CartesianProduct" not in p2
+    assert set(read_schemas(pmi)["documents"]) <= {"doc_id", "text"}
