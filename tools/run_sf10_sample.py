@@ -88,6 +88,10 @@ SAMPLE = {
     "layout-bucketed-join": "bucketed_colocated_segment_revenue",
     "governance-k-anonymity": "orders_k_anonymity_profile",
     "retrieval-ndcg": "truncated_dim_ndcg_at5",
+    "agreement-kappa": "langid_cohens_kappa",
+    "feature-scoring-ig": "orders_feature_information_gain",
+    "graph-rich-club": "copurchase_rich_club",
+    "text-collocations-pmi": "bigram_pmi_collocations",
     # linkage-fs (customer_linkage_fs_*) is deliberately NOT sampled at
     # sf10: scale_data replicates names, so the true edit<=1 pair set
     # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
