@@ -229,6 +229,13 @@ EXTENDED = [
     # set staying bigram-vocab-sized
     "copurchase_rich_club",
     "bigram_pmi_collocations",
+    # round-14e batch 5: WoE rides the IG median machinery; the class
+    # weights are a 1-fold table; negative sampling pins the candidate
+    # stage staying broadcast-user-batch x parts (no shuffle before the
+    # k-bounded window)
+    "orders_woe_iv_cells",
+    "events_class_weights",
+    "customer_part_negative_samples",
 ]
 
 

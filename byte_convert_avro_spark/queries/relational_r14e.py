@@ -1324,3 +1324,279 @@ def bigram_pmi_collocations(spark: SparkSession, sf: str):
     return scored.orderBy(
         F.col("pmi_floorbits").desc(), F.col("c_ab").desc(), "bigram"
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_woe_iv_cells",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS level,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders
+    ), dom AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM o GROUP BY vc
+    ), med AS (
+      SELECT MIN(vc) AS med FROM dom
+      CROSS JOIN (SELECT CAST(SUM(t) AS BIGINT) AS n FROM dom)
+      WHERE cum * 2 >= n + 1
+    ), lab AS (
+      SELECT level, CASE WHEN vc > med THEN 1 ELSE 0 END AS y
+      FROM o CROSS JOIN med
+    ), cells AS (
+      SELECT level,
+             CAST(SUM(1 - y) AS BIGINT) AS n0,
+             CAST(SUM(y) AS BIGINT) AS n1
+      FROM lab GROUP BY level
+    ), g AS (
+      SELECT CAST(SUM(n0) AS BIGINT) AS tn0, CAST(SUM(n1) AS BIGINT) AS tn1,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM cells
+    )
+    SELECT c.level, c.n0, c.n1,
+           CAST((LENGTH(BIN((c.n1 + 1) * (g.tn0 + g.v))) - 1)
+                - (LENGTH(BIN((c.n0 + 1) * (g.tn1 + g.v))) - 1) AS BIGINT)
+             AS woe_floorbits,
+           (CAST(c.n1 + 1 AS DOUBLE) / CAST(g.tn1 + g.v AS DOUBLE)
+            - CAST(c.n0 + 1 AS DOUBLE) / CAST(g.tn0 + g.v AS DOUBLE))
+             * CAST((LENGTH(BIN((c.n1 + 1) * (g.tn0 + g.v))) - 1)
+                    - (LENGTH(BIN((c.n0 + 1) * (g.tn1 + g.v))) - 1)
+                    AS DOUBLE) AS iv_contrib,
+           g.tn0 AS total_n0, g.tn1 AS total_n1
+    FROM cells c CROSS JOIN g ORDER BY c.level
+    """,
+)
+def orders_woe_iv_cells(spark: SparkSession, sf: str):
+    """WEIGHT OF EVIDENCE / INFORMATION VALUE cells for the priority
+    feature on the above-median binary target — the credit-scoring
+    standard next to information gain (IG scores a SPLIT; WoE/IV score
+    each LEVEL's evidence direction and the feature's total separating
+    power, and WoE is itself the encoding scorecards deploy).  Spelled
+    in the engine's exact floor-log2 system with add-1 smoothing:
+    woe_floorbits = flog2((n1+1)·(N0+V)) − flog2((n0+1)·(N1+V)) — two
+    integer products under bin-length logs — and each IV contribution
+    is one per-row fixed float tree over exact ints (the cells
+    discipline: IV itself is a reader-side Σ over ≤|levels| rows).
+    The target boundary reuses the exact domain-cumulative median pick.
+    Scale: one domain cumulative + one |levels|-sized cell rollup + a
+    1-row totals broadcast."""
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("level"),
+        cents("o_totalprice").alias("vc"),
+    )
+    wcum = W.orderBy("vc").rowsBetween(W.unboundedPreceding, 0)
+    dom = (
+        o.groupBy("vc")
+        .agg(F.count("*").cast("long").alias("t"))
+        .select("vc", "t", F.sum("t").over(wcum).cast("long").alias("cum"))
+    )
+    ntot = dom.agg(F.sum("t").cast("long").alias("n"))
+    med = (
+        dom.crossJoin(F.broadcast(ntot))
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .agg(F.min("vc").alias("med"))
+    )
+    lab = o.crossJoin(F.broadcast(med)).select(
+        "level", F.when(F.col("vc") > F.col("med"), 1).otherwise(0).alias("y")
+    )
+    cells = lab.groupBy("level").agg(
+        F.sum(1 - F.col("y")).cast("long").alias("n0"),
+        F.sum("y").cast("long").alias("n1"),
+    )
+    g = cells.agg(
+        F.sum("n0").cast("long").alias("tn0"),
+        F.sum("n1").cast("long").alias("tn1"),
+        F.count("*").cast("long").alias("v"),
+    )
+    flog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731
+    woe = (
+        flog2((F.col("n1") + 1) * (F.col("tn0") + F.col("v")))
+        - flog2((F.col("n0") + 1) * (F.col("tn1") + F.col("v")))
+    ).cast("long")
+    return (
+        cells.crossJoin(F.broadcast(g))
+        .select(
+            "level",
+            "n0",
+            "n1",
+            woe.alias("woe_floorbits"),
+            (
+                (
+                    (F.col("n1") + 1).cast("double")
+                    / (F.col("tn1") + F.col("v")).cast("double")
+                    - (F.col("n0") + 1).cast("double")
+                    / (F.col("tn0") + F.col("v")).cast("double")
+                )
+                * woe.cast("double")
+            ).alias("iv_contrib"),
+            F.col("tn0").alias("total_n0"),
+            F.col("tn1").alias("total_n1"),
+        )
+        .orderBy("level")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_class_weights",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    ), g AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k
+      FROM c
+    )
+    SELECT c.event_type, c.n_c, g.n AS n_total, g.k AS n_classes,
+           g.n AS w_num, g.k * c.n_c AS w_den,
+           CAST(g.n AS DOUBLE) / CAST(g.k * c.n_c AS DOUBLE) AS weight
+    FROM c CROSS JOIN g ORDER BY c.event_type
+    """,
+)
+def events_class_weights(spark: SparkSession, sf: str):
+    """INVERSE-FREQUENCY CLASS WEIGHTS per event type — the rebalancing
+    table every imbalanced-training pipeline computes first: w_c =
+    N/(K·n_c), normalized so Σ_c n_c·w_c = N by construction.  The
+    weight is carried as the exact integer rational (w_num, w_den)
+    with ONE division for the double (the exact-sum/count discipline),
+    so downstream sampling/loss-weighting can stay in integer
+    arithmetic.  Scale: one map-side-combined groupBy + a 1-row fold;
+    |classes| rows out."""
+    c = (
+        t(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_c"))
+    )
+    g = c.agg(
+        F.sum("n_c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    return (
+        c.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_c",
+            F.col("n").alias("n_total"),
+            F.col("k").alias("n_classes"),
+            F.col("n").alias("w_num"),
+            (F.col("k") * F.col("n_c")).alias("w_den"),
+            (
+                F.col("n").cast("double")
+                / (F.col("k") * F.col("n_c")).cast("double")
+            ).alias("weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "customer_part_negative_samples",
+    """
+    WITH top5 AS (
+      SELECT o_custkey AS c, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+      ORDER BY n_orders DESC, c LIMIT 5
+    ), pos AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN top5 ON top5.c = o.o_custkey
+    ), pospc AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_purchased FROM pos GROUP BY c
+    ), cand AS (
+      SELECT top5.c, part.p_partkey AS p,
+             ('0x' || substr(md5(CAST(top5.c AS VARCHAR) || ':ns:'
+                                 || CAST(part.p_partkey AS VARCHAR)),
+                             1, 13))::BIGINT AS hv
+      FROM top5 CROSS JOIN part
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos WHERE pos.c = top5.c AND pos.p = part.p_partkey
+      )
+    ), ranked AS (
+      SELECT c, p, hv,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY hv, p) AS rnk
+      FROM cand
+    )
+    SELECT r.c AS custkey, r.p AS partkey, r.hv, r.rnk,
+           pospc.n_purchased
+    FROM ranked r JOIN pospc ON pospc.c = r.c
+    WHERE r.rnk <= 5
+    ORDER BY custkey, rnk
+    """,
+)
+def customer_part_negative_samples(spark: SparkSession, sf: str):
+    """DETERMINISTIC NEGATIVE SAMPLING for contrastive / recsys
+    training pairs: for the 5 heaviest customers, 5 parts they have
+    NEVER purchased, drawn by the md5 ``:ns`` bottom-k discipline
+    (every sampling primitive in the engine shares it) — the
+    (user, positive, negatives) triple builder every two-tower /
+    matrix-factorization data pipeline needs, with the negatives
+    reproducible across runs and engines by construction.  The
+    anti-join ships the (tiny) positive set against the broadcast
+    user list; ranking is one per-user window over the candidate
+    hash.  Scale: candidates are |users_batch| × |parts| with the
+    user batch broadcast — embarrassingly parallel, no shuffle on the
+    parts side until the k-bounded window; at 100 TB the same plan
+    runs per user-shard, and the bottom-k-by-hash sample is mergeable
+    across shards like every other bottom-k in the engine."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf, "part").select("p_partkey")
+    top5 = (
+        o.groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "c")
+        .limit(5)
+    )
+    pos = (
+        o.join(F.broadcast(top5), o.o_custkey == top5.c)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("c", F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pospc = pos.groupBy("c").agg(
+        F.count("*").cast("long").alias("n_purchased")
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("c").cast("string"),
+                    F.lit(":ns:"),
+                    F.col("p_partkey").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        part.crossJoin(F.broadcast(top5.select("c")))
+        .join(
+            pos.withColumnRenamed("p", "p_partkey"),
+            ["c", "p_partkey"],
+            "left_anti",
+        )
+        .select("c", F.col("p_partkey").alias("p"), hv.alias("hv"))
+    )
+    wr = W.partitionBy("c").orderBy("hv", "p")
+    ranked = cand.select("c", "p", "hv", F.row_number().over(wr).alias("rnk"))
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .join(F.broadcast(pospc), "c")
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("p").alias("partkey"),
+            "hv",
+            "rnk",
+            "n_purchased",
+        )
+        .orderBy("custkey", "rnk")
+    )

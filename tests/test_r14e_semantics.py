@@ -478,3 +478,95 @@ def test_pmi_collocations_match_python_counters(spark, sf_dir):
         == top
     for r in got:
         assert r.n_bg == n_bg
+
+
+def test_woe_iv_matches_python_cells(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT o_orderpriority,"
+        " CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    flog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    vals = sorted(vc for _, vc in rows)
+    n = len(vals)
+    med = vals[(n + 2) // 2 - 1]
+    cells: dict = {}
+    for lv, vc in rows:
+        c = cells.setdefault(lv, [0, 0])
+        c[1 if vc > med else 0] += 1
+    tn0 = sum(c[0] for c in cells.values())
+    tn1 = sum(c[1] for c in cells.values())
+    v = len(cells)
+    got = {r.level: r for r in Q["orders_woe_iv_cells"](spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for lv, (n0, n1) in cells.items():
+        r = got[lv]
+        woe = flog2((n1 + 1) * (tn0 + v)) - flog2((n0 + 1) * (tn1 + v))
+        assert (r.n0, r.n1, r.woe_floorbits) == (n0, n1, woe)
+        assert (r.total_n0, r.total_n1) == (tn0, tn1)
+        assert r.iv_contrib == (
+            float(n1 + 1) / float(tn1 + v) - float(n0 + 1) / float(tn0 + v)
+        ) * float(woe)
+
+
+def test_class_weights_match_python_and_rebalance(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT event_type FROM read_parquet('{d}/events.parquet')"
+        " WHERE event_type IS NOT NULL",
+    )
+    cnt: Counter = Counter(et for (et,) in rows)
+    n, k = sum(cnt.values()), len(cnt)
+    got = {r.event_type: r for r in Q["events_class_weights"](spark, sf_dir).collect()}
+    assert set(got) == set(cnt)
+    for et, c in cnt.items():
+        r = got[et]
+        assert (r.n_c, r.n_total, r.n_classes) == (c, n, k)
+        assert (r.w_num, r.w_den) == (n, k * c)
+        assert r.weight == float(n) / float(k * c)
+    # the rebalance identity the table exists for: sum n_c * w_c == N
+    assert abs(sum(c * got[et].weight for et, c in cnt.items()) - n) < 1e-6 * n
+
+
+def test_negative_samples_match_python_bottom_k(spark, sf_dir):
+    import hashlib
+
+    orders = _rows(
+        sf_dir,
+        "SELECT o_custkey, o_orderkey FROM read_parquet('{d}/orders.parquet')",
+    )
+    li = _rows(
+        sf_dir,
+        "SELECT l_orderkey, l_partkey FROM read_parquet('{d}/lineitem.parquet')",
+    )
+    parts = [p for (p,) in _rows(
+        sf_dir, "SELECT p_partkey FROM read_parquet('{d}/part.parquet')"
+    )]
+    cnt: Counter = Counter(c for c, _ in orders)
+    top5 = [c for c, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    okey = {}
+    for c, ok in orders:
+        okey.setdefault(ok, c)
+    pos: dict = {c: set() for c in top5}
+    for ok, pk in li:
+        c = okey.get(ok)
+        if c in pos:
+            pos[c].add(pk)
+    got = Q["customer_part_negative_samples"](spark, sf_dir).collect()
+    by_c: dict = {}
+    for r in got:
+        by_c.setdefault(r.custkey, []).append(r)
+    assert set(by_c) == set(top5)
+    for c in top5:
+        hv = lambda p: int(  # noqa: E731
+            hashlib.md5(f"{c}:ns:{p}".encode()).hexdigest()[:13], 16
+        )
+        cand = sorted(
+            ((hv(p), p) for p in parts if p not in pos[c])
+        )[:5]
+        rows_c = sorted(by_c[c], key=lambda r: r.rnk)
+        assert [(r.hv, r.partkey) for r in rows_c] == cand
+        for r in rows_c:
+            assert r.n_purchased == len(pos[c])
+            assert r.partkey not in pos[c]  # never a positive
