@@ -633,12 +633,12 @@ def events_user_type_entropy_bits(spark: SparkSession, sf: str):
       FROM xy
     )
     SELECT n AS vocab_size,
-           CAST(CAST(n AS DECIMAL(38,0)) * sxy
+           CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy
                 - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))
-             AS slope_num,
-           CAST(CAST(n AS DECIMAL(38,0)) * sxx
+             AS VARCHAR) AS slope_num,
+           CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxx
                 - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))
-             AS slope_den,
+             AS VARCHAR) AS slope_den,
            CASE WHEN n >= 2 AND CAST(n AS DECIMAL(38,0)) * sxx
                                - CAST(sx AS DECIMAL(38,0)) * sx <> 0 THEN
              CAST(CAST(n AS DECIMAL(38,0)) * sxy
@@ -692,8 +692,11 @@ def corpus_zipf_loglog_slope(spark: SparkSession, sf: str):
     )
     return g.select(
         F.col("n").alias("vocab_size"),
-        num.alias("slope_num"),
-        den.alias("slope_den"),
+        # string conveyance (the Spearman/HITS rule): duckdb's .df()
+        # degrades DECIMAL(38,0) to float64 while Spark conveys exact
+        # Decimals — cast BOTH sides to digit strings
+        num.cast("string").alias("slope_num"),
+        den.cast("string").alias("slope_den"),
         F.when(
             (F.col("n") >= 2) & (den != 0),
             num.cast("double") / den.cast("double"),

@@ -92,6 +92,9 @@ SAMPLE = {
     "feature-scoring-ig": "orders_feature_information_gain",
     "graph-rich-club": "copurchase_rich_club",
     "text-collocations-pmi": "bigram_pmi_collocations",
+    "feature-woe-iv": "orders_woe_iv_cells",
+    "class-rebalancing": "events_class_weights",
+    "negative-sampling": "customer_part_negative_samples",
     # linkage-fs (customer_linkage_fs_*) is deliberately NOT sampled at
     # sf10: scale_data replicates names, so the true edit<=1 pair set
     # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
