@@ -236,6 +236,9 @@ EXTENDED = [
     "orders_woe_iv_cells",
     "events_class_weights",
     "customer_part_negative_samples",
+    # round-14e batch 6: log-rank pins the risk sets staying
+    # lifespan-domain suffix sums (never per-user-per-day scans)
+    "users_logrank_view_vs_other_cells",
 ]
 
 

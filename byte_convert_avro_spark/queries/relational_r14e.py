@@ -1600,3 +1600,134 @@ def customer_part_negative_samples(spark: SparkSession, sf: str):
         )
         .orderBy("custkey", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "users_logrank_view_vs_other_cells",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), life AS (
+      SELECT user_id,
+             (MAX(ts_us) - MIN(ts_us)) // 86400000000 AS t
+      FROM ev GROUP BY user_id
+    ), first_ev AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ), lab AS (
+      SELECT life.user_id, life.t,
+             CASE WHEN first_ev.event_type = 'view' THEN 1 ELSE 0 END AS g
+      FROM life JOIN first_ev USING (user_id)
+    ), cells0 AS (
+      SELECT t,
+             CAST(SUM(g) AS BIGINT) AS d1,
+             CAST(SUM(1 - g) AS BIGINT) AS d2
+      FROM lab GROUP BY t
+    ), cells AS (
+      SELECT t, d1, d2,
+             CAST(SUM(d1) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n1,
+             CAST(SUM(d2) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n2
+      FROM cells0
+    )
+    SELECT t AS lifespan_d, n1 AS at_risk_view, n2 AS at_risk_other,
+           d1 AS died_view, d2 AS died_other,
+           CASE WHEN n1 + n2 > 0 THEN
+             CAST(d1 AS DOUBLE)
+               - CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE)
+           END AS o_minus_e,
+           CASE WHEN n1 + n2 > 1 THEN
+             (CAST(d1 + d2 AS DOUBLE)
+              * CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+              * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                * (CAST(n1 + n2 AS DOUBLE) - 1.0))
+           END AS var_term
+    FROM cells ORDER BY lifespan_d
+    """,
+)
+def users_logrank_view_vs_other_cells(spark: SparkSession, sf: str):
+    """LOG-RANK TEST cells between two user cohorts (first event was a
+    'view' vs anything else) on the observed activity-lifespan
+    distribution — the standard two-group survival comparison next to
+    the single-curve ``events_user_survival_curve``: at each distinct
+    lifespan t, the at-risk counts n_j(t) (suffix sums over the
+    lifespan DOMAIN — never per-user-per-day scans), the 'deaths'
+    d_j(t), the hypergeometric expectation residual O−E and the
+    variance term, per the chi2-cells emission rule (the z statistic
+    is the reader-side Σ(O−E)/√ΣV over ≤|lifespan domain| rows; both
+    per-row floats are fixed trees over the exact integer counts).
+    Lifespans here are fully observed, so no censoring branch exists —
+    the censored KM form changes only the at-risk rule.  Scale: one
+    user-keyed reduction + one user-keyed first-event window share the
+    same exchange; everything after lives on the lifespan domain
+    (calendar-bounded)."""
+    ev = (
+        t(spark, sf, "events")
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
+    life = ev.groupBy("user_id").agg(
+        F.expr("(max(ts_us) - min(ts_us)) DIV 86400000000").alias("t")
+    )
+    wfirst = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    first_ev = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(wfirst).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    lab = life.join(first_ev, "user_id").select(
+        "t",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g"),
+    )
+    cells0 = lab.groupBy("t").agg(
+        F.sum("g").cast("long").alias("d1"),
+        F.sum(1 - F.col("g")).cast("long").alias("d2"),
+    )
+    wsuf = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cells = cells0.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("d1").over(wsuf).cast("long").alias("n1"),
+        F.sum("d2").over(wsuf).cast("long").alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    dd = (F.col("d1") + F.col("d2")).cast("double")
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    return cells.select(
+        F.col("t").alias("lifespan_d"),
+        F.col("n1").alias("at_risk_view"),
+        F.col("n2").alias("at_risk_other"),
+        F.col("d1").alias("died_view"),
+        F.col("d2").alias("died_other"),
+        F.when(
+            F.col("n1") + F.col("n2") > 0,
+            F.col("d1").cast("double") - dd * n1d / nn,
+        ).alias("o_minus_e"),
+        F.when(
+            F.col("n1") + F.col("n2") > 1,
+            (
+                dd
+                * (F.col("n1") + F.col("n2") - F.col("d1") - F.col("d2")).cast(
+                    "double"
+                )
+                * n1d
+                * n2d
+            )
+            / (nn * nn * (nn - F.lit(1.0))),
+        ).alias("var_term"),
+    ).orderBy("lifespan_d")

@@ -570,3 +570,53 @@ def test_negative_samples_match_python_bottom_k(spark, sf_dir):
         for r in rows_c:
             assert r.n_purchased == len(pos[c])
             assert r.partkey not in pos[c]  # never a positive
+
+
+def test_logrank_cells_match_python_risk_sets(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT user_id, event_type, epoch_us(ts), event_id"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE user_id IS NOT NULL AND ts IS NOT NULL",
+    )
+    span: dict = {}
+    first: dict = {}
+    for u, et, ts, eid in rows:
+        lo, hi = span.get(u, (ts, ts))
+        span[u] = (min(lo, ts), max(hi, ts))
+        k = (ts, eid)
+        if u not in first or k < first[u][0]:
+            first[u] = (k, et)
+    lab = [
+        ((hi - lo) // 86400000000, 1 if first[u][1] == "view" else 0)
+        for u, (lo, hi) in span.items()
+    ]
+    d1: Counter = Counter()
+    d2: Counter = Counter()
+    for lt, g in lab:
+        (d1 if g else d2)[lt] += 1
+    ts_dom = sorted(set(d1) | set(d2))
+    got = {
+        r.lifespan_d: r
+        for r in Q["users_logrank_view_vs_other_cells"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert sorted(got) == ts_dom
+    for lt in ts_dom:
+        n1 = sum(c for t2, c in d1.items() if t2 >= lt)
+        n2 = sum(c for t2, c in d2.items() if t2 >= lt)
+        r = got[lt]
+        assert (r.at_risk_view, r.at_risk_other) == (n1, n2)
+        assert (r.died_view, r.died_other) == (d1.get(lt, 0), d2.get(lt, 0))
+        dd, nn = d1.get(lt, 0) + d2.get(lt, 0), n1 + n2
+        assert r.o_minus_e == float(d1.get(lt, 0)) - float(dd) * float(n1) / float(nn)
+        if nn > 1:
+            assert r.var_term == (
+                float(dd) * float(nn - dd) * float(n1) * float(n2)
+            ) / (float(nn) * float(nn) * (float(nn) - 1.0))
+    # reader-side fold sanity: z is finite when total variance positive
+    tv = sum(r.var_term or 0.0 for r in got.values())
+    oe = sum(r.o_minus_e for r in got.values())
+    if tv > 0:
+        assert math.isfinite(oe / math.sqrt(tv))
