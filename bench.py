@@ -239,6 +239,7 @@ EXTENDED = [
     # round-14e batch 6: log-rank pins the risk sets staying
     # lifespan-domain suffix sums (never per-user-per-day scans)
     "users_logrank_view_vs_other_cells",
+    "langid_precision_recall_f1",
 ]
 
 

@@ -1731,3 +1731,100 @@ def users_logrank_view_vs_other_cells(spark: SparkSession, sf: str):
             / (nn * nn * (nn - F.lit(1.0))),
         ).alias("var_term"),
     ).orderBy("lifespan_d")
+
+
+# ---------------------------------------------------------------------------
+def _prf_oracle() -> str:
+    from byte_convert_avro_spark.queries.text import _LANGID_CTE
+
+    return f"""
+    {_LANGID_CTE}
+    , r AS (
+      SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS actual_n
+      FROM pred GROUP BY lang
+    ), c AS (
+      SELECT guessed_lang AS lbl, CAST(COUNT(*) AS BIGINT) AS guessed_n
+      FROM pred GROUP BY guessed_lang
+    ), d AS (
+      SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS tp
+      FROM pred WHERE lang = guessed_lang GROUP BY lang
+    )
+    SELECT lbl AS label,
+           COALESCE(d.tp, 0) AS tp,
+           COALESCE(c.guessed_n, 0) - COALESCE(d.tp, 0) AS fp,
+           COALESCE(r.actual_n, 0) - COALESCE(d.tp, 0) AS fn,
+           CASE WHEN COALESCE(c.guessed_n, 0) > 0 THEN
+             CAST(COALESCE(d.tp, 0) AS DOUBLE)
+               / CAST(c.guessed_n AS DOUBLE)
+           END AS precision_,
+           CASE WHEN COALESCE(r.actual_n, 0) > 0 THEN
+             CAST(COALESCE(d.tp, 0) AS DOUBLE)
+               / CAST(r.actual_n AS DOUBLE)
+           END AS recall_,
+           CASE WHEN 2 * COALESCE(d.tp, 0) + COALESCE(c.guessed_n, 0)
+                     - COALESCE(d.tp, 0) + COALESCE(r.actual_n, 0)
+                     - COALESCE(d.tp, 0) > 0 THEN
+             CAST(2 * COALESCE(d.tp, 0) AS DOUBLE)
+               / CAST(COALESCE(c.guessed_n, 0) + COALESCE(r.actual_n, 0)
+                      AS DOUBLE)
+           END AS f1
+    FROM r FULL OUTER JOIN c USING (lbl) LEFT JOIN d USING (lbl)
+    ORDER BY label
+    """
+
+
+@register("langid_precision_recall_f1", _prf_oracle())
+def langid_precision_recall_f1(spark: SparkSession, sf: str):
+    """PER-CLASS PRECISION / RECALL / F1 for the langid heuristic —
+    completing the classifier-evaluation ladder (confusion matrix →
+    chance-corrected kappa → the per-class operating report every model
+    card prints).  The exact-rational insight: F1 = 2·tp/(2·tp+fp+fn)
+    = 2·tp/(guessed_n + actual_n) — ONE guarded division per label, no
+    harmonic-mean float chain; precision and recall are single
+    divisions of exact counts.  Labels are the full outer union of
+    actual and guessed marginals, so a never-guessed language still
+    reports recall 0 and a hallucinated guess reports precision 0.
+    Macro/micro averages are reader-side folds over ≤|labels| rows
+    (cells discipline).  Scale: the prediction pass is the langid CTE;
+    everything after lives on the |labels| domain."""
+    from byte_convert_avro_spark.queries.text import lang_id_heuristic
+
+    pred = lang_id_heuristic(spark, sf).select("lang", "guessed_lang")
+    r = pred.groupBy(F.col("lang").alias("lbl")).agg(
+        F.count("*").cast("long").alias("actual_n")
+    )
+    c = pred.groupBy(F.col("guessed_lang").alias("lbl")).agg(
+        F.count("*").cast("long").alias("guessed_n")
+    )
+    d = (
+        pred.filter(F.col("lang") == F.col("guessed_lang"))
+        .groupBy(F.col("lang").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("tp"))
+    )
+    j = (
+        r.join(c, "lbl", "full_outer")
+        .join(d, "lbl", "left")
+        .select(
+            "lbl",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("guessed_n"), F.lit(0)).alias("gn"),
+            F.coalesce(F.col("actual_n"), F.lit(0)).alias("an"),
+        )
+    )
+    return j.select(
+        F.col("lbl").alias("label"),
+        "tp",
+        (F.col("gn") - F.col("tp")).alias("fp"),
+        (F.col("an") - F.col("tp")).alias("fn"),
+        F.when(
+            F.col("gn") > 0, F.col("tp").cast("double") / F.col("gn").cast("double")
+        ).alias("precision_"),
+        F.when(
+            F.col("an") > 0, F.col("tp").cast("double") / F.col("an").cast("double")
+        ).alias("recall_"),
+        F.when(
+            F.col("gn") + F.col("an") > 0,
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.col("gn") + F.col("an")).cast("double"),
+        ).alias("f1"),
+    ).orderBy("label")

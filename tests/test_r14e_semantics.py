@@ -620,3 +620,30 @@ def test_logrank_cells_match_python_risk_sets(spark, sf_dir):
     oe = sum(r.o_minus_e for r in got.values())
     if tv > 0:
         assert math.isfinite(oe / math.sqrt(tv))
+
+
+def test_precision_recall_f1_match_python_confusion(spark, sf_dir):
+    pred = [
+        (r.lang, r.guessed_lang)
+        for r in Q["lang_id_heuristic"](spark, sf_dir)
+        .select("lang", "guessed_lang")
+        .collect()
+    ]
+    ra: Counter = Counter(a for a, _ in pred)
+    ca: Counter = Counter(g for _, g in pred)
+    tp: Counter = Counter(a for a, g in pred if a == g)
+    labels = sorted(set(ra) | set(ca))
+    got = {r.label: r for r in Q["langid_precision_recall_f1"](spark, sf_dir).collect()}
+    assert sorted(got) == labels
+    for lbl in labels:
+        r = got[lbl]
+        t, g_, a = tp.get(lbl, 0), ca.get(lbl, 0), ra.get(lbl, 0)
+        assert (r.tp, r.fp, r.fn) == (t, g_ - t, a - t)
+        assert r.precision_ == (float(t) / float(g_) if g_ else None)
+        assert r.recall_ == (float(t) / float(a) if a else None)
+        assert r.f1 == (float(2 * t) / float(g_ + a) if g_ + a else None)
+        if r.f1 is not None and r.precision_ and r.recall_:
+            # F1 is the harmonic mean: between min and max of P and R
+            assert min(r.precision_, r.recall_) <= r.f1 <= max(
+                r.precision_, r.recall_
+            )
