@@ -96,6 +96,7 @@ SAMPLE = {
     "class-rebalancing": "events_class_weights",
     "negative-sampling": "customer_part_negative_samples",
     "survival-logrank": "users_logrank_view_vs_other_cells",
+    "classifier-eval-prf": "langid_precision_recall_f1",
     # linkage-fs (customer_linkage_fs_*) is deliberately NOT sampled at
     # sf10: scale_data replicates names, so the true edit<=1 pair set
     # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
