@@ -240,6 +240,9 @@ EXTENDED = [
     # lifespan-domain suffix sums (never per-user-per-day scans)
     "users_logrank_view_vs_other_cells",
     "langid_precision_recall_f1",
+    # modularity re-derives the LPA trajectory then adds two equi
+    # decorations — its wall time tracks the LPA family's
+    "copurchase_lpa_modularity",
 ]
 
 

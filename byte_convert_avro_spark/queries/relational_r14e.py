@@ -1828,3 +1828,127 @@ def langid_precision_recall_f1(spark: SparkSession, sf: str):
             / (F.col("gn") + F.col("an")).cast("double"),
         ).alias("f1"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+def _lpa_modularity_oracle() -> str:
+    from byte_convert_avro_spark.queries.relational_r12 import _LPA_ROUND
+
+    return (
+        """
+    WITH os AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), dir_e AS MATERIALIZED (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p
+    ), e AS MATERIALIZED (
+      SELECT a, b FROM dir_e UNION ALL SELECT b AS a, a AS b FROM dir_e
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS n, a AS lbl FROM e
+    )"""
+        + _LPA_ROUND.format(r=1, p=0)
+        + _LPA_ROUND.format(r=2, p=1)
+        + _LPA_ROUND.format(r=3, p=2)
+        + """
+    , m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM dir_e),
+    deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY a),
+    dsum AS (
+      SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg.d) AS BIGINT) AS d_c
+      FROM l3 l JOIN deg ON deg.n = l.n GROUP BY l.lbl
+    ), mc AS (
+      SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS m_c
+      FROM dir_e de
+      JOIN l3 la ON la.n = de.a
+      JOIN l3 lb ON lb.n = de.b AND lb.lbl = la.lbl
+      GROUP BY la.lbl
+    )
+    SELECT d.lbl AS community, d.n_nodes,
+           COALESCE(mc.m_c, 0) AS m_c, d.d_c, m.m AS m_edges,
+           CASE WHEN m.m > 0 THEN
+             CAST(COALESCE(mc.m_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+             - (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+               * (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+           END AS q_contrib
+    FROM dsum d LEFT JOIN mc ON mc.lbl = d.lbl CROSS JOIN m
+    ORDER BY community
+    """
+    )
+
+
+@register("copurchase_lpa_modularity", _lpa_modularity_oracle())
+def copurchase_lpa_modularity(spark: SparkSession, sf: str):
+    """MODULARITY Q cells for the LPA communities (Newman-Girvan): per
+    community the intra-edge count m_c, the degree mass d_c, and the
+    contribution m_c/m − (d_c/2m)² — Q = Σ contributions is the
+    standard "did the community detector find real structure" score
+    (Q≈0 for random cuts), completing the community family: LPA
+    PRODUCES labels, this SCORES them, re-deriving the identical label
+    trajectory through the same 3-round deterministic sweep on both
+    engines.  Counts exact int64; each contribution is one fixed float
+    tree; Q is the reader-side fold over ≤|communities| rows (the cells
+    discipline).  Scale: modularity adds to LPA's per-sweep exchanges
+    only two degree/label decorations and one label-equality edge join
+    — all equi-keyed; nothing beyond |edges| appears anywhere."""
+    from byte_convert_avro_spark.operators.graph import (
+        label_propagation_rounds,
+    )
+
+    li = t(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = os_.select(F.col("ok"), F.col("p").alias("p2"))
+    dir_e = (
+        os_.join(b, "ok")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    labels = label_propagation_rounds(
+        dir_e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        rounds=3,
+    )
+    e = dir_e.unionByName(
+        dir_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = e.groupBy(F.col("a").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    m = dir_e.agg(F.count("*").cast("long").alias("m"))
+    dsum = (
+        labels.join(deg, labels.node == deg.n)
+        .groupBy("lbl")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("lbl").alias("lb"))
+    mc = (
+        dir_e.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count("*").cast("long").alias("m_c"))
+    )
+    md = F.col("m").cast("double")
+    half = F.col("d_c").cast("double") / (F.lit(2.0) * md)
+    return (
+        dsum.join(mc, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("lbl").alias("community"),
+            "n_nodes",
+            F.coalesce(F.col("m_c"), F.lit(0)).alias("m_c"),
+            "d_c",
+            F.col("m").alias("m_edges"),
+            F.when(
+                F.col("m") > 0,
+                F.coalesce(F.col("m_c"), F.lit(0)).cast("double") / md
+                - half * half,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )

@@ -647,3 +647,49 @@ def test_precision_recall_f1_match_python_confusion(spark, sf_dir):
             assert min(r.precision_, r.recall_) <= r.f1 <= max(
                 r.precision_, r.recall_
             )
+
+
+def test_lpa_modularity_matches_python_sweeps(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT DISTINCT a.p, b.p FROM"
+        " (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p"
+        "  FROM read_parquet('{d}/lineitem.parquet')) a"
+        " JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p"
+        "  FROM read_parquet('{d}/lineitem.parquet')) b"
+        " ON a.ok = b.ok AND a.p < b.p",
+    )
+    adj: dict = {}
+    for a, b in rows:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lbl = {n: n for n in adj}
+    for _ in range(3):  # synchronous sweeps, smallest-label tie rule
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt: Counter = Counter(lbl[x] for x in nbrs)
+            best = max(cnt.values())
+            nxt[n] = min(l for l, c in cnt.items() if c == best)
+        lbl = nxt
+    m = len(rows)
+    deg = {n: len(v) for n, v in adj.items()}
+    d_c: Counter = Counter()
+    n_nodes: Counter = Counter()
+    for n in adj:
+        d_c[lbl[n]] += deg[n]
+        n_nodes[lbl[n]] += 1
+    m_c: Counter = Counter()
+    for a, b in rows:
+        if lbl[a] == lbl[b]:
+            m_c[lbl[a]] += 1
+    got = {r.community: r for r in Q["copurchase_lpa_modularity"](spark, sf_dir).collect()}
+    assert set(got) == set(n_nodes)
+    q = 0.0
+    for c, r in got.items():
+        assert (r.n_nodes, r.m_c, r.d_c, r.m_edges) == (
+            n_nodes[c], m_c.get(c, 0), d_c[c], m,
+        )
+        half = float(d_c[c]) / (2.0 * float(m))
+        assert r.q_contrib == float(m_c.get(c, 0)) / float(m) - half * half
+        q += r.q_contrib
+    assert -0.5 <= q <= 1.0  # modularity's mathematical range
