@@ -1,0 +1,718 @@
+"""Round-14 session-6 additions: the classifier/ranking EVALUATION
+completion — the operating-characteristic readouts every model-gated
+data pipeline reports before acting on a score.
+
+Families and why they are NEW surface, not respellings:
+
+- **Exact AUC via rank-sum** (``events_purchase_auc_rank_cells``): the
+  existing eval ladder has the confusion matrix, kappa, per-class
+  P/R/F1 — all THRESHOLDED metrics; AUC is the threshold-FREE ranking
+  quality of a score (P(score_pos > score_neg) + ½P(=)), the first
+  number a score ships with.  Spelled on the Mann-Whitney doubled-rank
+  machinery (r2 = Σ tp·(2w+t+1) over the distinct-score domain), so
+  the AUC numerator 2U = r2_pos − n_pos·(n_pos+1) is an EXACT integer
+  and AUC itself is one guarded division.
+- **Exact ROC at literal thresholds**
+  (``events_purchase_roc_literal_thresholds``): the curve behind the
+  area — (TPR, FPR, precision, Youden J) at 20 literal cent cutoffs,
+  every cell an exact integer from one conditional fold over the score
+  DOMAIN (never rows), output bounded at 20 rows at any scale.
+- **Decile lift / cumulative gains**
+  (``events_purchase_decile_lift``): the campaign-targeting readout —
+  rank by score, cut into score-deciles, report per-decile and
+  cumulative capture vs the random baseline.  Deciles come from the
+  exact DOMAIN-cumulative row positions (the QQ/median order-statistic
+  machinery: a distinct score value never straddles deciles, so no
+  row-scale NTILE window exists); lift is one division of exact-int
+  products.
+- **MRR@5** (``truncated_dim_mrr_at5``): retrieval eval has recall@3
+  (set overlap) and NDCG@5 (graded order); MRR is the FIRST-HIT
+  statistic ("how far down is the first relevant result") every
+  search/RAG dashboard shows next to them.  Reciprocal ranks are
+  conveyed EXACTLY as ``rr_x60 = 60 div rank`` (60 = lcm(1..5), so
+  60/rank is an integer for every rank ≤ 5); the float rr is one
+  division by the literal 60.
+- **McNemar's paired test**
+  (``langid_mcnemar_stopword_vs_conjunction``): kappa measures
+  agreement OF one classifier with truth; McNemar decides whether TWO
+  classifiers differ — the paired A/B gate for swapping heuristics.
+  Classifier A is the shipped article-marker langid; B is a
+  conjunction-marker twin (and/und/et/y) built from the same
+  occurrence-count primitive; the discordant cells n01/n10 are exact
+  ints and both chi² forms are single guarded divisions.
+
+Cross-engine float discipline (the welch_t/KW rules): every float is
+ONE fixed expression tree over exact-integer inputs with
+conditionally-evaluated guarded divisions; wide integers (the doubled
+rank sums, which pass 2^53 near 7e7 pooled rows) convey as digit
+strings via the DECIMAL(38,0) rule.
+
+Reference parity note: the reference (AvroTransform.java, 337-LoC
+Kafka-Connect SMT) has none of these operators — all belong to the
+analytics/LLM-pipeline addendum SURVEY.md §2 mandates on top of the
+decode pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.queries.base import (
+    cents,
+    register,
+    t,
+)
+
+#: Literal ROC cutoffs in cents: predict positive when score >= cutoff.
+#: 0 anchors the (FPR=1, TPR=1) corner; the top cutoff clears the data
+#: max (49_002) so the (0, 0) corner is on the curve too.
+_ROC_CUTS = list(range(0, 50_001, 2_500))
+
+_DEC_STR = "CAST(CAST({x} AS DECIMAL(38,0)) AS VARCHAR)"
+
+
+def _purchase_score_domain(spark: SparkSession, sf: str):
+    """(vc, t, tp) over the distinct score domain: score = value cents,
+    positive = purchase events, negative = every other event type."""
+    ev = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return (
+        ev.select(
+            cents("value").alias("vc"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+        .groupBy("vc")
+        .agg(
+            F.count("*").cast("long").alias("t"),
+            F.sum("pos").cast("long").alias("tp"),
+        )
+    )
+
+
+_PURCHASE_DOMAIN_SQL = """
+    f AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), dom AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(pos) AS BIGINT) AS tp
+      FROM f GROUP BY vc
+    )"""
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_purchase_auc_rank_cells",
+    f"""
+    WITH {_PURCHASE_DOMAIN_SQL}, gt AS (
+      SELECT vc, t, tp,
+             COALESCE(CAST(SUM(t) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS w
+      FROM dom
+    ), agg AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(tp) AS BIGINT) AS n_pos,
+             CAST(SUM(tp * (2 * w + t + 1)) AS BIGINT) AS r2_pos
+      FROM gt
+    )
+    SELECT n_pos, n - n_pos AS n_neg,
+           {_DEC_STR.format(x="r2_pos")} AS r2_pos,
+           {_DEC_STR.format(x="r2_pos - n_pos * (n_pos + 1)")} AS auc_num_x2,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+             CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+           END AS auc
+    FROM agg
+    """,
+)
+def events_purchase_auc_rank_cells(spark: SparkSession, sf: str):
+    """EXACT AUC of "value predicts purchase" via the rank-sum identity
+    AUC = U/(n_pos·n_neg) with tie-averaged ranks — the threshold-free
+    companion of the confusion-matrix/P-R-F1 ladder.  The doubled
+    positive rank sum ``r2_pos = Σ tp·(2w+t+1)`` comes from the
+    distinct-cents DOMAIN cumulative (the MW machinery — ties
+    contribute their exact average rank), so ``2U = r2_pos −
+    n_pos·(n_pos+1)`` is an exact integer and AUC is ONE guarded
+    division.  r2_pos and 2U convey as digit strings (they pass 2^53
+    near 7e7 pooled rows — the round-14c DECIMAL rule).  Scale: one
+    map-side-combined groupBy to the value domain + one domain-bounded
+    cumulative window + a single-row fold; no row-scale window, no
+    shuffle beyond the domain."""
+    dom = _purchase_score_domain(spark, sf)
+    wprev = W.orderBy("vc").rowsBetween(W.unboundedPreceding, -1)
+    gt = dom.select(
+        "vc",
+        "t",
+        "tp",
+        F.coalesce(F.sum("t").over(wprev).cast("long"), F.lit(0)).alias("w"),
+    )
+    agg = gt.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("tp").cast("long").alias("n_pos"),
+        F.sum(F.col("tp") * (2 * F.col("w") + F.col("t") + 1))
+        .cast("long")
+        .alias("r2_pos"),
+    )
+    num = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    n_neg = F.col("n") - F.col("n_pos")
+    return agg.select(
+        "n_pos",
+        n_neg.alias("n_neg"),
+        F.col("r2_pos").cast("decimal(38,0)").cast("string").alias("r2_pos"),
+        num.cast("decimal(38,0)").cast("string").alias("auc_num_x2"),
+        F.when(
+            (F.col("n_pos") > 0) & (n_neg > 0),
+            num.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * n_neg.cast("double")
+            ),
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_purchase_roc_literal_thresholds",
+    f"""
+    WITH {_PURCHASE_DOMAIN_SQL}, tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS n_pos
+      FROM dom
+    ), cuts AS (
+      SELECT CAST(unnest([{", ".join(str(c) for c in _ROC_CUTS)}]) AS BIGINT)
+        AS cut
+    ), cells AS (
+      SELECT c.cut,
+             CAST(COALESCE(SUM(CASE WHEN d.vc >= c.cut THEN d.tp END), 0)
+                  AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(CASE WHEN d.vc >= c.cut THEN d.t - d.tp END),
+                  0) AS BIGINT) AS fp
+      FROM cuts c LEFT JOIN dom d ON TRUE
+      GROUP BY c.cut
+    )
+    SELECT cells.cut, tp, fp,
+           tot.n_pos - tp AS fn,
+           (tot.n - tot.n_pos) - fp AS tn,
+           CASE WHEN tot.n_pos > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tot.n_pos AS DOUBLE) END AS tpr,
+           CASE WHEN tot.n - tot.n_pos > 0 THEN
+             CAST(fp AS DOUBLE) / CAST(tot.n - tot.n_pos AS DOUBLE)
+           END AS fpr,
+           CASE WHEN tp + fp > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+           CASE WHEN tot.n_pos > 0 AND tot.n - tot.n_pos > 0 THEN
+             CAST(tp AS DOUBLE) / CAST(tot.n_pos AS DOUBLE)
+               - CAST(fp AS DOUBLE) / CAST(tot.n - tot.n_pos AS DOUBLE)
+           END AS youden_j
+    FROM cells CROSS JOIN tot
+    ORDER BY cells.cut
+    """,
+)
+def events_purchase_roc_literal_thresholds(spark: SparkSession, sf: str):
+    """EXACT ROC OPERATING POINTS at 20 literal cent cutoffs (predict
+    purchase when value ≥ cutoff): per cutoff the full confusion cell
+    block (tp/fp/fn/tn, exact ints) plus TPR, FPR, precision and
+    Youden's J — each a guarded division (J is the difference of the
+    two, a fixed two-division tree).  The curve behind
+    ``events_purchase_auc_rank_cells``; cutoffs are LITERALS in both
+    engines so output is 20 rows at ANY scale.  Scale: the conditional
+    folds run over the distinct-cents DOMAIN (bounded by the value
+    range, not row count) against 20 broadcast cutoffs — one
+    domain-bounded join, one 20-group aggregate, no row-scale
+    anything."""
+    dom = _purchase_score_domain(spark, sf)
+    tot = dom.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("tp").cast("long").alias("n_pos"),
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _ROC_CUTS], schema="cut long"
+    )
+    # left join FROM the literal cuts (not a crossJoin from dom) so all
+    # 20 operating points survive even an empty/filtered-out domain —
+    # the hll_intersection empty-side lesson.
+    cells = (
+        cuts.join(dom, F.lit(True), "left")
+        .groupBy("cut")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("vc") >= F.col("cut"), F.col("tp"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("vc") >= F.col("cut"),
+                        F.col("t") - F.col("tp"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    tpr = F.col("tp").cast("double") / F.col("n_pos").cast("double")
+    fpr = F.col("fp").cast("double") / n_neg.cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "cut",
+            "tp",
+            "fp",
+            (F.col("n_pos") - F.col("tp")).alias("fn"),
+            (n_neg - F.col("fp")).alias("tn"),
+            F.when(F.col("n_pos") > 0, tpr).alias("tpr"),
+            F.when(n_neg > 0, fpr).alias("fpr"),
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"),
+            ).alias("prec"),
+            F.when((F.col("n_pos") > 0) & (n_neg > 0), tpr - fpr).alias(
+                "youden_j"
+            ),
+        )
+        .orderBy("cut")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_purchase_decile_lift",
+    f"""
+    WITH {_PURCHASE_DOMAIN_SQL}, tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS n_pos
+      FROM dom
+    ), gt AS (
+      SELECT vc, t, tp,
+             COALESCE(CAST(SUM(t) OVER (ORDER BY vc DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS rd
+      FROM dom
+    ), dd AS (
+      SELECT CAST(gt.rd * 10 // tot.n AS BIGINT) + 1 AS decile,
+             gt.vc, gt.t, gt.tp
+      FROM gt CROSS JOIN tot
+    ), dec AS (
+      SELECT decile,
+             CAST(SUM(t) AS BIGINT) AS n_rows,
+             CAST(SUM(tp) AS BIGINT) AS n_pos,
+             CAST(MAX(vc) AS BIGINT) AS max_vc,
+             CAST(MIN(vc) AS BIGINT) AS min_vc
+      FROM dd GROUP BY decile
+    ), cum AS (
+      SELECT decile, n_rows, n_pos, max_vc, min_vc,
+             CAST(SUM(n_rows) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_rows,
+             CAST(SUM(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_pos
+      FROM dec
+    )
+    SELECT cum.decile, n_rows, cum.n_pos, max_vc, min_vc, cum_rows, cum_pos,
+           CASE WHEN tot.n_pos > 0 THEN
+             CAST(cum_pos AS DOUBLE) / CAST(tot.n_pos AS DOUBLE)
+           END AS cum_capture,
+           CASE WHEN cum_rows > 0 AND tot.n_pos > 0 THEN
+             CAST(cum_pos * tot.n AS DOUBLE)
+               / CAST(cum_rows * tot.n_pos AS DOUBLE)
+           END AS cum_lift
+    FROM cum CROSS JOIN tot
+    ORDER BY cum.decile
+    """,
+)
+def events_purchase_decile_lift(spark: SparkSession, sf: str):
+    """DECILE LIFT / CUMULATIVE GAINS of "value predicts purchase" —
+    rank events by score descending, cut into ten SCORE-DOMAIN deciles,
+    report each decile's size, positives, cumulative capture
+    (cum_pos/total_pos) and cumulative lift ((cum_pos·N)/(cum_rows·P),
+    exact-int products, one division) — the "top 10% of scores captures
+    X% of conversions" targeting table.  Deciles are assigned on the
+    DOMAIN: a distinct score value lands wholly in decile ``rd·10 div
+    N + 1`` where rd is its exclusive from-the-top row position (exact
+    domain cumulative), so tied rows never straddle deciles (sizes may
+    be unequal — n_rows discloses it) and NO row-scale NTILE window
+    exists.  Scale: domain groupBy + two ≤10-row windows; all
+    magnitudes ≤ rd·10 ≈ 10N, inside int64 at any conceivable SF."""
+    dom = _purchase_score_domain(spark, sf)
+    tot = dom.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("tp").cast("long").alias("n_pos"),
+    )
+    wdesc = W.orderBy(F.col("vc").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    gt = dom.select(
+        "vc",
+        "t",
+        "tp",
+        F.coalesce(F.sum("t").over(wdesc).cast("long"), F.lit(0)).alias(
+            "rd"
+        ),
+    )
+    dd = gt.crossJoin(F.broadcast(tot)).select(
+        (F.expr("rd * 10 div n") + 1).cast("long").alias("decile"),
+        "vc",
+        "t",
+        "tp",
+    )
+    dec = dd.groupBy("decile").agg(
+        F.sum("t").cast("long").alias("n_rows"),
+        F.sum("tp").cast("long").alias("n_pos"),
+        F.max("vc").cast("long").alias("max_vc"),
+        F.min("vc").cast("long").alias("min_vc"),
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = dec.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "max_vc",
+        "min_vc",
+        F.sum("n_rows").over(wcum).cast("long").alias("cum_rows"),
+        F.sum("n_pos").over(wcum).cast("long").alias("cum_pos"),
+    )
+    tot2 = tot.select(
+        F.col("n").alias("tot_n"), F.col("n_pos").alias("tot_pos")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot2))
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "max_vc",
+            "min_vc",
+            "cum_rows",
+            "cum_pos",
+            F.when(
+                F.col("tot_pos") > 0,
+                F.col("cum_pos").cast("double")
+                / F.col("tot_pos").cast("double"),
+            ).alias("cum_capture"),
+            F.when(
+                (F.col("cum_rows") > 0) & (F.col("tot_pos") > 0),
+                (F.col("cum_pos") * F.col("tot_n")).cast("double")
+                / (F.col("cum_rows") * F.col("tot_pos")).cast("double"),
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+def _mrr_sql() -> str:
+    from byte_convert_avro_spark.queries.vectors import _DOT_SQL, DIM
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, e[1:16] AS p,
+                 sqrt({_DOT_SQL.format(n=DIM, a="e", b="e")}) AS nrm,
+                 sqrt({_DOT_SQL.format(n=16, a="e", b="e")}) AS pnrm
+          FROM v),
+    q AS (SELECT vec_id AS qid, e AS qe, p AS qp, nrm AS qn, pnrm AS qpn
+          FROM n WHERE vec_id < 5),
+    c AS (SELECT vec_id, e, p, nrm, pnrm FROM n WHERE vec_id >= 5),
+    sims AS (
+      SELECT q.qid, c.vec_id,
+             ROUND({_DOT_SQL.format(n=DIM, a="c.e", b="q.qe")}
+                   / (c.nrm * q.qn), 4) AS sim_full,
+             ROUND({_DOT_SQL.format(n=16, a="c.p", b="q.qp")}
+                   / (c.pnrm * q.qpn), 4) AS sim_trunc
+      FROM c CROSS JOIN q
+    ),
+    rf AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim_full DESC, vec_id) AS r
+           FROM sims),
+    rt AS (SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY sim_trunc DESC, vec_id) AS r
+           FROM sims),
+    j AS (
+      SELECT t.qid, t.r AS pos,
+             CASE WHEN f.r <= 5 THEN 1 ELSE 0 END AS rel
+      FROM rt t
+      LEFT JOIN rf f ON f.qid = t.qid AND f.vec_id = t.vec_id
+      WHERE t.r <= 5
+    ),
+    d AS (
+      SELECT qid,
+             CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN pos END), 0)
+                  AS BIGINT) AS first_rel_pos,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_at5
+      FROM j GROUP BY qid
+    )
+    SELECT qid, first_rel_pos, n_rel_at5,
+           CAST(CASE WHEN first_rel_pos > 0 THEN 60 // first_rel_pos
+                ELSE 0 END AS BIGINT) AS rr_x60,
+           CAST(CASE WHEN first_rel_pos > 0 THEN 60 // first_rel_pos
+                ELSE 0 END AS DOUBLE) / 60.0 AS rr
+    FROM d ORDER BY qid
+    """
+
+
+@register("truncated_dim_mrr_at5", _mrr_sql())
+def truncated_dim_mrr_at5(spark: SparkSession, sf: str):
+    """MRR@5 of truncated-embedding retrieval — the FIRST-HIT companion
+    of ``truncated_dim_recall_at3`` (set overlap) and
+    ``truncated_dim_ndcg_at5`` (graded order): per query, the position
+    of the first 16-dim-prefix result that the exact full-dim top-5
+    also contains, and its reciprocal.  Reciprocal ranks convey EXACTLY
+    as ``rr_x60 = 60 div first_rel_pos`` (60 = lcm(1..5) makes the
+    division exact for every rank ≤ 5; 0 = no hit), so the global MRR
+    is a reader-side integer fold Σrr_x60/(60·|Q|) and the per-query
+    float ``rr`` is one division by the literal 60.  Same broadcast
+    all-pairs baseline as the sibling entries (the correctness rung —
+    the 100 TB path routes through IVF first); rankings tie-break on
+    (sim, vec_id) in both engines."""
+    from byte_convert_avro_spark.queries.vectors import _DOT, _emb
+
+    e = _emb(spark, sf).select(
+        "vec_id",
+        "e",
+        F.slice("e", 1, 16).alias("p"),
+        F.sqrt(F.expr(_DOT.format(a="e", b="e"))).alias("nrm"),
+        F.sqrt(
+            F.expr(_DOT.format(a="slice(e, 1, 16)", b="slice(e, 1, 16)"))
+        ).alias("pnrm"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("p").alias("qp"),
+        F.col("nrm").alias("qn"),
+        F.col("pnrm").alias("qpn"),
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.expr(_DOT.format(a="e", b="qe")) / (F.col("nrm") * F.col("qn")),
+            4,
+        ).alias("sim_full"),
+        F.round(
+            F.expr(_DOT.format(a="p", b="qp"))
+            / (F.col("pnrm") * F.col("qpn")),
+            4,
+        ).alias("sim_trunc"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("sim_full").desc(), "vec_id")
+    wt = W.partitionBy("qid").orderBy(F.col("sim_trunc").desc(), "vec_id")
+    rf = sims.select("qid", "vec_id", F.row_number().over(wf).alias("r"))
+    rt = sims.select("qid", "vec_id", F.row_number().over(wt).alias("r"))
+    j = (
+        rt.filter(F.col("r") <= 5)
+        .alias("t")
+        .join(
+            rf.alias("f"),
+            (F.col("f.qid") == F.col("t.qid"))
+            & (F.col("f.vec_id") == F.col("t.vec_id")),
+            "left",
+        )
+        .select(
+            F.col("t.qid").alias("qid"),
+            F.col("t.r").alias("pos"),
+            F.when(F.col("f.r") <= 5, 1).otherwise(0).alias("rel"),
+        )
+    )
+    d = j.groupBy("qid").agg(
+        F.coalesce(F.min(F.when(F.col("rel") == 1, F.col("pos"))), F.lit(0))
+        .cast("long")
+        .alias("first_rel_pos"),
+        F.sum("rel").cast("long").alias("n_rel_at5"),
+    )
+    rr60 = F.when(
+        F.col("first_rel_pos") > 0,
+        F.expr("60 div first_rel_pos"),
+    ).otherwise(0)
+    return d.select(
+        "qid",
+        "first_rel_pos",
+        "n_rel_at5",
+        rr60.cast("long").alias("rr_x60"),
+        (rr60.cast("double") / F.lit(60.0)).alias("rr"),
+    ).orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+def _langid_two_classifier_sql() -> str:
+    """Both heuristics' scoring as one CTE chain: A = article markers
+    (the shipped ``lang_id_heuristic`` spelling, queries/text.py), B =
+    conjunction markers over the same occurrence-count primitive."""
+    def score(marker: str) -> str:
+        return (
+            f"(LENGTH(text) - LENGTH(REPLACE(' ' || text || ' ', "
+            f"'{marker}', '')) + 2) / {len(marker)}"
+        )
+
+    def cascade(p: str) -> str:
+        return f"""CASE
+        WHEN {p}_en >= {p}_de AND {p}_en >= {p}_fr AND {p}_en >= {p}_es
+             AND {p}_en > 0 THEN 'en'
+        WHEN {p}_de >= {p}_fr AND {p}_de >= {p}_es AND {p}_de > 0 THEN 'de'
+        WHEN {p}_fr >= {p}_es AND {p}_fr > 0 THEN 'fr'
+        WHEN {p}_es > 0 THEN 'es'
+        ELSE 'unknown' END"""
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        {score(" the ")} AS a_en, {score(" der ")} AS a_de,
+        {score(" le ")} AS a_fr, {score(" el ")} AS a_es,
+        {score(" and ")} AS b_en, {score(" und ")} AS b_de,
+        {score(" et ")} AS b_fr, {score(" y ")} AS b_es
+      FROM documents
+    ), pred AS (
+      SELECT doc_id, lang,
+             {cascade("a")} AS guess_a,
+             {cascade("b")} AS guess_b
+      FROM scored
+    ), cells AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN guess_a = lang AND guess_b = lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN guess_a = lang AND guess_b <> lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN guess_a <> lang AND guess_b = lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN guess_a <> lang AND guess_b <> lang
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM pred
+    )
+    SELECT n_docs, n11, n10, n01, n00,
+           CASE WHEN n_docs > 0 THEN
+             CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           END AS acc_a,
+           CASE WHEN n_docs > 0 THEN
+             CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           END AS acc_b,
+           CASE WHEN n01 + n10 > 0 THEN
+             CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+               / CAST(n01 + n10 AS DOUBLE)
+           END AS mcnemar_chi2,
+           CASE WHEN n01 + n10 > 0 THEN
+             CAST((ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) AS DOUBLE)
+               / CAST(n01 + n10 AS DOUBLE)
+           END AS mcnemar_chi2_cc
+    FROM cells
+    """
+
+
+@register(
+    "langid_mcnemar_stopword_vs_conjunction",
+    _langid_two_classifier_sql(),
+)
+def langid_mcnemar_stopword_vs_conjunction(spark: SparkSession, sf: str):
+    """McNEMAR'S PAIRED TEST between two langid heuristics on the same
+    documents — the A/B gate for swapping classifiers, completing the
+    eval ladder (confusion matrix → kappa → P/R/F1 measure ONE
+    classifier; McNemar compares TWO on paired predictions).
+    Classifier A = the shipped article-marker heuristic (the/der/le/el
+    — ``lang_id_heuristic``'s exact spelling); B = a conjunction-marker
+    twin (and/und/et/y) over the same occurrence-count-by-length-delta
+    primitive.  The decision cells n11/n10/n01/n00 (A-correct ×
+    B-correct vs the labeled ``lang``) are exact integers; both χ²
+    forms ((n10−n01)²/(n01+n10) and the continuity-corrected
+    (|n10−n01|−1)²/(n01+n10)) and the two accuracies are single guarded
+    divisions.  Scale: one row-local projection (string ops only) + one
+    single-row fold — embarrassingly parallel, no shuffle."""
+    d = t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def score(marker: str):
+        return (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(padded, marker.replace(" ", "\\ "), "")
+            )
+            + 2
+        ) / len(marker)
+
+    def cascade(p: str):
+        c = {s: F.col(f"{p}_{s}") for s in ("en", "de", "fr", "es")}
+        return (
+            F.when(
+                (c["en"] >= c["de"])
+                & (c["en"] >= c["fr"])
+                & (c["en"] >= c["es"])
+                & (c["en"] > 0),
+                "en",
+            )
+            .when(
+                (c["de"] >= c["fr"]) & (c["de"] >= c["es"]) & (c["de"] > 0),
+                "de",
+            )
+            .when((c["fr"] >= c["es"]) & (c["fr"] > 0), "fr")
+            .when(c["es"] > 0, "es")
+            .otherwise("unknown")
+        )
+
+    sc = d.select(
+        "doc_id",
+        "lang",
+        score(" the ").alias("a_en"),
+        score(" der ").alias("a_de"),
+        score(" le ").alias("a_fr"),
+        score(" el ").alias("a_es"),
+        score(" and ").alias("b_en"),
+        score(" und ").alias("b_de"),
+        score(" et ").alias("b_fr"),
+        score(" y ").alias("b_es"),
+    )
+    pred = sc.select(
+        "lang",
+        cascade("a").alias("guess_a"),
+        cascade("b").alias("guess_b"),
+    )
+    a_ok = F.col("guess_a") == F.col("lang")
+    b_ok = F.col("guess_b") == F.col("lang")
+    cells = pred.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((a_ok & b_ok).cast("int")).cast("long").alias("n11"),
+        F.sum((a_ok & ~b_ok).cast("int")).cast("long").alias("n10"),
+        F.sum((~a_ok & b_ok).cast("int")).cast("long").alias("n01"),
+        F.sum((~a_ok & ~b_ok).cast("int")).cast("long").alias("n00"),
+    )
+    disc = F.col("n01") + F.col("n10")
+    diff = F.col("n10") - F.col("n01")
+    return cells.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            F.col("n_docs") > 0,
+            (F.col("n11") + F.col("n10")).cast("double")
+            / F.col("n_docs").cast("double"),
+        ).alias("acc_a"),
+        F.when(
+            F.col("n_docs") > 0,
+            (F.col("n11") + F.col("n01")).cast("double")
+            / F.col("n_docs").cast("double"),
+        ).alias("acc_b"),
+        F.when(
+            disc > 0, (diff * diff).cast("double") / disc.cast("double")
+        ).alias("mcnemar_chi2"),
+        F.when(
+            disc > 0,
+            ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double")
+            / disc.cast("double"),
+        ).alias("mcnemar_chi2_cc"),
+    )

@@ -1,0 +1,237 @@
+"""Round-14f families vs INDEPENDENT Python recomputes (the third
+engine next to Spark and the DuckDB oracle): AUC from a brute-force
+pairwise P(pos > neg) + ½P(=) count, ROC cells from literal-threshold
+counting loops, decile lift from an explicit descending sort, MRR from
+a numpy cosine re-rank, and McNemar from a pure-python re-run of both
+marker heuristics — so a shared misunderstanding between the two SQL
+spellings cannot hide.
+
+Float assertions are EXACT equality: every float in these entries is
+one fixed IEEE expression tree over exact integers (single guarded
+divisions), and python's arithmetic follows the same trees.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+
+from byte_convert_avro_spark.queries import queries
+
+Q = queries()
+
+
+def _rows(sf_dir, sql):
+    return duckdb.sql(sql.format(d=sf_dir)).fetchall()
+
+
+def _score_label_rows(sf_dir):
+    return _rows(
+        sf_dir,
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT),"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE value IS NOT NULL AND event_type IS NOT NULL",
+    )
+
+
+def test_auc_matches_bruteforce_pair_count(spark, sf_dir):
+    rows = _score_label_rows(sf_dir)
+    pos = sorted(vc for vc, y in rows if y == 1)
+    neg = sorted(vc for vc, y in rows if y == 0)
+    # brute-force 2U = 2·#(pos > neg) + #(pos = neg) via counters
+    negc = Counter(neg)
+    wins = ties = 0
+    for p in pos:
+        for nv, cnt in negc.items():
+            if p > nv:
+                wins += cnt
+            elif p == nv:
+                ties += cnt
+    num2 = 2 * wins + ties
+    row = Q["events_purchase_auc_rank_cells"](spark, sf_dir).collect()[0]
+    assert row.n_pos == len(pos)
+    assert row.n_neg == len(neg)
+    assert row.auc_num_x2 == str(num2)
+    assert row.auc == float(num2) / (
+        2.0 * float(len(pos)) * float(len(neg))
+    )
+    # rank-sum identity cross-check on the conveyed doubled rank sum
+    assert int(row.r2_pos) == num2 + len(pos) * (len(pos) + 1)
+
+
+def test_roc_cells_match_threshold_loops(spark, sf_dir):
+    rows = _score_label_rows(sf_dir)
+    n_pos = sum(y for _, y in rows)
+    n_neg = len(rows) - n_pos
+    got = {
+        r.cut: r
+        for r in Q["events_purchase_roc_literal_thresholds"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(range(0, 50_001, 2_500))
+    for cut, r in got.items():
+        tp = sum(1 for vc, y in rows if y == 1 and vc >= cut)
+        fp = sum(1 for vc, y in rows if y == 0 and vc >= cut)
+        assert (r.tp, r.fp) == (tp, fp)
+        assert (r.fn, r.tn) == (n_pos - tp, n_neg - fp)
+        assert r.tpr == (float(tp) / float(n_pos) if n_pos else None)
+        assert r.fpr == (float(fp) / float(n_neg) if n_neg else None)
+        assert r.prec == (
+            float(tp) / float(tp + fp) if tp + fp else None
+        )
+        if n_pos and n_neg:
+            assert r.youden_j == float(tp) / float(n_pos) - float(
+                fp
+            ) / float(n_neg)
+    # anchors: cut 0 predicts everything positive; top cut clears max
+    assert got[0].tp == n_pos and got[0].fp == n_neg
+    assert got[50_000].tp == 0 and got[50_000].fp == 0
+
+
+def test_decile_lift_matches_descending_sort(spark, sf_dir):
+    rows = _score_label_rows(sf_dir)
+    n = len(rows)
+    n_pos_tot = sum(y for _, y in rows)
+    # domain-cumulative decile: all rows of one distinct value share it
+    dom = Counter(vc for vc, _ in rows)
+    rd = 0
+    decile_of: dict[int, int] = {}
+    for vc in sorted(dom, reverse=True):
+        decile_of[vc] = rd * 10 // n + 1
+        rd += dom[vc]
+    per = {}
+    for vc, y in rows:
+        d = decile_of[vc]
+        t, p = per.get(d, (0, 0))
+        per[d] = (t + 1, p + y)
+    got = Q["events_purchase_decile_lift"](spark, sf_dir).collect()
+    assert [r.decile for r in got] == sorted(per)
+    cum_rows = cum_pos = 0
+    for r in got:
+        t, p = per[r.decile]
+        cum_rows += t
+        cum_pos += p
+        assert (r.n_rows, r.n_pos) == (t, p)
+        assert (r.cum_rows, r.cum_pos) == (cum_rows, cum_pos)
+        assert r.cum_capture == float(cum_pos) / float(n_pos_tot)
+        assert r.cum_lift == float(cum_pos * n) / float(
+            cum_rows * n_pos_tot
+        )
+    assert cum_rows == n and cum_pos == n_pos_tot
+
+
+def test_mrr_matches_numpy_rerank(spark, sf_dir):
+    import numpy as np
+
+    rows = _rows(
+        sf_dir,
+        "SELECT vec_id, embedding FROM read_parquet('{d}/embeddings.parquet')"
+        " ORDER BY vec_id",
+    )
+    ids = np.array([r[0] for r in rows])
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    qm = ids < 5
+    sims_full = (E[~qm] @ E[qm].T) / (
+        np.linalg.norm(E[~qm], axis=1)[:, None]
+        * np.linalg.norm(E[qm], axis=1)[None, :]
+    )
+    Ep = E[:, :16]
+    sims_tr = (Ep[~qm] @ Ep[qm].T) / (
+        np.linalg.norm(Ep[~qm], axis=1)[:, None]
+        * np.linalg.norm(Ep[qm], axis=1)[None, :]
+    )
+    cids = ids[~qm]
+    got = {r.qid: r for r in Q["truncated_dim_mrr_at5"](spark, sf_dir).collect()}
+    for qi, qid in enumerate(ids[qm]):
+        # engines round sims to 4 decimals then tie-break on vec_id; the
+        # numpy sims differ in the last ulp, so replicate the rounding
+        sf_ = np.round(sims_full[:, qi], 4)
+        st_ = np.round(sims_tr[:, qi], 4)
+        full_top5 = set(
+            cids[np.lexsort((cids, -sf_))][:5].tolist()
+        )
+        trunc_order = cids[np.lexsort((cids, -st_))][:5]
+        first = 0
+        n_rel = 0
+        for pos, vid in enumerate(trunc_order, start=1):
+            if vid in full_top5:
+                n_rel += 1
+                if first == 0:
+                    first = pos
+        r = got[int(qid)]
+        assert r.first_rel_pos == first
+        assert r.n_rel_at5 == n_rel
+        assert r.rr_x60 == (60 // first if first else 0)
+        assert r.rr == float(60 // first if first else 0) / 60.0
+
+
+def _pyscore(text: str, marker: str) -> float:
+    padded = f" {text} "
+    removed = padded.replace(marker, "")
+    return (len(text) - len(removed) + 2) / len(marker)
+
+
+def _pycascade(s: dict[str, float]) -> str:
+    if s["en"] >= s["de"] and s["en"] >= s["fr"] and s["en"] >= s["es"] \
+            and s["en"] > 0:
+        return "en"
+    if s["de"] >= s["fr"] and s["de"] >= s["es"] and s["de"] > 0:
+        return "de"
+    if s["fr"] >= s["es"] and s["fr"] > 0:
+        return "fr"
+    if s["es"] > 0:
+        return "es"
+    return "unknown"
+
+
+def test_mcnemar_matches_python_heuristics(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT text, lang FROM read_parquet('{d}/documents.parquet')",
+    )
+    n11 = n10 = n01 = n00 = 0
+    for text, lang in rows:
+        ga = _pycascade(
+            {
+                "en": _pyscore(text, " the "),
+                "de": _pyscore(text, " der "),
+                "fr": _pyscore(text, " le "),
+                "es": _pyscore(text, " el "),
+            }
+        )
+        gb = _pycascade(
+            {
+                "en": _pyscore(text, " and "),
+                "de": _pyscore(text, " und "),
+                "fr": _pyscore(text, " et "),
+                "es": _pyscore(text, " y "),
+            }
+        )
+        a_ok, b_ok = ga == lang, gb == lang
+        if a_ok and b_ok:
+            n11 += 1
+        elif a_ok:
+            n10 += 1
+        elif b_ok:
+            n01 += 1
+        else:
+            n00 += 1
+    r = Q["langid_mcnemar_stopword_vs_conjunction"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (r.n11, r.n10, r.n01, r.n00) == (n11, n10, n01, n00)
+    assert r.n_docs == len(rows)
+    assert r.acc_a == float(n11 + n10) / float(len(rows))
+    assert r.acc_b == float(n11 + n01) / float(len(rows))
+    disc = n01 + n10
+    if disc:
+        d = n10 - n01
+        assert r.mcnemar_chi2 == float(d * d) / float(disc)
+        assert r.mcnemar_chi2_cc == float(
+            (abs(d) - 1) * (abs(d) - 1)
+        ) / float(disc)
+    else:
+        assert r.mcnemar_chi2 is None and r.mcnemar_chi2_cc is None
