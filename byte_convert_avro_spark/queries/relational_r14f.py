@@ -716,3 +716,238 @@ def langid_mcnemar_stopword_vs_conjunction(spark: SparkSession, sf: str):
             / disc.cast("double"),
         ).alias("mcnemar_chi2_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering QUALITY eval for the kmeans/IVF family: the trained k=8
+# Lloyd's centroids (the exact CTE twin _kmeans_sql_cte proven by
+# kmeans_centroids_k8) scored by simplified silhouette (per point) and
+# Davies-Bouldin cells (per cluster).
+
+
+def _kmeans_cent3_prefix() -> str:
+    from byte_convert_avro_spark.queries.pipeline_ops import _kmeans_sql_cte
+
+    return _kmeans_sql_cte(8, 3)
+
+
+_SIL_DIST_SQL = """
+    dist AS (
+      SELECT v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS d2
+      FROM v CROSS JOIN cent3 c
+    ), rk AS (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cell) AS rn
+      FROM dist
+    ), pt AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+             MAX(CASE WHEN rn = 1 THEN d2 END) AS a2,
+             MAX(CASE WHEN rn = 2 THEN d2 END) AS b2
+      FROM rk WHERE rn <= 2 GROUP BY vec_id
+    )"""
+
+
+def _lloyd_cents(spark: SparkSession, sf: str):
+    """Train the k=8/3-round Lloyd's centroids and return them BOTH as
+    the literal list (for row-local distance expressions) and the tiny
+    DataFrame (for the pair stage)."""
+    from byte_convert_avro_spark.operators import similarity as S
+    from byte_convert_avro_spark.queries.base import spread
+
+    emb = spread(t(spark, sf, "embeddings"), "vec_id")
+    cents = S.kmeans_lloyd(
+        emb, "embedding", "vec_id", k=8, n_iter=3, fold_chunk=128
+    )
+    crows = cents.orderBy("cell").collect()  # k×dim by construction
+    lits = [(int(r.cell), [float(x) for x in r.embedding]) for r in crows]
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return e, cents, lits
+
+
+def _point_cells(lits):
+    """Row-local (cell, a2, b2) via the kmeans literal-argmin pattern:
+    d2 to every centroid as one fixed fold per literal vector, own cell
+    = first index of the min (ties to the lowest cell id — the lloyd
+    assignment rule), b2 = second-smallest by value."""
+    d2s = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.array(*[F.lit(v) for v in vec]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            for _, vec in lits
+        ]
+    )
+    cells = F.array(*[F.lit(c) for c, _ in lits]).cast("array<bigint>")
+    srt = F.array_sort(d2s)
+    return (
+        F.element_at(
+            cells, F.array_position(d2s, F.array_min(d2s)).cast("int")
+        ).alias("cell"),
+        F.element_at(srt, 1).alias("a2"),
+        F.element_at(srt, 2).alias("b2"),
+    )
+
+
+@register(
+    "kmeans_silhouette_simplified",
+    f"""
+    WITH {_kmeans_cent3_prefix()},
+    {_SIL_DIST_SQL}
+    SELECT vec_id, cell,
+           sqrt(a2) AS a, sqrt(b2) AS b,
+           CASE WHEN GREATEST(sqrt(a2), sqrt(b2)) > 0 THEN
+             (sqrt(b2) - sqrt(a2)) / GREATEST(sqrt(a2), sqrt(b2))
+           ELSE 0.0 END AS sil
+    FROM pt ORDER BY vec_id
+    """,
+)
+def kmeans_silhouette_simplified(spark: SparkSession, sf: str):
+    """SIMPLIFIED SILHOUETTE per vector over the trained k=8 Lloyd's
+    centroids — the clustering-quality readout of the ANN family
+    (centroids from the SAME bit-gated training as
+    ``kmeans_centroids_k8``): a = distance to the assigned (nearest)
+    centroid, b = distance to the best OTHER centroid, sil =
+    (b−a)/max(a,b) ∈ [0, 1] here (a is the min by construction).  The
+    centroid-based form is the linear-cost stand-in for full silhouette
+    (whose pairwise a/b is O(n²) — never at 100 TB); every value is a
+    fixed IEEE tree per ROW (the lloyd distance fold + correctly-rounded
+    sqrt + one guarded division) so no cross-row float exists at all.
+    Scale: training is the gated k×dim-state operator; scoring is one
+    row-local pass over k literal distance expressions — no join, no
+    shuffle, embarrassingly parallel."""
+    e, _, lits = _lloyd_cents(spark, sf)
+    pc = e.select("vec_id", *_point_cells(lits))
+    a = F.sqrt("a2")
+    b = F.sqrt("b2")
+    mx = F.greatest(a, b)
+    return pc.select(
+        "vec_id",
+        "cell",
+        a.alias("a"),
+        b.alias("b"),
+        F.when(mx > 0, (b - a) / mx).otherwise(F.lit(0.0)).alias("sil"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "kmeans_davies_bouldin_cells",
+    f"""
+    WITH {_kmeans_cent3_prefix()},
+    {_SIL_DIST_SQL}, sd AS (
+      SELECT cell, vec_id // 128 AS chk,
+             list_reduce(list(sqrt(a2) ORDER BY vec_id),
+                         (x, y) -> x + y) AS csum,
+             COUNT(*) AS cnt
+      FROM pt GROUP BY cell, chk
+    ), sc AS (
+      SELECT cell,
+             list_reduce(list(csum ORDER BY chk), (x, y) -> x + y)
+               / SUM(cnt) AS s,
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM sd GROUP BY cell
+    ), cd AS (
+      SELECT a.cell AS ca, b.cell AS cb,
+             sqrt(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (a.ce[i] - b.ce[i]) * (a.ce[i] - b.ce[i])),
+                  (x, y) -> x + y)) AS d
+      FROM cent3 a JOIN cent3 b ON a.cell <> b.cell
+    ), rr AS (
+      SELECT cd.ca AS cell,
+             MAX(CASE WHEN cd.d > 0 THEN (sa.s + sb.s) / cd.d END)
+               AS db_contrib
+      FROM cd
+      JOIN sc sa ON sa.cell = cd.ca
+      JOIN sc sb ON sb.cell = cd.cb
+      GROUP BY cd.ca
+    )
+    SELECT sc.cell, sc.n, sc.s AS scatter, rr.db_contrib
+    FROM sc JOIN rr USING (cell) ORDER BY sc.cell
+    """,
+)
+def kmeans_davies_bouldin_cells(spark: SparkSession, sf: str):
+    """DAVIES-BOULDIN cells over the trained k=8 Lloyd's clustering —
+    the per-CLUSTER companion of ``kmeans_silhouette_simplified``: each
+    cluster's scatter s_i (mean member distance to its centroid, summed
+    via the SAME bounded two-level vec_id-ordered chunk fold as the
+    centroid update itself — functions.bounded_ordered_agg, chunk 128,
+    so the float is bit-identical cross-engine) and its DB contribution
+    max_{{j≠i}} (s_i+s_j)/d(c_i,c_j) (MAX over ≤ k−1 doubles is
+    order-independent; each ratio is one guarded division; centroid
+    distances reuse the lloyd fold).  The DB index itself is the
+    reader-side mean of db_contrib over ≤ k rows.  Scale: one
+    row-local assignment pass + one (cell)-keyed bounded fold + a k²
+    driver-side-free pair join of the k-row centroid table."""
+    from byte_convert_avro_spark.functions import bounded_ordered_agg
+
+    e, cents, lits = _lloyd_cents(spark, sf)
+    pc = e.select("vec_id", *_point_cells(lits))
+    dist = pc.select(
+        "cell",
+        F.col("vec_id").alias("id"),
+        F.sqrt("a2").alias("x"),
+    )
+    sc = bounded_ordered_agg(dist, ["cell"], "id", "x", chunk=128).select(
+        "cell",
+        (F.col("osum") / F.col("ocnt")).alias("s"),
+        F.col("ocnt").cast("long").alias("n"),
+    )
+    # k-row frames: coalesce to one partition and broadcast the probe
+    # side so the non-equi pair join is k² rows in a handful of tasks,
+    # not a |parts|² nested-loop fan-out.
+    c1 = cents.coalesce(1)
+    a = c1.select(
+        F.col("cell").alias("ca"),
+        F.col("embedding").alias("ea"),
+    )
+    b = c1.select(
+        F.col("cell").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    cd = a.join(F.broadcast(b), F.col("ca") != F.col("cb")).select(
+        "ca",
+        "cb",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("ea"),
+                    F.col("eb"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("d"),
+    )
+    sa = sc.select(F.col("cell").alias("ca"), F.col("s").alias("s_a"))
+    sb = sc.select(F.col("cell").alias("cb"), F.col("s").alias("s_b"))
+    rr = (
+        cd.join(sa, "ca")
+        .join(sb, "cb")
+        .groupBy(F.col("ca").alias("cell"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("d") > 0,
+                    (F.col("s_a") + F.col("s_b")) / F.col("d"),
+                )
+            ).alias("db_contrib")
+        )
+    )
+    return (
+        sc.join(rr, "cell")
+        .select("cell", "n", F.col("s").alias("scatter"), "db_contrib")
+        .orderBy("cell")
+    )

@@ -235,3 +235,77 @@ def test_mcnemar_matches_python_heuristics(spark, sf_dir):
         ) / float(disc)
     else:
         assert r.mcnemar_chi2 is None and r.mcnemar_chi2_cc is None
+
+
+def _py_d2(e, c):
+    acc = 0.0
+    for x, y in zip(e, c):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def test_silhouette_and_db_match_python_folds(spark, sf_dir):
+    """Third-engine check of the scoring stage: take the (already
+    bit-gated) Spark-trained centroids, then recompute assignment,
+    silhouette, chunked scatter folds and DB contributions in pure
+    python with the same left-to-right IEEE folds."""
+    import math
+
+    from byte_convert_avro_spark.operators import similarity as S
+    from byte_convert_avro_spark.queries.base import spread, t as tbl
+
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
+    cents = S.kmeans_lloyd(
+        emb, "embedding", "vec_id", k=8, n_iter=3, fold_chunk=128
+    )
+    cl = [
+        (int(r.cell), [float(x) for x in r.embedding])
+        for r in cents.orderBy("cell").collect()
+    ]
+    pts = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    sil_exp = {}
+    members: dict[int, list[tuple[int, float]]] = {}
+    for vid in sorted(pts):
+        d2s = [_py_d2(pts[vid], vec) for _, vec in cl]
+        mn = min(d2s)
+        own = cl[d2s.index(mn)][0]
+        srt = sorted(d2s)
+        a, b = math.sqrt(srt[0]), math.sqrt(srt[1])
+        mx = max(a, b)
+        sil_exp[vid] = (own, a, b, (b - a) / mx if mx > 0 else 0.0)
+        members.setdefault(own, []).append((vid, a))
+    got = Q["kmeans_silhouette_simplified"](spark, sf_dir).collect()
+    assert len(got) == len(sil_exp)
+    for r in got:
+        own, a, b, s = sil_exp[r.vec_id]
+        assert (r.cell, r.a, r.b, r.sil) == (own, a, b, s)
+    # DB cells: two-level chunked scatter fold (chunk 128, vec_id order)
+    scatter = {}
+    for cell, mem in members.items():
+        chunks: dict[int, float] = {}
+        for vid, d in sorted(mem):
+            chunks[vid // 128] = chunks.get(vid // 128, 0.0) + d
+        osum = 0.0
+        for chk in sorted(chunks):
+            osum = osum + chunks[chk]
+        scatter[cell] = (osum / len(mem), len(mem))
+    cdist = {
+        (ca, cb): math.sqrt(_py_d2(va, vb))
+        for ca, va in cl
+        for cb, vb in cl
+        if ca != cb
+    }
+    gotdb = {r.cell: r for r in Q["kmeans_davies_bouldin_cells"](spark, sf_dir).collect()}
+    assert set(gotdb) == set(scatter)
+    for cell, (s, n) in scatter.items():
+        r = gotdb[cell]
+        assert (r.n, r.scatter) == (n, s)
+        exp = max(
+            (s + scatter[cb][0]) / cdist[(cell, cb)]
+            for cb in scatter
+            if cb != cell and cdist[(cell, cb)] > 0
+        )
+        assert r.db_contrib == exp
