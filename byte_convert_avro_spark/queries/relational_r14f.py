@@ -951,3 +951,261 @@ def kmeans_davies_bouldin_cells(spark: SparkSession, sf: str):
         .select("cell", "n", F.col("s").alias("scatter"), "db_contrib")
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+def _ngroups_sql(src: str, pat: str) -> str:
+    """Count of maximal ``pat`` runs: mark each run as one '#' then
+    subtract the all-removed length (two global regex passes)."""
+    return (
+        f"(LENGTH(regexp_replace({src}, '{pat}', '#', 'g'))"
+        f" - LENGTH(regexp_replace({src}, '{pat}', '', 'g')))"
+    )
+
+
+def _ngroups(src, pat: str):
+    return F.length(F.regexp_replace(src, pat, "#")) - F.length(
+        F.regexp_replace(src, pat, "")
+    )
+
+
+@register(
+    "doc_readability_flesch",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST({_ngroups_sql("text", "[.!?]+")} AS BIGINT)
+               AS n_term_groups,
+             CAST(CASE WHEN LENGTH(text) > 0 THEN
+               GREATEST(1, {_ngroups_sql("text", "[.!?]+")})
+             ELSE 0 END AS BIGINT) AS n_sentences,
+             CAST({_ngroups_sql("text", "[^ ]+")} AS BIGINT) AS n_words,
+             CAST({_ngroups_sql("lower(text)", "[aeiouy]+")} AS BIGINT)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_term_groups, n_sentences, n_words, n_syllables,
+           CASE WHEN n_sentences > 0 THEN
+             CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+           END AS words_per_sentence,
+           CASE WHEN n_words > 0 THEN
+             CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+           END AS syllables_per_word,
+           CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+             206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE))
+           END AS flesch
+    FROM c ORDER BY doc_id
+    """,
+)
+def doc_readability_flesch(spark: SparkSession, sf: str):
+    """FLESCH READING-EASE per document — the classic readability
+    member of the text-quality family (next to
+    ``doc_quality_scores``/``lang_quality_profile``): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words) with literal
+    coefficients in both engines.  All three counts are EXACT integers
+    from maximal-run counting (a run of pattern chars marks as one
+    '#'; count = marked length − stripped length — two global regex
+    passes per pattern, Java∩RE2-safe classes only); syllables are the
+    standard vowel-group approximation ([aeiouy]+ runs of the
+    lowercased text), and a non-empty document with no terminator
+    counts as ONE sentence (the trailing-fragment convention —
+    disclosed via n_term_groups, which stays 0 for such docs).  The
+    score is a fixed two-division float tree, guarded on both
+    denominators.  Scale: one row-local projection, no shuffle,
+    embarrassingly parallel — the shape every quality-scoring pass at
+    100 TB wants."""
+    d = t(spark, sf, "documents")
+    term = _ngroups(F.col("text"), "[.!?]+")
+    words = _ngroups(F.col("text"), "[^ ]+")
+    syll = _ngroups(F.lower(F.col("text")), "[aeiouy]+")
+    c = d.select(
+        "doc_id",
+        term.cast("long").alias("n_term_groups"),
+        F.when(
+            F.length("text") > 0, F.greatest(F.lit(1), term)
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("n_sentences"),
+        words.cast("long").alias("n_words"),
+        syll.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return c.select(
+        "doc_id",
+        "n_term_groups",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.when(F.col("n_sentences") > 0, wps).alias("words_per_sentence"),
+        F.when(F.col("n_words") > 0, spw).alias("syllables_per_word"),
+        F.when(
+            (F.col("n_sentences") > 0) & (F.col("n_words") > 0),
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_feature_gini_impurity_cells",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS f_priority, o_orderstatus AS f_status,
+             CAST(strftime(o_orderdate, '%m') AS VARCHAR) AS f_month,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders
+    ), dom AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM o GROUP BY vc
+    ), med AS (
+      SELECT MIN(vc) AS med FROM dom
+      CROSS JOIN (SELECT CAST(SUM(t) AS BIGINT) AS n FROM dom)
+      WHERE cum * 2 >= n + 1
+    ), lab AS (
+      SELECT f_priority, f_status, f_month,
+             CASE WHEN vc > med THEN 1 ELSE 0 END AS y
+      FROM o CROSS JOIN med
+    ), u AS (
+      SELECT 'priority' AS feature, f_priority AS level, y FROM lab
+      UNION ALL
+      SELECT 'status' AS feature, f_status AS level, y FROM lab
+      UNION ALL
+      SELECT 'month' AS feature, f_month AS level, y FROM lab
+    ), cells AS (
+      SELECT feature, level,
+             CAST(COUNT(*) AS BIGINT) AS n_v,
+             CAST(SUM(y) AS BIGINT) AS pos_v
+      FROM u GROUP BY feature, level
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos FROM lab
+    )
+    SELECT feature, level, n_v, pos_v, tot.n AS n_total,
+           tot.pos AS pos_total,
+           1.0 - (CAST(pos_v AS DOUBLE) * CAST(pos_v AS DOUBLE)
+                  + (CAST(n_v AS DOUBLE) - CAST(pos_v AS DOUBLE))
+                    * (CAST(n_v AS DOUBLE) - CAST(pos_v AS DOUBLE)))
+                 / (CAST(n_v AS DOUBLE) * CAST(n_v AS DOUBLE))
+             AS gini_child,
+           (1.0 - (CAST(pos_v AS DOUBLE) * CAST(pos_v AS DOUBLE)
+                   + (CAST(n_v AS DOUBLE) - CAST(pos_v AS DOUBLE))
+                     * (CAST(n_v AS DOUBLE) - CAST(pos_v AS DOUBLE)))
+                  / (CAST(n_v AS DOUBLE) * CAST(n_v AS DOUBLE)))
+             * CAST(n_v AS DOUBLE) / CAST(tot.n AS DOUBLE)
+             AS wgini_contrib,
+           1.0 - (CAST(tot.pos AS DOUBLE) * CAST(tot.pos AS DOUBLE)
+                  + (CAST(tot.n AS DOUBLE) - CAST(tot.pos AS DOUBLE))
+                    * (CAST(tot.n AS DOUBLE) - CAST(tot.pos AS DOUBLE)))
+                 / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE))
+             AS gini_parent
+    FROM cells CROSS JOIN tot
+    ORDER BY feature, level
+    """,
+)
+def orders_feature_gini_impurity_cells(spark: SparkSession, sf: str):
+    """GINI IMPURITY cells per candidate feature level — the CART split
+    criterion next to ``orders_feature_information_gain``'s entropy
+    (same features, same exact-median binary target, deliberately:
+    comparing the two criteria on identical cells is the point).
+    Emission follows the cells rule: one row per (feature, level) with
+    exact-integer n_v/pos_v and three fixed float trees — the child's
+    Gini 1 − (pos² + neg²)/n², its size-weighted contribution (·n_v/N),
+    and the parent Gini repeated per row; the Gini REDUCTION per
+    feature is the reader-side fold gini_parent − Σ wgini_contrib over
+    that feature's ≤12 rows, so no cross-row float sum crosses the
+    compare boundary.  All squares are computed in DOUBLE over gated
+    exact ints (the assortativity discipline — products would pass
+    2^63 long before the ints themselves are inexact).  Scale: one
+    domain cumulative for the median + one (feature, level) groupBy
+    over enumerable keys."""
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("f_priority"),
+        F.col("o_orderstatus").alias("f_status"),
+        F.date_format("o_orderdate", "MM").alias("f_month"),
+        cents("o_totalprice").alias("vc"),
+    )
+    wcum = W.orderBy("vc").rowsBetween(W.unboundedPreceding, 0)
+    dom = (
+        o.groupBy("vc")
+        .agg(F.count("*").cast("long").alias("t"))
+        .select("vc", "t", F.sum("t").over(wcum).cast("long").alias("cum"))
+    )
+    ntot = dom.agg(F.sum("t").cast("long").alias("n"))
+    med = (
+        dom.crossJoin(F.broadcast(ntot))
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .agg(F.min("vc").alias("med"))
+    )
+    lab = o.crossJoin(F.broadcast(med)).select(
+        "f_priority",
+        "f_status",
+        "f_month",
+        F.when(F.col("vc") > F.col("med"), 1).otherwise(0).alias("y"),
+    )
+    u = (
+        lab.select(
+            F.lit("priority").alias("feature"),
+            F.col("f_priority").alias("level"),
+            "y",
+        )
+        .unionByName(
+            lab.select(
+                F.lit("status").alias("feature"),
+                F.col("f_status").alias("level"),
+                "y",
+            )
+        )
+        .unionByName(
+            lab.select(
+                F.lit("month").alias("feature"),
+                F.col("f_month").alias("level"),
+                "y",
+            )
+        )
+    )
+    cells = u.groupBy("feature", "level").agg(
+        F.count("*").cast("long").alias("n_v"),
+        F.sum("y").cast("long").alias("pos_v"),
+    )
+    tot = lab.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("y").cast("long").alias("pos_total"),
+    )
+
+    def gini(nc, pc):
+        nd, pd = nc.cast("double"), pc.cast("double")
+        return F.lit(1.0) - (pd * pd + (nd - pd) * (nd - pd)) / (nd * nd)
+
+    child = gini(F.col("n_v"), F.col("pos_v"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "feature",
+            "level",
+            "n_v",
+            "pos_v",
+            "n_total",
+            "pos_total",
+            child.alias("gini_child"),
+            (
+                child
+                * F.col("n_v").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("wgini_contrib"),
+            gini(F.col("n_total"), F.col("pos_total")).alias("gini_parent"),
+        )
+        .orderBy("feature", "level")
+    )

@@ -309,3 +309,87 @@ def test_silhouette_and_db_match_python_folds(spark, sf_dir):
             if cb != cell and cdist[(cell, cb)] > 0
         )
         assert r.db_contrib == exp
+
+
+def test_flesch_matches_python_regex(spark, sf_dir):
+    import re
+
+    rows = _rows(
+        sf_dir,
+        "SELECT doc_id, text FROM read_parquet('{d}/documents.parquet')",
+    )
+    got = {r.doc_id: r for r in Q["doc_readability_flesch"](spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        term = len(re.findall(r"[.!?]+", text))
+        words = len(re.findall(r"[^ ]+", text))
+        syll = len(re.findall(r"[aeiouy]+", text.lower()))
+        sents = max(1, term) if len(text) > 0 else 0
+        r = got[doc_id]
+        assert (r.n_term_groups, r.n_sentences, r.n_words, r.n_syllables) \
+            == (term, sents, words, syll)
+        if sents > 0 and words > 0:
+            wps = float(words) / float(sents)
+            spw = float(syll) / float(words)
+            assert r.words_per_sentence == wps
+            assert r.syllables_per_word == spw
+            assert r.flesch == 206.835 - 1.015 * wps - 84.6 * spw
+        else:
+            assert r.flesch is None
+
+
+def test_gini_cells_match_python_counters(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus,"
+        " strftime(o_orderdate, '%m'),"
+        " CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    vcs = sorted(vc for _, _, _, vc in rows)
+    n = len(vcs)
+    # exact median: order statistic at ceil((N+1)/2) via domain cumulative
+    dom = Counter(vcs)
+    cum = 0
+    med = None
+    for vc in sorted(dom):
+        cum += dom[vc]
+        if cum * 2 >= n + 1:
+            med = vc
+            break
+    cells: dict[tuple[str, str], list[int]] = {}
+    tot = [0, 0]
+    for pri, st, mo, vc in rows:
+        y = 1 if vc > med else 0
+        tot[0] += 1
+        tot[1] += y
+        for feat, lev in (("priority", pri), ("status", st), ("month", mo)):
+            c = cells.setdefault((feat, lev), [0, 0])
+            c[0] += 1
+            c[1] += y
+    got = {
+        (r.feature, r.level): r
+        for r in Q["orders_feature_gini_impurity_cells"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(cells)
+
+    def gini(nc, pc):
+        nd, pd_ = float(nc), float(pc)
+        return 1.0 - (pd_ * pd_ + (nd - pd_) * (nd - pd_)) / (nd * nd)
+
+    for key, (nv, pv) in cells.items():
+        r = got[key]
+        assert (r.n_v, r.pos_v) == (nv, pv)
+        assert (r.n_total, r.pos_total) == tuple(tot)
+        assert r.gini_child == gini(nv, pv)
+        assert r.wgini_contrib == gini(nv, pv) * float(nv) / float(tot[0])
+        assert r.gini_parent == gini(*tot)
+    # split criterion sanity: every weighted child sum <= parent (purity
+    # never decreases), reader-side fold per feature
+    for feat in ("priority", "status", "month"):
+        wsum = sum(
+            r.wgini_contrib for (f, _), r in got.items() if f == feat
+        )
+        assert wsum <= gini(*tot) + 1e-12
