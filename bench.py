@@ -243,6 +243,24 @@ EXTENDED = [
     # modularity re-derives the LPA trajectory then adds two equi
     # decorations — its wall time tracks the LPA family's
     "copurchase_lpa_modularity",
+    # round-14f: AUC/ROC/lift all pin the score pass staying
+    # distinct-cents-DOMAIN-bounded (one groupBy + one domain window /
+    # 20 broadcast cutoffs / two <=10-row windows); MRR rides the
+    # broadcast all-pairs baseline; McNemar is one row-local string
+    # pass + a single-row fold; silhouette pins the scoring staying a
+    # zero-shuffle literal-argmin pass (training cost tracks the
+    # kmeans family); DB cells add one (cell)-keyed bounded fold + a
+    # k-row broadcast pair join; flesch is one row-local regex pass;
+    # the gini cells ride the IG median machinery
+    "events_purchase_auc_rank_cells",
+    "events_purchase_roc_literal_thresholds",
+    "events_purchase_decile_lift",
+    "truncated_dim_mrr_at5",
+    "langid_mcnemar_stopword_vs_conjunction",
+    "kmeans_silhouette_simplified",
+    "kmeans_davies_bouldin_cells",
+    "doc_readability_flesch",
+    "orders_feature_gini_impurity_cells",
 ]
 
 

@@ -97,6 +97,15 @@ SAMPLE = {
     "negative-sampling": "customer_part_negative_samples",
     "survival-logrank": "users_logrank_view_vs_other_cells",
     "classifier-eval-prf": "langid_precision_recall_f1",
+    # round-14f families
+    "score-auc-threshold-free": "events_purchase_auc_rank_cells",
+    "score-roc-operating-points": "events_purchase_roc_literal_thresholds",
+    "score-decile-lift": "events_purchase_decile_lift",
+    "retrieval-mrr": "truncated_dim_mrr_at5",
+    "paired-classifier-mcnemar": "langid_mcnemar_stopword_vs_conjunction",
+    "clustering-quality-silhouette": "kmeans_silhouette_simplified",
+    "text-readability": "doc_readability_flesch",
+    "feature-scoring-gini": "orders_feature_gini_impurity_cells",
     # linkage-fs (customer_linkage_fs_*) is deliberately NOT sampled at
     # sf10: scale_data replicates names, so the true edit<=1 pair set
     # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
