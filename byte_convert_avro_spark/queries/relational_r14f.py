@@ -1209,3 +1209,210 @@ def orders_feature_gini_impurity_cells(spark: SparkSession, sf: str):
         )
         .orderBy("feature", "level")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_purchase_ca_trend_cells",
+    """
+    WITH f AS (
+      SELECT LEAST(CAST(ROUND(value * 100, 0) AS BIGINT) // 10000, 4) + 1
+               AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), g AS (
+      SELECT CAST(s AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(pos) AS BIGINT) AS d_g
+      FROM f GROUP BY s
+    ), tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(d_g) AS BIGINT) AS d,
+             CAST(SUM(s * n_g) AS BIGINT) AS s1,
+             CAST(SUM(s * s * n_g) AS BIGINT) AS s2,
+             CAST(SUM(s * d_g) AS BIGINT) AS t1
+      FROM g
+    )
+    SELECT g.s AS band_score, g.n_g, g.d_g,
+           CASE WHEN g.n_g > 0 THEN
+             CAST(g.d_g AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+           END AS rate,
+           tot.n AS n_total, tot.d AS d_total,
+           tot.s1 AS sum_sn, tot.s2 AS sum_s2n, tot.t1 AS sum_sd,
+           CASE WHEN tot.d > 0 AND tot.n - tot.d > 0
+                 AND CAST(tot.n AS DOUBLE) * CAST(tot.s2 AS DOUBLE)
+                     - CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE) > 0
+           THEN
+             CAST(tot.n AS DOUBLE)
+               * (CAST(tot.n AS DOUBLE) * CAST(tot.t1 AS DOUBLE)
+                  - CAST(tot.d AS DOUBLE) * CAST(tot.s1 AS DOUBLE))
+               * (CAST(tot.n AS DOUBLE) * CAST(tot.t1 AS DOUBLE)
+                  - CAST(tot.d AS DOUBLE) * CAST(tot.s1 AS DOUBLE))
+               / (CAST(tot.d AS DOUBLE) * (CAST(tot.n AS DOUBLE)
+                  - CAST(tot.d AS DOUBLE))
+                  * (CAST(tot.n AS DOUBLE) * CAST(tot.s2 AS DOUBLE)
+                     - CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE)))
+           END AS ca_z2
+    FROM g CROSS JOIN tot
+    ORDER BY g.s
+    """,
+)
+def events_purchase_ca_trend_cells(spark: SparkSession, sf: str):
+    """COCHRAN-ARMITAGE TREND cells — "does purchase share rise
+    MONOTONICALLY with the value band?", the ordered-alternative
+    companion of ``orders_priority_status_chi2_cells`` (plain χ²
+    ignores band order; CA weights each band by a literal score, here
+    band index 1..5 from integer cent bands LEAST(vc div 10000, 4)+1).
+    One row per band with exact n/d and its rate; the component sums
+    (Σsn, Σs²n, Σsd — all ≤ 25N, int64 to ~3.7e17 rows) repeat as
+    gated exact integers, and z² = N(N·Σsd − D·Σsn)² /
+    (D(N−D)(N·Σs²n − (Σsn)²)) — the Agresti score-test form, no
+    continuity correction (documented) — is ONE fixed DOUBLE tree over
+    them, triple-guarded (empty class or zero score variance → NULL).
+    Scale: one map-side-combined groupBy to 5 bands + a 1-row fold;
+    the cheapest possible shape."""
+    ev = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    f = ev.select(
+        (
+            F.least(F.expr("cast(round(value * 100, 0) as bigint) div 10000"),
+                    F.lit(4))
+            + 1
+        )
+        .cast("long")
+        .alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
+    )
+    g = f.groupBy("s").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("pos").cast("long").alias("d_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("d_g").cast("long").alias("d"),
+        F.sum(F.col("s") * F.col("n_g")).cast("long").alias("s1"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_g"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(F.col("s") * F.col("d_g")).cast("long").alias("t1"),
+    )
+    nd = F.col("n").cast("double")
+    dd = F.col("d").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    t1d = F.col("t1").cast("double")
+    num = nd * t1d - dd * s1d
+    var = nd * s2d - s1d * s1d
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("band_score"),
+            "n_g",
+            "d_g",
+            F.when(
+                F.col("n_g") > 0,
+                F.col("d_g").cast("double") / F.col("n_g").cast("double"),
+            ).alias("rate"),
+            F.col("n").alias("n_total"),
+            F.col("d").alias("d_total"),
+            F.col("s1").alias("sum_sn"),
+            F.col("s2").alias("sum_s2n"),
+            F.col("t1").alias("sum_sd"),
+            F.when(
+                (F.col("d") > 0)
+                & (F.col("n") - F.col("d") > 0)
+                & (var > 0),
+                nd * num * num / (dd * (nd - dd) * var),
+            ).alias("ca_z2"),
+        )
+        .orderBy("band_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_edge_support_hist",
+    """
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM os a JOIN os b ON b.ok = a.ok AND a.p < b.p
+    ),
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    sides AS (
+      SELECT x AS a, y AS b FROM tris
+      UNION ALL SELECT x, z FROM tris
+      UNION ALL SELECT y, z FROM tris
+    ),
+    sup AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support
+      FROM sides GROUP BY a, b
+    ),
+    es AS (
+      SELECT COALESCE(sup.support, 0) AS support
+      FROM edges LEFT JOIN sup USING (a, b)
+    )
+    SELECT CAST(support AS BIGINT) AS support,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY support DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_edges_at_least
+    FROM es GROUP BY support ORDER BY support
+    """,
+)
+def copurchase_edge_support_hist(spark: SparkSession, sf: str):
+    """EDGE TRIANGLE-SUPPORT histogram of the co-purchase graph — the
+    K-TRUSS profile: an edge with support s survives in every k-truss
+    with k ≤ s+2, so ``n_edges_at_least`` (the suffix-cumulative count)
+    reads directly as the k-truss SIZE UPPER BOUND curve before any
+    peeling — the edge-level companion of the node-level
+    ``copurchase_clustering_coefficient`` and the peel-based
+    ``copurchase_k_core_peel``.  Support comes from
+    ``operators/graph.triangle_support_per_edge``: degree-oriented
+    adjacency-array intersection (wedge work bounded by arboricity,
+    never max degree), each triangle exploded OUTPUT-bounded to its 3
+    canonical edges, zero-support edges kept via one left join.  The
+    oracle enumerates the same triangles by the naive ordered triple
+    join — same histogram, different algorithm.  All-integer output;
+    the suffix cumulative runs over the tiny support domain.  Scale:
+    inherits triangle_count's arboricity bound; histogram output is
+    support-domain-sized at any SF."""
+    from byte_convert_avro_spark.operators.graph import (
+        triangle_support_per_edge,
+    )
+
+    li = t(spark, sf, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = os_.select(F.col("ok"), F.col("p").alias("p2"))
+    edges = (
+        os_.join(b, "ok")
+        .filter(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("src"), F.col("p2").alias("dst"))
+    )
+    es = triangle_support_per_edge(edges, "src", "dst")
+    wsuf = W.orderBy(F.col("support").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        es.groupBy("support")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .select(
+            "support",
+            "n_edges",
+            F.sum("n_edges").over(wsuf).cast("long").alias(
+                "n_edges_at_least"
+            ),
+        )
+        .orderBy("support")
+    )

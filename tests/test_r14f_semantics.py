@@ -393,3 +393,68 @@ def test_gini_cells_match_python_counters(spark, sf_dir):
             r.wgini_contrib for (f, _), r in got.items() if f == feat
         )
         assert wsum <= gini(*tot) + 1e-12
+
+
+def test_ca_trend_matches_python_score_test(spark, sf_dir):
+    rows = _score_label_rows(sf_dir)
+    g: dict[int, list[int]] = {}
+    for vc, y in rows:
+        s = min(vc // 10000, 4) + 1
+        c = g.setdefault(s, [0, 0])
+        c[0] += 1
+        c[1] += y
+    n = sum(c[0] for c in g.values())
+    d = sum(c[1] for c in g.values())
+    s1 = sum(s * c[0] for s, c in g.items())
+    s2 = sum(s * s * c[0] for s, c in g.items())
+    t1 = sum(s * c[1] for s, c in g.items())
+    got = {r.band_score: r for r in Q["events_purchase_ca_trend_cells"](spark, sf_dir).collect()}
+    assert set(got) == set(g)
+    num = float(n) * float(t1) - float(d) * float(s1)
+    var = float(n) * float(s2) - float(s1) * float(s1)
+    for s, (ng, dg) in g.items():
+        r = got[s]
+        assert (r.n_g, r.d_g) == (ng, dg)
+        assert (r.n_total, r.d_total) == (n, d)
+        assert (r.sum_sn, r.sum_s2n, r.sum_sd) == (s1, s2, t1)
+        assert r.rate == float(dg) / float(ng)
+        if d > 0 and n - d > 0 and var > 0:
+            assert r.ca_z2 == float(n) * num * num / (
+                float(d) * (float(n) - float(d)) * var
+            )
+
+
+def test_edge_support_hist_matches_python_enumeration(spark, sf_dir):
+    from itertools import combinations
+
+    rows = _rows(
+        sf_dir,
+        "SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM read_parquet('{d}/lineitem.parquet')",
+    )
+    orders: dict[int, set[int]] = {}
+    for ok, p in rows:
+        orders.setdefault(ok, set()).add(p)
+    edges: set[tuple[int, int]] = set()
+    for parts in orders.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    support = dict.fromkeys(edges, 0)
+    for a, b in edges:
+        for w in adj[a] & adj[b]:
+            support[(a, b)] += 1
+    hist = Counter(support.values())
+    got = {r.support: r for r in Q["copurchase_edge_support_hist"](spark, sf_dir).collect()}
+    assert {s: r.n_edges for s, r in got.items()} == dict(hist)
+    # suffix cumulative: n_edges_at_least(s) counts every edge with
+    # support >= s — the k-truss size upper-bound curve
+    for s, r in got.items():
+        assert r.n_edges_at_least == sum(
+            c for s2, c in hist.items() if s2 >= s
+        )
+    assert got[min(hist)].n_edges_at_least if min(hist) == 0 else True
+    assert sum(hist.values()) == len(edges)
