@@ -261,6 +261,15 @@ EXTENDED = [
     "kmeans_davies_bouldin_cells",
     "doc_readability_flesch",
     "orders_feature_gini_impurity_cells",
+    # round-14f batch 2: CA trend is a 5-band fold (cheapest shape);
+    # the edge-support wall time pins the triangle explode staying
+    # output-bounded on the oriented enumeration (the clustering-
+    # coefficient property, at edge granularity); blocking quality pins
+    # the truth side staying the FastSS variant join with the candidate
+    # count never materializing a pair
+    "events_purchase_ca_trend_cells",
+    "copurchase_edge_support_hist",
+    "customer_blocking_quality_profile",
 ]
 
 

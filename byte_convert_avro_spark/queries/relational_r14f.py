@@ -1416,3 +1416,145 @@ def copurchase_edge_support_hist(spark: SparkSession, sf: str):
         )
         .orderBy("support")
     )
+
+
+# ---------------------------------------------------------------------------
+_BLOCKING_TAIL = """
+    , cand AS (
+      SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) // 2), 0) AS BIGINT)
+        AS n_candidates
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY c_nationkey)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_customers FROM customer
+    ), hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_in_block
+      FROM truth
+      JOIN customer ca ON ca.c_custkey = truth.id_a
+      JOIN customer cb ON cb.c_custkey = truth.id_b
+      WHERE ca.c_nationkey = cb.c_nationkey
+    ), tr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth
+    )
+    SELECT tot.n_customers,
+           tot.n_customers * (tot.n_customers - 1) // 2 AS n_all_pairs,
+           cand.n_candidates, tr.n_truth, hits.n_truth_in_block,
+           CASE WHEN tot.n_customers >= 2 THEN
+             1.0 - CAST(cand.n_candidates AS DOUBLE)
+               / CAST(tot.n_customers * (tot.n_customers - 1) // 2
+                      AS DOUBLE)
+           END AS reduction_ratio,
+           CASE WHEN tr.n_truth > 0 THEN
+             CAST(hits.n_truth_in_block AS DOUBLE)
+               / CAST(tr.n_truth AS DOUBLE)
+           END AS pairs_completeness
+    FROM tot CROSS JOIN cand CROSS JOIN tr CROSS JOIN hits
+    """
+
+
+@register(
+    "customer_blocking_quality_profile",
+    """
+    WITH truth AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )"""
+    + _BLOCKING_TAIL,
+    scale_oracle="""
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    vars AS (
+      SELECT c_custkey, c_name AS variant FROM c
+      UNION
+      SELECT c_custkey,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS variant
+      FROM (
+        SELECT c_custkey, c_name,
+               unnest(generate_series(1, length(c_name))) AS i
+        FROM c
+      )
+    ), cd AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM vars a JOIN vars b USING (variant)
+      WHERE a.c_custkey < b.c_custkey
+    ), truth AS (
+      SELECT id_a, id_b
+      FROM cd JOIN c a ON a.c_custkey = id_a JOIN c b ON b.c_custkey = id_b
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    )"""
+    + _BLOCKING_TAIL,
+)
+def customer_blocking_quality_profile(spark: SparkSession, sf: str):
+    """BLOCKING-SCHEME QUALITY metrics for record linkage — reduction
+    ratio and pairs completeness, the two numbers every blocking
+    decision is made on (Christen's linkage-survey framing): evaluate
+    the NATION blocking that ``customer_fuzzy_match_pairs`` uses
+    against the FastSS edit≤1 TRUTH set
+    (``operators/strsim.edit1_pairs`` — linear, zero false negatives,
+    itself gated brute-force).  RR = 1 − candidates/allpairs measures
+    how much comparison work blocking sheds (candidates counted as
+    Σ c·(c−1)/2 over block sizes — never materialized); PC =
+    truth∩block/truth measures what it MISSES (cross-nation typo pairs
+    escape by construction — the number this entry surfaces).  All
+    counts exact int64; RR and PC single guarded divisions.  The
+    primary oracle recomputes truth brute-force (quadratic — the
+    disclosed sf≥1 referee trade); the scale oracle uses the
+    deletion-variant equi-join spelling.  Scale: the truth side is the
+    gated FastSS path (O(total chars) variants); the candidate count
+    is one groupBy over nations; the hit join touches truth pairs
+    only."""
+    from byte_convert_avro_spark.operators.strsim import edit1_pairs
+
+    cust = t(spark, sf, "customer")
+    truth = edit1_pairs(cust, "c_custkey", "c_name").select("id_a", "id_b")
+    tr = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    na = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    nb = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    hits = (
+        truth.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("nat_a") == F.col("nat_b"))
+        .agg(F.count("*").cast("long").alias("n_truth_in_block"))
+    )
+    cand = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_candidates")
+        )
+    )
+    tot = cust.agg(F.count("*").cast("long").alias("n_customers"))
+    allp = F.expr("n_customers * (n_customers - 1) div 2")
+    return (
+        tot.crossJoin(cand)
+        .crossJoin(tr)
+        .crossJoin(hits)
+        .select(
+            "n_customers",
+            allp.cast("long").alias("n_all_pairs"),
+            "n_candidates",
+            "n_truth",
+            "n_truth_in_block",
+            F.when(
+                F.col("n_customers") >= 2,
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / allp.cast("double"),
+            ).alias("reduction_ratio"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_truth_in_block").cast("double")
+                / F.col("n_truth").cast("double"),
+            ).alias("pairs_completeness"),
+        )
+    )

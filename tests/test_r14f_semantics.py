@@ -458,3 +458,47 @@ def test_edge_support_hist_matches_python_enumeration(spark, sf_dir):
         )
     assert got[min(hist)].n_edges_at_least if min(hist) == 0 else True
     assert sum(hist.values()) == len(edges)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_blocking_quality_matches_python_bruteforce(spark, sf_dir):
+    from itertools import combinations
+
+    rows = _rows(
+        sf_dir,
+        "SELECT c_custkey, c_name, c_nationkey"
+        " FROM read_parquet('{d}/customer.parquet')",
+    )
+    n = len(rows)
+    nat = {k: nk for k, _, nk in rows}
+    truth = [
+        (a[0], b[0])
+        for a, b in combinations(sorted(rows), 2)
+        if _lev(a[1], b[1]) <= 1
+    ]
+    hits = sum(1 for a, b in truth if nat[a] == nat[b])
+    blocks = Counter(nk for _, _, nk in rows)
+    cands = sum(c * (c - 1) // 2 for c in blocks.values())
+    allp = n * (n - 1) // 2
+    r = Q["customer_blocking_quality_profile"](spark, sf_dir).collect()[0]
+    assert (r.n_customers, r.n_all_pairs) == (n, allp)
+    assert (r.n_candidates, r.n_truth, r.n_truth_in_block) == (
+        cands,
+        len(truth),
+        hits,
+    )
+    assert r.reduction_ratio == 1.0 - float(cands) / float(allp)
+    assert r.pairs_completeness == float(hits) / float(len(truth))

@@ -106,6 +106,12 @@ SAMPLE = {
     "clustering-quality-silhouette": "kmeans_silhouette_simplified",
     "text-readability": "doc_readability_flesch",
     "feature-scoring-gini": "orders_feature_gini_impurity_cells",
+    "stat-ca-trend": "events_purchase_ca_trend_cells",
+    "graph-truss-support": "copurchase_edge_support_hist",
+    # blocking-quality (customer_blocking_quality_profile) inherits the
+    # linkage-fs fastss exclusion: the edit<=1 TRUTH set it counts grows
+    # ~100x per 10x data on replicated names (~200M pairs at sf10), so
+    # it is gated at sf1 via the variant-join scale oracle instead.
     # linkage-fs (customer_linkage_fs_*) is deliberately NOT sampled at
     # sf10: scale_data replicates names, so the true edit<=1 pair set
     # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
@@ -123,6 +129,11 @@ ROWS_ONLY = {
     # at sf10 the 5% sample is 10k vectors -> 100M interpreted 64-dim
     # list_reduce folds on the DuckDB side; gated at sf0.001/0.01/0.1
     "mutual_knn_pairs",
+    # the edge-support ORACLE is the naive ordered triple join —
+    # infeasible on the ~30M-edge sf10 co-purchase graph (the Spark
+    # side is the arboricity-bounded oriented enumeration and is the
+    # measured half); gated at sf0.001/0.01/0.1/1
+    "copurchase_edge_support_hist",
 }
 
 EXCLUSION_RULE = (
