@@ -270,6 +270,9 @@ EXTENDED = [
     "events_purchase_ca_trend_cells",
     "copurchase_edge_support_hist",
     "customer_blocking_quality_profile",
+    # the streaming AUC twin rides the micro-batch replay harness like
+    # the other streaming sketch members (state = score-domain counts)
+    "streaming_purchase_auc_rank_cells",
 ]
 
 

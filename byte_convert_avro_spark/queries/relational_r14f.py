@@ -107,9 +107,8 @@ _PURCHASE_DOMAIN_SQL = """
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "events_purchase_auc_rank_cells",
-    f"""
+#: Shared by the batch entry and its streaming twin (the PSI pattern).
+EVENTS_AUC_SQL = f"""
     WITH {_PURCHASE_DOMAIN_SQL}, gt AS (
       SELECT vc, t, tp,
              COALESCE(CAST(SUM(t) OVER (ORDER BY vc
@@ -130,22 +129,14 @@ _PURCHASE_DOMAIN_SQL = """
                / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
            END AS auc
     FROM agg
-    """,
-)
-def events_purchase_auc_rank_cells(spark: SparkSession, sf: str):
-    """EXACT AUC of "value predicts purchase" via the rank-sum identity
-    AUC = U/(n_pos·n_neg) with tie-averaged ranks — the threshold-free
-    companion of the confusion-matrix/P-R-F1 ladder.  The doubled
-    positive rank sum ``r2_pos = Σ tp·(2w+t+1)`` comes from the
-    distinct-cents DOMAIN cumulative (the MW machinery — ties
-    contribute their exact average rank), so ``2U = r2_pos −
-    n_pos·(n_pos+1)`` is an exact integer and AUC is ONE guarded
-    division.  r2_pos and 2U convey as digit strings (they pass 2^53
-    near 7e7 pooled rows — the round-14c DECIMAL rule).  Scale: one
-    map-side-combined groupBy to the value domain + one domain-bounded
-    cumulative window + a single-row fold; no row-scale window, no
-    shuffle beyond the domain."""
-    dom = _purchase_score_domain(spark, sf)
+    """
+
+
+def auc_rank_finalize(dom):
+    """(vc, t, tp) score-domain counts -> the one-row exact AUC cells
+    (shared finalize of ``events_purchase_auc_rank_cells`` and its
+    streaming twin): domain cumulative -> doubled positive rank sum ->
+    2U integer -> one guarded division."""
     wprev = W.orderBy("vc").rowsBetween(W.unboundedPreceding, -1)
     gt = dom.select(
         "vc",
@@ -177,6 +168,23 @@ def events_purchase_auc_rank_cells(spark: SparkSession, sf: str):
             ),
         ).alias("auc"),
     )
+
+
+@register("events_purchase_auc_rank_cells", EVENTS_AUC_SQL)
+def events_purchase_auc_rank_cells(spark: SparkSession, sf: str):
+    """EXACT AUC of "value predicts purchase" via the rank-sum identity
+    AUC = U/(n_pos·n_neg) with tie-averaged ranks — the threshold-free
+    companion of the confusion-matrix/P-R-F1 ladder.  The doubled
+    positive rank sum ``r2_pos = Σ tp·(2w+t+1)`` comes from the
+    distinct-cents DOMAIN cumulative (the MW machinery — ties
+    contribute their exact average rank), so ``2U = r2_pos −
+    n_pos·(n_pos+1)`` is an exact integer and AUC is ONE guarded
+    division.  r2_pos and 2U convey as digit strings (they pass 2^53
+    near 7e7 pooled rows — the round-14c DECIMAL rule).  Scale: one
+    map-side-combined groupBy to the value domain + one domain-bounded
+    cumulative window + a single-row fold; no row-scale window, no
+    shuffle beyond the domain."""
+    return auc_rank_finalize(_purchase_score_domain(spark, sf))
 
 
 # ---------------------------------------------------------------------------

@@ -1734,3 +1734,86 @@ def streaming_misra_gries_tokens(spark: SparkSession, sf: str):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+def _auc_streaming_oracle() -> str:
+    from byte_convert_avro_spark.queries.relational_r14f import (
+        EVENTS_AUC_SQL,
+    )
+
+    return EVENTS_AUC_SQL
+
+
+@register("streaming_purchase_auc_rank_cells", _auc_streaming_oracle())
+def streaming_purchase_auc_rank_cells(spark: SparkSession, sf: str):
+    """STREAMING exact AUC — the cross-batch twin of
+    ``events_purchase_auc_rank_cells`` and the next streaming sketch
+    family member (count-min = stateful SUM, HLL = stateful MAX,
+    weighted sample = stateful MIN, PSI = domain-count SUM vs a static
+    reference; AUC = stateful SUM over the distinct-SCORE domain): the
+    per-cents (t, tp) counts are MERGEABLE by addition, so the only
+    streaming state is the score histogram — bounded by the measure's
+    resolution, never rows — and the threshold-free ranking quality of
+    "value predicts purchase" is monitorable live.  After draining four
+    genuine hash-sharded micro-batches the drained domain feeds the
+    SAME shared finalize (auc_rank_finalize: cumulative -> doubled rank
+    sum -> exact 2U) and must reproduce the batch entry's row
+    bit-for-bit against the SAME oracle.  Linear state replays like
+    count-min (at-least-once would double-count; exactly-once
+    file-source semantics carry the gate)."""
+    import shutil
+
+    from byte_convert_avro_spark.queries.base import cents
+    from byte_convert_avro_spark.queries.relational_r14f import (
+        auc_rank_finalize,
+    )
+
+    ev = t(spark, sf, "events")
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "auc_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        dom_stream = (
+            stream.filter(
+                F.col("value").isNotNull() & F.col("event_type").isNotNull()
+            )
+            .select(
+                cents("value").alias("vc"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("pos"),
+            )
+            .groupBy("vc")
+            .agg(
+                F.count("*").cast("long").alias("t"),
+                F.sum("pos").cast("long").alias("tp"),
+            )
+        )
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            dom_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        dom = spark.table(name).select(
+            F.col("vc").cast("long").alias("vc"),
+            F.col("t").cast("long").alias("t"),
+            F.col("tp").cast("long").alias("tp"),
+        )
+        return auc_rank_finalize(dom)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

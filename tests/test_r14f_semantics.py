@@ -502,3 +502,11 @@ def test_blocking_quality_matches_python_bruteforce(spark, sf_dir):
     )
     assert r.reduction_ratio == 1.0 - float(cands) / float(allp)
     assert r.pairs_completeness == float(hits) / float(len(truth))
+
+
+def test_streaming_auc_twin_matches_batch(spark, sf_dir):
+    """The streaming twin's drained score-domain must reproduce the
+    batch AUC row exactly (same finalize, mergeable domain counts)."""
+    batch = Q["events_purchase_auc_rank_cells"](spark, sf_dir).collect()
+    tw = Q["streaming_purchase_auc_rank_cells"](spark, sf_dir).collect()
+    assert [r.asDict() for r in batch] == [r.asDict() for r in tw]
