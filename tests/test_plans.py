@@ -1190,3 +1190,66 @@ def test_r14e_rich_club_single_fold_and_pmi_vocab_bounded(spark, sf_dir):
     p2 = explain_str(pmi, "formatted")
     assert "CartesianProduct" not in p2
     assert set(read_schemas(pmi)["documents"]) <= {"doc_id", "text"}
+
+
+def test_r14f_score_trio_domain_bounded(spark, sf_dir):
+    """AUC / ROC / decile-lift scale contract: all three live on the
+    distinct-cents score DOMAIN — events scans prune to (event_type,
+    value), no cartesian product, no row-scale ntile window (the
+    decile assignment is domain arithmetic), and every join is a
+    broadcast (literal cutoffs / 1-row totals)."""
+    for name in (
+        "events_purchase_auc_rank_cells",
+        "events_purchase_decile_lift",
+        "events_purchase_roc_literal_thresholds",
+        "events_purchase_ca_trend_cells",
+    ):
+        df = Q[name](spark, sf_dir)
+        assert set(read_schemas(df)["events"]) == {"event_type", "value"}, name
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert "ntile" not in plan.lower(), name
+
+
+def test_r14f_rowlocal_passes_have_no_joins(spark, sf_dir):
+    """McNemar and Flesch are single row-local projections + folds:
+    zero join strategies, scans pruned to the consumed columns."""
+    mc = Q["langid_mcnemar_stopword_vs_conjunction"](spark, sf_dir)
+    assert not join_strategies(mc)
+    assert set(read_schemas(mc)["documents"]) == {"text", "lang"}
+    fl = Q["doc_readability_flesch"](spark, sf_dir)
+    assert not join_strategies(fl)
+    assert set(read_schemas(fl)["documents"]) == {"doc_id", "text"}
+
+
+def test_r14f_silhouette_scoring_joinless(spark, sf_dir):
+    """Silhouette's scoring stage is a zero-join literal-argmin pass
+    (the kmeans assignment shape): the returned plan contains no join
+    at all — training happens in the already-pinned kmeans operator,
+    not in the scoring query plan."""
+    df = Q["kmeans_silhouette_simplified"](spark, sf_dir)
+    assert not join_strategies(df)
+    assert "CartesianProduct" not in explain_str(df, "formatted")
+
+
+def test_r14f_db_cells_pair_join_broadcast(spark, sf_dir):
+    """Davies-Bouldin's only non-equi join is the k-row centroid pair
+    stage, which must stay a BROADCAST nested loop (k² = 64 rows), with
+    the scatter fold and the s_i/s_j decorations as equi joins."""
+    df = Q["kmeans_davies_bouldin_cells"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    strats = join_strategies(df)
+    assert strats.count("BroadcastNestedLoopJoin") <= 1, strats
+
+
+def test_r14f_edge_support_and_blocking_equi(spark, sf_dir):
+    """Edge support rides the oriented-adjacency equi joins (no
+    cartesian anywhere); blocking quality's hit join is equi on the
+    pair ids and the candidate count never materializes a pair (no
+    self-join of customer against itself in the plan)."""
+    es = Q["copurchase_edge_support_hist"](spark, sf_dir)
+    plan = explain_str(es, "formatted")
+    assert "CartesianProduct" not in plan
+    bq = Q["customer_blocking_quality_profile"](spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(bq, "formatted")
