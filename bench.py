@@ -273,6 +273,9 @@ EXTENDED = [
     # the streaming AUC twin rides the micro-batch replay harness like
     # the other streaming sketch members (state = score-domain counts)
     "streaming_purchase_auc_rank_cells",
+    # calibration bins ride the IG/encoding median + customer-domain
+    # machinery (<=21-row rollup)
+    "orders_target_calibration_bins",
 ]
 
 

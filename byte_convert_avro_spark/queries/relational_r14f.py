@@ -1566,3 +1566,131 @@ def customer_blocking_quality_profile(spark: SparkSession, sf: str):
             ).alias("pairs_completeness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_target_calibration_bins",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders
+    ), dom AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM o GROUP BY vc
+    ), med AS (
+      SELECT MIN(vc) AS med FROM dom
+      CROSS JOIN (SELECT CAST(SUM(t) AS BIGINT) AS n FROM dom)
+      WHERE cum * 2 >= n + 1
+    ), lab AS (
+      SELECT o_custkey, CASE WHEN vc > med THEN 1 ELSE 0 END AS y
+      FROM o CROSS JOIN med
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS d
+      FROM lab
+    ), c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(y) AS BIGINT) AS y_c
+      FROM lab GROUP BY o_custkey
+    ), enc AS (
+      SELECT c.o_custkey, c.n_c, c.y_c,
+             (CAST(c.y_c AS DOUBLE)
+              + 10.0 * (CAST(g.d AS DOUBLE) / CAST(g.n AS DOUBLE)))
+               / (CAST(c.n_c AS DOUBLE) + 10.0) AS p,
+             CAST(g.d AS DOUBLE) / CAST(g.n AS DOUBLE) AS prior
+      FROM c CROSS JOIN g
+    )
+    SELECT CAST(FLOOR(p * 20.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_c) AS BIGINT) AS n_orders,
+           CAST(SUM(y_c) AS BIGINT) AS n_pos,
+           CASE WHEN SUM(n_c) > 0 THEN
+             CAST(SUM(y_c) AS DOUBLE) / CAST(SUM(n_c) AS DOUBLE)
+           END AS observed_rate,
+           MIN(p) AS min_pred, MAX(p) AS max_pred,
+           MIN(prior) AS prior
+    FROM enc GROUP BY 1 ORDER BY bin
+    """,
+)
+def orders_target_calibration_bins(spark: SparkSession, sf: str):
+    """CALIBRATION TABLE of an empirical-Bayes probability scorer —
+    the probability-quality dimension the eval ladder still lacked
+    (AUC/ROC rank, lift targets, P/R/F1 threshold; calibration asks
+    "when the score says 40%, does 40% happen"): per customer the
+    smoothed P(order above the exact global median) = (y_c + m·p0) /
+    (n_c + m) with m=10 (the ``customer_target_encoding_smoothed``
+    shrinkage form on a BINARY target), bucketed into 20 literal
+    probability bins; each bin reports exact order/positive counts,
+    the observed rate (one guarded division of exact ints — shrinkage
+    should pull observed toward the prior in the tails), and
+    order-independent MIN/MAX of the bit-identical predictions as the
+    bin's support bounds.  The bin id floor(p·20) is computed on
+    predictions that are themselves pinned fixed float trees, so both
+    engines bucket identically.  Scale: one domain cumulative for the
+    median + one customer-domain groupBy + a ≤21-row rollup; nothing
+    row-scaled after the first aggregation."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("vc")
+    )
+    wcum = W.orderBy("vc").rowsBetween(W.unboundedPreceding, 0)
+    dom = (
+        o.groupBy("vc")
+        .agg(F.count("*").cast("long").alias("t"))
+        .select("vc", "t", F.sum("t").over(wcum).cast("long").alias("cum"))
+    )
+    ntot = dom.agg(F.sum("t").cast("long").alias("n"))
+    med = (
+        dom.crossJoin(F.broadcast(ntot))
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .agg(F.min("vc").alias("med"))
+    )
+    lab = o.crossJoin(F.broadcast(med)).select(
+        "o_custkey",
+        F.when(F.col("vc") > F.col("med"), 1).otherwise(0).alias("y"),
+    )
+    g = lab.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("d"),
+    )
+    c = lab.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("y_c"),
+    )
+    prior = F.col("d").cast("double") / F.col("n").cast("double")
+    p = (F.col("y_c").cast("double") + F.lit(10.0) * prior) / (
+        F.col("n_c").cast("double") + F.lit(10.0)
+    )
+    enc = c.crossJoin(F.broadcast(g)).select(
+        "n_c", "y_c", p.alias("p"), prior.alias("prior")
+    )
+    return (
+        enc.groupBy(
+            F.floor(F.col("p") * F.lit(20.0)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n_c").cast("long").alias("n_orders"),
+            F.sum("y_c").cast("long").alias("n_pos"),
+            F.min("p").alias("min_pred"),
+            F.max("p").alias("max_pred"),
+            F.min("prior").alias("prior"),
+        )
+        .select(
+            "bin",
+            "n_customers",
+            "n_orders",
+            "n_pos",
+            F.when(
+                F.col("n_orders") > 0,
+                F.col("n_pos").cast("double")
+                / F.col("n_orders").cast("double"),
+            ).alias("observed_rate"),
+            "min_pred",
+            "max_pred",
+            "prior",
+        )
+        .orderBy("bin")
+    )

@@ -510,3 +510,47 @@ def test_streaming_auc_twin_matches_batch(spark, sf_dir):
     batch = Q["events_purchase_auc_rank_cells"](spark, sf_dir).collect()
     tw = Q["streaming_purchase_auc_rank_cells"](spark, sf_dir).collect()
     assert [r.asDict() for r in batch] == [r.asDict() for r in tw]
+
+
+def test_calibration_bins_match_python_shrinkage(spark, sf_dir):
+    import math
+
+    rows = _rows(
+        sf_dir,
+        "SELECT o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    dom = Counter(vc for _, vc in rows)
+    n = len(rows)
+    cum = 0
+    med = None
+    for vc in sorted(dom):
+        cum += dom[vc]
+        if cum * 2 >= n + 1:
+            med = vc
+            break
+    d = sum(1 for _, vc in rows if vc > med)
+    per: dict[int, list[int]] = {}
+    for ck, vc in rows:
+        c = per.setdefault(ck, [0, 0])
+        c[0] += 1
+        c[1] += 1 if vc > med else 0
+    prior = float(d) / float(n)
+    bins: dict[int, list] = {}
+    for nc, yc in per.values():
+        p = (float(yc) + 10.0 * prior) / (float(nc) + 10.0)
+        b = math.floor(p * 20.0)
+        e = bins.setdefault(b, [0, 0, 0, p, p])
+        e[0] += 1
+        e[1] += nc
+        e[2] += yc
+        e[3] = min(e[3], p)
+        e[4] = max(e[4], p)
+    got = {r.bin: r for r in Q["orders_target_calibration_bins"](spark, sf_dir).collect()}
+    assert set(got) == set(bins)
+    for b, (ncus, nord, npos, mn, mx) in bins.items():
+        r = got[b]
+        assert (r.n_customers, r.n_orders, r.n_pos) == (ncus, nord, npos)
+        assert r.observed_rate == float(npos) / float(nord)
+        assert (r.min_pred, r.max_pred) == (mn, mx)
+        assert r.prior == prior

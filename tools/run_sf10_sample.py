@@ -107,6 +107,8 @@ SAMPLE = {
     "text-readability": "doc_readability_flesch",
     "feature-scoring-gini": "orders_feature_gini_impurity_cells",
     "stat-ca-trend": "events_purchase_ca_trend_cells",
+    "probability-calibration": "orders_target_calibration_bins",
+    "streaming-auc-twin": "streaming_purchase_auc_rank_cells",
     "graph-truss-support": "copurchase_edge_support_hist",
     # blocking-quality (customer_blocking_quality_profile) inherits the
     # linkage-fs fastss exclusion: the edit<=1 TRUTH set it counts grows
