@@ -510,6 +510,7 @@ def main() -> None:
     import bench_decode
 
     decode = {
+        "cpu_spin_mops": round(bench_decode.cpu_spin_mops(), 1),
         "single_thread_rec_s": round(bench_decode.bench_single_thread(runs=n_runs)),
         "spark_rec_s": round(bench_decode.bench_spark(spark=spark, runs=n_runs)),
         "unit": "records/sec",

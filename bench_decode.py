@@ -43,6 +43,23 @@ def payloads(n: int = 5000) -> list[bytes]:
     ]
 
 
+def cpu_spin_mops(loops: int = 10_000_000) -> float:
+    """Host-CPU yardstick independent of the engine: pure-python loop
+    throughput in M ops/s.  Recorded next to the decode lines so a
+    drift adjudication can tell host variance (spin moves with the
+    decode number) from a code regression (spin steady, decode down) —
+    the r14 session-6 lesson: identical code measured 303k (r11), 261k
+    (r14 driver refresh, loadavg 8), and 212k (r14 idle) single-thread
+    rec/s across host states."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    x = 0
+    for i in range(loops):
+        x += i & 7
+    return loops / (_t.perf_counter() - t0) / 1e6
+
+
 def bench_single_thread(n: int = 200_000, runs: int = 1) -> float:
     """Median decode rate over ``runs`` timed passes of ``n`` records."""
     import statistics
