@@ -36,6 +36,7 @@ from byte_convert_avro_spark.queries import relational_r14c  # noqa: E402,F401
 from byte_convert_avro_spark.queries import relational_r14d  # noqa: E402,F401
 from byte_convert_avro_spark.queries import relational_r14e  # noqa: E402,F401
 from byte_convert_avro_spark.queries import relational_r14f  # noqa: E402,F401
+from byte_convert_avro_spark.queries import relational_r14g  # noqa: E402,F401
 from byte_convert_avro_spark.queries import events  # noqa: E402,F401
 from byte_convert_avro_spark.queries import text  # noqa: E402,F401
 from byte_convert_avro_spark.queries import training_prep  # noqa: E402,F401

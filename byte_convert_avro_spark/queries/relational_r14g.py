@@ -1,0 +1,738 @@
+"""Round-14 session-7 additions: the classical variance-analysis pair,
+the privacy-triad completion, multiclass MCC, and calibration summary
+statistics.
+
+Families and why they are NEW surface, not respellings:
+
+- **One-way ANOVA cells** (``events_value_anova_cells``): the rank
+  battery has Kruskal-Wallis (the rank analog) but the PARAMETRIC
+  omnibus test — partitioning total variance into between-group and
+  within-group sums of squares — was missing.  Every moment is an
+  exact int64 over value cents (n_g, Σvc, Σvc²); the F statistic is
+  one fixed DOUBLE tree whose only order-sensitive piece (Σ_g S_g²/n_g
+  over the ≤|event types| groups) is a bounded ordered fold keyed by
+  event_type, identical in both engines.
+- **Brown-Forsythe robust variance-homogeneity test**
+  (``events_value_brown_forsythe_cells``): ANOVA's F assumes equal
+  group variances; Brown-Forsythe TESTS that assumption — the same F
+  machinery applied to z = |x − median_g|, with each group median an
+  EXACT order statistic from the per-group value-domain cumulative
+  (the calibration-bins/QQ convention: min vc with 2·cum ≥ n_g + 1).
+  Because values are cents, z is again an exact integer and the whole
+  statistic stays in the gated-int + fixed-tree system.
+- **t-closeness profile** (``orders_t_closeness_profile``): completes
+  the privacy triad next to ``orders_k_anonymity_profile`` (k-anon +
+  l-diversity): per quasi-identifier class, the Earth Mover's Distance
+  between the class's sensitive-attribute distribution and the global
+  one over the ORDERED sensitive domain.  1-D ordered EMD is the sum
+  of absolute prefix-CDF gaps, and with the common denominator n_c·N
+  cleared it is the exact integer Σ_r |N·cum_c(r) − n_c·cum_N(r)| —
+  conveyed as a digit string, with t itself one guarded division.
+- **Multiclass Matthews correlation** (``langid_mcc_cells``): the
+  eval ladder has kappa (chance-corrected agreement); MCC/R_K
+  (Gorodkin 2004) is the HARDER summary — it shares kappa's exact
+  integer numerator N·ΣC_kk − Σ_k t_k·p_k but normalizes by the
+  geometric mean of the two marginal dispersions
+  √(N²−Σp_k²)·√(N²−Σt_k²), so a degenerate always-one-class guess
+  scores 0 with a defined denominator where kappa's collapses.  All
+  four moments exact int64 over the label-domain marginals.
+- **Expected calibration error** (``orders_calibration_ece``): the
+  one-number summary of ``orders_target_calibration_bins`` — ECE =
+  Σ_b w_b·|acc_b − conf_b| (order-weighted) plus MCE = max_b gap.
+  acc_b is a guarded division of exact ints; conf_b needs the sum of
+  per-customer DOUBLE predictions, which is order-sensitive, so it
+  runs through the two-level custkey-ordered chunk fold
+  (functions.bounded_ordered_agg, chunk 4096) with the oracle
+  spelling the identical chunking; the final Σ over ≤21 bins is a
+  bounded ordered fold keyed by bin.
+
+Cross-engine float discipline (the welch_t/KW rules): every float is
+ONE fixed expression tree over exact-integer (or pinned-double)
+inputs with conditionally-evaluated guarded divisions; integers that
+can pass 2^53 convey as digit strings via the DECIMAL(38,0) rule.
+
+Reference parity note: the reference (AvroTransform.java, 337-LoC
+Kafka-Connect SMT) has none of these operators — all belong to the
+analytics/LLM-pipeline addendum SURVEY.md §2 mandates on top of the
+decode pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from byte_convert_avro_spark.functions import bounded_ordered_agg, ordered_fold
+from byte_convert_avro_spark.queries.base import cents, register, t
+
+_DEC_STR = "CAST(CAST({x} AS DECIMAL(38,0)) AS VARCHAR)"
+
+
+def _dec_str(col: F.Column) -> F.Column:
+    """int64 -> exact digit string (the >2^53 conveyance rule)."""
+    return col.cast("decimal(38,0)").cast("string")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA + Brown-Forsythe share the F-statistic tail: given
+# per-group exact moments (n_g, s_g = Σx, q_g = Σx²) the F tree is
+#   sb   = Σ_g s_g²/n_g              (bounded ordered fold by group key)
+#   ssb  = sb − S²/N
+#   ssw  = Q − sb
+#   F    = (ssb/(k−1)) / (ssw/(N−k))
+# with every division conditionally guarded.
+
+_ANOVA_TAIL_SQL = """
+    fold AS (
+      SELECT list_reduce(
+               list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) ORDER BY event_type),
+               (a, b) -> a + b) AS sb
+      FROM g
+    ), tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(q_g) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ), stat AS (
+      SELECT tot.n, tot.k,
+             fold.sb - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE) AS ssb,
+             CAST(tot.q AS DOUBLE) - fold.sb AS ssw
+      FROM tot CROSS JOIN fold
+    ), fstat AS (
+      SELECT n, k, ssb, ssw,
+             CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+               (ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(n - k AS DOUBLE))
+             END AS f_stat
+      FROM stat
+    )"""
+
+
+def _anova_tail(g):
+    """Spark twin of _ANOVA_TAIL_SQL over a (event_type, n_g, s_g, q_g
+    [, extra...]) group frame: returns the per-group rows cross-joined
+    with the single-row (n, k, ssb, ssw, f_stat) statistic block."""
+    term = (
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    folded = g.select(
+        "event_type", "n_g", "s_g", "q_g", term.alias("term")
+    ).agg(
+        ordered_fold("event_type", "term").alias("sb"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.count("*").cast("long").alias("k"),
+    )
+    n_d = F.col("n").cast("double")
+    ssb = F.col("sb") - F.col("s").cast("double") * F.col("s").cast("double") / n_d
+    stat = folded.select(
+        "n",
+        "k",
+        ssb.alias("ssb"),
+        (F.col("q").cast("double") - F.col("sb")).alias("ssw"),
+    ).select(
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("ssw") > 0),
+            (F.col("ssb") / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")),
+        ).alias("f_stat"),
+    )
+    return g.crossJoin(F.broadcast(stat))
+
+
+@register(
+    "events_value_anova_cells",
+    f"""
+    WITH f AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(vc) AS BIGINT) AS s_g,
+             CAST(SUM(vc * vc) AS BIGINT) AS q_g
+      FROM f GROUP BY event_type
+    ), {_ANOVA_TAIL_SQL}
+    SELECT g.event_type, g.n_g, g.s_g,
+           {_DEC_STR.format(x='g.q_g')} AS q_g_str,
+           fs.n, fs.k, fs.ssb, fs.ssw, fs.f_stat
+    FROM g CROSS JOIN fstat fs
+    ORDER BY g.event_type
+    """,
+)
+def events_value_anova_cells(spark: SparkSession, sf: str):
+    """ONE-WAY ANOVA over event-value cents by event type — the
+    parametric omnibus "do group means differ" test next to the rank
+    battery (Kruskal-Wallis / Mann-Whitney / Welch).  Per-group moments
+    (n_g, Σvc, Σvc²) are exact int64 (Σvc² stays under 2^63 to ~10^9
+    rows at this value range — the sf1000 bound, documented); the F
+    statistic is one fixed DOUBLE tree whose group-sum Σ s_g²/n_g is a
+    bounded ordered fold over the ≤|event types| groups keyed by
+    event_type.  Scale: one map-side-combined groupBy on a ~5-key
+    domain, then constant-size arithmetic; nothing row-scaled after
+    the first aggregation."""
+    ev = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    g = (
+        ev.select("event_type", cents("value").alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("vc").cast("long").alias("s_g"),
+            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("q_g"),
+        )
+    )
+    out = _anova_tail(g)
+    return out.select(
+        "event_type",
+        "n_g",
+        "s_g",
+        _dec_str(F.col("q_g")).alias("q_g_str"),
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        "f_stat",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_value_brown_forsythe_cells",
+    f"""
+    WITH f AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), dom AS (
+      SELECT event_type, vc, CAST(COUNT(*) AS BIGINT) AS tcnt,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM f GROUP BY event_type, vc
+    ), ng AS (
+      SELECT event_type, CAST(SUM(tcnt) AS BIGINT) AS n_g
+      FROM dom GROUP BY event_type
+    ), med AS (
+      SELECT dom.event_type, MIN(dom.vc) AS med_g
+      FROM dom JOIN ng ON dom.event_type = ng.event_type
+      WHERE dom.cum * 2 >= ng.n_g + 1
+      GROUP BY dom.event_type
+    ), z AS (
+      SELECT dom.event_type, dom.tcnt,
+             ABS(dom.vc - med.med_g) AS zc
+      FROM dom JOIN med ON dom.event_type = med.event_type
+    ), g AS (
+      SELECT event_type,
+             CAST(SUM(tcnt) AS BIGINT) AS n_g,
+             CAST(SUM(tcnt * zc) AS BIGINT) AS s_g,
+             CAST(SUM(tcnt * zc * zc) AS BIGINT) AS q_g
+      FROM z GROUP BY event_type
+    ), {_ANOVA_TAIL_SQL}
+    SELECT g.event_type, g.n_g, med.med_g, g.s_g,
+           {_DEC_STR.format(x='g.q_g')} AS q_g_str,
+           fs.n, fs.k, fs.ssb, fs.ssw, fs.f_stat
+    FROM g
+    JOIN med ON g.event_type = med.event_type
+    CROSS JOIN fstat fs
+    ORDER BY g.event_type
+    """,
+)
+def events_value_brown_forsythe_cells(spark: SparkSession, sf: str):
+    """BROWN-FORSYTHE robust variance-homogeneity test — "are the group
+    SPREADS equal", the assumption check behind ANOVA's F (and the
+    robust median-centered form of Levene's test, which makes it exact
+    here): z = |vc − median_g| with median_g the EXACT per-group order
+    statistic (min vc with 2·cum ≥ n_g + 1 on the per-group value-domain
+    cumulative — the calibration-bins convention), then the one-way F
+    machinery on the z values, which are again exact integers.  Scale:
+    the domain cumulative is one window over per-(type, value) counts
+    (domain-sized, not row-sized); z-moments aggregate the SAME domain
+    rows weighted by their counts — no second pass over raw rows."""
+    ev = t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    wcum = W.partitionBy("event_type").orderBy("vc").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    dom = (
+        ev.select("event_type", cents("value").alias("vc"))
+        .groupBy("event_type", "vc")
+        .agg(F.count("*").cast("long").alias("tcnt"))
+        .select(
+            "event_type",
+            "vc",
+            "tcnt",
+            F.sum("tcnt").over(wcum).cast("long").alias("cum"),
+        )
+    )
+    ng = dom.groupBy("event_type").agg(F.sum("tcnt").cast("long").alias("n_g"))
+    med = (
+        dom.join(ng, "event_type")
+        .filter(F.col("cum") * 2 >= F.col("n_g") + 1)
+        .groupBy("event_type")
+        .agg(F.min("vc").alias("med_g"))
+    )
+    z = dom.join(F.broadcast(med), "event_type").select(
+        "event_type", "tcnt", F.abs(F.col("vc") - F.col("med_g")).alias("zc")
+    )
+    g = z.groupBy("event_type").agg(
+        F.sum("tcnt").cast("long").alias("n_g"),
+        F.sum(F.col("tcnt") * F.col("zc")).cast("long").alias("s_g"),
+        F.sum(F.col("tcnt") * F.col("zc") * F.col("zc"))
+        .cast("long")
+        .alias("q_g"),
+    )
+    out = _anova_tail(g).join(F.broadcast(med), "event_type")
+    return out.select(
+        "event_type",
+        "n_g",
+        "med_g",
+        "s_g",
+        _dec_str(F.col("q_g")).alias("q_g_str"),
+        "n",
+        "k",
+        "ssb",
+        "ssw",
+        "f_stat",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orders_t_closeness_profile",
+    """
+    WITH q AS (
+      SELECT o_orderpriority AS qi1, o_orderstatus AS qi2,
+             CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS qi3,
+             (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1000000)
+               // 5000000 AS sens
+      FROM orders
+    ), sdom AS (
+      SELECT DISTINCT sens FROM q
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM sdom
+    ), cls AS (
+      SELECT qi1, qi2, qi3, CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM q GROUP BY qi1, qi2, qi3
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q
+    ), gcnt AS (
+      SELECT sens, CAST(COUNT(*) AS BIGINT) AS gl_cnt
+      FROM q GROUP BY sens
+    ), ccnt AS (
+      SELECT qi1, qi2, qi3, sens, CAST(COUNT(*) AS BIGINT) AS c_cnt
+      FROM q GROUP BY qi1, qi2, qi3, sens
+    ), grid AS (
+      SELECT cls.qi1, cls.qi2, cls.qi3, cls.n_c, sdom.sens,
+             COALESCE(ccnt.c_cnt, 0) AS c_cnt,
+             gcnt.gl_cnt
+      FROM cls CROSS JOIN sdom
+      LEFT JOIN ccnt ON ccnt.qi1 = cls.qi1 AND ccnt.qi2 = cls.qi2
+                    AND ccnt.qi3 = cls.qi3 AND ccnt.sens = sdom.sens
+      JOIN gcnt ON gcnt.sens = sdom.sens
+    ), cum AS (
+      SELECT qi1, qi2, qi3, n_c, sens,
+             CAST(SUM(c_cnt) OVER (PARTITION BY qi1, qi2, qi3 ORDER BY sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_c,
+             CAST(SUM(gl_cnt) OVER (PARTITION BY qi1, qi2, qi3 ORDER BY sens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n
+      FROM grid
+    ), d AS (
+      SELECT qi1, qi2, qi3, n_c,
+             CAST(SUM(ABS(tot.n * cum_c - n_c * cum_n)) AS DECIMAL(38,0))
+               AS d_scaled
+      FROM cum CROSS JOIN tot
+      GROUP BY qi1, qi2, qi3, n_c
+    )
+    SELECT d.qi1, d.qi2, d.qi3, d.n_c,
+           CAST(d.d_scaled AS VARCHAR) AS d_scaled_str,
+           CASE WHEN d.n_c > 0 AND m.m > 1 THEN
+             CAST(d.d_scaled AS DOUBLE)
+               / (CAST(d.n_c AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                  * CAST(m.m - 1 AS DOUBLE))
+           END AS t_closeness
+    FROM d CROSS JOIN tot CROSS JOIN m
+    ORDER BY d.qi1, d.qi2, d.qi3
+    """,
+)
+def orders_t_closeness_profile(spark: SparkSession, sf: str):
+    """T-CLOSENESS (Li et al. 2007) — the privacy-triad member after
+    k-anonymity and l-diversity (``orders_k_anonymity_profile``, same
+    quasi-identifier (priority, status, order month) and the same
+    bucketed order-value sensitive attribute): per QI class, the Earth
+    Mover's Distance between the class's sensitive distribution and
+    the global one over the ORDERED sensitive domain.  1-D ordered EMD
+    = mean absolute prefix-CDF gap; clearing the common denominator
+    n_c·N makes the numerator the exact integer
+    Σ_r |N·cum_c(r) − n_c·cum_N(r)| (digit-string conveyed; the final
+    domain position contributes identically 0 so summing all m terms
+    equals the m−1-term definition), and t is ONE guarded division by
+    n_c·N·(m−1).  Scale: class×domain grid is |classes|·m rows (both
+    bounded: 5 priorities × 3 statuses × months × ~11 value buckets);
+    raw rows are touched once by two domain-sized groupBys."""
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("qi1"),
+        F.col("o_orderstatus").alias("qi2"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("qi3"),
+        F.call_function(
+            "div", cents("o_totalprice") + 1_000_000, F.lit(5_000_000)
+        ).alias("sens"),
+    )
+    sdom = o.select("sens").distinct()
+    m = sdom.agg(F.count("*").cast("long").alias("m"))
+    cls = o.groupBy("qi1", "qi2", "qi3").agg(
+        F.count("*").cast("long").alias("n_c")
+    )
+    tot = o.agg(F.count("*").cast("long").alias("n"))
+    gcnt = o.groupBy("sens").agg(F.count("*").cast("long").alias("gl_cnt"))
+    ccnt = o.groupBy("qi1", "qi2", "qi3", "sens").agg(
+        F.count("*").cast("long").alias("c_cnt")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(sdom))
+        .join(ccnt, ["qi1", "qi2", "qi3", "sens"], "left")
+        .join(F.broadcast(gcnt), "sens")
+        .select(
+            "qi1",
+            "qi2",
+            "qi3",
+            "n_c",
+            "sens",
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+            "gl_cnt",
+        )
+    )
+    wc = W.partitionBy("qi1", "qi2", "qi3").orderBy("sens").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "qi1",
+        "qi2",
+        "qi3",
+        "n_c",
+        "sens",
+        F.sum("c_cnt").over(wc).cast("long").alias("cum_c"),
+        F.sum("gl_cnt").over(wc).cast("long").alias("cum_n"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "qi1",
+            "qi2",
+            "qi3",
+            "n_c",
+            F.abs(
+                F.col("n") * F.col("cum_c") - F.col("n_c") * F.col("cum_n")
+            ).alias("gap"),
+        )
+        .groupBy("qi1", "qi2", "qi3", "n_c")
+        .agg(F.sum(F.col("gap").cast("decimal(38,0)")).alias("d_scaled"))
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "qi1",
+            "qi2",
+            "qi3",
+            "n_c",
+            F.col("d_scaled").cast("decimal(38,0)").cast("string").alias(
+                "d_scaled_str"
+            ),
+            F.when(
+                (F.col("n_c") > 0) & (F.col("m") > 1),
+                F.col("d_scaled").cast("double")
+                / (
+                    F.col("n_c").cast("double")
+                    * F.col("n").cast("double")
+                    * (F.col("m") - 1).cast("double")
+                ),
+            ).alias("t_closeness"),
+        )
+        .orderBy("qi1", "qi2", "qi3")
+    )
+
+
+# ---------------------------------------------------------------------------
+def _mcc_oracle() -> str:
+    from byte_convert_avro_spark.queries.text import _LANGID_CTE
+
+    return f"""
+    {_LANGID_CTE}
+    , r AS (
+      SELECT lang AS lbl, CAST(COUNT(*) AS BIGINT) AS rn
+      FROM pred GROUP BY lang
+    ), c AS (
+      SELECT guessed_lang AS lbl, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM pred GROUP BY guessed_lang
+    ), m AS (
+      SELECT CAST(SUM(COALESCE(r.rn, 0) * COALESCE(c.cn, 0)) AS BIGINT)
+               AS pe_num,
+             CAST(SUM(COALESCE(r.rn, 0) * COALESCE(r.rn, 0)) AS BIGINT)
+               AS sum_r_sq,
+             CAST(SUM(COALESCE(c.cn, 0) * COALESCE(c.cn, 0)) AS BIGINT)
+               AS sum_c_sq
+      FROM r FULL OUTER JOIN c USING (lbl)
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = guessed_lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS agree
+      FROM pred
+    )
+    SELECT g.n AS n_docs, g.agree AS agree_docs, m.pe_num,
+           m.sum_r_sq, m.sum_c_sq,
+           CASE WHEN (g.n * g.n - m.sum_r_sq) > 0
+                 AND (g.n * g.n - m.sum_c_sq) > 0 THEN
+             CAST(g.n * g.agree - m.pe_num AS DOUBLE)
+               / (sqrt(CAST(g.n * g.n - m.sum_r_sq AS DOUBLE))
+                  * sqrt(CAST(g.n * g.n - m.sum_c_sq AS DOUBLE)))
+           END AS mcc
+    FROM g CROSS JOIN m
+    """
+
+
+@register("langid_mcc_cells", _mcc_oracle())
+def langid_mcc_cells(spark: SparkSession, sf: str):
+    """MULTICLASS MATTHEWS CORRELATION (Gorodkin 2004's R_K) of the
+    langid heuristic against the labeled ``lang`` column — the eval
+    ladder's last summary statistic: it shares Cohen's kappa's exact
+    integer numerator N·agree − Σ_l r_l·c_l but normalizes by
+    √(N²−Σ r_l²)·√(N²−Σ c_l²), the geometric mean of the two marginal
+    dispersions — so a degenerate always-majority guesser gets MCC = 0
+    with a DEFINED denominator exactly where kappa degenerates.  All
+    moments are exact int64 over the label-domain marginals (full
+    outer join + COALESCE 0 for one-sided labels, the kappa rule); the
+    statistic is one guarded fixed DOUBLE tree.  Scale: one pruned
+    documents scan for the langid CTE, then |labels|-domain
+    arithmetic."""
+    from byte_convert_avro_spark.queries.text import lang_id_heuristic
+
+    pred = lang_id_heuristic(spark, sf).select("lang", "guessed_lang")
+    r = pred.groupBy(F.col("lang").alias("lbl")).agg(
+        F.count("*").cast("long").alias("rn")
+    )
+    c = pred.groupBy(F.col("guessed_lang").alias("lbl")).agg(
+        F.count("*").cast("long").alias("cn")
+    )
+    rr = F.coalesce(F.col("rn"), F.lit(0))
+    cc = F.coalesce(F.col("cn"), F.lit(0))
+    m = (
+        r.join(c, "lbl", "full_outer")
+        .select(
+            (rr * cc).alias("p"),
+            (rr * rr).alias("r2"),
+            (cc * cc).alias("c2"),
+        )
+        .agg(
+            F.sum("p").cast("long").alias("pe_num"),
+            F.sum("r2").cast("long").alias("sum_r_sq"),
+            F.sum("c2").cast("long").alias("sum_c_sq"),
+        )
+    )
+    g = pred.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("guessed_lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    n, agree = F.col("n"), F.col("agree")
+    dr = n * n - F.col("sum_r_sq")
+    dc = n * n - F.col("sum_c_sq")
+    return g.crossJoin(F.broadcast(m)).select(
+        n.alias("n_docs"),
+        agree.alias("agree_docs"),
+        "pe_num",
+        "sum_r_sq",
+        "sum_c_sq",
+        F.when(
+            (dr > 0) & (dc > 0),
+            (n * agree - F.col("pe_num")).cast("double")
+            / (F.sqrt(dr.cast("double")) * F.sqrt(dc.cast("double"))),
+        ).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+#: The empirical-Bayes prediction prefix shared with
+#: ``orders_target_calibration_bins`` (same median, same shrinkage m=10,
+#: same bin rule) — ECE summarizes that entry's table into one number.
+_ENC_SQL = """
+    o AS (
+      SELECT o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS vc
+      FROM orders
+    ), dom AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM o GROUP BY vc
+    ), med AS (
+      SELECT MIN(vc) AS med FROM dom
+      CROSS JOIN (SELECT CAST(SUM(t) AS BIGINT) AS n FROM dom)
+      WHERE cum * 2 >= n + 1
+    ), lab AS (
+      SELECT o_custkey, CASE WHEN vc > med THEN 1 ELSE 0 END AS y
+      FROM o CROSS JOIN med
+    ), gg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS d
+      FROM lab
+    ), cc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(y) AS BIGINT) AS y_c
+      FROM lab GROUP BY o_custkey
+    ), enc AS (
+      SELECT cc.o_custkey, cc.n_c, cc.y_c,
+             (CAST(cc.y_c AS DOUBLE)
+              + 10.0 * (CAST(gg.d AS DOUBLE) / CAST(gg.n AS DOUBLE)))
+               / (CAST(cc.n_c AS DOUBLE) + 10.0) AS p
+      FROM cc CROSS JOIN gg
+    )"""
+
+
+@register(
+    "orders_calibration_ece",
+    f"""
+    WITH {_ENC_SQL}, b AS (
+      SELECT CAST(FLOOR(p * 20.0) AS BIGINT) AS bin, o_custkey, n_c, y_c,
+             CAST(n_c AS DOUBLE) * p AS wp
+      FROM enc
+    ), ch AS (
+      SELECT bin, o_custkey // 4096 AS chk,
+             list_reduce(list(wp ORDER BY o_custkey), (a, b) -> a + b)
+               AS csum,
+             CAST(SUM(n_c) AS BIGINT) AS cn, CAST(SUM(y_c) AS BIGINT) AS cy
+      FROM b GROUP BY bin, chk
+    ), binagg AS (
+      SELECT bin,
+             list_reduce(list(csum ORDER BY chk), (a, b) -> a + b) AS wpsum,
+             CAST(SUM(cn) AS BIGINT) AS n_orders,
+             CAST(SUM(cy) AS BIGINT) AS n_pos
+      FROM ch GROUP BY bin
+    ), gaps AS (
+      SELECT bin, n_orders,
+             ABS(CAST(n_pos AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                 - wpsum / CAST(n_orders AS DOUBLE)) AS gap
+      FROM binagg WHERE n_orders > 0
+    ), tot AS (
+      SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM gaps
+    ), folded AS (
+      SELECT list_reduce(
+               list(CAST(n_orders AS DOUBLE) * gap ORDER BY bin),
+               (a, b) -> a + b) AS wsum,
+             MAX(gap) AS mce
+      FROM gaps
+    )
+    SELECT tot.n_bins, tot.n_total,
+           CASE WHEN tot.n_total > 0 THEN
+             folded.wsum / CAST(tot.n_total AS DOUBLE)
+           END AS ece,
+           folded.mce
+    FROM tot CROSS JOIN folded
+    """,
+)
+def orders_calibration_ece(spark: SparkSession, sf: str):
+    """EXPECTED CALIBRATION ERROR — the one-number summary of
+    ``orders_target_calibration_bins`` (same empirical-Bayes
+    predictions, same 20 literal bins): ECE = Σ_b w_b·|acc_b − conf_b|
+    with order weights w_b, plus MCE = max_b gap.  acc_b is a guarded
+    division of exact ints; conf_b = Σ n_c·p / Σ n_c needs a sum of
+    per-customer DOUBLES, which is order-sensitive — it runs through
+    the two-level custkey-ordered chunk fold
+    (functions.bounded_ordered_agg, chunk 4096; the oracle spells the
+    identical chunking) so the value is bit-stable at any partitioning;
+    the final Σ over ≤21 bins is a bounded ordered fold keyed by bin.
+    Scale: one customer-domain groupBy, then ≤21-row arithmetic."""
+    o = t(spark, sf, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("vc")
+    )
+    wcum = W.orderBy("vc").rowsBetween(W.unboundedPreceding, 0)
+    dom = (
+        o.groupBy("vc")
+        .agg(F.count("*").cast("long").alias("t"))
+        .select("vc", "t", F.sum("t").over(wcum).cast("long").alias("cum"))
+    )
+    ntot = dom.agg(F.sum("t").cast("long").alias("n"))
+    med = (
+        dom.crossJoin(F.broadcast(ntot))
+        .filter(F.col("cum") * 2 >= F.col("n") + 1)
+        .agg(F.min("vc").alias("med"))
+    )
+    lab = o.crossJoin(F.broadcast(med)).select(
+        "o_custkey", F.when(F.col("vc") > F.col("med"), 1).otherwise(0).alias("y")
+    )
+    gg = lab.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("d")
+    )
+    cc = lab.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("y_c"),
+    )
+    p = (
+        F.col("y_c").cast("double")
+        + F.lit(10.0) * (F.col("d").cast("double") / F.col("n").cast("double"))
+    ) / (F.col("n_c").cast("double") + F.lit(10.0))
+    b = cc.crossJoin(F.broadcast(gg)).select(
+        F.floor(p * F.lit(20.0)).cast("long").alias("bin"),
+        "o_custkey",
+        "n_c",
+        "y_c",
+        (F.col("n_c").cast("double") * p).alias("wp"),
+    )
+    binagg = bounded_ordered_agg(
+        b,
+        ["bin"],
+        "o_custkey",
+        "wp",
+        chunk=4096,
+        chunk_aggs={
+            "cn": F.sum("n_c").cast("long"),
+            "cy": F.sum("y_c").cast("long"),
+        },
+        final_aggs={
+            "n_orders": F.sum("cn").cast("long"),
+            "n_pos": F.sum("cy").cast("long"),
+        },
+    )
+    gaps = binagg.filter(F.col("n_orders") > 0).select(
+        "bin",
+        "n_orders",
+        F.abs(
+            F.col("n_pos").cast("double") / F.col("n_orders").cast("double")
+            - F.col("osum") / F.col("n_orders").cast("double")
+        ).alias("gap"),
+    )
+    tot = gaps.agg(
+        F.sum("n_orders").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_bins"),
+    )
+    folded = gaps.select(
+        "bin", (F.col("n_orders").cast("double") * F.col("gap")).alias("wgap"),
+        "gap",
+    ).agg(
+        ordered_fold("bin", "wgap").alias("wsum"), F.max("gap").alias("mce")
+    )
+    return tot.crossJoin(F.broadcast(folded)).select(
+        "n_bins",
+        "n_total",
+        F.when(
+            F.col("n_total") > 0, F.col("wsum") / F.col("n_total").cast("double")
+        ).alias("ece"),
+        "mce",
+    )

