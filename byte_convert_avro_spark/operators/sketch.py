@@ -688,3 +688,118 @@ def mg_sql(table_expr: str, item: str, k: int, chunks: int = 8) -> str:
       )
     ) WHERE c > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-sketch (AMS / Charikar-Chen-Farach-Colton signed sketch)
+#
+# Count-min's counters only ever ADD (overestimate-only); the count-
+# sketch multiplies each increment by a ±1 sign hash, so collision mass
+# CANCELS in expectation and the estimator is unbiased — under- and
+# over-estimates both occur, and the median over d rows controls the
+# variance.  The same signed cells give the AMS second-frequency-moment
+# estimator: per row, Σ_j C[i,j]² is an unbiased estimate of F2 = Σ f².
+
+
+def _cs_pos(col: Column, i: int, w: int) -> Column:
+    """Bucket hash for count-sketch row ``i`` (md5-salted like every
+    sketch in this module — deterministic, SQL-twin-able)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f":cs{i}"))), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(w),
+    )
+
+
+def _cs_sign(col: Column, i: int) -> Column:
+    """±1 sign hash for row ``i`` (independent salt from the bucket)."""
+    return F.lit(1) - F.lit(2) * F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f":css{i}"))), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+
+
+def count_sketch_build(
+    df: DataFrame, item: str, d: int = 3, w: int = 64
+) -> DataFrame:
+    """COUNT-SKETCH build: a d x w SIGNED counter matrix as (i, pos, c)
+    rows, c = Σ sign_i(item) over items hashing to (i, pos).
+
+    Mergeable by construction — signed cells ADD cell-wise, so
+    per-partition (or per-micro-batch) sketches roll up in one bounded
+    aggregation, the same linearity count-min enjoys.  Scale: one
+    explode(d) + one (i, pos) groupBy with map-side partials; the
+    matrix is d*w rows — broadcast-size for any real (d, w)."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d} w={w}")
+    c = F.col(item).cast("string")
+    cells = F.array(
+        *[F.struct(_cs_pos(c, i, w).alias("pos"), _cs_sign(c, i).alias("s"))
+          for i in range(d)]
+    )
+    rows = df.filter(c.isNotNull()).select(
+        F.posexplode(cells).alias("i", "cell")
+    )
+    return rows.groupBy(
+        "i", F.col("cell.pos").alias("pos")
+    ).agg(F.sum("cell.s").cast("long").alias("c"))
+
+
+def count_sketch_estimate(
+    sketch: DataFrame, items: DataFrame, item: str, d: int = 3, w: int = 64
+) -> DataFrame:
+    """Point-frequency estimates: median over the d rows of
+    sign_i(item)·C[i, pos_i(item)] — unbiased (signed collisions cancel
+    in expectation), so errors run BOTH directions, unlike count-min.
+    The median of d exact ints is the exact order statistic at
+    ceil(d/2) of the sorted signed reads (absent cells read 0).  The
+    sketch is d*w rows — broadcast — so estimation is a narrow
+    broadcast join for any probe count."""
+    c = F.col(item).cast("string")
+    probes = items.select(
+        item,
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        _cs_pos(c, i, w).alias("pos"), _cs_sign(c, i).alias("s")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("i", "cell"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (probes["i"] == sketch["i"]) & (probes["cell"]["pos"] == sketch["pos"]),
+        "left",
+    ).select(
+        item,
+        (probes["cell"]["s"] * F.coalesce(sketch["c"], F.lit(0))).alias("read"),
+    )
+    mid = (d + 1) // 2
+    return joined.groupBy(item).agg(
+        F.element_at(F.array_sort(F.collect_list("read")), mid)
+        .cast("long")
+        .alias("est")
+    )
+
+
+def ams_f2_estimate(sketch: DataFrame, d: int) -> DataFrame:
+    """AMS second-frequency-moment estimate from a count-sketch matrix:
+    per row i, Σ_j C[i,j]² (exact int64 — conveyed wide by callers when
+    the bound requires), median over the d rows.  -> one row
+    (est_f2 long).  The classic Alon-Matias-Szegedy streaming moment,
+    here as a d-row fold over an already-broadcast-size matrix."""
+    per_row = sketch.groupBy("i").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2r")
+    )
+    mid = (d + 1) // 2
+    return per_row.agg(
+        F.element_at(F.array_sort(F.collect_list("f2r")), mid)
+        .cast("long")
+        .alias("est_f2")
+    )

@@ -736,3 +736,185 @@ def orders_calibration_ece(spark: SparkSession, sf: str):
         ).alias("ece"),
         "mce",
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-sketch family (the SIGNED sketch next to count-min, plus the
+# AMS F2 moment it carries for free) — operators/sketch.py
+# count_sketch_build / count_sketch_estimate / ams_f2_estimate.
+
+_CS_TOK_SQL = """
+    tok AS (
+      SELECT t.token FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+      WHERE t.token <> ''
+    )"""
+
+
+def _cs_pos_sql(item: str, i: str, w: int) -> str:
+    return (
+        f"('0x' || substr(md5({item} || ':cs' || CAST({i} AS VARCHAR)),"
+        f" 1, 8))::BIGINT % {w}"
+    )
+
+
+def _cs_sign_sql(item: str, i: str) -> str:
+    return (
+        f"(1 - 2 * (('0x' || substr(md5({item} || ':css'"
+        f" || CAST({i} AS VARCHAR)), 1, 8))::BIGINT % 2))"
+    )
+
+
+@register(
+    "token_count_sketch_vs_exact",
+    f"""
+    WITH {_CS_TOK_SQL}, exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ), top AS (
+      SELECT token, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, token LIMIT 10
+    ), ds AS (
+      SELECT unnest([0, 1, 2]) AS i
+    ), cells AS (
+      SELECT d.i,
+             {_cs_pos_sql('tok.token', 'd.i', 32)} AS pos,
+             CAST(SUM({_cs_sign_sql('tok.token', 'd.i')}) AS BIGINT) AS c
+      FROM tok CROSS JOIN ds d
+      GROUP BY 1, 2
+    ), reads AS (
+      SELECT t.token, t.exact_cnt,
+             {_cs_sign_sql('t.token', 'd.i')} * COALESCE(c.c, 0) AS rd
+      FROM top t
+      CROSS JOIN ds d
+      LEFT JOIN cells c
+        ON c.i = d.i AND c.pos = {_cs_pos_sql('t.token', 'd.i', 32)}
+    ), est AS (
+      SELECT token, exact_cnt,
+             CAST(list(rd ORDER BY rd)[2] AS BIGINT) AS est_cnt
+      FROM reads GROUP BY token, exact_cnt
+    )
+    SELECT token, exact_cnt, est_cnt, est_cnt - exact_cnt AS err
+    FROM est
+    """,
+)
+def token_count_sketch_vs_exact(spark: SparkSession, sf: str):
+    """COUNT-SKETCH vs EXACT — the SIGNED frequency sketch (Charikar-
+    Chen-Farach-Colton) next to the count-min entry
+    (``token_count_min_vs_exact``, same undersized 3x32 geometry, same
+    corpus): each increment is multiplied by a ±1 sign hash, so
+    collision mass CANCELS in expectation, the median-of-3 point
+    estimate is UNBIASED, and the ``err`` column runs BOTH directions —
+    the structural contrast to count-min's overestimate-only contract,
+    checked as pinned VALUES because the md5-salted matrix is
+    byte-identical cross-engine.  The median of the d=3 signed reads is
+    the exact order statistic at position 2 of the sorted reads.
+    Scale: identical plan shape to count-min — one explode(3) +
+    one (i, pos) map-side-combined groupBy into a 96-cell matrix,
+    then a broadcast probe join."""
+    from byte_convert_avro_spark.operators.sketch import (
+        count_sketch_build,
+        count_sketch_estimate,
+    )
+
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    exact = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(10)
+    sk = count_sketch_build(tok, "token", d=3, w=32)
+    est = count_sketch_estimate(sk, top.select("token"), "token", d=3, w=32)
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        F.col("est").alias("est_cnt"),
+        (F.col("est") - F.col("exact_cnt")).alias("err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "token_ams_f2_sketch_vs_exact",
+    f"""
+    WITH {_CS_TOK_SQL}, exact AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * cnt) AS DECIMAL(38,0)) AS f2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token)
+    ), ds AS (
+      SELECT unnest([0, 1, 2, 3, 4]) AS i
+    ), cells AS (
+      SELECT d.i,
+             {_cs_pos_sql('tok.token', 'd.i', 64)} AS pos,
+             CAST(SUM({_cs_sign_sql('tok.token', 'd.i')}) AS BIGINT) AS c
+      FROM tok CROSS JOIN ds d
+      GROUP BY 1, 2
+    ), per_row AS (
+      SELECT i, CAST(SUM(c * c) AS BIGINT) AS f2r
+      FROM cells GROUP BY i
+    ), med AS (
+      SELECT CAST(list(f2r ORDER BY f2r)[3] AS DECIMAL(38,0)) AS est_f2
+      FROM per_row
+    )
+    SELECT exact.n_tokens,
+           CAST(exact.f2 AS VARCHAR) AS exact_f2_str,
+           CAST(med.est_f2 AS VARCHAR) AS est_f2_str,
+           CASE WHEN exact.f2 > 0 THEN
+             (CAST(med.est_f2 AS DOUBLE) - CAST(exact.f2 AS DOUBLE))
+               / CAST(exact.f2 AS DOUBLE)
+           END AS rel_err
+    FROM exact CROSS JOIN med
+    """,
+)
+def token_ams_f2_sketch_vs_exact(spark: SparkSession, sf: str):
+    """AMS SECOND-FREQUENCY-MOMENT estimate (Alon-Matias-Szegedy 1996 —
+    the founding streaming-sketch result) vs the exact F2 = Σ_tok f²:
+    the same signed count-sketch cells (d=5 rows, w=64), each row's
+    Σ_j C[i,j]² an unbiased F2 estimate, the median of the 5 row
+    estimates the returned value.  F2 is the self-join size of the
+    token table — the statistic query planners want for equi-join
+    cardinality — and the relative error of a 320-cell summary against
+    the true moment is a pinned VALUE here because the hash family is
+    content-deterministic.  Both moments convey as digit strings (F2
+    passes 2^53 at corpus scale); the relative error is one guarded
+    fixed tree on int64-exact inputs cast to double.  Scale: the
+    sketch is one map-side-combined groupBy into 320 cells; the exact
+    side is one token-domain groupBy — the sketch is the piece that
+    survives at 100 TB, the exact side is the gate's referee."""
+    from byte_convert_avro_spark.operators.sketch import (
+        ams_f2_estimate,
+        count_sketch_build,
+    )
+
+    tok = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cnt"))
+            .cast("decimal(38,0)")
+            .alias("f2"),
+        )
+    )
+    sk = count_sketch_build(tok, "token", d=5, w=64)
+    med = ams_f2_estimate(sk, d=5).select(
+        F.col("est_f2").cast("decimal(38,0)").alias("est_f2")
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "n_tokens",
+        F.col("f2").cast("string").alias("exact_f2_str"),
+        F.col("est_f2").cast("string").alias("est_f2_str"),
+        F.when(
+            F.col("f2") > 0,
+            (F.col("est_f2").cast("double") - F.col("f2").cast("double"))
+            / F.col("f2").cast("double"),
+        ).alias("rel_err"),
+    )

@@ -1817,3 +1817,120 @@ def streaming_purchase_auc_rank_cells(spark: SparkSession, sf: str):
         return auc_rank_finalize(dom)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+def _cs_streaming_oracle() -> str:
+    # The drained streaming matrix equals the one-pass batch matrix by
+    # LINEARITY (signed cells add cell-wise), so the streaming twin
+    # gates against the batch entry's own oracle spelling.
+    from byte_convert_avro_spark.queries.relational_r14g import (
+        _CS_TOK_SQL,
+        _cs_pos_sql,
+        _cs_sign_sql,
+    )
+
+    return f"""
+    WITH {_CS_TOK_SQL}, exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+    ), top AS (
+      SELECT token, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, token LIMIT 10
+    ), ds AS (
+      SELECT unnest([0, 1, 2]) AS i
+    ), cells AS (
+      SELECT d.i,
+             {_cs_pos_sql('tok.token', 'd.i', 32)} AS pos,
+             CAST(SUM({_cs_sign_sql('tok.token', 'd.i')}) AS BIGINT) AS c
+      FROM tok CROSS JOIN ds d
+      GROUP BY 1, 2
+    ), reads AS (
+      SELECT t.token, t.exact_cnt,
+             {_cs_sign_sql('t.token', 'd.i')} * COALESCE(c.c, 0) AS rd
+      FROM top t
+      CROSS JOIN ds d
+      LEFT JOIN cells c
+        ON c.i = d.i AND c.pos = {_cs_pos_sql('t.token', 'd.i', 32)}
+    ), est AS (
+      SELECT token, exact_cnt,
+             CAST(list(rd ORDER BY rd)[2] AS BIGINT) AS est_cnt
+      FROM reads GROUP BY token, exact_cnt
+    )
+    SELECT token, exact_cnt, est_cnt, est_cnt - exact_cnt AS err
+    FROM est
+    """
+
+
+@register("streaming_count_sketch_tokens", _cs_streaming_oracle())
+def streaming_count_sketch_tokens(spark: SparkSession, sf: str):
+    """STREAMING COUNT-SKETCH — the cross-batch twin of
+    ``token_count_sketch_vs_exact`` and the SIGNED member of the
+    streaming sketch family (count-min = stateful SUM of counts; this
+    is a stateful SUM of ±1 sign hashes — still LINEAR, so Spark's own
+    streaming aggregation IS the sketch maintenance, no custom state
+    function).  The documents corpus replays as four genuine
+    hash-sharded micro-batches (``maxFilesPerTrigger=1``); the
+    undersized 3x32 signed matrix accumulates across batches in
+    complete mode, and because signed cells add cell-wise the drained
+    matrix must equal the one-pass batch build byte-for-byte — the
+    twin gates against the batch entry's own oracle spelling.
+    Median-of-3 estimates for the top-10 tokens then derive from the
+    drained matrix; the err column keeps its both-directions signature
+    (the unbiasedness contrast to count-min's est >= exact).  Scale:
+    streaming state is the 96 signed cells FOREVER; emission is
+    matrix-sized, never corpus-sized."""
+    import shutil
+
+    from byte_convert_avro_spark.operators.sketch import (
+        count_sketch_build,
+        count_sketch_estimate,
+    )
+
+    docs = t(spark, sf, "documents")
+    shard = hash_bucket("doc_id", 4).cast("int")
+    raw = docs.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "count_sketch_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        tok_stream = stream.select(
+            F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.col("token") != "")
+        matrix_stream = count_sketch_build(tok_stream, "token", d=3, w=32)
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            matrix_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        matrix = spark.table(name)
+        tok = docs.select(
+            F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.col("token") != "")
+        exact = tok.groupBy("token").agg(
+            F.count("*").cast("long").alias("exact_cnt")
+        )
+        top = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(10)
+        est = count_sketch_estimate(
+            matrix, top.select("token"), "token", d=3, w=32
+        )
+        return top.join(est, "token").select(
+            "token",
+            "exact_cnt",
+            F.col("est").alias("est_cnt"),
+            (F.col("est") - F.col("exact_cnt")).alias("err"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

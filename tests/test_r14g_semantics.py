@@ -242,3 +242,102 @@ def test_ece_replays_two_level_fold(spark, sf_dir):
         for b in Q["orders_target_calibration_bins"](spark, sf_dir).collect()
     )
     assert tot_bins == n_total
+
+
+# ---------------------------------------------------------------------------
+# Count-sketch family: python recompute of the md5 hash family + the
+# linearity (mergeability) contract the streaming twin relies on.
+
+import hashlib
+
+
+def _cs_pos_py(tok, i, w):
+    return int(hashlib.md5(f"{tok}:cs{i}".encode()).hexdigest()[:8], 16) % w
+
+
+def _cs_sign_py(tok, i):
+    return 1 - 2 * (
+        int(hashlib.md5(f"{tok}:css{i}".encode()).hexdigest()[:8], 16) % 2
+    )
+
+
+def _tokens(sf_dir):
+    toks = []
+    for (text,) in _rows(
+        sf_dir, "SELECT text FROM read_parquet('{d}/documents.parquet')"
+    ):
+        toks.extend(w for w in text.split(" ") if w != "")
+    return toks
+
+
+def test_count_sketch_matches_python_median(spark, sf_dir):
+    toks = _tokens(sf_dir)
+    cnt = Counter(toks)
+    cells: Counter = Counter()
+    for tok, c in cnt.items():
+        for i in range(3):
+            cells[(i, _cs_pos_py(tok, i, 32))] += _cs_sign_py(tok, i) * c
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = {
+        r.token: r
+        for r in Q["token_count_sketch_vs_exact"](spark, sf_dir).collect()
+    }
+    assert set(got) == {tok for tok, _ in top}
+    for tok, exact in top:
+        reads = sorted(
+            _cs_sign_py(tok, i) * cells[(i, _cs_pos_py(tok, i, 32))]
+            for i in range(3)
+        )
+        r = got[tok]
+        assert (r.exact_cnt, r.est_cnt, r.err) == (
+            exact,
+            reads[1],
+            reads[1] - exact,
+        )
+
+
+def test_count_sketch_linearity_part_vs_whole(spark, sf_dir):
+    from byte_convert_avro_spark.operators.sketch import count_sketch_build
+    from byte_convert_avro_spark.queries.base import t as tbl
+
+    from pyspark.sql import functions as F
+
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter("token <> ''")
+    whole = {
+        (r.i, r.pos): r.c
+        for r in count_sketch_build(tok, "token", d=3, w=32).collect()
+    }
+    half_a = count_sketch_build(
+        tok.filter("doc_id % 2 = 0"), "token", d=3, w=32
+    ).collect()
+    half_b = count_sketch_build(
+        tok.filter("doc_id % 2 = 1"), "token", d=3, w=32
+    ).collect()
+    merged: Counter = Counter()
+    for r in list(half_a) + list(half_b):
+        merged[(r.i, r.pos)] += r.c
+    merged = {k: v for k, v in merged.items() if v != 0}
+    whole_nz = {k: v for k, v in whole.items() if v != 0}
+    assert merged == whole_nz
+
+
+def test_ams_f2_matches_python(spark, sf_dir):
+    toks = _tokens(sf_dir)
+    cnt = Counter(toks)
+    exact_f2 = sum(c * c for c in cnt.values())
+    cells: Counter = Counter()
+    for tok, c in cnt.items():
+        for i in range(5):
+            cells[(i, _cs_pos_py(tok, i, 64))] += _cs_sign_py(tok, i) * c
+    per_row = sorted(
+        sum(v * v for (i, _), v in cells.items() if i == row)
+        for row in range(5)
+    )
+    [r] = Q["token_ams_f2_sketch_vs_exact"](spark, sf_dir).collect()
+    assert r.n_tokens == len(toks)
+    assert r.exact_f2_str == str(exact_f2)
+    assert r.est_f2_str == str(per_row[2])
+    assert r.rel_err == (float(per_row[2]) - float(exact_f2)) / float(exact_f2)
