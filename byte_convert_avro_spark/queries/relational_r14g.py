@@ -918,3 +918,208 @@ def token_ams_f2_sketch_vs_exact(spark: SparkSession, sf: str):
             / F.col("f2").cast("double"),
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023) — semantic dedup with CLUSTER-BOUNDED
+# pairwise comparison: assign embeddings to the trained k-means cells,
+# compare cosines only WITHIN a cell, drop any vector with a lower-id
+# near-duplicate in its cell.  The existing dedup ladder is lexical
+# (exact hash / MinHash / SimHash / prefix-filter on token sets) or
+# global-geometric (all-pairs + sign-LSH); SemDeDup is the
+# EMBEDDING-space production recipe: the cluster assignment bounds the
+# candidate set by construction (Σ_c |c|² instead of N²), and in the
+# 100 TB deployment k grows ~N/target_cell_size so the per-cell
+# population — and with it every task's pair fan-out — stays constant.
+# Here k=8 is pinned to the same bit-gated Lloyd's training the
+# silhouette/Davies-Bouldin entries verify.
+
+_SEMDEDUP_TAU = 0.4  # raw-cosine threshold, calibrated to this corpus
+                     # (the embedding_near_dup_pairs operating point)
+
+_SEMDEDUP_ASSIGN_SQL = """
+    dist AS (
+      SELECT v.vec_id, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])),
+                         (a, b) -> a + b) AS d2
+      FROM v CROSS JOIN cent3 c
+    ), asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cell) AS rn
+        FROM dist)
+      WHERE rn = 1
+    ), nrm AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_transform(generate_series(1, 64),
+                  i -> e[i] * e[i]), (a, b) -> a + b)) AS nr
+      FROM v
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      JOIN nrm na ON na.vec_id = a.vec_id
+      JOIN nrm nb ON nb.vec_id = b.vec_id
+      WHERE list_reduce(list_transform(generate_series(1, 64),
+              i -> va.e[i] * vb.e[i]), (x, y) -> x + y)
+            / (na.nr * nb.nr) >= {tau}
+    ), prior AS (
+      SELECT id_b AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_prior_dups
+      FROM pairs GROUP BY id_b
+    )"""
+
+
+def _semdedup_flags_sql() -> str:
+    from byte_convert_avro_spark.queries.relational_r14f import (
+        _kmeans_cent3_prefix,
+    )
+
+    return f"""
+    WITH {_kmeans_cent3_prefix()},
+    {_SEMDEDUP_ASSIGN_SQL.format(tau=_SEMDEDUP_TAU)}
+    SELECT asg.vec_id, asg.cell,
+           COALESCE(prior.n_prior_dups, 0) AS n_prior_dups,
+           CASE WHEN prior.vec_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+    FROM asg LEFT JOIN prior ON prior.vec_id = asg.vec_id
+    ORDER BY asg.vec_id
+    """
+
+
+def _semdedup_assignments(spark: SparkSession, sf: str):
+    """(vec_id, e, cell, nr) over the pinned k=8/3-round Lloyd's
+    centroids: cell via the row-local literal-argmin pattern (zero
+    shuffle — every row carries its own fixed distance trees), norm as
+    the same sequential self-dot fold the oracle spells."""
+    from byte_convert_avro_spark.queries.relational_r14f import (
+        _lloyd_cents,
+        _point_cells,
+    )
+
+    e, _, lits = _lloyd_cents(spark, sf)
+    cell, _, _ = _point_cells(lits)
+    dot_self = F.aggregate(
+        F.transform("e", lambda x: x * x),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id", "e", cell, F.sqrt(dot_self).alias("nr")
+    )
+
+
+def _semdedup_flags(spark: SparkSession, sf: str):
+    asg = _semdedup_assignments(spark, sf)
+    a = asg.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("e").alias("ea"),
+        F.col("nr").alias("na"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("e").alias("eb"),
+        F.col("nr").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dot / (F.col("na") * F.col("nb")) >= F.lit(_SEMDEDUP_TAU))
+        .select("id_a", "id_b")
+    )
+    prior = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("n_prior_dups")
+    )
+    return (
+        asg.select("vec_id", "cell")
+        .join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_prior_dups"), F.lit(0)).alias("n_prior_dups"),
+            F.when(F.col("n_prior_dups").isNotNull(), 1)
+            .otherwise(0)
+            .alias("dropped"),
+        )
+    )
+
+
+@register("semdedup_prune_flags", _semdedup_flags_sql())
+def semdedup_prune_flags(spark: SparkSession, sf: str):
+    """SEMDEDUP per-vector verdict: (cell, number of lower-id
+    near-duplicates in the cell, dropped flag) for every embedding —
+    the greedy lowest-id-survivor rule of the exact-dedup keeper
+    discipline applied in embedding space (a vector survives iff NO
+    lower-id cell-mate has cosine ≥ τ=0.4 with it; the relation is not
+    transitively closed, matching the SemDeDup recipe of one pruning
+    sweep, not connected components).  The cluster assignment is
+    row-local (literal centroid trees, zero shuffle); the ONLY shuffle
+    is the within-cell self-join whose fan-out is Σ_c |c|² by
+    construction — the scale contract that makes semantic dedup
+    feasible where all-pairs (``embedding_near_dup_pairs``) is the
+    correctness referee.  Output is integer-only (counts + flags), so
+    the gate is insensitive to display rounding; the threshold
+    compares the RAW sequential-fold cosine (the
+    operators/dedup.embedding_near_dup rule)."""
+    return _semdedup_flags(spark, sf).orderBy("vec_id")
+
+
+def _semdedup_summary_sql() -> str:
+    from byte_convert_avro_spark.queries.relational_r14f import (
+        _kmeans_cent3_prefix,
+    )
+
+    return f"""
+    WITH {_kmeans_cent3_prefix()},
+    {_SEMDEDUP_ASSIGN_SQL.format(tau=_SEMDEDUP_TAU)}
+    , flags AS (
+      SELECT asg.vec_id, asg.cell,
+             CASE WHEN prior.vec_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM asg LEFT JOIN prior ON prior.vec_id = asg.vec_id
+    )
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(COUNT(*) - SUM(dropped) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
+           END AS keep_rate
+    FROM flags GROUP BY cell ORDER BY cell
+    """
+
+
+@register("semdedup_cell_summary", _semdedup_summary_sql())
+def semdedup_cell_summary(spark: SparkSession, sf: str):
+    """SEMDEDUP per-cell report — the curation dashboard row: members,
+    dropped, kept and keep-rate per k-means cell (k=8 pinned training).
+    The cells with denser semantic mass show lower keep rates — the
+    "prune where the corpus over-represents" story SemDeDup runs on.
+    One groupBy over the flags frame; keep_rate is a single guarded
+    division of exact counts."""
+    flags = _semdedup_flags(spark, sf)
+    n_kept = F.count("*") - F.sum("dropped")
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            n_kept.cast("long").alias("n_kept"),
+            F.when(
+                F.count("*") > 0,
+                n_kept.cast("double") / F.count("*").cast("double"),
+            ).alias("keep_rate"),
+        )
+        .orderBy("cell")
+    )

@@ -341,3 +341,76 @@ def test_ams_f2_matches_python(spark, sf_dir):
     assert r.exact_f2_str == str(exact_f2)
     assert r.est_f2_str == str(per_row[2])
     assert r.rel_err == (float(per_row[2]) - float(exact_f2)) / float(exact_f2)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: python recompute of assignment + within-cell cosine pruning
+# over the (already bit-gated) Spark-trained centroids.
+
+
+def test_semdedup_flags_match_python_cosines(spark, sf_dir):
+    import math
+
+    from byte_convert_avro_spark.operators import similarity as S
+    from byte_convert_avro_spark.queries.base import spread, t as tbl
+
+    emb = spread(tbl(spark, sf_dir, "embeddings"), "vec_id")
+    cents = S.kmeans_lloyd(
+        emb, "embedding", "vec_id", k=8, n_iter=3, fold_chunk=128
+    )
+    cl = [
+        (int(r.cell), [float(x) for x in r.embedding])
+        for r in cents.orderBy("cell").collect()
+    ]
+    pts = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def d2(e, c):
+        acc = 0.0
+        for x, y in zip(e, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    cell_of, nrm = {}, {}
+    for vid, e in pts.items():
+        d2s = [d2(e, vec) for _, vec in cl]
+        cell_of[vid] = cl[d2s.index(min(d2s))][0]
+        nrm[vid] = math.sqrt(fold_dot(e, e))
+    members: dict = defaultdict(list)
+    for vid in sorted(pts):
+        members[cell_of[vid]].append(vid)
+    n_prior: Counter = Counter()
+    for cell, vids in members.items():
+        for j, vb in enumerate(vids):
+            for va in vids[:j]:
+                cos = fold_dot(pts[va], pts[vb]) / (nrm[va] * nrm[vb])
+                if cos >= 0.4:
+                    n_prior[vb] += 1
+    got = {r.vec_id: r for r in Q["semdedup_prune_flags"](spark, sf_dir).collect()}
+    assert set(got) == set(pts)
+    for vid, r in got.items():
+        assert r.cell == cell_of[vid]
+        assert r.n_prior_dups == n_prior.get(vid, 0)
+        assert r.dropped == (1 if vid in n_prior else 0)
+    # summary consistency + the headline claim: something is pruned at
+    # this corpus's tau, and the first (lowest-id) member of every cell
+    # always survives.
+    summ = {r.cell: r for r in Q["semdedup_cell_summary"](spark, sf_dir).collect()}
+    for cell, vids in members.items():
+        s = summ[cell]
+        dropped = sum(1 for v in vids if v in n_prior)
+        assert (s.n_members, s.n_dropped, s.n_kept) == (
+            len(vids),
+            dropped,
+            len(vids) - dropped,
+        )
+        assert got[min(vids)].dropped == 0
+    assert sum(s.n_dropped for s in summ.values()) == len(n_prior)
