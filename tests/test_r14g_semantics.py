@@ -414,3 +414,125 @@ def test_semdedup_flags_match_python_cosines(spark, sf_dir):
         )
         assert got[min(vids)].dropped == 0
     assert sum(s.n_dropped for s in summ.values()) == len(n_prior)
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry: full python recompute of duels + the 3 unrolled MM
+# rounds with the same j-ordered folds and guarded divisions.
+
+
+def test_bradley_terry_matches_python_mm(spark, sf_dir):
+    rows = _rows(
+        sf_dir,
+        "SELECT l_orderkey, p_brand,"
+        " CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+        " * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+        " FROM read_parquet('{d}/lineitem.parquet') li"
+        " JOIN read_parquet('{d}/part.parquet') pt ON p_partkey = l_partkey",
+    )
+    per_order: dict = defaultdict(list)
+    for ok, b, rev in rows:
+        per_order[ok].append((b, rev))
+    n_und: Counter = Counter()
+    w_und: Counter = Counter()
+    for items in per_order.values():
+        for x, (bi, ri) in enumerate(items):
+            for bj, rj in items:
+                if bi < bj and ri != rj:
+                    n_und[(bi, bj)] += 1
+                    w_und[(bi, bj)] += 1 if ri > rj else 0
+    edges: dict = defaultdict(dict)  # i -> {j: (n, w)}
+    for (i, j), n in n_und.items():
+        w = w_und[(i, j)]
+        edges[i][j] = (n, w)
+        edges[j][i] = (n, n - w)
+    w_tot = {i: sum(v[1] for v in js.values()) for i, js in edges.items()}
+    n_tot = {i: sum(v[0] for v in js.values()) for i, js in edges.items()}
+    p = {i: 1.0 for i in edges}
+    for _ in range(3):
+        nxt = {}
+        for i in edges:
+            den = 0.0
+            for j in sorted(edges[i]):
+                n, _ = edges[i][j]
+                den = den + float(n) / (p[i] + p[j])
+            nxt[i] = float(w_tot[i]) / den if den > 0 else 0.0
+        p = nxt
+    got = {
+        r.brand: r
+        for r in Q["brand_bradley_terry_strength"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(edges)
+    for i, r in got.items():
+        assert (r.w_tot, r.n_tot) == (w_tot[i], n_tot[i])
+        assert r.strength == p[i]
+    # ranking sanity: ranks are the (strength desc, brand) order, and
+    # the top-ranked brand out-wins the bottom-ranked one per duel.
+    order = sorted(got.values(), key=lambda r: r.rnk)
+    assert [r.rnk for r in order] == list(range(1, len(order) + 1))
+    top, bot = order[0], order[-1]
+    assert top.strength > bot.strength
+    assert top.w_tot * bot.n_tot > bot.w_tot * top.n_tot
+
+
+# ---------------------------------------------------------------------------
+# Hilbert layout: the unrolled step expressions replayed in python must
+# form a TRUE Hilbert curve (bijection + unit-step adjacency over the
+# full 256x256 grid) — the intrinsic property no cross-engine compare
+# can certify — and the measured box volumes must show the locality win.
+
+
+def _hilbert_py(x, y):
+    d = 0
+    for step in range(8):
+        s = 1 << (7 - step)
+        q = 0 if (x < s and y < s) else (1 if x < s else (2 if y >= s else 3))
+        d += s * s * q
+        if y >= s:
+            x, y = x % s, y % s
+        elif x >= s:
+            x, y = s - 1 - (y % s), s - 1 - (x % s)
+        else:
+            x, y = y % s, x % s
+    return d
+
+
+def test_hilbert_curve_bijection_and_adjacency():
+    seen = {}
+    for x in range(256):
+        for y in range(256):
+            seen[_hilbert_py(x, y)] = (x, y)
+    assert len(seen) == 65536
+    assert min(seen) == 0 and max(seen) == 65535
+    for d in range(65535):
+        x1, y1 = seen[d]
+        x2, y2 = seen[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_layout_beats_morton_on_box_volume(spark, sf_dir):
+    rows = {
+        r.layout: r
+        for r in Q["hilbert_layout_effectiveness"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"hilbert", "zorder", "linear"}
+    # 384-point segments are not quadrant-aligned, so Morton's diagonal
+    # jumps must cost strictly more box volume than Hilbert's walk;
+    # both multi-dim layouts must crush the linear layout's cb span.
+    assert rows["hilbert"].avg_volume < rows["zorder"].avg_volume
+    assert rows["hilbert"].avg_cb_span < rows["linear"].avg_cb_span / 4
+    assert rows["zorder"].avg_cb_span < rows["linear"].avg_cb_span / 4
+    assert rows["linear"].avg_db_span == 1.0
+
+
+def test_orc_roundtrip_identity(spark, sf_dir):
+    from byte_convert_avro_spark.queries.base import t as tbl
+
+    src = (
+        tbl(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .collect()
+    )
+    got = Q["orc_roundtrip_supplier"](spark, sf_dir).collect()
+    key = lambda r: r.s_suppkey  # noqa: E731
+    assert sorted(got, key=key) == sorted(src, key=key)
