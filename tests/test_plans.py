@@ -1253,3 +1253,114 @@ def test_r14f_edge_support_and_blocking_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan
     bq = Q["customer_blocking_quality_profile"](spark, sf_dir)
     assert "CartesianProduct" not in explain_str(bq, "formatted")
+
+
+# ---------------------------------------------------------------------------
+# Round-14g plan pins
+
+
+def test_r14g_variance_tests_domain_bounded(spark, sf_dir):
+    """ANOVA / Brown-Forsythe scale contract: the events scan prunes to
+    (event_type, value); everything after the first aggregation lives
+    on the |event types| (or per-type value DOMAIN) — no cartesian
+    product, no row-scale window."""
+    from byte_convert_avro_spark.plans.inspect import read_schemas
+
+    for name in (
+        "events_value_anova_cells",
+        "events_value_brown_forsythe_cells",
+    ):
+        df = Q[name](spark, sf_dir)
+        assert set(read_schemas(df)["events"]) == {"event_type", "value"}, name
+        assert "CartesianProduct" not in explain_str(df, "formatted"), name
+
+
+def test_r14g_privacy_and_calibration_domain_bounded(spark, sf_dir):
+    """t-closeness lives on the |classes| x |sens buckets| grid after
+    two domain-sized groupBys; ECE on the customer domain then <=21
+    bins.  Scans prune to the consumed columns; no cartesian."""
+    from byte_convert_avro_spark.plans.inspect import read_schemas
+
+    tc = Q["orders_t_closeness_profile"](spark, sf_dir)
+    # several differently-pruned scans of orders exist (the sens-domain
+    # scan needs only o_totalprice); read_schemas reports one of them —
+    # every scan must stay within the four consumed columns.
+    assert set(read_schemas(tc)["orders"]) <= {
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_totalprice",
+    }
+    assert "CartesianProduct" not in explain_str(tc, "formatted")
+    ece = Q["orders_calibration_ece"](spark, sf_dir)
+    assert set(read_schemas(ece)["orders"]) <= {"o_custkey", "o_totalprice"}
+    assert "CartesianProduct" not in explain_str(ece, "formatted")
+
+
+def test_r14g_count_sketch_probe_broadcast(spark, sf_dir):
+    """The count-sketch probe stage must be a broadcast join against
+    the d*w-cell matrix (never a shuffle of the probe side), and the
+    whole plan carries no cartesian product."""
+    from byte_convert_avro_spark.plans.inspect import join_strategies
+
+    df = Q["token_count_sketch_vs_exact"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_r14g_semdedup_joins_equi_only(spark, sf_dir):
+    """SemDeDup's assignment is row-local (literal centroid trees); the
+    pair stage is an EQUI self-join on the cell id with the id ordering
+    as a post-filter — no cartesian, no broadcast nested loop, and the
+    embeddings scan prunes to (vec_id, embedding)."""
+    from byte_convert_avro_spark.plans.inspect import (
+        join_strategies,
+        read_schemas,
+    )
+
+    df = Q["semdedup_prune_flags"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in join_strategies(df)
+    assert set(read_schemas(df)["embeddings"]) == {"vec_id", "embedding"}
+
+
+def test_r14g_bradley_terry_rounds_broadcast(spark, sf_dir):
+    """Every MM round re-joins the 25-row strength frame onto the edge
+    table as a BROADCAST (two per round + the W_i decoration: >= 6
+    broadcast hash joins), and no stage is a cartesian product."""
+    from byte_convert_avro_spark.plans.inspect import join_strategies
+
+    df = Q["brand_bradley_terry_strength"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    strats = join_strategies(df)
+    assert strats.count("BroadcastHashJoin") >= 6, strats
+
+
+def test_r14g_hilbert_rowlocal_until_rollup(spark, sf_dir):
+    """The Hilbert/Morton index chains are row-local integer selects:
+    the only join in the plan is the broadcast of the 1-row min/max
+    stats block, and the orders scan prunes to the three consumed
+    columns."""
+    from byte_convert_avro_spark.plans.inspect import (
+        join_strategies,
+        read_schemas,
+    )
+
+    df = Q["hilbert_layout_effectiveness"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    # the 1-row stats broadcast appears once per union branch (Catalyst
+    # does not share the subplan): every join must be that broadcast.
+    strats = join_strategies(df)
+    assert len(strats) <= 3, strats
+    assert all(s.startswith("Broadcast") for s in strats), strats
+    # Catalyst prunes o_orderkey entirely (the per-file rollup only
+    # consumes cb/db) — the scan must not exceed the three source cols.
+    assert {"o_custkey", "o_orderdate"} <= set(read_schemas(df)["orders"]) <= {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+    }
