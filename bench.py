@@ -276,6 +276,34 @@ EXTENDED = [
     # calibration bins ride the IG/encoding median + customer-domain
     # machinery (<=21-row rollup)
     "orders_target_calibration_bins",
+    # round-14g: ANOVA/Brown-Forsythe pin the moment pass staying one
+    # ~5-key map-side-combined groupBy (BF adds the per-type domain
+    # cumulative); t-closeness pins the grid staying |classes| x |sens
+    # buckets|; ECE rides the calibration-bins machinery + the chunked
+    # conf_b fold; MCC rides the langid CTE; the count-sketch trio pins
+    # the signed matrix staying one (i,pos) shuffle (streaming: the
+    # 4-batch stateful SUM replay); SemDeDup pins assignment staying
+    # row-local with the pair stage cell-bounded; Bradley-Terry pins
+    # the duel explode staying <=C(7,2)/order with broadcast-only MM
+    # rounds; ORC rides the format-roundtrip harness; Hilbert pins the
+    # whole index chain staying row-local integer selects
+    "events_value_anova_cells",
+    "events_value_brown_forsythe_cells",
+    "orders_t_closeness_profile",
+    "orders_calibration_ece",
+    "langid_mcc_cells",
+    "token_count_sketch_vs_exact",
+    "token_ams_f2_sketch_vs_exact",
+    "streaming_count_sketch_tokens",
+    "semdedup_prune_flags",
+    "semdedup_cell_summary",
+    "brand_bradley_terry_strength",
+    "orc_roundtrip_supplier",
+    "hilbert_layout_effectiveness",
+    # effect sizes ride the MW domain machinery; conformal rides the
+    # OLS moment pass + one residual-domain window
+    "events_effect_sizes_view_purchase",
+    "lineitem_ols_conformal_coverage",
 ]
 
 

@@ -1539,3 +1539,324 @@ def hilbert_layout_effectiveness(spark: SparkSession, sf: str):
             / F.count("*")
         ).alias("avg_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "events_effect_sizes_view_purchase",
+    """
+    WITH f AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS vc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+    ), dom AS (
+      SELECT vc, CAST(SUM(pos) AS BIGINT) AS t1,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS t2
+      FROM f GROUP BY vc
+    ), gt AS (
+      SELECT vc, t1, t2,
+             COALESCE(CAST(SUM(t2) OVER (ORDER BY vc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS w2
+      FROM dom
+    ), cnt AS (
+      SELECT CAST(SUM(t1) AS BIGINT) AS n1, CAST(SUM(t2) AS BIGINT) AS n2,
+             CAST(SUM(t1 * w2) AS DECIMAL(38,0)) AS wins,
+             CAST(SUM(t1 * t2) AS DECIMAL(38,0)) AS ties,
+             CAST(SUM(t1 * vc) AS BIGINT) AS s1,
+             CAST(SUM(t2 * vc) AS BIGINT) AS s2,
+             CAST(SUM(t1 * vc * vc) AS BIGINT) AS q1,
+             CAST(SUM(t2 * vc * vc) AS BIGINT) AS q2
+      FROM gt
+    ), eff AS (
+      SELECT n1, n2, wins, ties,
+             CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+               - wins - ties AS losses,
+             s1, s2, q1, q2
+      FROM cnt
+    )
+    SELECT n1, n2,
+           CAST(wins AS VARCHAR) AS wins_str,
+           CAST(losses AS VARCHAR) AS losses_str,
+           CAST(ties AS VARCHAR) AS ties_str,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             (CAST(wins AS DOUBLE) - CAST(losses AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           END AS cliffs_delta,
+           CASE WHEN n1 > 1 AND n2 > 1 AND n1 + n2 > 2
+                 AND ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                           * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) > 0
+           THEN
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                            * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                      / CAST(n1 + n2 - 2 AS DOUBLE))
+           END AS cohens_d,
+           CASE WHEN n1 > 1 AND n2 > 1 AND n1 + n2 > 2
+                 AND ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                           * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) > 0
+           THEN
+             ((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                           * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                             * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                       / CAST(n1 + n2 - 2 AS DOUBLE)))
+               * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0))
+           END AS hedges_g
+    FROM eff
+    """,
+)
+def events_effect_sizes_view_purchase(spark: SparkSession, sf: str):
+    """EFFECT SIZES for the view-vs-purchase value comparison — the
+    "how big, not just how significant" readouts the NHST battery
+    (Welch t / Mann-Whitney / KS on these same two samples) reports
+    next to its p-machinery: CLIFF'S DELTA (= rank-biserial r for two
+    samples) from the EXACT win/loss/tie counts over the shared value
+    domain — wins = Σ t₁(v)·cum₂(<v), the Mann-Whitney doubled-rank
+    machinery re-read as pair counts, conveyed as digit strings
+    (n₁·n₂ passes 2^53 at ~1e8×1e8 pooled rows) — plus COHEN'S D on
+    the pooled-variance scale and its small-sample HEDGES' G
+    correction, both single fixed DOUBLE trees over exact int64
+    moments.  Scale: one domain groupBy + one domain window; nothing
+    row-scaled after the first aggregation."""
+    ev = t(spark, sf, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    )
+    f = ev.select(
+        cents("value").alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    dom = f.groupBy("vc").agg(
+        F.sum("pos").cast("long").alias("t1"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("t2"),
+    )
+    wbelow = W.orderBy("vc").rowsBetween(W.unboundedPreceding, -1)
+    gt = dom.select(
+        "vc",
+        "t1",
+        "t2",
+        F.coalesce(F.sum("t2").over(wbelow), F.lit(0))
+        .cast("long")
+        .alias("w2"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cnt = gt.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t2").cast("long").alias("n2"),
+        F.sum(dec(F.col("t1") * F.col("w2"))).alias("wins"),
+        F.sum(dec(F.col("t1") * F.col("t2"))).alias("ties"),
+        F.sum(F.col("t1") * F.col("vc")).cast("long").alias("s1"),
+        F.sum(F.col("t2") * F.col("vc")).cast("long").alias("s2"),
+        F.sum(F.col("t1") * F.col("vc") * F.col("vc"))
+        .cast("long")
+        .alias("q1"),
+        F.sum(F.col("t2") * F.col("vc") * F.col("vc"))
+        .cast("long")
+        .alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    eff = cnt.select(
+        "n1",
+        "n2",
+        "wins",
+        "ties",
+        (dec(n1) * dec(n2) - F.col("wins") - F.col("ties")).alias("losses"),
+        "s1",
+        "s2",
+        "q1",
+        "q2",
+    )
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    ss1 = F.col("q1").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double") / n1d
+    ss2 = F.col("q2").cast("double") - F.col("s2").cast("double") * F.col(
+        "s2"
+    ).cast("double") / n2d
+    mean_gap = F.col("s1").cast("double") / n1d - F.col("s2").cast("double") / n2d
+    sp = F.sqrt((ss1 + ss2) / (n1 + n2 - 2).cast("double"))
+    d_ok = (n1 > 1) & (n2 > 1) & (n1 + n2 > 2) & ((ss1 + ss2) > 0)
+    d_expr = mean_gap / sp
+    return eff.select(
+        "n1",
+        "n2",
+        F.col("wins").cast("string").alias("wins_str"),
+        F.col("losses").cast("string").alias("losses_str"),
+        F.col("ties").cast("string").alias("ties_str"),
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            (F.col("wins").cast("double") - F.col("losses").cast("double"))
+            / (n1d * n2d),
+        ).alias("cliffs_delta"),
+        F.when(d_ok, d_expr).alias("cohens_d"),
+        F.when(
+            d_ok,
+            d_expr
+            * (
+                F.lit(1.0)
+                - F.lit(3.0) / (F.lit(4.0) * (n1 + n2).cast("double") - F.lit(9.0))
+            ),
+        ).alias("hedges_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_ols_conformal_coverage",
+    """
+    WITH base AS (
+      SELECT l_orderkey % 2 AS half,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM base WHERE half = 1
+    ), fit AS (
+      SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+             (CAST(sy AS DOUBLE)
+                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS icept,
+             CAST(n AS BIGINT) AS n_cal
+      FROM s
+    ), calres AS (
+      SELECT ABS(CAST(b.y AS DOUBLE)
+                 - (fit.slope * CAST(b.x AS DOUBLE) + fit.icept)) AS r
+      FROM base b CROSS JOIN fit WHERE b.half = 1
+    ), rdom AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM calres GROUP BY r
+    ), kq AS (
+      SELECT fit.n_cal,
+             CAST(CEIL(0.9 * (CAST(fit.n_cal AS DOUBLE) + 1.0)) AS BIGINT)
+               AS k
+      FROM fit
+    ), qhat AS (
+      SELECT kq.n_cal, kq.k, MIN(rdom.r) AS q_hat
+      FROM rdom CROSS JOIN kq WHERE rdom.cum >= kq.k
+      GROUP BY kq.n_cal, kq.k
+    ), test AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(CAST(b.y AS DOUBLE)
+                        - (fit.slope * CAST(b.x AS DOUBLE) + fit.icept))
+                        <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM base b CROSS JOIN fit CROSS JOIN qhat q WHERE b.half = 0
+    )
+    SELECT qhat.n_cal, qhat.k, qhat.q_hat, test.n_test, test.covered,
+           CASE WHEN test.n_test > 0 THEN
+             CAST(test.covered AS DOUBLE) / CAST(test.n_test AS DOUBLE)
+           END AS coverage
+    FROM qhat CROSS JOIN test
+    """,
+)
+def lineitem_ols_conformal_coverage(spark: SparkSession, sf: str):
+    """SPLIT-CONFORMAL PREDICTION over the OLS family — the
+    distribution-free uncertainty wrapper every deployed regressor now
+    ships (Vovk et al.; the modern recipe of Lei et al. 2018): fit
+    price-on-quantity OLS on the odd-orderkey half (exact integer
+    moment sums, the lineitem_ols tree), take q̂ = the
+    ⌈0.9·(n_cal+1)⌉-th smallest absolute calibration residual (an EXACT
+    order statistic from the residual-domain cumulative — residuals are
+    pinned per-row fixed trees, so both engines group and rank the
+    identical doubles), and measure empirical coverage of ŷ ± q̂ on the
+    even-orderkey half, which the conformal guarantee puts at ≥ 90%
+    marginally.  Scale: two pruned scans + one residual-domain window;
+    the quantile never sorts rows, only the distinct-residual domain.
+    The orderkey-parity split is the engine's deterministic stand-in
+    for the i.i.d. calibration split."""
+    base = t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") % 2).alias("half"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("y"),
+    )
+    cal = base.filter(F.col("half") == 1)
+    s = cal.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / den
+    icept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / nd
+    fit = s.select(
+        slope.alias("slope"),
+        icept.alias("icept"),
+        F.col("n").cast("long").alias("n_cal"),
+    )
+    res = F.abs(
+        F.col("y").cast("double")
+        - (F.col("slope") * F.col("x").cast("double") + F.col("icept"))
+    )
+    calres = cal.crossJoin(F.broadcast(fit)).select(res.alias("r"))
+    wcum = W.orderBy("r").rowsBetween(W.unboundedPreceding, 0)
+    rdom = (
+        calres.groupBy("r")
+        .agg(F.count("*").cast("long").alias("t"))
+        .select("r", F.sum("t").over(wcum).cast("long").alias("cum"))
+    )
+    kq = fit.select(
+        "n_cal",
+        F.ceil(F.lit(0.9) * (F.col("n_cal").cast("double") + F.lit(1.0)))
+        .cast("long")
+        .alias("k"),
+    )
+    qhat = (
+        rdom.crossJoin(F.broadcast(kq))
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("n_cal", "k")
+        .agg(F.min("r").alias("q_hat"))
+    )
+    test = (
+        base.filter(F.col("half") == 0)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat.select("q_hat")))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(res <= F.col("q_hat"), 1).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return qhat.crossJoin(F.broadcast(test)).select(
+        "n_cal",
+        "k",
+        "q_hat",
+        "n_test",
+        "covered",
+        F.when(
+            F.col("n_test") > 0,
+            F.col("covered").cast("double") / F.col("n_test").cast("double"),
+        ).alias("coverage"),
+    )

@@ -536,3 +536,91 @@ def test_orc_roundtrip_identity(spark, sf_dir):
     got = Q["orc_roundtrip_supplier"](spark, sf_dir).collect()
     key = lambda r: r.s_suppkey  # noqa: E731
     assert sorted(got, key=key) == sorted(src, key=key)
+
+
+# ---------------------------------------------------------------------------
+# Effect sizes + conformal: python recomputes with brute-force pair
+# counting and an explicit residual sort.
+
+
+def test_effect_sizes_match_bruteforce_pairs(spark, sf_dir):
+    import math
+
+    rows = _rows(
+        sf_dir,
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT), event_type"
+        " FROM read_parquet('{d}/events.parquet')"
+        " WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')",
+    )
+    pos = [vc for vc, et in rows if et == "purchase"]
+    neg = [vc for vc, et in rows if et == "view"]
+    negc = Counter(neg)
+    wins = ties = 0
+    for p in pos:
+        for nv, c in negc.items():
+            if p > nv:
+                wins += c
+            elif p == nv:
+                ties += c
+    losses = len(pos) * len(neg) - wins - ties
+    [r] = Q["events_effect_sizes_view_purchase"](spark, sf_dir).collect()
+    assert (r.n1, r.n2) == (len(pos), len(neg))
+    assert (r.wins_str, r.losses_str, r.ties_str) == (
+        str(wins),
+        str(losses),
+        str(ties),
+    )
+    assert r.cliffs_delta == (float(wins) - float(losses)) / (
+        float(len(pos)) * float(len(neg))
+    )
+    # replay the pinned Cohen's d tree
+    n1, n2 = len(pos), len(neg)
+    s1, s2 = sum(pos), sum(neg)
+    q1 = sum(v * v for v in pos)
+    q2 = sum(v * v for v in neg)
+    ss1 = float(q1) - float(s1) * float(s1) / float(n1)
+    ss2 = float(q2) - float(s2) * float(s2) / float(n2)
+    d = (float(s1) / n1 - float(s2) / n2) / math.sqrt(
+        (ss1 + ss2) / float(n1 + n2 - 2)
+    )
+    assert r.cohens_d == d
+    assert r.hedges_g == d * (1.0 - 3.0 / (4.0 * float(n1 + n2) - 9.0))
+    # |delta| <= 1 and the MW identity: delta == 2*AUC - 1
+    assert -1.0 <= r.cliffs_delta <= 1.0
+
+
+def test_conformal_coverage_matches_explicit_sort(spark, sf_dir):
+    import math
+
+    rows = _rows(
+        sf_dir,
+        "SELECT l_orderkey % 2, CAST(l_quantity AS BIGINT),"
+        " CAST(ROUND(l_extendedprice, 0) AS BIGINT)"
+        " FROM read_parquet('{d}/lineitem.parquet')",
+    )
+    cal = [(x, y) for h, x, y in rows if h == 1]
+    tst = [(x, y) for h, x, y in rows if h == 0]
+    n = len(cal)
+    sx = sum(x for x, _ in cal)
+    sy = sum(y for _, y in cal)
+    sxx = sum(x * x for x, _ in cal)
+    sxy = sum(x * y for x, y in cal)
+    den = float(n) * float(sxx) - float(sx) * float(sx)
+    slope = (float(n) * float(sxy) - float(sx) * float(sy)) / den
+    icept = (float(sy) - slope * float(sx)) / float(n)
+    resid = sorted(abs(float(y) - (slope * float(x) + icept)) for x, y in cal)
+    k = math.ceil(0.9 * (n + 1))
+    q_hat = resid[k - 1]
+    covered = sum(
+        1
+        for x, y in tst
+        if abs(float(y) - (slope * float(x) + icept)) <= q_hat
+    )
+    [r] = Q["lineitem_ols_conformal_coverage"](spark, sf_dir).collect()
+    assert (r.n_cal, r.k, r.n_test, r.covered) == (n, k, len(tst), covered)
+    assert r.q_hat == q_hat
+    assert r.coverage == float(covered) / float(len(tst))
+    # the conformal guarantee: coverage concentrates at >= 90% under
+    # exchangeability; on this arbitrary-parity split allow sampling
+    # slack but catch a broken quantile (e.g. k off by more than ties).
+    assert r.coverage >= 0.85

@@ -110,6 +110,20 @@ SAMPLE = {
     "probability-calibration": "orders_target_calibration_bins",
     "streaming-auc-twin": "streaming_purchase_auc_rank_cells",
     "graph-truss-support": "copurchase_edge_support_hist",
+    # round-14g families
+    "stat-anova-f": "events_value_anova_cells",
+    "stat-variance-homogeneity": "events_value_brown_forsythe_cells",
+    "privacy-t-closeness": "orders_t_closeness_profile",
+    "probability-calibration-ece": "orders_calibration_ece",
+    "classifier-eval-mcc": "langid_mcc_cells",
+    "sketch-count-sketch": "token_count_sketch_vs_exact",
+    "sketch-ams-f2": "token_ams_f2_sketch_vs_exact",
+    "streaming-count-sketch": "streaming_count_sketch_tokens",
+    "preference-bradley-terry": "brand_bradley_terry_strength",
+    "format-orc": "orc_roundtrip_supplier",
+    "layout-hilbert": "hilbert_layout_effectiveness",
+    "stat-effect-sizes": "events_effect_sizes_view_purchase",
+    "uncertainty-conformal": "lineitem_ols_conformal_coverage",
     # blocking-quality (customer_blocking_quality_profile) inherits the
     # linkage-fs fastss exclusion: the edit<=1 TRUTH set it counts grows
     # ~100x per 10x data on replicated names (~200M pairs at sf10), so
@@ -119,6 +133,13 @@ SAMPLE = {
     # grows ~100x per 10x data (the fastss disclosure) — ~200M pairs at
     # sf10.  The family is gated at sf1 via its variant-join scale twin
     # (PARITY_r14d_sf1.json) instead.
+    # semdedup (semdedup_prune_flags / semdedup_cell_summary) is
+    # deliberately NOT sampled at sf10: at the PINNED k=8 the
+    # within-cell pair set is quadratic per cell (~5e9 pairs on the
+    # 200k replicated vectors), and the production contract is k ~
+    # N/target_cell_size — growing k would change the gated training.
+    # The family is gated cold at sf0.001/0.01/0.1 and at sf1
+    # (PARITY_r14g_sf1.json).
 }
 
 #: sf10-only oracle concessions, recorded per-line as mode:
