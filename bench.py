@@ -304,6 +304,9 @@ EXTENDED = [
     # OLS moment pass + one residual-domain window
     "events_effect_sizes_view_purchase",
     "lineitem_ols_conformal_coverage",
+    # TextRank rides the PageRank bounded-rounds discipline on the
+    # bigram-vocabulary graph
+    "corpus_textrank_keywords",
 ]
 
 

@@ -1860,3 +1860,125 @@ def lineitem_ols_conformal_coverage(spark: SparkSession, sf: str):
             F.col("covered").cast("double") / F.col("n_test").cast("double"),
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank (Mihalcea & Tarau 2004) — keyword extraction as PageRank on
+# the token co-occurrence graph: the name-brand graph-ranking member of
+# the text family (PMI finds PHRASES — associated pairs; TextRank finds
+# KEYWORDS — tokens central to the co-occurrence topology).
+
+_TEXTRANK_GRAPH_SQL = """
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM words)
+    ), sym AS (
+      SELECT a AS u, b AS v FROM bg WHERE a <> b AND a <> '' AND b <> ''
+      UNION ALL
+      SELECT b AS u, a AS v FROM bg WHERE a <> b AND a <> '' AND b <> ''
+    ), e AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM sym GROUP BY u, v
+    ), st AS (
+      SELECT u, CAST(SUM(w) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS deg
+      FROM e GROUP BY u
+    )"""
+
+
+def _textrank_round_sql(r: int, prev: str) -> str:
+    return f"""t{r} AS (
+      SELECT e.v AS u,
+             0.15 + 0.85 * list_reduce(
+               list((CAST(e.w AS DOUBLE) / CAST(st.s AS DOUBLE)) * {prev}.tr
+                    ORDER BY e.u), (a, b) -> a + b) AS tr
+      FROM e JOIN st ON st.u = e.u JOIN {prev} ON {prev}.u = e.u
+      GROUP BY e.v
+    )"""
+
+
+@register(
+    "corpus_textrank_keywords",
+    f"""
+    WITH {_TEXTRANK_GRAPH_SQL},
+    t0 AS (SELECT u, 1.0 AS tr FROM st),
+    {_textrank_round_sql(1, 't0')},
+    {_textrank_round_sql(2, 't1')},
+    {_textrank_round_sql(3, 't2')}
+    SELECT st.u AS token, st.deg, st.s AS strength, t3.tr,
+           CAST(ROW_NUMBER() OVER (ORDER BY t3.tr DESC, st.u) AS BIGINT)
+             AS rnk
+    FROM st JOIN t3 ON t3.u = st.u
+    ORDER BY rnk LIMIT 15
+    """,
+)
+def corpus_textrank_keywords(spark: SparkSession, sf: str):
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank on the undirected token co-occurrence graph (adjacent-pair
+    window, both directions materialized so the edge table is
+    symmetric), 3 FIXED unrolled rounds from TR⁰=1 with the literal
+    d=0.85 — the pagerank/Bradley-Terry bounded-rounds discipline.
+    Each round is one equi join of the strength-decorated edge table
+    against the previous scores; the per-node neighbor sum is an
+    ordered fold keyed by the contributing neighbor (degree-bounded —
+    at most the token VOCABULARY, Heaps-sublinear in the corpus; the
+    production form for web-scale hub degrees is the chunked
+    bounded_ordered_agg, as in the HITS entry).  Top-15 by (TR desc,
+    token).  Scale: the graph lives on the bigram vocabulary, never
+    occurrences; rounds never touch raw text again."""
+    docs = t(spark, sf, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = (
+        words.select(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> named_struct('a', a, 'b', b))"
+            ).alias("ps")
+        )
+        .select(F.explode("ps").alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter((F.col("a") != F.col("b")) & (F.col("a") != "") & (F.col("b") != ""))
+    )
+    sym = bg.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        bg.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    e = sym.groupBy("u", "v").agg(F.count("*").cast("long").alias("w"))
+    st = e.groupBy("u").agg(
+        F.sum("w").cast("long").alias("s"),
+        F.count("*").cast("long").alias("deg"),
+    )
+    tr = st.select("u", F.lit(1.0).cast("double").alias("tr"))
+    for _ in range(3):
+        contrib = (
+            e.join(st.select("u", "s"), "u")
+            .join(tr, "u")
+            .select(
+                F.col("v"),
+                F.col("u").alias("src"),
+                (
+                    (F.col("w").cast("double") / F.col("s").cast("double"))
+                    * F.col("tr")
+                ).alias("term"),
+            )
+        )
+        tr = contrib.groupBy(F.col("v").alias("u")).agg(
+            (F.lit(0.15) + F.lit(0.85) * ordered_fold("src", "term")).alias(
+                "tr"
+            )
+        )
+    wrnk = W.orderBy(F.col("tr").desc(), "u")
+    return (
+        st.join(tr, "u")
+        .select(
+            F.col("u").alias("token"),
+            "deg",
+            F.col("s").alias("strength"),
+            "tr",
+            F.row_number().over(wrnk).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(15)
+    )

@@ -624,3 +624,48 @@ def test_conformal_coverage_matches_explicit_sort(spark, sf_dir):
     # exchangeability; on this arbitrary-parity split allow sampling
     # slack but catch a broken quantile (e.g. k off by more than ties).
     assert r.coverage >= 0.85
+
+
+# ---------------------------------------------------------------------------
+# TextRank: full python recompute — graph build + 3 weighted PageRank
+# rounds with the same neighbor-ordered folds.
+
+
+def test_textrank_matches_python_rounds(spark, sf_dir):
+    texts = [
+        t
+        for (t,) in _rows(
+            sf_dir, "SELECT text FROM read_parquet('{d}/documents.parquet')"
+        )
+    ]
+    edges: Counter = Counter()
+    for txt in texts:
+        w = txt.split(" ")
+        for a, b in zip(w, w[1:]):
+            if a != b and a != "" and b != "":
+                edges[(a, b)] += 1
+                edges[(b, a)] += 1
+    adj: dict = defaultdict(dict)  # v -> {u: w_uv}
+    strength: Counter = Counter()
+    deg: Counter = Counter()
+    for (u, v), w in edges.items():
+        adj[v][u] = w
+        strength[u] += w
+        deg[u] += 1
+    tr = {u: 1.0 for u in strength}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            acc = 0.0
+            for u in sorted(adj[v]):
+                acc = acc + (float(adj[v][u]) / float(strength[u])) * tr[u]
+            nxt[v] = 0.15 + 0.85 * acc
+        tr = nxt
+    top = sorted(tr.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = Q["corpus_textrank_keywords"](spark, sf_dir).collect()
+    assert len(got) == min(15, len(top))
+    for rnk, (r, (tok, score)) in enumerate(zip(got, top), start=1):
+        assert r.rnk == rnk
+        assert r.token == tok
+        assert r.tr == score
+        assert (r.deg, r.strength) == (deg[tok], strength[tok])
