@@ -307,6 +307,9 @@ EXTENDED = [
     # TextRank rides the PageRank bounded-rounds discipline on the
     # bigram-vocabulary graph
     "corpus_textrank_keywords",
+    # the streaming ANOVA twin rides the micro-batch replay harness
+    # (state = |event types| x 3 int64 moment cells)
+    "streaming_anova_moment_cells",
 ]
 
 

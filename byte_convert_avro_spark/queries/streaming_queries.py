@@ -1934,3 +1934,105 @@ def streaming_count_sketch_tokens(spark: SparkSession, sf: str):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+def _anova_streaming_oracle() -> str:
+    # Moments are LINEAR (per-type sums), so the drained streaming state
+    # equals the one-pass batch moments — gate against the batch
+    # entry's own oracle spelling.
+    from byte_convert_avro_spark.queries.relational_r14g import (
+        _ANOVA_TAIL_SQL,
+        _DEC_STR,
+    )
+
+    return f"""
+    WITH f AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(vc) AS BIGINT) AS s_g,
+             CAST(SUM(vc * vc) AS BIGINT) AS q_g
+      FROM f GROUP BY event_type
+    ), {_ANOVA_TAIL_SQL}
+    SELECT g.event_type, g.n_g, g.s_g,
+           {_DEC_STR.format(x='g.q_g')} AS q_g_str,
+           fs.n, fs.k, fs.ssb, fs.ssw, fs.f_stat
+    FROM g CROSS JOIN fstat fs
+    ORDER BY g.event_type
+    """
+
+
+@register("streaming_anova_moment_cells", _anova_streaming_oracle())
+def streaming_anova_moment_cells(spark: SparkSession, sf: str):
+    """STREAMING ONE-WAY ANOVA — the live experiment monitor twin of
+    ``events_value_anova_cells`` and the variance-analysis member of
+    the streaming sketch family: the per-group moments (n, Σvc, Σvc²)
+    are LINEAR, so Spark's own stateful streaming aggregation in
+    complete mode IS the state maintenance (the count-min/count-sketch
+    argument, here for a TEST statistic rather than a frequency
+    matrix).  The events replay as four genuine hash-sharded
+    micro-batches; the drained per-type moment state must equal the
+    one-pass batch moments exactly, and the F statistic then comes off
+    the SAME finalize tree (_anova_tail) — the streaming twin gates
+    against the batch entry's own oracle spelling and must reproduce
+    its rows bit-for-bit.  Scale: state is |event types| rows of three
+    int64 cells FOREVER; the finalize is constant-size arithmetic."""
+    import shutil
+
+    from byte_convert_avro_spark.queries.base import cents
+    from byte_convert_avro_spark.queries.relational_r14g import (
+        _anova_tail,
+        _dec_str,
+    )
+
+    ev = t(spark, sf, "events")
+    shard = hash_bucket("event_id", 4).cast("int")
+    raw = ev.withColumn("_shard", shard)
+    d = write_ordered_shards(
+        [raw.filter(F.col("_shard") == i).drop("_shard") for i in range(4)],
+        "anova_shards_",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        f = stream.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        ).select("event_type", cents("value").alias("vc"))
+        g_stream = f.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("vc").cast("long").alias("s_g"),
+            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("q_g"),
+        )
+        name = f"stream_{uuid.uuid4().hex[:12]}"
+        q = (
+            g_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        g = spark.table(name)
+        out = _anova_tail(g)
+        return out.select(
+            "event_type",
+            "n_g",
+            "s_g",
+            _dec_str(F.col("q_g")).alias("q_g_str"),
+            "n",
+            "k",
+            "ssb",
+            "ssw",
+            "f_stat",
+        ).orderBy("event_type")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -669,3 +669,11 @@ def test_textrank_matches_python_rounds(spark, sf_dir):
         assert r.token == tok
         assert r.tr == score
         assert (r.deg, r.strength) == (deg[tok], strength[tok])
+
+
+def test_streaming_anova_equals_batch(spark, sf_dir):
+    """Linearity: the drained streaming moments must reproduce the
+    batch ANOVA rows bit-for-bit (same finalize tree)."""
+    batch = Q["events_value_anova_cells"](spark, sf_dir).collect()
+    stream = Q["streaming_anova_moment_cells"](spark, sf_dir).collect()
+    assert stream == batch

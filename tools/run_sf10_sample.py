@@ -125,6 +125,7 @@ SAMPLE = {
     "stat-effect-sizes": "events_effect_sizes_view_purchase",
     "uncertainty-conformal": "lineitem_ols_conformal_coverage",
     "text-keywords-textrank": "corpus_textrank_keywords",
+    "streaming-anova-twin": "streaming_anova_moment_cells",
     # blocking-quality (customer_blocking_quality_profile) inherits the
     # linkage-fs fastss exclusion: the edit<=1 TRUTH set it counts grows
     # ~100x per 10x data on replicated names (~200M pairs at sf10), so
