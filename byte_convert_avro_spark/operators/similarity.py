@@ -61,27 +61,84 @@ def cosine_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _dbl_lit(v: float) -> str:
+    """SQL double literal with exact round-trip: ``repr(float)`` emits
+    the shortest decimal that parses back to the same IEEE-754 double
+    (both Python and the JVM parse correctly rounded), so the parsed
+    Literal is bit-identical to ``F.lit(v)``."""
+    return repr(float(v)) + "D"
+
+
+def _d2_sql(vec: list[float], e_col: str) -> str:
+    """Fixed-order IEEE squared-L2 distance of column ``e_col`` to a
+    literal centroid, as ONE SQL string.  Same zip_with/aggregate fold
+    (dims left to right) as the Column-API form — but built with a
+    single parse instead of ~|dim| py4j round trips per centroid: the
+    r14 profiling found the Column-API construction (8 centroids x 64
+    ``F.lit`` calls) cost ~0.7s of pure driver time PER ROUND, as much
+    as the round's Spark job itself (guide §1: the per-round cost was
+    planning chatter, not data)."""
+    arr = "array(" + ",".join(_dbl_lit(v) for v in vec) + ")"
+    return (
+        f"aggregate(zip_with({e_col}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _collect_centroids(
+    centroids: DataFrame, vec_col: str, cent_id: str
+) -> tuple[list[tuple], str]:
+    """(cell, vector) pairs sorted by cell id, plus the cell column's
+    Spark dtype (so literal rewrites preserve the output schema).
+    Centroids are k x dim BY CONSTRUCTION (the kmeans contract), so the
+    collect is bounded at any corpus size."""
+    cell_type = centroids.schema[cent_id].dataType.simpleString()
+    rows = (
+        centroids.select(
+            F.col(cent_id).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("ce"),
+        )
+        .orderBy("cell")
+        .collect()
+    )
+    return [(r.cell, [float(x) for x in r.ce]) for r in rows], cell_type
+
+
+def _d2_literal(vec: list[float], e_col: str = "_e") -> Column:
+    """Fixed-order IEEE squared-L2 distance of column ``e_col`` to a
+    literal centroid — identical arithmetic to the broadcast-join form
+    (same zip_with/aggregate fold, dims left to right); parsed from one
+    SQL string (see :func:`_d2_sql`)."""
+    return F.expr(_d2_sql(vec, e_col))
+
+
 def ivf_build(
     corpus: DataFrame, centroids: DataFrame,
     vec_col: str = "embedding", id_col: str = "vec_id", cent_id: str = "label",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (squared L2).
-    ``centroids``: (cent_id, embedding).  Centroids broadcast — map-side
-    at any corpus size.  -> corpus + ``cell`` column."""
-    c = corpus.withColumn("_e", F.col(vec_col).cast("array<double>"))
-    cents = centroids.select(
-        F.col(cent_id).alias("cell"), F.col(vec_col).cast("array<double>").alias("ce")
-    )
-    d2 = F.expr(
-        "aggregate(zip_with(_e, ce, (x, y) -> (x - y) * (x - y)),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    scored = c.crossJoin(F.broadcast(cents)).withColumn("_d2", d2)
-    w = W.partitionBy(id_col).orderBy("_d2", "cell")
+    ``centroids``: (cent_id, embedding).  -> corpus + ``cell`` column.
+
+    Assignment is a NARROW row-local argmin over k literal distance
+    expressions (the kmeans_lloyd assignment shape): centroids are
+    k x dim by construction, so they collect to the driver and inline as
+    literals.  The pre-r14 form cross-joined broadcast centroids and
+    ranked with a per-row window — ``row_number() OVER (PARTITION BY
+    id)`` is a FULL-CORPUS shuffle + sort on the vector id (k x |corpus|
+    rows into the exchange) for a decision each row can make locally.
+    Ties break to the lowest cell id exactly as the window's
+    ORDER BY (d2, cell) did: cells are sorted ascending and
+    array_position returns the FIRST index of the min."""
+    cents, cell_type = _collect_centroids(centroids, vec_col, cent_id)
+    d2s = F.array(*[_d2_literal(vec) for _, vec in cents])
+    cells = F.array(*[F.lit(c) for c, _ in cents]).cast(f"array<{cell_type}>")
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_d2", "ce", "_e")
+        corpus.withColumn("_e", F.col(vec_col).cast("array<double>"))
+        .withColumn(
+            "cell",
+            F.element_at(cells, F.array_position(d2s, F.array_min(d2s)).cast("int")),
+        )
+        .drop("_e")
     )
 
 
@@ -94,19 +151,29 @@ def ivf_search(
     cosine within them.  ``indexed`` = output of :func:`ivf_build`.
     -> (qid, id, sim, rank)"""
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qe"))
-    cents = centroids.select(
-        F.col(cent_id).alias("cell"), F.col(vec_col).cast("array<double>").alias("ce")
-    )
-    d2 = F.expr(
-        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
+    # Row-local nprobe-cell selection (r14): build the (d2, cell) struct
+    # array from literal centroids, array_sort (struct order = d2 asc,
+    # cell asc — exactly the old window's ORDER BY _d2, cell), take the
+    # first nprobe.  The pre-r14 form cross-joined broadcast centroids
+    # and ranked with a per-query window — an exchange + sort on qid for
+    # a per-row decision.  k x dim centroids collect by construction.
+    cents, cell_type = _collect_centroids(centroids, vec_col, cent_id)
+    d2cells = F.array(
+        *[
+            F.struct(
+                _d2_literal(vec, "qe").alias("d2"),
+                F.lit(c).cast(cell_type).alias("cell"),
+            )
+            for c, vec in cents
+        ]
     )
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(W.partitionBy("qid").orderBy("_d2", "cell")))
-        .filter(F.col("_rn") <= nprobe)
-        .select("qid", "qe", "cell")
+        q.select(
+            "qid",
+            "qe",
+            F.explode(F.slice(F.array_sort(d2cells), 1, nprobe)).alias("_pc"),
+        )
+        .select("qid", "qe", F.col("_pc.cell").alias("cell"))
     )
     cand = indexed.withColumn("_e", F.col(vec_col).cast("array<double>")).withColumn(
         "_nrm", F.sqrt(F.expr(_DOT.format(a="_e", b="_e")))
@@ -174,26 +241,20 @@ def kmeans_lloyd(
     from byte_convert_avro_spark.functions import bounded_ordered_agg
 
     for _ in range(n_iter):
-        d2s = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("e"),
-                        F.array(*[F.lit(v) for v in vec]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x,
-                )
-                for _, vec in cents
-            ]
-        )
-        cells = F.array(*[F.lit(c) for c, _ in cents]).cast("array<bigint>")
+        # one parsed SQL expression per round instead of k x dim F.lit
+        # py4j round trips (r14: the Column-API build cost ~0.7s of pure
+        # driver time per round — as much as the round's Spark job);
+        # the parsed tree is the identical zip_with/aggregate fold
+        d2s = "array(" + ", ".join(_d2_sql(vec, "e") for _, vec in cents) + ")"
+        cells = "array(" + ", ".join(f"{c}L" for c, _ in cents) + ")"
         assigned = e.withColumn(
             # array_position returns the FIRST index of the min -> ties
             # break to the lowest cell id (cents is sorted by cell)
             "cell",
-            F.element_at(cells, F.array_position(d2s, F.array_min(d2s)).cast("int")),
+            F.expr(
+                f"element_at({cells}, "
+                f"cast(array_position({d2s}, array_min({d2s})) as int))"
+            ),
         )
         dims = assigned.select(
             "cell", "id", F.posexplode("e").alias("dim0", "x")
@@ -261,24 +322,15 @@ def kmeans_minibatch(
     for r_i in range(n_iter):
         salt = F.concat(F.col("id").cast("string"), F.lit(f":mb{r_i}"))
         batch = e.filter(hash_bucket(salt, sample_mod) == 0)
-        d2s = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col("e"),
-                        F.array(*[F.lit(v) for v in vec]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x,
-                )
-                for _, vec in cents
-            ]
-        )
-        cells = F.array(*[F.lit(c) for c, _ in cents]).cast("array<bigint>")
+        # single parsed expression per round — see kmeans_lloyd
+        d2s = "array(" + ", ".join(_d2_sql(vec, "e") for _, vec in cents) + ")"
+        cells = "array(" + ", ".join(f"{c}L" for c, _ in cents) + ")"
         assigned = batch.withColumn(
             "cell",
-            F.element_at(cells, F.array_position(d2s, F.array_min(d2s)).cast("int")),
+            F.expr(
+                f"element_at({cells}, "
+                f"cast(array_position({d2s}, array_min({d2s})) as int))"
+            ),
         )
         dims = assigned.select(
             "cell", "id", F.posexplode("e").alias("dim0", "x")
@@ -629,12 +681,13 @@ def pq_train(
 
 
 def _sub_d2(sliced: Column, vec: list[float]) -> Column:
-    """Fixed-order squared-L2 between a sliced array column and a
-    literal subvector (the kmeans_lloyd distance spelling)."""
+    """Fixed-order squared-L2 between an array Column and a literal
+    vector (the kmeans_lloyd distance spelling).  The literal array is
+    one parsed expression (not |dim| F.lit py4j calls — the r14 fix)."""
     return F.aggregate(
         F.zip_with(
             sliced,
-            F.array(*[F.lit(float(v)) for v in vec]),
+            F.expr("array(" + ", ".join(_dbl_lit(v) for v in vec) + ")"),
             lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0.0).cast("double"),
@@ -662,14 +715,16 @@ def pq_encode(
     cols = []
     for s in range(m):
         cents = sorted(by_sub[s])
-        sliced = F.slice(
-            F.col(vec_col).cast("array<double>"), s * sub_d + 1, sub_d
-        )
-        d2s = F.array(*[_sub_d2(sliced, vec) for _, vec in cents])
-        cells = F.array(*[F.lit(c) for c, _ in cents]).cast("array<bigint>")
+        # one parsed SQL expression per subspace instead of k x sub_d
+        # F.lit py4j round trips (the kmeans_lloyd r14 fix) — the parsed
+        # tree is the identical slice/zip_with/aggregate fold
+        sliced = f"slice(cast({vec_col} as array<double>), {s * sub_d + 1}, {sub_d})"
+        d2s = "array(" + ", ".join(_d2_sql(vec, sliced) for _, vec in cents) + ")"
+        cells = "array(" + ", ".join(f"{c}L" for c, _ in cents) + ")"
         cols.append(
-            F.element_at(
-                cells, F.array_position(d2s, F.array_min(d2s)).cast("int")
+            F.expr(
+                f"element_at({cells}, "
+                f"cast(array_position({d2s}, array_min({d2s})) as int))"
             ).alias(f"code_{s}")
         )
     return corpus.select(F.col(id_col).alias("id"), *cols)
