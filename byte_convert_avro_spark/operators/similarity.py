@@ -481,8 +481,9 @@ def pca_power_top_component(
     v = [1.0 / 8.0] * dim_n
 
     for _ in range(n_iter):
-        mulit = F.array(*[F.lit(x) for x in mu])
-        vlit = F.array(*[F.lit(x) for x in v])
+        # parsed literal arrays (one py4j call each, not |dim| — r14 fix)
+        mulit = F.expr("array(" + ", ".join(_dbl_lit(x) for x in mu) + ")")
+        vlit = F.expr("array(" + ", ".join(_dbl_lit(x) for x in v) + ")")
         centered = F.zip_with("e", mulit, lambda x, m: x - m)
         s = F.aggregate(
             F.zip_with(centered, vlit, lambda x, w: x * w),
@@ -561,15 +562,18 @@ def pca_power_two_components(
         .collect()
     )
     mu = [m for _, m in sorted((int(r.dim), float(r.m)) for r in mu_rows)]
-    mulit = F.array(*[F.lit(x) for x in mu])
+    # parsed literal arrays (one py4j call each, not |dim| — r14 fix)
+    mulit = F.expr("array(" + ", ".join(_dbl_lit(x) for x in mu) + ")")
 
     def iterate(project_out: list[float] | None) -> list[float]:
         v = [1.0 / 8.0] * dim_n
         for _ in range(n_iter):
-            vlit = F.array(*[F.lit(x) for x in v])
+            vlit = F.expr("array(" + ", ".join(_dbl_lit(x) for x in v) + ")")
             centered = F.zip_with("e", mulit, lambda x, m: x - m)
             if project_out is not None:
-                plit = F.array(*[F.lit(x) for x in project_out])
+                plit = F.expr(
+                    "array(" + ", ".join(_dbl_lit(x) for x in project_out) + ")"
+                )
                 tproj = F.aggregate(
                     F.zip_with(centered, plit, lambda x, w: x * w),
                     F.lit(0.0).cast("double"),

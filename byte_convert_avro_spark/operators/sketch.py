@@ -517,7 +517,9 @@ def hll_finalize(
     is under 2.5m.  Both branches are literal/int64 arithmetic —
     deterministic to the last bit in any engine."""
     m, numer, lc_vals, cutoff = _hll_consts(p)
-    lc = F.array(*[F.lit(v) for v in lc_vals])
+    # one parsed literal array (not |m| F.lit py4j calls — the r14 fix);
+    # repr(float) round-trips exactly, so each Literal is bit-identical
+    lc = F.expr("array(" + ", ".join(repr(float(v)) + "D" for v in lc_vals) + ")")
     agg = regs.groupBy(*keys).agg(
         (F.lit(m) - F.count("*")).cast("long").alias("v_empty"),
         (

@@ -784,28 +784,19 @@ def _point_cells(lits):
     d2 to every centroid as one fixed fold per literal vector, own cell
     = first index of the min (ties to the lowest cell id — the lloyd
     assignment rule), b2 = second-smallest by value."""
-    d2s = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("e"),
-                    F.array(*[F.lit(v) for v in vec]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            for _, vec in lits
-        ]
-    )
-    cells = F.array(*[F.lit(c) for c, _ in lits]).cast("array<bigint>")
-    srt = F.array_sort(d2s)
+    from byte_convert_avro_spark.operators.similarity import _d2_sql
+
+    # one parsed expression per output (not k x dim F.lit py4j calls —
+    # the r14 kmeans fix); identical zip_with/aggregate fold
+    d2s = "array(" + ", ".join(_d2_sql(vec, "e") for _, vec in lits) + ")"
+    cells = "array(" + ", ".join(f"{c}L" for c, _ in lits) + ")"
     return (
-        F.element_at(
-            cells, F.array_position(d2s, F.array_min(d2s)).cast("int")
+        F.expr(
+            f"element_at({cells}, "
+            f"cast(array_position({d2s}, array_min({d2s})) as int))"
         ).alias("cell"),
-        F.element_at(srt, 1).alias("a2"),
-        F.element_at(srt, 2).alias("b2"),
+        F.expr(f"element_at(array_sort({d2s}), 1)").alias("a2"),
+        F.expr(f"element_at(array_sort({d2s}), 2)").alias("b2"),
     )
 
 
