@@ -193,6 +193,49 @@ def ivf_search(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _centroid_update(
+    assigned: DataFrame, chunk: int, dim: int
+) -> list[tuple[int, list[float]]]:
+    """One k-means centroid update -> sorted (cell, mean vector) list,
+    bit-identical to the exploded-dims ``bounded_ordered_agg`` spelling
+    the DuckDB oracles unroll, but shuffling VECTORS instead of
+    (cell, dim, id, x) rows (r14, guide §2.3 "shuffle fewer bytes"):
+    the old form posexploded every vector into |dim| narrow rows — 4x
+    the shuffle bytes (three 8-byte keys per 8-byte value) and |dim|x
+    the aggregation groups — for a fold whose per-dimension arithmetic
+    is independent anyway.  Here level 1 groups by (cell, id div chunk)
+    and folds the id-sorted vectors element-wise (zip_with add, arrays
+    bounded at ``chunk`` members); level 2 folds the chunk sums in
+    chunk order.  Per dimension both levels perform literally the same
+    additions in the same order as the per-(cell, dim, chk) fold —
+    0.0 + x_1 + x_2 ... within the chunk, then 0.0 + c_1 + c_2 ... over
+    chunks — so every centroid coordinate is bit-identical; the final
+    division happens element-wise in the same engine as before."""
+    zeros = f"array_repeat(cast(0.0 as double), {dim})"
+    vec_fold = (
+        "aggregate(transform(array_sort(collect_list(struct({key}, {val}))),"
+        " s -> s.{val}), " + zeros + ","
+        " (acc, v) -> zip_with(acc, v, (x, y) -> x + y))"
+    )
+    lvl1 = (
+        assigned.withColumn("_chk", F.expr(f"id div {chunk}"))
+        .groupBy("cell", "_chk")
+        .agg(
+            F.expr(vec_fold.format(key="id", val="e")).alias("_csum"),
+            F.count("*").alias("_cnt"),
+        )
+    )
+    lvl2 = lvl1.groupBy("cell").agg(
+        F.expr(vec_fold.format(key="_chk", val="_csum")).alias("_osum"),
+        F.sum("_cnt").alias("_ocnt"),
+    )
+    rows = lvl2.select(
+        "cell",
+        F.expr("transform(_osum, x -> x / cast(_ocnt as double))").alias("ce"),
+    ).collect()  # <= k rows — small by construction
+    return sorted((int(r.cell), [float(x) for x in r.ce]) for r in rows)
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -237,8 +280,7 @@ def kmeans_lloyd(
     cents: list[tuple[int, list[float]]] = [
         (int(r.id), [float(x) for x in r.e]) for r in seed_rows
     ]
-
-    from byte_convert_avro_spark.functions import bounded_ordered_agg
+    dim = len(cents[0][1]) if cents else 0
 
     for _ in range(n_iter):
         # one parsed SQL expression per round instead of k x dim F.lit
@@ -256,18 +298,9 @@ def kmeans_lloyd(
                 f"cast(array_position({d2s}, array_min({d2s})) as int))"
             ),
         )
-        dims = assigned.select(
-            "cell", "id", F.posexplode("e").alias("dim0", "x")
-        ).select("cell", (F.col("dim0") + 1).alias("dim"), "id", "x")
-        newc = bounded_ordered_agg(
-            dims, ["cell", "dim"], "id", "x", chunk=fold_chunk
-        ).select("cell", "dim", (F.col("osum") / F.col("ocnt")).alias("c"))
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in newc.collect():  # k×dim rows — small by construction
-            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)
-        cents = [
-            (cell, [d[i] for i in sorted(d)]) for cell, d in sorted(by_cell.items())
-        ]
+        # vector-wise chunked update (r14) — bit-identical to the
+        # exploded-dims bounded_ordered_agg fold, 1/4 the shuffle bytes
+        cents = _centroid_update(assigned, fold_chunk, dim)
     return corpus.sparkSession.createDataFrame(
         cents, schema=f"cell long, {vec_col} array<double>"
     )
@@ -315,8 +348,8 @@ def kmeans_minibatch(
     cents: list[tuple[int, list[float]]] = [
         (int(r.id), [float(x) for x in r.e]) for r in seed_rows
     ]
+    dim = len(cents[0][1]) if cents else 0
 
-    from byte_convert_avro_spark.functions import bounded_ordered_agg
     from byte_convert_avro_spark.queries.base import hash_bucket
 
     for r_i in range(n_iter):
@@ -332,19 +365,11 @@ def kmeans_minibatch(
                 f"cast(array_position({d2s}, array_min({d2s})) as int))"
             ),
         )
-        dims = assigned.select(
-            "cell", "id", F.posexplode("e").alias("dim0", "x")
-        ).select("cell", (F.col("dim0") + 1).alias("dim"), "id", "x")
-        newc = bounded_ordered_agg(
-            dims, ["cell", "dim"], "id", "x", chunk=fold_chunk
-        ).select("cell", "dim", (F.col("osum") / F.col("ocnt")).alias("c"))
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in newc.collect():  # <= k×dim rows — small by construction
-            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)
+        # vector-wise chunked update (r14) — bit-identical, see
+        # kmeans_lloyd; empty batch-cells keep their previous centroid
+        new_cents = dict(_centroid_update(assigned, fold_chunk, dim))
         cents = [
-            (cell, [by_cell[cell][i] for i in sorted(by_cell[cell])]
-             if cell in by_cell else vec)
-            for cell, vec in cents
+            (cell, new_cents.get(cell, vec)) for cell, vec in cents
         ]
     return corpus.sparkSession.createDataFrame(
         cents, schema=f"cell long, {vec_col} array<double>"
