@@ -166,16 +166,6 @@ def lsh_candidates(
 
     Defaults None = unchanged exact behavior (the correctness-baseline
     oracle form)."""
-    # Materialize the signature table ONCE (r14, guide §3.3/§7.2): the
-    # pair join references ``sigs`` on both sides (plus the bucket-cap
-    # aggregation when enabled), and Catalyst re-plans the full upstream
-    # subtree per reference — for minhash input that re-runs the shingle
-    # explode + 8-32-column min-aggregation two or three times (the r14
-    # before-plans show 8 parquet scans in jaccard_verified_candidates,
-    # 28 in corpus_after_dedup).  The signature set is narrow (id, band,
-    # sig) — |docs| x n_bands rows — so one localCheckpoint pays one
-    # computation and every branch reads the materialized rows.
-    sigs = sigs.localCheckpoint()
     if max_docs_per_bucket is not None:
         if max_docs_per_bucket < 2:
             raise ValueError(
@@ -395,14 +385,7 @@ def jaccard_similarity(
     needs a second |pairs × common-shingles|-row groupBy to count the
     overlap.)"""
     sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    # materialize the per-doc shingle arrays ONCE (r14, guide §3.3): both
-    # join sides below reference ``sets``, and Catalyst re-plans the
-    # shingle explode + collect_set per side; element order inside each
-    # set is irrelevant (array_intersect/size are order-free), so
-    # checkpointing one evaluation changes no output value
-    sets = (
-        sh.groupBy(id_col).agg(F.collect_set("sh").alias("_shs")).localCheckpoint()
-    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_shs"))
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
     b = sets.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("_shb"))
     return (
@@ -522,10 +505,7 @@ def chunk_dup_stats(
     same key (the chunk exchange is reusable) against the much smaller
     shared set; the per-doc rollup shuffles on the doc id.  No stage pairs
     documents — cost is O(corpus chunks), never |docs|²."""
-    # materialize the chunk table once (r14, guide §3.3): both the
-    # shared-chunk aggregation and the membership join reference it, and
-    # Catalyst would otherwise re-run the md5 chunk explode per branch
-    chunks = text_chunks(df, text_col, id_col, window).localCheckpoint()
+    chunks = text_chunks(df, text_col, id_col, window)
     shared = repeated_chunks(chunks, id_col, min_docs).select(
         "chunk_hash", F.lit(1).alias("_dup")
     )
@@ -588,9 +568,7 @@ def strip_repeated_chunks(
     ``aggregate`` over the sorted index array re-reading substrings from
     the doc's own text column, so the heavy string bytes are touched
     exactly once, map-side, after all shuffles."""
-    # materialize the chunk table once (r14, guide §3.3) — see
-    # chunk_dup_stats; the explode + per-chunk md5 runs once, not twice
-    chunks = text_chunks(df, text_col, id_col, window).localCheckpoint()
+    chunks = text_chunks(df, text_col, id_col, window)
     shared = repeated_chunks(chunks, id_col, min_docs).select(
         "chunk_hash", F.lit(1).alias("_dup")
     )

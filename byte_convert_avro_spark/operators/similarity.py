@@ -91,7 +91,17 @@ def _collect_centroids(
     """(cell, vector) pairs sorted by cell id, plus the cell column's
     Spark dtype (so literal rewrites preserve the output schema).
     Centroids are k x dim BY CONSTRUCTION (the kmeans contract), so the
-    collect is bounded at any corpus size."""
+    collect is bounded at any corpus size.
+
+    Fast path (r14): the kmeans trainers build their output DataFrame
+    FROM a driver-side list, so collecting it back is a pure round trip
+    (one local job per call — ivf_search_top3 paid it twice: build +
+    search).  Trainers stash that list on the returned frame
+    (``_bca_cents``, sorted by cell); when present and the caller keys
+    on the trainer's ``cell`` column, reuse it directly."""
+    cached = getattr(centroids, "_bca_cents", None)
+    if cached is not None and cent_id == "cell":
+        return [(c, list(v)) for c, v in cached], "bigint"
     cell_type = centroids.schema[cent_id].dataType.simpleString()
     rows = (
         centroids.select(
@@ -301,9 +311,11 @@ def kmeans_lloyd(
         # vector-wise chunked update (r14) — bit-identical to the
         # exploded-dims bounded_ordered_agg fold, 1/4 the shuffle bytes
         cents = _centroid_update(assigned, fold_chunk, dim)
-    return corpus.sparkSession.createDataFrame(
+    out = corpus.sparkSession.createDataFrame(
         cents, schema=f"cell long, {vec_col} array<double>"
     )
+    out._bca_cents = cents  # _collect_centroids fast path (r14)
+    return out
 
 
 def kmeans_minibatch(
@@ -371,9 +383,11 @@ def kmeans_minibatch(
         cents = [
             (cell, new_cents.get(cell, vec)) for cell, vec in cents
         ]
-    return corpus.sparkSession.createDataFrame(
+    out = corpus.sparkSession.createDataFrame(
         cents, schema=f"cell long, {vec_col} array<double>"
     )
+    out._bca_cents = cents  # _collect_centroids fast path (r14)
+    return out
 
 
 def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding", n_bits: int = 8) -> DataFrame:

@@ -157,17 +157,6 @@ def shared_fingerprint_pairs(
             f"max_docs_per_fp must be >= 2 (a 1-doc bucket pairs nothing), "
             f"got {max_docs_per_fp}"
         )
-    # Materialize the fingerprint set ONCE (r14, guide §3.3/§7.2): this
-    # function references ``fps`` through four branches (doc-frequency,
-    # the capped set, and both self-join sides), and Catalyst plans each
-    # branch as its own copy of the upstream subtree — for winnowing
-    # input that is SIX full re-derivations of the per-position md5 +
-    # double-window selection (the r14 before-plan shows 6 parquet scans
-    # of documents).  localCheckpoint computes the (narrow: id + hash)
-    # fingerprint set once and every branch reads the materialized rows;
-    # at corpus scale this is the usual "write the fingerprint table
-    # once, then pair on it" pipeline split (guide §8 step 1).
-    fps = fps.select(id_col, fp_col).localCheckpoint()
     dfreq = fps.groupBy(fp_col).agg(F.count("*").alias("_df"))
     ok = (
         fps.join(dfreq.filter(F.col("_df") <= max_docs_per_fp), fp_col)

@@ -1069,14 +1069,7 @@ def corpus_after_dedup(spark: SparkSession, sf: str):
     HAVING filter) so the capstone value-checks the configuration users
     should actually deploy."""
     docs = spread(t(spark, sf, "documents"), "doc_id")
-    # materialize the exact-deduped corpus ONCE (r14, guide §3.3): the
-    # keeper set feeds the signature build, both Jaccard-verification
-    # sides AND the final rollup — five references whose un-checkpointed
-    # plan re-derived the md5-groupBy + semi-join 14 times (28 parquet
-    # scans in the r14 before-plan).  Writing the deduped corpus once and
-    # reusing it is exactly what a production pipeline does between the
-    # exact and fuzzy stages.
-    keepers = D.drop_exact_dups(docs, "text", "doc_id").localCheckpoint()
+    keepers = D.drop_exact_dups(docs, "text", "doc_id")
     sigs = D.minhash_signatures(
         keepers, "text", "doc_id", n_bands=16, shingle_n=3, rows_per_band=2
     )

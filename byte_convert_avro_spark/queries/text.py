@@ -641,10 +641,7 @@ def winnowing_shared_fingerprints(spark: SparkSession, sf: str):
     bounded by fingerprint collisions, never |docs|².  Completes the
     substring-dedup story next to the chunk-granular
     ``corpus_strip_repeated_chunks``."""
-    # materialize the fingerprint set once — four branches below would
-    # otherwise each re-run the per-position md5 + double-window
-    # selection (the shared_fingerprint_pairs r14 fix, guide §3.3)
-    fps = _winnow_fps(spark, sf).localCheckpoint()
+    fps = _winnow_fps(spark, sf)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
     b = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp_hash").alias("fp2"))
