@@ -111,21 +111,28 @@ def minhash_signatures(
         raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
     total = n_bands * rows_per_band
     sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
+    # Each aggregate/band expression renders as ONE parsed SQL string:
+    # building the same tree from nested Column calls costs ~10 py4j
+    # driver round trips per hash family (~0.9 s of pure driver time at
+    # 32 families, measured r14) for an identical parsed plan.  The
+    # prefix literal is an integer + '|', so no quoting hazard.
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"_s{h}")
+            F.expr(f"min(md5(concat('{h}|', sh)))").alias(f"_s{h}")
             for h in range(total)
         ]
     )
-    band_sigs = [
-        F.concat(
-            *[F.col(f"_s{b * rows_per_band + r}") for r in range(rows_per_band)]
+    band_arr = "array({})".format(
+        ", ".join(
+            "concat({})".format(
+                ", ".join(f"_s{b * rows_per_band + r}" for r in range(rows_per_band))
+            )
+            for b in range(n_bands)
         )
-        for b in range(n_bands)
-    ]
+    )
     return mins.select(
         id_col,
-        F.posexplode(F.array(*band_sigs)).alias("band", "sig"),
+        F.posexplode(F.expr(band_arr)).alias("band", "sig"),
     )
 
 
@@ -680,8 +687,24 @@ def connected_components(
     # round broadcast-BUILD is a driver round trip that costs more than
     # the labels shuffle it saves (measured at sf0.1) and breaks the
     # one-job-per-round property.
+    # Both directions via a row-local explode, NOT e.union(e.swapped):
+    # union's two branches each re-evaluate the full upstream pairs
+    # subtree (for LSH candidates that is the whole shingle+minhash+
+    # band-join pipeline — measured 2x the candidate-generation cost at
+    # sf0.1, r14), while explode emits both orientations from ONE
+    # evaluation of every input row.  Same row multiset -> same distinct.
     edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_ed")
+        )
+        .select("_ed.src", "_ed.dst")
         .distinct()
         .repartition(F.col("src"))
         .sortWithinPartitions("src")

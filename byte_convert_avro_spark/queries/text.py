@@ -506,24 +506,40 @@ _WINNOW_FPS_CTE = """
 
 
 def _winnow_fps(spark: SparkSession, sf: str):
-    """Spark twin of ``_WINNOW_FPS_CTE``: distinct (doc_id, fp_hash)."""
-    from byte_convert_avro_spark.operators.text import rolling_hashes
+    """Spark twin of ``_WINNOW_FPS_CTE``: distinct (doc_id, fp_hash).
 
-    rh = rolling_hashes(
-        spread(t(spark, sf, "documents"), "doc_id"), "text", "doc_id", window=16
+    ROW-LOCAL form (r14): winnowing selection is a per-document
+    computation, so it runs entirely inside one projection — the rolling
+    md5 array, the 4-hash window minima (``array_min(slice(...))`` ==
+    the CTE's ``MIN ... ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING`` over
+    full windows), and the per-doc ``array_distinct`` (== the CTE's
+    global DISTINCT, since rows are keyed by doc).  The previous form
+    exploded one row per character position and shuffled them all for
+    two doc_id windows plus a distinct; at 100 TB those exchanges carry
+    |corpus chars| rows for a decision every row can make locally.  Full
+    4-hash windows need m = len-15 >= 4 positions, hence len >= 19 (docs
+    of 16..18 chars produced rows upstream but never survived
+    ``pos <= m-3``).  Large docs hold one m-element array per row here —
+    bounded by the corpus's doc-length cap (chunk first if a doc can be
+    tens of MB)."""
+    sels = (
+        "transform(sequence(1, size(_rh) - 3), "
+        "i -> array_min(slice(_rh, i, 4)))"
     )
-    wsel = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    wcnt = W.partitionBy("doc_id")
     return (
-        rh.select(
+        spread(t(spark, sf, "documents"), "doc_id")
+        .filter(F.length("text") >= 19)
+        .select(
             "doc_id",
-            "pos",
-            F.min("chunk_hash").over(wsel).alias("sel"),
-            F.count("*").over(wcnt).alias("m"),
+            F.expr(
+                "transform(sequence(1, length(text) - 15),"
+                " i -> md5(substring(text, i, 16)))"
+            ).alias("_rh"),
         )
-        .filter(F.col("pos") <= F.col("m") - 3)
-        .select("doc_id", F.col("sel").alias("fp_hash"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(sels))).alias("fp_hash"),
+        )
     )
 
 
