@@ -172,23 +172,45 @@ def lsh_candidates(
     (already bucket-bounded) candidate set.
 
     Defaults None = unchanged exact behavior (the correctness-baseline
-    oracle form)."""
-    if max_docs_per_bucket is not None:
-        if max_docs_per_bucket < 2:
-            raise ValueError(
-                f"max_docs_per_bucket must be >= 2, got {max_docs_per_bucket}"
-            )
-        ok = (
-            sigs.groupBy("band", "sig")
-            .agg(F.count("*").alias("_bn"))
-            .filter(F.col("_bn") <= max_docs_per_bucket)
-            .select("band", "sig")
+    oracle form).
+
+    Plan shape (r14): the pair stage is ONE aggregation + a row-local
+    enumeration, not a self-join.  The self-join form referenced
+    ``sigs`` two or three times and Catalyst plans each reference as its
+    own copy of the upstream subtree — the full shingle + n-hash minhash
+    aggregation ran 2-3x per query (guide §7.2 duplicated subtrees; the
+    r14 before-plans show the duplicate scans, and exchange reuse does
+    not fire across the differently-aliased branches).  Here each
+    (band, sig) bucket collects its (tiny, LSH-bounded) sorted doc-id
+    array once and emits the i<j pairs with a row-local nested
+    ``transform``; enumeration stays capped at B(B-1)/2 per bucket with
+    B <= max_docs_per_bucket when the cap is set.  The bucket-size
+    filter runs on size(collect_set) — same exchange as the collect, so
+    the cap costs no extra aggregation pass.  One evaluation of the
+    signature pipeline, two exchanges total (bucket key, pair key)."""
+    if max_docs_per_bucket is not None and max_docs_per_bucket < 2:
+        raise ValueError(
+            f"max_docs_per_bucket must be >= 2, got {max_docs_per_bucket}"
         )
-        sigs = sigs.join(ok, ["band", "sig"])
-    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
-    b = sigs.select(F.col(id_col).alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2"))
+    buckets = sigs.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_set(id_col)).alias("_ds")
+    )
+    size_ok = F.size("_ds") >= 2
+    if max_docs_per_bucket is not None:
+        size_ok = size_ok & (F.size("_ds") <= max_docs_per_bucket)
     pairs = (
-        a.join(b, (a.band == b.band2) & (a.sig == b.sig2) & (a.doc_a < b.doc_b))
+        buckets.filter(size_ok)
+        .select(
+            "band",
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ds, (x, i) -> "
+                    "transform(slice(_ds, i + 2, size(_ds) - i - 1), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("_p"),
+        )
+        .select("_p.doc_a", "_p.doc_b", "band")
         .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band").alias("n_bands_matched"))
     )
@@ -198,17 +220,29 @@ def lsh_candidates(
         raise ValueError(f"max_pairs_per_doc must be >= 1, got {max_pairs_per_doc}")
     from pyspark.sql import Window as W
 
-    # rank each doc's UNDIRECTED pair list (both orientations union'd —
-    # two one-sided windows would let a doc keep up to 2k pairs split
+    # rank each doc's UNDIRECTED pair list (both orientations — two
+    # one-sided windows would let a doc keep up to 2k pairs split
     # across its doc_a/doc_b roles); a pair survives iff it ranks within
-    # k on BOTH endpoints, i.e. both directed rows survive
+    # k on BOTH endpoints, i.e. both directed rows survive.  Orientations
+    # via a row-local explode, not union(self-swapped): union's branches
+    # each re-evaluate the whole candidate pipeline (see
+    # connected_components below for the measured cost of that pattern).
     directed = pairs.select(
-        F.col("doc_a").alias("doc"), F.col("doc_b").alias("partner"), "n_bands_matched"
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc"), F.col("doc_a").alias("partner"), "n_bands_matched"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc"),
+                    F.col("doc_b").alias("partner"),
+                    F.col("n_bands_matched"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc"),
+                    F.col("doc_a").alias("partner"),
+                    F.col("n_bands_matched"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.doc", "_d.partner", "_d.n_bands_matched")
     rk = F.row_number().over(
         W.partitionBy("doc").orderBy(F.desc("n_bands_matched"), "partner")
     )
@@ -393,11 +427,44 @@ def jaccard_similarity(
     overlap.)"""
     sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
     sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_shs"))
-    a = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
-    b = sets.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("_shb"))
+    # Attach both endpoints' shingle arrays with ONE join (r14): the
+    # two-join form (pairs ⋈ sets_as_a ⋈ sets_as_b) referenced ``sets``
+    # twice and Catalyst planned the full corpus shingle aggregation
+    # once per reference (guide §7.2; exchange reuse does not fire
+    # across the aliased branches).  Melting each pair into its two
+    # endpoint rows joins ``sets`` exactly once; the per-pair regroup
+    # gathers the two arrays (exactly one non-null per side, so
+    # first(ignorenulls) is deterministic).  ``pairs`` must be a
+    # DISTINCT pair set (all callers pass aggregated LSH output) — a
+    # duplicated input pair would collapse here instead of duplicating.
+    side = pairs.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("_d")
+    )
+    # collect_list (ObjectHashAggregate) — NOT first(when(...)): a
+    # declarative agg with an array-typed buffer forces SortAggregate,
+    # which sorts every pair row by key WITH its shingle array payload
+    # (measured 4x slower at sf0.1, r14)
+    # the merge hint pins the attach join to sort-merge: with the
+    # aggregate+explode upstream Catalyst has no reliable size estimate
+    # and was observed (r14) to BROADCAST the corpus-wide shingle-set
+    # table instead — a full-corpus driver collect (+3s at sf0.1, fatal
+    # at scale).  SMJ shuffles each side once by doc id and spills
+    # gracefully; callers with provably tiny pair sets can still
+    # broadcast upstream of this operator.
+    per = (
+        side.join(sets.withColumnRenamed(id_col, "_d").hint("merge"), "_d")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_list(F.struct("_d", "_shs")).alias("_sides"))
+        .filter(F.size("_sides") == 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("filter(_sides, s -> s._d = doc_a)[0]._shs").alias("_sha"),
+            F.expr("filter(_sides, s -> s._d = doc_b)[0]._shs").alias("_shb"),
+        )
+    )
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        per
         .select(
             "doc_a",
             "doc_b",

@@ -149,33 +149,61 @@ def shared_fingerprint_pairs(
     pairs still surface through their rarer shared fingerprints (a shared
     run of >= t+w-1 chars yields MANY fingerprints, not one).
 
-    Scale: one doc-frequency aggregation on the fingerprint hash (the
-    same shuffle key as the pair join, so the exchange is reusable), then
-    the self-join runs only inside capped buckets.  No stage is |docs|²."""
+    Scale: one linear chain — doc-frequency window, per-doc size window,
+    one bucket aggregation (buffers bounded at max_docs_per_fp structs by
+    construction), row-local pair enumeration, one pair aggregation.  No
+    joins, no stage is |docs|², and the fingerprint input is evaluated
+    exactly once."""
     if max_docs_per_fp < 2:
         raise ValueError(
             f"max_docs_per_fp must be >= 2 (a 1-doc bucket pairs nothing), "
             f"got {max_docs_per_fp}"
         )
-    dfreq = fps.groupBy(fp_col).agg(F.count("*").alias("_df"))
-    ok = (
-        fps.join(dfreq.filter(F.col("_df") <= max_docs_per_fp), fp_col)
-        .select(id_col, fp_col)
+    from pyspark.sql import Window as W
+
+    # LINEAR plan (r14, guide §7.2 duplicated subtrees): the previous
+    # form referenced ``fps`` through four join branches (doc-frequency,
+    # the capped set, both self-join sides) and Catalyst planned each as
+    # its own copy of the upstream subtree — six re-derivations of the
+    # winnowing selection in the before-plan, and exchange reuse does
+    # not fire across the aliased branches.  This chain evaluates the
+    # fingerprint set ONCE: a window count over fp_col applies the
+    # doc-frequency cap (same rows as the dfreq join), a window count
+    # over id_col attaches each doc's capped fingerprint count (the old
+    # ``sizes`` table, now a column), then one aggregation per
+    # fingerprint collects the (doc, n_fp) bucket — bounded at
+    # max_docs_per_fp rows BY CONSTRUCTION, since the cap filter runs
+    # before the collect — and a row-local nested ``transform``
+    # enumerates the i<j pairs.  Zero joins; four narrow exchanges.
+    capped = fps.select(id_col, fp_col).withColumn(
+        "_df", F.count("*").over(W.partitionBy(fp_col))
+    ).filter(F.col("_df") <= max_docs_per_fp)
+    sized = capped.withColumn(
+        "n_fp", F.count("*").over(W.partitionBy(id_col))
     )
-    sizes = ok.groupBy(id_col).agg(F.count("*").alias("n_fp"))
-    a = ok.select(F.col(id_col).alias("doc_a"), F.col(fp_col).alias("_fp"))
-    b = ok.select(F.col(id_col).alias("doc_b"), F.col(fp_col).alias("_fp2"))
-    pairs = (
-        a.join(b, (a._fp == b._fp2) & (a.doc_a < b.doc_b))
-        .groupBy("doc_a", "doc_b")
+    buckets = (
+        sized.groupBy(fp_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("n_fp")))
+            ).alias("_ds")
+        )
+        .filter(F.size("_ds") >= 2)
+    )
+    pair_rows = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ds, (x, i) -> "
+                "transform(slice(_ds, i + 2, size(_ds) - i - 1), "
+                "y -> named_struct('doc_a', x.d, 'n_a', x.n_fp, "
+                "'doc_b', y.d, 'n_b', y.n_fp))))"
+            )
+        ).alias("_p")
+    ).select("_p.doc_a", "_p.doc_b", "_p.n_a", "_p.n_b")
+    return (
+        pair_rows.groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
-    )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("n_b"))
-    return (
-        pairs.join(za, "doc_a")
-        .join(zb, "doc_b")
         .select(
             "doc_a", "doc_b", "n_shared", "n_a", "n_b",
             (

@@ -315,21 +315,16 @@ def minhash_signatures(spark: SparkSession, sf: str):
     """,
 )
 def minhash_dup_candidates(spark: SparkSession, sf: str):
-    """LSH candidate pairs: docs sharing any band signature.  The join is
-    on (band, sig) buckets — the LSH property keeps buckets tiny, so the
-    pair blow-up is bounded (this is the whole point vs all-pairs)."""
+    """LSH candidate pairs: docs sharing any band signature.  Pairing is
+    per (band, sig) bucket — the LSH property keeps buckets tiny, so the
+    pair blow-up is bounded (this is the whole point vs all-pairs).
+    Delegates to :func:`operators.dedup.lsh_candidates` (r14): the
+    bucket-array form evaluates the signature pipeline ONCE instead of
+    once per self-join side — same pair multiset, same counts."""
+    from byte_convert_avro_spark.operators import dedup as D
+
     sigs = minhash_signatures(spark, sf)
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("band").alias("band"), F.col("sig").alias("sig")
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
-    )
-    return (
-        a.join(b, (a.band == b.band2) & (a.sig == b.sig2) & (a.doc_a < b.doc_b))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band").alias("n_bands_matched"))
-    )
+    return D.lsh_candidates(sigs, "doc_id")
 
 
 # ---------------------------------------------------------------------------

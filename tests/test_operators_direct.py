@@ -2996,3 +2996,66 @@ def test_skyline_2d_excludes_null_coordinates(spark):
         if (x, y) in _brute_skyline([(x, y) for _, x, y in base])
     )
     assert got == want, (got, want)
+
+
+def test_lsh_bucket_enumeration_matches_self_join(spark):
+    """The r14 bucket-array pair enumeration (collect sorted doc ids per
+    (band, sig) bucket, emit i<j pairs row-locally) must equal the
+    self-join form on an adversarial frame: a >2-doc bucket (all C(B,2)
+    pairs), a pair matching in MULTIPLE bands (n_bands_matched counts
+    each band once), and unsorted input ids (doc_a < doc_b must hold
+    under the column ordering, not input order)."""
+    from byte_convert_avro_spark.operators.dedup import lsh_candidates
+
+    rows = [
+        # band 0, sig X: docs 7, 3, 5 (unsorted) -> pairs (3,5) (3,7) (5,7)
+        (7, 0, "X"), (3, 0, "X"), (5, 0, "X"),
+        # docs 3, 5 ALSO share band 1 -> (3,5) matched in 2 bands
+        (3, 1, "Y"), (5, 1, "Y"),
+        # singleton bucket emits nothing
+        (9, 0, "Z"),
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, band int, sig string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_bands_matched
+        for r in lsh_candidates(sigs).collect()
+    }
+    # self-join reference, computed inline
+    a = sigs.selectExpr("doc_id doc_a", "band", "sig")
+    b = sigs.selectExpr("doc_id doc_b", "band band2", "sig sig2")
+    want = {
+        (r.doc_a, r.doc_b): r.n
+        for r in a.join(
+            b, (a.band == b.band2) & (a.sig == b.sig2) & (a.doc_a < b.doc_b)
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band").alias("n"))
+        .collect()
+    }
+    assert got == want == {(3, 5): 2, (3, 7): 1, (5, 7): 1}
+
+
+def test_jaccard_similarity_melt_join_edge_cases(spark):
+    """The r14 single-join (melted-pair) verification must drop a pair
+    whose endpoint has NO shingles (the old inner join's behavior), keep
+    zero-overlap pairs dropped, and compute the same exact counts."""
+    from byte_convert_avro_spark.operators.dedup import jaccard_similarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: {a b c, b c d}
+            (2, "a b c e"),          # shares 'a b c' with doc 1
+            (3, "x y"),              # too short: NO shingles
+            (4, "p q r s"),          # no overlap with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in jaccard_similarity(docs, pairs, "text", "doc_id", 3).collect()
+    }
+    # (1,3): doc 3 has no shingle row -> dropped; (1,4): zero overlap -> dropped
+    assert got == {(1, 2): (1, 2, 2, 1.0 / 3.0)}
