@@ -87,10 +87,14 @@ def pagerank_fixed_rounds(
         if storage is not None
         else (lambda df: df.localCheckpoint())
     )
+    # both endpoints via a row-local explode, not union(self): union's
+    # branches each re-evaluate the caller's full edge subtree (for the
+    # co-purchase graph that is the lineitem self-join) — explode emits
+    # both from ONE evaluation.  Same row multiset -> same distinct.
     nodes = ckpt(
-        edges.select(F.col(src).alias("v"))
-        .union(edges.select(F.col(dst).alias("v")))
-        .distinct()
+        edges.select(
+            F.explode(F.array(F.col(src), F.col(dst))).alias("v")
+        ).distinct()
     )
     n = nodes.count()
     outdeg = edges.groupBy(src).agg(F.count("*").alias("_deg"))
@@ -238,10 +242,12 @@ def walk_to_root(
     edges = parents.select(
         F.col(node).alias("__pn"), F.col(parent).alias("__pp")
     )
+    # row-local explode, not union(self) — one evaluation of the
+    # caller's parents subtree for both endpoint sets
     nodes = (
-        parents.select(F.col(node).alias("n"))
-        .union(parents.select(F.col(parent).alias("n")))
-        .distinct()
+        parents.select(
+            F.explode(F.array(F.col(node), F.col(parent))).alias("n")
+        ).distinct()
     )
     state = nodes.select("n", F.col("n").alias("cur"), F.lit(0).alias("depth"))
     for _ in range(max_rounds):
@@ -434,10 +440,12 @@ def neighborhood_kmv(
     hv = F.conv(
         F.substring(F.md5(F.col("__n").cast("string")), 1, 8), 16, 10
     ).cast("long")
+    # row-local explode, not unionByName(self) — one evaluation of the
+    # caller's edge subtree for both endpoint sets
     nodes = (
-        e.select(F.col("__s").alias("__n"))
-        .unionByName(e.select(F.col("__d").alias("__n")))
-        .distinct()
+        e.select(
+            F.explode(F.array(F.col("__s"), F.col("__d"))).alias("__n")
+        ).distinct()
     )
     sketch = nodes.select("__n", hv.alias("__hv")).localCheckpoint(eager=False)
     w = W.partitionBy("__n").orderBy("__hv")
@@ -494,8 +502,21 @@ def label_propagation_rounds(
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e0 = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    # both orientations via row-local explode, not unionByName(self):
+    # the union re-evaluates the caller's edge subtree once per branch
+    # when the lazy checkpoint first materializes
     und = (
-        e0.unionByName(e0.select(F.col("__b").alias("__a"), F.col("__a").alias("__b")))
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("__a"), F.col("__b")),
+                    F.struct(
+                        F.col("__b").alias("__a"), F.col("__a").alias("__b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.__a", "_e.__b")
         .filter(F.col("__a") != F.col("__b"))
         .distinct()
         .localCheckpoint(eager=False)
@@ -561,8 +582,17 @@ def k_core_peel(
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # row-local explode, not unionByName(self) — see label_propagation
     und = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
