@@ -1432,7 +1432,17 @@ def pagerank_trade_graph(spark: SparkSession, sf: str):
         )
         .distinct()
     )
-    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # row-local explode, not union(self-swapped): the union's branches
+    # each re-evaluate the orders⋈lineitem distinct subtree, and
+    # pagerank references ``edges`` three more times during setup
+    edges = e0.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # serialized checkpoint blocks: measured at sf10 (SCALE.md round-8)
     # this runs in a 12g local heap where deserialized needed 24g, and
     # FASTER (140.8s vs 272s) — smaller blocks beat re-deserialization.
@@ -2471,9 +2481,10 @@ def copurchase_degree_histogram(spark: SparkSession, sf: str):
         .select(F.col("p").alias("a"), F.col("p2").alias("b"))
         .distinct()
     )
+    # row-local explode, not unionAll(self) — one evaluation of the
+    # (un-checkpointed) co-purchase self-join for both endpoints
     deg = (
-        edges.select(F.col("a").alias("n"))
-        .unionAll(edges.select(F.col("b").alias("n")))
+        edges.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )

@@ -1150,9 +1150,16 @@ def orders_open_backlog_daily(spark: SparkSession, sf: str):
             F.date_format(F.date_add("last_ship", 1), "yyyy-MM-dd").alias("closed"),
         )
     )
-    deltas = spans.select(F.col("placed").alias("day"), F.lit(1).alias("d")).unionAll(
-        spans.select(F.col("closed").alias("day"), F.lit(-1).alias("d"))
-    )
+    # row-local explode, not unionAll(self) — one evaluation of the
+    # order-span join+agg for both sweep deltas
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("placed").alias("day"), F.lit(1).alias("d")),
+                F.struct(F.col("closed").alias("day"), F.lit(-1).alias("d")),
+            )
+        ).alias("_x")
+    ).select("_x.day", "_x.d")
     daily = deltas.groupBy("day").agg(
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("n_opened"),
         F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias("n_closed"),

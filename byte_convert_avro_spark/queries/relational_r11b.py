@@ -413,9 +413,18 @@ def trade_cheapest_cost_3rounds(spark: SparkSession, sf: str):
         )
         .agg(F.min(cents("l_extendedprice")).alias("w"))
     )
-    und = dir_e.unionByName(
-        dir_e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    )
+    # row-local explode, not unionByName(self-swapped) — one evaluation
+    # of the weighted-edge aggregation for both orientations
+    und = dir_e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b"), F.col("w")),
+                F.struct(
+                    F.col("b").alias("a"), F.col("a").alias("b"), F.col("w")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b", "_e.w")
     seeds = (
         t(spark, sf, "customer")
         .filter(F.col("c_nationkey") == 1)
@@ -540,7 +549,15 @@ def _neighborhood_kmv_with_referee(spark: SparkSession, sf: str, sample_mod: int
         )
         .distinct()
     )
-    und = dir_e.unionByName(dir_e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # row-local explode, not unionByName(self-swapped) — see above
+    und = dir_e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     sk = neighborhood_kmv(und, k=16, rounds=2, node="node", src="a", dst="b")
 
     # exact pair frames (gate-side verification only — see docstring)

@@ -1170,9 +1170,10 @@ def copurchase_rich_club(spark: SparkSession, sf: str):
         .select(F.col("p").alias("a"), F.col("p2").alias("b"))
         .distinct()
     )
+    # row-local explode, not unionByName(self) — one evaluation of the
+    # co-purchase self-join for both endpoints
     nodes = (
-        e.select(F.col("a").alias("n"))
-        .unionByName(e.select(F.col("b").alias("n")))
+        e.select(F.explode(F.array("a", "b")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("deg"))
     )
@@ -1909,9 +1910,15 @@ def copurchase_lpa_modularity(spark: SparkSession, sf: str):
         dir_e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         rounds=3,
     )
-    e = dir_e.unionByName(
-        dir_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    # row-local explode, not unionByName(self-swapped)
+    e = dir_e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     deg = e.groupBy(F.col("a").alias("n")).agg(
         F.count("*").cast("long").alias("d")
     )

@@ -1251,14 +1251,22 @@ def brand_bradley_terry_strength(spark: SparkSession, sf: str):
         F.count("*").cast("long").alias("n"),
         F.sum("win_i").cast("long").alias("w"),
     )
-    edges = und.unionByName(
-        und.select(
-            F.col("j").alias("i"),
-            F.col("i").alias("j"),
-            "n",
-            (F.col("n") - F.col("w")).alias("w"),
-        )
-    )
+    # row-local explode, not unionByName(self): the union re-evaluated
+    # the brand-duel aggregation once per branch, and the 3 MM rounds
+    # below re-evaluate ``edges`` again each round
+    edges = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("i"), F.col("j"), F.col("n"), F.col("w")),
+                F.struct(
+                    F.col("j").alias("i"),
+                    F.col("i").alias("j"),
+                    F.col("n"),
+                    (F.col("n") - F.col("w")).alias("w"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.i", "_e.j", "_e.n", "_e.w")
     wt = edges.groupBy("i").agg(
         F.sum("w").cast("long").alias("w_tot"),
         F.sum("n").cast("long").alias("n_tot"),
@@ -1942,9 +1950,16 @@ def corpus_textrank_keywords(spark: SparkSession, sf: str):
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .filter((F.col("a") != F.col("b")) & (F.col("a") != "") & (F.col("b") != ""))
     )
-    sym = bg.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        bg.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    # row-local explode, not unionAll(self-swapped) — one evaluation of
+    # the corpus-wide bigram explode for both orientations
+    sym = bg.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("_e")
+    ).select("_e.u", "_e.v")
     e = sym.groupBy("u", "v").agg(F.count("*").cast("long").alias("w"))
     st = e.groupBy("u").agg(
         F.sum("w").cast("long").alias("s"),

@@ -336,7 +336,17 @@ def trade_reachability_3hop(spark: SparkSession, sf: str):
         )
         .distinct()
     )
-    und = li.unionByName(li.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # row-local explode, not unionByName(self-swapped): each BFS round
+    # re-evaluates ``und``, and the union form doubled the
+    # orders⋈lineitem distinct subtree inside every round
+    und = li.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     seeds = (
         t(spark, sf, "customer")
         .filter(F.col("c_nationkey") == 1)
