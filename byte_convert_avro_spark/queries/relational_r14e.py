@@ -1025,25 +1025,29 @@ def orders_feature_information_gain(spark: SparkSession, sf: str):
         F.when(F.col("vc") > F.col("med"), 1).otherwise(0).alias("y"),
     )
     u = (
+        # row-local explode, not unionByName(self ×3) — one evaluation
+        # of the labeled-orders subtree for all three feature melts
         lab.select(
-            F.lit("priority").alias("feature"),
-            F.col("f_priority").alias("level"),
-            "y",
-        )
-        .unionByName(
-            lab.select(
-                F.lit("status").alias("feature"),
-                F.col("f_status").alias("level"),
-                "y",
-            )
-        )
-        .unionByName(
-            lab.select(
-                F.lit("month").alias("feature"),
-                F.col("f_month").alias("level"),
-                "y",
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("priority").alias("feature"),
+                        F.col("f_priority").alias("level"),
+                        F.col("y"),
+                    ),
+                    F.struct(
+                        F.lit("status").alias("feature"),
+                        F.col("f_status").alias("level"),
+                        F.col("y"),
+                    ),
+                    F.struct(
+                        F.lit("month").alias("feature"),
+                        F.col("f_month").alias("level"),
+                        F.col("y"),
+                    ),
+                )
+            ).alias("_f")
+        ).select("_f.feature", "_f.level", "_f.y")
     )
     vc_counts = u.groupBy("feature", "level", "y").agg(
         F.count("*").cast("long").alias("nvc")

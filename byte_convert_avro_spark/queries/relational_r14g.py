@@ -1226,27 +1226,27 @@ def brand_bradley_terry_strength(spark: SparkSession, sf: str):
             ).alias("rev"),
         )
     )
-    a = li.select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("b").alias("i"),
-        F.col("rev").alias("rev_a"),
+    # Row-local duel enumeration (r14): the previous a⋈bb self-join on
+    # l_orderkey referenced ``li`` (the lineitem⋈part join) twice and
+    # streamed every ≤7×7 per-order combination through a join; orders
+    # are ≤7 lineitems, so collecting each order's (brand, rev) structs
+    # once and enumerating the cross-brand duels inside one projection
+    # is bounded at C(7,2) emitted rows per order BY CONSTRUCTION —
+    # same (i, j, win_i) multiset as the join (every unordered lineitem
+    # pair with distinct brands and distinct revenue, oriented i < j).
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("b", "rev")).alias("_it")
     )
-    bb = li.select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("b").alias("j"),
-        F.col("rev").alias("rev_b"),
-    )
-    cmp_ = (
-        a.join(bb, "ok")
-        .filter((F.col("i") < F.col("j")) & (F.col("rev_a") != F.col("rev_b")))
-        .select(
-            "i",
-            "j",
-            F.when(F.col("rev_a") > F.col("rev_b"), 1).otherwise(0).alias(
-                "win_i"
-            ),
-        )
-    )
+    cmp_ = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_it, u -> "
+                "transform(filter(_it, v -> u.b < v.b AND u.rev != v.rev), "
+                "v -> named_struct('i', u.b, 'j', v.b, "
+                "'win_i', CASE WHEN u.rev > v.rev THEN 1 ELSE 0 END))))"
+            )
+        ).alias("_c")
+    ).select("_c.i", "_c.j", "_c.win_i")
     und = cmp_.groupBy("i", "j").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("win_i").cast("long").alias("w"),
@@ -1267,6 +1267,15 @@ def brand_bradley_terry_strength(spark: SparkSession, sf: str):
             )
         ).alias("_e")
     ).select("_e.i", "_e.j", "_e.n", "_e.w")
+    # lazy checkpoint (the CC/LPA discipline): the ≤|brands|² directed
+    # edge frame is referenced by wt plus every unrolled MM round, and
+    # each round's p chains all previous rounds — without truncation the
+    # physical plan replicated the full duel subtree 184× (368× before
+    # the explode fix above; plans/r14/brand_bradley_terry_strength_*).
+    # Checkpointing a few-hundred-row frame costs one tiny job; the
+    # rounds stay broadcast-only (plan pin test_r14g_bradley_terry_
+    # rounds_broadcast).
+    edges = edges.localCheckpoint(eager=False)
     wt = edges.groupBy("i").agg(
         F.sum("w").cast("long").alias("w_tot"),
         F.sum("n").cast("long").alias("n_tot"),
@@ -1511,28 +1520,33 @@ def hilbert_layout_effectiveness(spark: SparkSession, sf: str):
     )
     z = h.withColumn("zval", F.expr(_ZVAL_EXPR))
     assigned = (
+        # row-local explode, not unionAll(self ×3): the union's branches
+        # each re-evaluated the 8-step Hilbert quadrant chain + z-value
+        # interleave per row
         z.select(
-            F.lit("hilbert").alias("layout"),
-            F.expr("hval DIV 384").alias("file_id"),
-            "cb",
-            "db",
-        )
-        .unionAll(
-            z.select(
-                F.lit("zorder").alias("layout"),
-                F.expr("zval DIV 384").alias("file_id"),
-                "cb",
-                "db",
-            )
-        )
-        .unionAll(
-            z.select(
-                F.lit("linear").alias("layout"),
-                F.col("db").alias("file_id"),
-                "cb",
-                "db",
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("hilbert").alias("layout"),
+                        F.expr("hval DIV 384").alias("file_id"),
+                        F.col("cb"),
+                        F.col("db"),
+                    ),
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.expr("zval DIV 384").alias("file_id"),
+                        F.col("cb"),
+                        F.col("db"),
+                    ),
+                    F.struct(
+                        F.lit("linear").alias("layout"),
+                        F.col("db").alias("file_id"),
+                        F.col("cb"),
+                        F.col("db"),
+                    ),
+                )
+            ).alias("_l")
+        ).select("_l.layout", "_l.file_id", "_l.cb", "_l.db")
     )
     perfile = assigned.groupBy("layout", "file_id").agg(
         (F.max("cb") - F.min("cb") + 1).alias("cb_span"),
