@@ -872,6 +872,141 @@ def connected_components(
         edges.unpersist()
 
 
+def _rank_ordered_doc_arrays(
+    tokens: DataFrame, id_col: str, tok_col: str, plen_sql: str
+) -> DataFrame:
+    """Shared scaffold of the prefix-filter joins (r15): per doc, its
+    distinct tokens as ONE array in global rarity order (ascending
+    (document-frequency, token) — the same total order the pre-r15
+    form's vocab-wide ``row_number`` rank induced, without the
+    single-partition vocab sort), plus the size and the prefix slice.
+
+    ``plen_sql`` is a SQL expression over ``_s`` giving the prefix
+    length (clamped at 0 so sub-threshold docs yield an empty prefix
+    and simply emit no candidate rows).
+
+    The frame is lazily ``localCheckpoint``ed: every consumer — both
+    sides of the candidate join, and any verify re-read — replays the
+    materialized rows instead of re-running the scan + distinct +
+    vocab join + per-doc collect.  The pre-r15 form evaluated that
+    subtree once per join side and twice more in the verify (4 full
+    evaluations, guide §7.2); the checkpoint is the r14g Bradley-
+    Terry trade — the frame is one row per doc (bounded by document
+    length, the safe collect), while the recompute is the whole
+    token pipeline including two shuffles."""
+    vocab = tokens.groupBy(tok_col).agg(F.count("*").alias("_df"))
+    tk = tokens.join(vocab, tok_col)
+    docs = (
+        tk.groupBy(id_col)
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(_df, {tok_col}))),"
+                f" x -> x.{tok_col})"
+            ).alias("_arr")
+        )
+        .select(id_col, "_arr", F.size("_arr").alias("_s"))
+        .withColumn("_pre", F.expr(f"slice(_arr, 1, greatest(0, {plen_sql}))"))
+    )
+    # Pin the checkpointed RDD's partition count EXPLICITLY: the frame
+    # is bytes-tiny (one row per doc), so AQE's coalescing would shrink
+    # the doc-key exchange to ONE partition — and every downstream task
+    # count (the prefix explodes, the candidate join's probe side, the
+    # per-pair verify work) inherits the checkpoint's partitioning, so
+    # the whole Θ(candidate-pairs) stage would run single-task
+    # (measured: 522 s vs 26 s at sf0.1).  defaultParallelism scales
+    # with the session's cores — not a local[32] constant.
+    n_part = tokens.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n_part, id_col).localCheckpoint(eager=False)
+
+
+def _prefix_candidate_join(
+    docs: DataFrame,
+    id_col: str,
+    tok_col: str,
+    extra_filter,
+    alpha_sql: str,
+    local_verify: bool = True,
+) -> DataFrame:
+    """Shared candidate stage of the prefix-filter joins (r15): explode
+    each side's prefix (carrying the full rank-ordered array), equi-join
+    on the prefix token, and keep exactly ONE row per candidate pair —
+    the MIN-RANK-WITNESS rule replaces the pre-r15 ``distinct()``:
+
+    a pair sharing w prefix tokens used to emit w join rows and pay a
+    pair-keyed distinct exchange over all of them (~7 witnesses/pair at
+    sf0.1 — an ~87M-row shuffle for a 12M-pair candidate set); here a
+    row survives only when its join token IS the first element of the
+    two prefixes' rank-ordered intersection, which is unique per pair,
+    so the join output needs no dedup at all.  Exactness: for any pair
+    meeting the similarity threshold the minimum-rank common token
+    provably lies in BOTH prefixes (if it didn't, the prefix tokens of
+    that side would all be non-shared, bounding the overlap below the
+    threshold) and its row passes the positional bound (which is >= the
+    true overlap at the min-rank witness) — so every qualifying pair
+    survives exactly once; non-qualifying pairs emit at most once and
+    die in the verify filter.
+
+    Because both endpoints' full arrays ride the (prefix-row-sized)
+    join, verification is row-local ``array_intersect`` right here —
+    no pair-keyed verify joins, no re-shuffle of corpus token streams.
+    ``alpha_sql`` is the minimum-required-overlap expression over
+    ``_sa``/``_sb``; ``extra_filter`` the family's length filter.
+
+    ``local_verify=False`` drops the full-array carry (prefixes still
+    ride for the witness rule) and returns bare ``(id_a, id_b, _sa,
+    _sb)`` candidates for a join-based verify — the profile for
+    corpora of very LONG documents, where copying each doc's whole
+    array onto every one of its ~(1-t)·s prefix rows (Θ(s²) bytes/doc
+    into the candidate exchange) would outweigh moving arrays once per
+    candidate pair."""
+    a_cols = [
+        F.col(id_col).alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_pre").alias("_prea"),
+    ]
+    b_cols = [
+        F.col(id_col).alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_pre").alias("_preb"),
+    ]
+    if local_verify:
+        a_cols.append(F.col("_arr").alias("_arra"))
+        b_cols.append(F.col("_arr").alias("_arrb"))
+    pa = docs.select(*a_cols, F.posexplode("_pre").alias("_pa0", tok_col))
+    pb = docs.select(*b_cols, F.posexplode("_pre").alias("_pb0", tok_col))
+    alpha = F.expr(alpha_sql)
+    cand = pa.join(pb, tok_col).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & extra_filter
+        # positional filter: overlap <= 1 + min(remaining suffix)
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("_sa") - (F.col("_pa0") + 1),
+                F.col("_sb") - (F.col("_pb0") + 1),
+            )
+            >= alpha
+        )
+        # min-rank-witness: emit the pair only at the first common
+        # prefix token (array_intersect preserves the first array's
+        # rank order; non-empty by construction — the join token is
+        # in both prefixes)
+        & (
+            F.element_at(F.array_intersect("_prea", "_preb"), 1)
+            == F.col(tok_col)
+        )
+    )
+    if not local_verify:
+        return cand.select("id_a", "id_b", "_sa", "_sb")
+    return cand.select(
+        "id_a",
+        "id_b",
+        "_sa",
+        "_sb",
+        F.size(F.array_intersect("_arra", "_arrb")).alias("inter_sz"),
+    )
+
+
 def prefix_filter_jaccard(
     tokens: DataFrame,
     id_col: str = "doc_id",
@@ -903,29 +1038,38 @@ def prefix_filter_jaccard(
     Input: distinct (id, token) pairs.  Output: ``(id_a, id_b,
     inter_sz, union_sz, jacc)`` with id_a < id_b.
 
-    Scale: the vocabulary rank is one vocab-sized global sort (row_
-    number over (df, token) — vocab, not corpus); per-doc prefix
-    selection is a doc-partitioned window; the candidate join shuffles
-    prefix tokens (a ~(1-t)-fraction of the corpus).  Two verify
-    strategies, identical output:
+    Plan shape (r15 — the bucket-single-eval rewrite): the per-doc
+    rank-ordered token array builds ONCE (one doc-keyed aggregation
+    over the vocab-decorated stream; no vocab-wide single-partition
+    rank window, no per-doc rank/count windows) into a lazily
+    checkpointed frame; the candidate join explodes that frame's
+    prefixes, and the MIN-RANK-WITNESS rule (see
+    ``_prefix_candidate_join``) emits every candidate pair exactly
+    once — the pre-r15 pair-keyed ``distinct()`` over ~7 witness
+    rows/pair is gone.  Verify strategies, identical output:
 
-    - ``verify="join"`` (default): pair-keyed overlap count —
-      candidates join the token stream on both ids and groupBy(pair)
-      counts shared tokens; no collected state anywhere.
-    - ``verify="arrays"``: candidates join each side's collected token
-      array once, overlap = size(array_intersect) JVM-side with no
-      further shuffle; the collect_set is bounded by DOCUMENT length
-      (the safe kind of collect), for corpora where the token stream
-      re-join is the expensive side.
+    - ``verify="join"`` (default): row-LOCAL — both endpoints' full
+      arrays ride the prefix rows, overlap = size(array_intersect) in
+      the candidate join itself; zero post-candidate shuffles.  The
+      per-doc byte cost is Θ(s·plen) into the candidate exchange —
+      the right trade whenever candidate fan-out rivals or exceeds
+      corpus size (replicated corpora, the regime this operator
+      targets); the pre-r15 pair-keyed verify re-shuffled the token
+      stream per candidate ENDPOINT (Θ(s) bytes × pair fan-out) plus
+      a |pairs × shared-tokens| groupBy.
+    - ``verify="arrays"``: bare candidates, then each side's array
+      attaches by an equi join against the SAME checkpointed doc
+      frame (no recompute) — overlap still row-local; for long-doc
+      corpora where Θ(s²)/doc through the candidate exchange is the
+      expensive side.
 
-    Measured at sf0.1's 7.1M-pair regime the two verifies are a WASH
-    (137s vs 150s — A/B in NOTES r13) because neither is the
-    bottleneck: the profile shows the filter is already within 1.75x
-    of the true output (12.4M candidates -> 7.1M survivors) with ~7
-    shared-prefix witnesses per pair pre-distinct, so runtime is bound
-    by materializing the OUTPUT-scale intermediates — the operator is
-    output-optimal to within small constants on a 10x-replicated
-    corpus whose qualifying-pair set is itself huge.
+    Measured at sf0.1 (7.1M qualifying pairs, 31-token vocab, ~3.7k
+    mean prefix df — the worst case for witness duplication): the
+    benched pairs query fell 122.0 -> 24.7 s (median-of-3, equal host
+    spin) with the r15 row-local default; an isolated interleaved A/B
+    of the two verify flavors is a wash (11.5 vs 10.8-11.6 s) — the
+    win is the dead distinct exchange + dead verify joins + the
+    single-eval checkpoint, not the verify flavor.
 
     Empty-string tokens count as members (both engines split '' to
     [''] — the shared convention)."""
@@ -933,87 +1077,43 @@ def prefix_filter_jaccard(
         raise ValueError(f"need 0 < t_num <= t_den, got {t_num}/{t_den}")
     if verify not in ("arrays", "join"):
         raise ValueError(f"verify must be 'arrays' or 'join', got {verify!r}")
-    from pyspark.sql import Window as W
-
-    vocab = tokens.groupBy(tok_col).agg(F.count("*").alias("_df"))
-    vocab = vocab.withColumn(
-        "_trank", F.row_number().over(W.orderBy("_df", tok_col))
-    ).drop("_df")
-    tk = tokens.join(vocab, tok_col)
-    wdoc = W.partitionBy(id_col)
-    tk = tk.select(
-        id_col,
-        tok_col,
-        F.row_number().over(wdoc.orderBy("_trank")).alias("_pos"),
-        F.count("*").over(wdoc).alias("_s"),
-    )
     # prefix length = s - ceil(t*s) + 1; ceil via integer floor-div
     # ((a + b - 1) div b) so the arithmetic is exact at any magnitude
     # (double division + cast would only truncate exactly below 2^52).
-    plen = (
-        F.col("_s")
-        - F.expr(f"({t_num}L * _s + {t_den - 1}L) div {t_den}L")
-        + 1
-    )
-    pre = tk.filter(F.col("_pos") <= plen)
-    a = pre.select(
-        F.col(id_col).alias("id_a"),
+    docs = _rank_ordered_doc_arrays(
+        tokens,
+        id_col,
         tok_col,
-        F.col("_s").alias("_sa"),
-        F.col("_pos").alias("_pa"),
+        f"_s - (({t_num}L * _s + {t_den - 1}L) div {t_den}L) + 1",
     )
-    b = pre.select(
-        F.col(id_col).alias("id_b"),
-        tok_col,
-        F.col("_s").alias("_sb"),
-        F.col("_pos").alias("_pb"),
-    )
-    # PPJoin's two exactness-preserving candidate filters, applied
-    # witness-locally before the dedup shuffle:
+    # PPJoin's two exactness-preserving candidate filters (witness-local):
     # - LENGTH filter: J >= t forces t*max(sa,sb) <= min(sa,sb)
-    #   (overlap <= min and >= t*union >= t*max), so size-mismatched
-    #   pairs can never qualify;
-    # - POSITIONAL filter: with both docs' tokens in the SAME global
-    #   rank order, a pair's minimum-rank shared token at positions
-    #   (pa, pb) bounds the overlap by 1 + min(sa-pa, sb-pb); a
-    #   qualifying pair needs overlap >= alpha = ceil(t/(1+t)*(sa+sb)),
-    #   and its min-rank witness always passes the bound, so filtering
-    #   every witness row keeps at least one row per qualifying pair —
-    #   no false negatives, while witnesses deep in both prefixes (the
-    #   duplicated-corpus blowup) drop before the distinct.
-    # alpha = ceil(t/(1+t) * (sa+sb)) as an exact integer floor-div.
-    alpha = F.expr(
+    #   (overlap <= min and >= t*union >= t*max);
+    # - POSITIONAL filter: the min-rank shared token at positions
+    #   (pa, pb) bounds the overlap by 1 + min(sa-pa, sb-pb), and a
+    #   qualifying pair needs overlap >= alpha = ceil(t/(1+t)*(sa+sb)).
+    length_ok = (F.col("_sa") * t_den >= F.col("_sb") * t_num) & (
+        F.col("_sb") * t_den >= F.col("_sa") * t_num
+    )
+    alpha_sql = (
         f"({t_num}L * (_sa + _sb) + {t_num + t_den - 1}L)"
         f" div {t_num + t_den}L"
     )
-    cand = (
-        a.join(b, tok_col)
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("_sa") * t_den >= F.col("_sb") * t_num)
-            & (F.col("_sb") * t_den >= F.col("_sa") * t_num)
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
-                )
-                >= alpha
-            )
+    if verify == "join":
+        inter = _prefix_candidate_join(
+            docs, id_col, tok_col, length_ok, alpha_sql, local_verify=True
         )
-        .select("id_a", "id_b", "_sa", "_sb")
-        .distinct()
-    )
-    if verify == "arrays":
-        sets = tokens.groupBy(id_col).agg(
-            F.collect_set(tok_col).alias("_tk")
+    else:
+        cand = _prefix_candidate_join(
+            docs, id_col, tok_col, length_ok, alpha_sql, local_verify=False
         )
         inter = (
             cand.join(
-                sets.select(F.col(id_col).alias("id_a"), F.col("_tk").alias("_tka")),
+                docs.select(F.col(id_col).alias("id_a"), F.col("_arr").alias("_tka")),
                 "id_a",
             )
             .join(
-                sets.select(F.col(id_col).alias("id_b"), F.col("_tk").alias("_tkb")),
+                docs.select(F.col(id_col).alias("id_b"), F.col("_arr").alias("_tkb")),
                 "id_b",
             )
             .select(
@@ -1023,15 +1123,6 @@ def prefix_filter_jaccard(
                 "_sb",
                 F.size(F.array_intersect("_tka", "_tkb")).alias("inter_sz"),
             )
-        )
-    else:
-        ta = tokens.select(F.col(id_col).alias("id_a"), tok_col)
-        tb = tokens.select(F.col(id_col).alias("id_b"), tok_col)
-        inter = (
-            cand.join(ta, "id_a")
-            .join(tb, ["id_b", tok_col])
-            .groupBy("id_a", "id_b", "_sa", "_sb")
-            .agg(F.count("*").alias("inter_sz"))
         )
     union = F.col("_sa") + F.col("_sb") - F.col("inter_sz")
     return (
@@ -1072,65 +1163,21 @@ def overlap_join(
     Output: ``(id_a, id_b, inter_sz, cont_a, cont_b)`` with
     id_a < id_b, cont_x = inter / |x|.  Input: distinct (id, token).
 
-    Scale: identical shape to ``prefix_filter_jaccard`` — vocab-sized
-    rank sort, doc-partitioned prefix window, prefix-token equi-join
-    with witness-local filtering, pair-keyed verify; all threshold
+    Plan shape (r15): identical scaffold to ``prefix_filter_jaccard``
+    — ONE checkpointed per-doc rank-ordered array frame (no vocab-wide
+    rank window, no per-doc windows), prefix-token equi-join with the
+    min-rank-witness single-emission rule (no pair distinct), overlap
+    row-local via the carried arrays (no verify joins); all threshold
     arithmetic integer."""
     if min_overlap < 1:
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
-    from pyspark.sql import Window as W
-
     c = min_overlap
-    vocab = tokens.groupBy(tok_col).agg(F.count("*").alias("_df"))
-    vocab = vocab.withColumn(
-        "_trank", F.row_number().over(W.orderBy("_df", tok_col))
-    ).drop("_df")
-    tk = tokens.join(vocab, tok_col)
-    wdoc = W.partitionBy(id_col)
-    tk = tk.select(
-        id_col,
-        tok_col,
-        F.row_number().over(wdoc.orderBy("_trank")).alias("_pos"),
-        F.count("*").over(wdoc).alias("_s"),
-    )
-    pre = tk.filter(F.col("_pos") <= F.col("_s") - c + 1)
-    a = pre.select(
-        F.col(id_col).alias("id_a"),
-        tok_col,
-        F.col("_s").alias("_sa"),
-        F.col("_pos").alias("_pa"),
-    )
-    b = pre.select(
-        F.col(id_col).alias("id_b"),
-        tok_col,
-        F.col("_s").alias("_sb"),
-        F.col("_pos").alias("_pb"),
-    )
-    cand = (
-        a.join(b, tok_col)
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # both sets must be at least c tokens; the positional bound
-            & (F.col("_sa") >= c)
-            & (F.col("_sb") >= c)
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
-                )
-                >= c
-            )
-        )
-        .select("id_a", "id_b", "_sa", "_sb")
-        .distinct()
-    )
-    ta = tokens.select(F.col(id_col).alias("id_a"), tok_col)
-    tb = tokens.select(F.col(id_col).alias("id_b"), tok_col)
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", tok_col])
-        .groupBy("id_a", "id_b", "_sa", "_sb")
-        .agg(F.count("*").alias("inter_sz"))
+    docs = _rank_ordered_doc_arrays(tokens, id_col, tok_col, f"_s - {c} + 1")
+    # both sets must be at least c tokens; alpha (the required overlap)
+    # is the constant c
+    length_ok = (F.col("_sa") >= c) & (F.col("_sb") >= c)
+    inter = _prefix_candidate_join(
+        docs, id_col, tok_col, length_ok, f"{c}L", local_verify=True
     )
     return inter.filter(F.col("inter_sz") >= c).select(
         "id_a",

@@ -20,6 +20,9 @@ from byte_convert_avro_spark.functions import (
 )
 from byte_convert_avro_spark.plans.stats_reset import reset_plan_stats
 
+#: neighborhood_kmv edge-frame persist (r15 A/B toggle; True committed)
+_KMV_PERSIST_EDGES = True
+
 
 def pagerank_fixed_rounds(
     edges: DataFrame,
@@ -436,7 +439,16 @@ def neighborhood_kmv(
         raise ValueError(f"neighborhood_kmv needs k >= 2, got {k}")
     if rounds < 1:
         raise ValueError(f"neighborhood_kmv needs rounds >= 1, got {rounds}")
+    # the edge frame is read once per ROUND (the sketch-flow join) plus
+    # once for the node set — without a checkpoint every one of those
+    # reads re-evaluates the CALLER's edge subtree (for the trade graph
+    # that is the orders⋈lineitem join + distinct: r+1 full evaluations
+    # per query, the last multi-eval-per-round pattern left after r14).
+    # The lazily checkpointed frame is |E| rows of two keys — the CC
+    # edge-persist discipline (§5): materialize once, replay r+1 times.
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if _KMV_PERSIST_EDGES:  # A/B toggle, resolved r15 — see below
+        e = e.localCheckpoint(eager=False)
     hv = F.conv(
         F.substring(F.md5(F.col("__n").cast("string")), 1, 8), 16, 10
     ).cast("long")

@@ -550,14 +550,22 @@ def _neighborhood_kmv_with_referee(spark: SparkSession, sf: str, sample_mod: int
         .distinct()
     )
     # row-local explode, not unionByName(self-swapped) — see above
-    und = dir_e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a"), F.col("b")),
-                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
-            )
-        ).alias("_e")
-    ).select("_e.a", "_e.b")
+    # Lazily checkpointed (r15): besides the sketch operator (which
+    # persists its own copy), the edge frame feeds the referee's node
+    # seed and BOTH reach-expansion rounds — without the checkpoint
+    # each of those re-ran the orders⋈lineitem join + distinct.
+    und = (
+        dir_e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .localCheckpoint(eager=False)
+    )
     sk = neighborhood_kmv(und, k=16, rounds=2, node="node", src="a", dst="b")
 
     # exact pair frames (gate-side verification only — see docstring)

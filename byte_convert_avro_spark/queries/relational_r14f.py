@@ -898,10 +898,19 @@ def kmeans_davies_bouldin_cells(spark: SparkSession, sf: str):
         F.col("vec_id").alias("id"),
         F.sqrt("a2").alias("x"),
     )
-    sc = bounded_ordered_agg(dist, ["cell"], "id", "x", chunk=128).select(
-        "cell",
-        (F.col("osum") / F.col("ocnt")).alias("s"),
-        F.col("ocnt").cast("long").alias("n"),
+    # <= k rows from the expensive subtree (full scoring pass + bounded
+    # fold), referenced THREE times below (sa, sb, the final join) —
+    # without the lazy checkpoint each reference re-ran the whole
+    # assignment + fold pipeline (r15; the r14g tiny-frame checkpoint
+    # trade: recompute is corpus-scale, the frame is k rows).
+    sc = (
+        bounded_ordered_agg(dist, ["cell"], "id", "x", chunk=128)
+        .select(
+            "cell",
+            (F.col("osum") / F.col("ocnt")).alias("s"),
+            F.col("ocnt").cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=False)
     )
     # k-row frames: coalesce to one partition and broadcast the probe
     # side so the non-equi pair join is k² rows in a handful of tasks,
