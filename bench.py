@@ -321,9 +321,11 @@ EXTENDED = [
 #: includes this map verbatim whenever one of its queries gets flagged.
 ACCEPTED_TRADES = {
     "jaccard_verified_candidates": (
-        "r14: melt + merge-hinted SMJ verify replaced a corpus-sized "
-        "shingle-table broadcast (fatal at scale); local steady-state "
-        "median ~1.6-2.9 s vs 1.4 s pre-trade — see SCALE.md r15 sf1 A/B"
+        "r14 removed a corpus-sized shingle-table broadcast (fatal at "
+        "scale); r15 re-landed the verify as checkpointed two-join "
+        "SHUFFLE_HASH (sf1 A/B in SCALE.md: 43.5 s melt-SMJ -> ~17-27 s, "
+        "broadcast 16.3 s) — still ~1.5x the pre-trade local median, "
+        "accepted for the 100 TB plan"
     ),
 }
 

@@ -426,45 +426,40 @@ def jaccard_similarity(
     needs a second |pairs × common-shingles|-row groupBy to count the
     overlap.)"""
     sh = word_shingles(df.select(id_col, text_col), text_col, shingle_n)
-    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("_shs"))
-    # Attach both endpoints' shingle arrays with ONE join (r14): the
-    # two-join form (pairs ⋈ sets_as_a ⋈ sets_as_b) referenced ``sets``
-    # twice and Catalyst planned the full corpus shingle aggregation
-    # once per reference (guide §7.2; exchange reuse does not fire
-    # across the aliased branches).  Melting each pair into its two
-    # endpoint rows joins ``sets`` exactly once; the per-pair regroup
-    # gathers the two arrays (exactly one non-null per side, so
-    # first(ignorenulls) is deterministic).  ``pairs`` must be a
-    # DISTINCT pair set (all callers pass aggregated LSH output) — a
-    # duplicated input pair would collapse here instead of duplicating.
-    side = pairs.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("_d")
+    # The per-doc shingle-array frame is lazily checkpointed (r15): the
+    # two attach joins below both read it, and without the checkpoint
+    # Catalyst planned the full corpus shingle aggregation once per
+    # reference (guide §7.2; exchange reuse does not fire across the
+    # aliased branches).  One row per doc, bounded by document length —
+    # the safe collect — vs recomputing scan+shingles+aggregation twice.
+    # Partition count pinned explicitly: AQE would coalesce the tiny
+    # frame to one partition and serialize everything downstream (the
+    # r15 prefix-filter finding).
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sets = (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("sh").alias("_shs"))
+        .repartition(n_part, id_col)
+        .localCheckpoint(eager=False)
     )
-    # collect_list (ObjectHashAggregate) — NOT first(when(...)): a
-    # declarative agg with an array-typed buffer forces SortAggregate,
-    # which sorts every pair row by key WITH its shingle array payload
-    # (measured 4x slower at sf0.1, r14)
-    # the merge hint pins the attach join to sort-merge: with the
-    # aggregate+explode upstream Catalyst has no reliable size estimate
-    # and was observed (r14) to BROADCAST the corpus-wide shingle-set
-    # table instead — a full-corpus driver collect (+3s at sf0.1, fatal
-    # at scale).  SMJ shuffles each side once by doc id and spills
-    # gracefully; callers with provably tiny pair sets can still
+    # Attach each endpoint's array with a SHUFFLE_HASH-hinted equi join
+    # (r15, replacing the r14 melt + merge-hinted SMJ + collect_list
+    # regroup).  Interleaved sf1 A/B (SCALE.md r15): two-join
+    # shuffle-hash 22.9 s vs melt-SMJ 43.5 s vs melt-SHJ 43.1 s vs
+    # two-join broadcast 16.3 s — the melt's pair-keyed regroup moves
+    # and re-sorts every pair row WITH its array payloads, costing more
+    # than the second equi join it saved.  The hint choice: unhinted,
+    # Catalyst was observed (r14) to BROADCAST the corpus-wide set
+    # table (fatal at 100 TB — the 8 GB/512M-row relation cap); the
+    # shuffle-hash join shuffles each side by the doc key with NO sort
+    # of the array payloads and no driver collect, and AQE skew-split
+    # still applies.  Callers with provably tiny pair sets can still
     # broadcast upstream of this operator.
-    per = (
-        side.join(sets.withColumnRenamed(id_col, "_d").hint("merge"), "_d")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.collect_list(F.struct("_d", "_shs")).alias("_sides"))
-        .filter(F.size("_sides") == 2)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("filter(_sides, s -> s._d = doc_a)[0]._shs").alias("_sha"),
-            F.expr("filter(_sides, s -> s._d = doc_b)[0]._shs").alias("_shb"),
-        )
-    )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("_shs").alias("_sha"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("_shs").alias("_shb"))
     return (
-        per
+        pairs.join(a.hint("shuffle_hash"), "doc_a")
+        .join(b.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
